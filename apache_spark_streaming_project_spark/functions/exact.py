@@ -1,0 +1,110 @@
+"""Cross-engine-deterministic aggregate expressions.
+
+Floating-point SUM/AVG/STDDEV are order-dependent: a partial+final hash
+aggregation over doubles gives low-order bits that differ run-to-run and
+engine-to-engine, which breaks value-hash comparison against a DuckDB oracle.
+
+The testdata money/measure columns carry <= 2 decimal digits, so casting to
+DECIMAL before summing makes the sum EXACT — then a final cast to double is a
+single deterministic conversion shared by both engines. Same trick yields
+exact AVG (exact sum / exact count, one IEEE division) and exact STDDEV via
+the sum-of-squares identity computed on exact decimal sums:
+
+    var_samp = (n * sum(x^2) - sum(x)^2) / (n * (n - 1))
+
+with the numerator formed in exact decimal arithmetic and only the final
+division + sqrt done in doubles. Precisions are sized so no intermediate
+exceeds DECIMAL(38) (no engine-specific precision-loss rounding). This is
+also the SCALABLE formulation: one pass, partial-aggregatable, no second
+scan — exactly what Spark's HashAggregate does for the three component sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def sum_money(col: str | Column, scale: int = 2, out_alias: str | None = None) -> Column:
+    """Exact sum of a fixed-point-valued double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    expr = F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+    return expr.alias(out_alias) if out_alias else expr
+
+
+def avg_exact(col: str | Column, scale: int = 2, out_alias: str | None = None) -> Column:
+    """Deterministic average: exact decimal sum, then one double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    expr = F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c)
+    return expr.alias(out_alias) if out_alias else expr
+
+
+def var_components(col: str | Column, scale: int = 2) -> tuple[Column, Column, Column]:
+    """(n, sum(x), sum(x^2)) with the sums exact decimals.
+
+    x has `scale` fractional digits -> x^2 has 2*scale; DECIMAL(18,s) values
+    square into DECIMAL(36,2s) range, so per-element squares are exact and
+    sums stay within DECIMAL(38).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    d = c.cast(f"decimal(16,{scale})")
+    n = F.count(c)
+    s = F.sum(d)
+    # square in decimal: (16,s)*(16,s) -> (33,2s): exact, fits in 38.
+    sq = F.sum(d * d)
+    return n, s, sq
+
+
+def stddev_exact(col: str | Column, scale: int = 2, out_alias: str | None = None) -> Column:
+    """Deterministic sample stddev (matches Spark ``stddev`` / DuckDB
+    ``stddev`` both = stddev_samp) via the exact-sums identity.
+
+    The numerator n*sum_sq - sum^2 is computed in doubles AFTER exact decimal
+    sums — the two products can exceed DECIMAL(38) at large n, so we convert
+    the three exact components to double first; the conversion is
+    deterministic and identical in both engines, and the two products/one
+    subtraction in IEEE doubles are order-free (fixed expression tree).
+    """
+    n, s, sq = var_components(col, scale)
+    nd = n.cast("double")
+    sd = s.cast("double")
+    sqd = sq.cast("double")
+    var = (nd * sqd - sd * sd) / (nd * (nd - F.lit(1.0)))
+    expr = F.when(n > 1, F.sqrt(var)).otherwise(F.lit(None).cast("double"))
+    return expr.alias(out_alias) if out_alias else expr
+
+
+def _dec2dbl(expr: str) -> str:
+    """Correctly-rounded decimal->double for DuckDB.
+
+    DuckDB's direct ``CAST(decimal AS DOUBLE)`` multiplies the scaled integer
+    by 10^-scale in doubles (two roundings — NOT correctly rounded once the
+    decimal exceeds ~17 significant digits), while Spark's Decimal.toDouble
+    (java.math.BigDecimal.doubleValue) is correctly rounded. Routing through
+    VARCHAR makes DuckDB correctly rounded too, so both engines produce
+    bit-identical doubles from the same exact decimal sum.
+    """
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
+def stddev_exact_sql(col_sql: str, scale: int = 2) -> str:
+    """DuckDB-side mirror of :func:`stddev_exact` (same expression tree)."""
+    d = f"CAST({col_sql} AS DECIMAL(16,{scale}))"
+    return (
+        f"CASE WHEN COUNT({col_sql}) > 1 THEN sqrt("
+        f"(CAST(COUNT({col_sql}) AS DOUBLE) * {_dec2dbl(f'SUM({d} * {d})')}"
+        f" - {_dec2dbl(f'SUM({d})')} * {_dec2dbl(f'SUM({d})')})"
+        f" / (CAST(COUNT({col_sql}) AS DOUBLE) * (CAST(COUNT({col_sql}) AS DOUBLE) - 1.0))"
+        f") ELSE NULL END"
+    )
+
+
+def avg_exact_sql(col_sql: str, scale: int = 2) -> str:
+    return (
+        f"{_dec2dbl(f'SUM(CAST({col_sql} AS DECIMAL(18,{scale})))')}"
+        f" / COUNT({col_sql})"
+    )
+
+
+def sum_money_sql(col_sql: str, scale: int = 2) -> str:
+    return _dec2dbl(f"SUM(CAST({col_sql} AS DECIMAL(18,{scale})))")
