@@ -237,3 +237,358 @@ def s24_returnflag_linestatus_counts(spark: SparkSession, sf_dir: str) -> DataFr
         F.count("*").alias("count"),
         sum_money("l_quantity", out_alias="sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S13-S16 — z-score anomaly subplan (reference spark_streaming.py:104-120)
+# ---------------------------------------------------------------------------
+
+_EVENTS_STATS_CTE = """
+    WITH stats AS (
+      SELECT {mu} AS mu, {sigma} AS sigma FROM events
+    )
+""".format(mu=avg_exact_sql("value"), sigma=stddev_exact_sql("value"))
+
+
+@register(
+    "s13_value_zscore_anomalies",
+    _EVENTS_STATS_CTE
+    + """
+    SELECT event_id, value, abs((value - mu) / sigma) AS z_score
+    FROM events, stats
+    WHERE sigma > 0 AND abs((value - mu) / sigma) > 3
+    """,
+    "S13",
+    "S14",
+    "S15",
+    "S16",
+)
+def s13_value_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13-S16 analogue: |z| > 3 outliers on events.value, fully lazy —
+    1-row stats agg broadcast back (no driver round-trip; SURVEY.md §4.3-5)."""
+    from apache_spark_streaming_project_spark.operators.anomaly import zscore
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    return zscore(ev, "value", threshold=3.0, scale=2)
+
+
+# ---------------------------------------------------------------------------
+# D1/D5 — trailing time-window filter + snapshot re-aggregation
+# reference dashboard.py:473-480, 274/310/346
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d1_trailing_window_counts",
+    """
+    WITH cutoff AS (SELECT max(ts) - INTERVAL 7 DAY AS c FROM events)
+    SELECT event_type, COUNT(*) AS count, {sum_value} AS sum_value
+    FROM events, cutoff
+    WHERE ts >= c
+    GROUP BY event_type
+    """.format(sum_value=sum_money_sql("value")),
+    "D1",
+    "D5",
+)
+def d1_trailing_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — trailing-window range predicate ('last 7 days' relative to the
+    data's max ts for determinism) + D5 re-aggregation. The comparison is a
+    pushable range predicate -> parquet row-group pruning at scale."""
+    from apache_spark_streaming_project_spark.operators.readside import trailing_window
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        trailing_window(ev, "ts", "7 DAY")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("count"), sum_money("value", out_alias="sum_value"))
+    )
+
+
+@register(
+    "d5_event_type_totals",
+    """
+    SELECT event_type, COUNT(*) AS count, {sum_value} AS sum_value,
+           {avg_value} AS avg_value
+    FROM events GROUP BY event_type
+    """.format(
+        sum_value=sum_money_sql("value"), avg_value=avg_exact_sql("value")
+    ),
+    "D5",
+    "D6",
+)
+def d5_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5/D6 — snapshot re-aggregation (group-sum over the events table)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("count"),
+        sum_money("value", out_alias="sum_value"),
+        avg_exact("value", out_alias="avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D7 — percentage-of-group (window partition sum) — reference dashboard.py:349
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d7_percent_of_group",
+    """
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS count
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, o_orderstatus, count,
+           CAST(count AS DOUBLE)
+             / CAST(SUM(count) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+             * 100.0 AS percentage
+    FROM c
+    """,
+    "D7",
+)
+def d7_percent_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 — share of each status within its priority: grouped counts + an
+    unordered partition-sum window (one shuffle; exact integer sums)."""
+    from apache_spark_streaming_project_spark.operators.readside import percent_of_group
+
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").count()
+    return percent_of_group(counts, "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# D8/D10 — latest-per-group ranking window; global latest (top-1)
+# reference dashboard.py:408-409, 150-152
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d8_latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, value FROM (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    "D8",
+    "D8a",
+)
+def d8_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 — latest event per user via row_number ranking window (total order:
+    ts desc, event_id desc). Replaces the reference's groupby-max + pandas
+    merge join-back with one shuffle and no join."""
+    from apache_spark_streaming_project_spark.operators.readside import latest_per_group
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return latest_per_group(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+
+
+@register(
+    "d10_latest_event",
+    """
+    SELECT event_id, ts, event_type, value
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+    """,
+    "D10",
+    "D11",
+    "D12",
+)
+def d10_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 — most-recent-record lookup: orderBy().limit(1) compiles to
+    TakeOrderedAndProject (distributed top-1, no full sort)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    return ev.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(1)
+
+
+# ---------------------------------------------------------------------------
+# D13/D14 — top-k by measure with deterministic tie-break
+# reference dashboard.py:313,412
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d13_top_users_by_value",
+    """
+    SELECT user_id, {total} AS total_value, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY total_value DESC, user_id ASC LIMIT 10
+    """.format(total=sum_money_sql("value")),
+    "D13",
+    "D14",
+)
+def d13_top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13/D14 — top-10 users by exact total value; user_id tie-break makes
+    the k-set deterministic (SURVEY.md §7.5 risk 1)."""
+    from apache_spark_streaming_project_spark.operators.readside import top_k
+
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        sum_money("value", out_alias="total_value"),
+        F.count("*").alias("n_events"),
+    )
+    return top_k(totals, [F.col("total_value").desc(), F.col("user_id").asc()], 10)
+
+
+# ---------------------------------------------------------------------------
+# D15 — custom categorical sort order (reference dashboard.py:277-279)
+# ---------------------------------------------------------------------------
+
+_QB_LABELS = ["Q1 (<10)", "Q2 (10-24)", "Q3 (25-39)", "Q4 (40+)"]
+
+
+@register(
+    "d15_bucket_rank",
+    f"""
+    SELECT quantity_bucket,
+           CASE quantity_bucket
+                WHEN 'Q1 (<10)' THEN 0 WHEN 'Q2 (10-24)' THEN 1
+                WHEN 'Q3 (25-39)' THEN 2 WHEN 'Q4 (40+)' THEN 3
+                ELSE 4 END AS bucket_rank,
+           COUNT(*) AS count
+    FROM (SELECT {_QUANTITY_BUCKET_SQL} AS quantity_bucket FROM lineitem)
+    GROUP BY 1
+    """,
+    "D15",
+)
+def d15_bucket_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15 — label->ordinal rank CASE mapping for custom categorical order
+    (the engine-side replacement for pandas ordered Categorical)."""
+    from apache_spark_streaming_project_spark.operators.readside import categorical_rank
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("quantity_bucket", enrich.quantity_bucket())
+        .groupBy("quantity_bucket")
+        .agg(F.count("*").alias("count"))
+        .withColumn(
+            "bucket_rank",
+            categorical_rank(_QB_LABELS, "quantity_bucket").cast("int"),
+        )
+        .select("quantity_bucket", "bucket_rank", "count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2 — membership filter as left-semi join (reference dashboard.py:313-314)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d2_semi_join_small_parts",
+    """
+    SELECT l_returnflag, COUNT(*) AS count
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
+    GROUP BY l_returnflag
+    """,
+    "D2",
+)
+def d2_semi_join_small_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — membership filter as a broadcast LEFT SEMI join against the
+    derived key set (small side broadcast: no shuffle of the fact table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    small = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10).select("p_partkey")
+    return (
+        li.join(
+            F.broadcast(small),
+            li.l_partkey == small.p_partkey,
+            "left_semi",
+        )
+        .groupBy("l_returnflag")
+        .count()
+    )
+
+
+# ---------------------------------------------------------------------------
+# D8a + joins — multi-way equi-join with broadcast dims (revenue per region)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_revenue_by_region",
+    """
+    SELECT r.r_name,
+           {revenue} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """.format(
+        revenue=(
+            "CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(16,2))"
+            " * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))"
+            " AS VARCHAR) AS DOUBLE)"
+        )
+    ),
+    "D8a",
+)
+def j1_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way equi-join: fact lineitem joined through orders -> customer ->
+    nation -> region, revenue = sum(extprice * (1 - discount)) in exact
+    decimals. Dimension sides are broadcast (no fact-table shuffle for the
+    dim joins; the only shuffle is the final 5-key aggregation)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    rev = F.col("l_extendedprice").cast("decimal(16,2)") * (
+        one - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D9 — derived ratio metrics with zero guard (reference dashboard.py:167-170)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d9_high_value_share",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS n_high,
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(SUM(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) * 100.0
+                ELSE 0.0 END AS high_share_pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "D9",
+)
+def d9_high_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 — ratio metric (share of high-value orders) with the reference's
+    zero-denominator guard expressed in-plan via when()."""
+    o = _t(spark, sf_dir, "orders")
+    n_high = F.sum(F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0))
+    n_all = F.count("*")
+    return o.groupBy("o_orderstatus").agg(
+        n_all.alias("n_orders"),
+        n_high.alias("n_high"),
+        F.when(
+            n_all > 0, n_high.cast("double") / n_all.cast("double") * 100.0
+        )
+        .otherwise(F.lit(0.0))
+        .alias("high_share_pct"),
+    )

@@ -69,8 +69,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Parquet scan: column pruning + predicate
-    pushdown happen at the source, so callers should select/filter eagerly."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    pushdown happen at the source, so callers should select/filter eagerly.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's reader
+    only surfaces as nanosecond longs (``spark.sql.legacy.parquet.nanosAsLong``
+    — set in the session factory); convert to a microsecond timestamp by
+    floor-division, matching DuckDB's NANOS->micros truncation so oracle
+    comparisons agree.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
