@@ -592,3 +592,408 @@ def d9_high_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("high_share_pct"),
     )
+
+
+# ===========================================================================
+# X* — training-data-pipeline extension operators (SURVEY.md §2.11)
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# X4 — text analysis: per-document profile (token stats, quality signals)
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+_PUNCT_REMOVED = "regexp_replace(text, '[.,!?;:]', '', 'g')"
+_WORD_CHARS = "length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))"
+_PUNCT_CHARS = r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))"
+_SW_EN = "['the','and','of','to','a','in','is','that','it','for']"
+
+
+@register(
+    "x4_text_profile",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(ceil({_WORD_CHARS} / 4.0) AS BIGINT) + CAST({_PUNCT_CHARS} AS BIGINT)
+             AS n_tokens_bpe,
+           CASE WHEN len(toks) > 0
+                THEN CAST(list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                          (a,b) -> a + b) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END AS mean_token_len,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(text) - length({_PUNCT_REMOVED}) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE)
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> list_contains({_SW_EN}, lower(x)))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END AS stopword_ratio
+    FROM base
+    """,
+    "X4",
+)
+def x4_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — per-document token/quality profile: whitespace + BPE-ish token
+    counts, mean token length, punctuation + stopword ratios. Map-only plan
+    (no shuffle); all string kernels are codegen'd built-ins."""
+    from apache_spark_streaming_project_spark.operators import text as tx
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").cast("long").alias("n_tokens"),
+        tx.bpe_ish_token_count("text").alias("n_tokens_bpe"),
+        tx.mean_token_length("text").alias("mean_token_len"),
+        tx.punct_ratio("text").alias("punct_ratio"),
+        tx.stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+@register(
+    "x4_quality_scores",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_tok,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(text) - length({_PUNCT_REMOVED}) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS p,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                            (a,b) -> a + b) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS mtl
+      FROM base
+    )
+    SELECT doc_id,
+           least(n_tok / 20.0, 1.0) * 0.4
+             + (CASE WHEN p < 0.2 THEN 1.0 - p ELSE 0.5 END) * 0.3
+             + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.6 END) * 0.3
+             AS quality
+    FROM sig
+    """,
+    "X4",
+)
+def x4_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — composite quality score per document (length / punctuation /
+    token-shape signals combined with fixed weights)."""
+    from apache_spark_streaming_project_spark.operators import text as tx
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+@register(
+    "x4_fingerprints",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) > 0
+                THEN list_reduce(list_transform(range(1, length(text)+1),
+                       i -> CAST(ascii(text[i]) AS BIGINT)),
+                     (acc, x) -> (acc * 31 + x) % 2147483647)
+                ELSE 0 END AS fingerprint
+    FROM documents
+    """,
+    "X4",
+)
+def x4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — polynomial rolling-hash fingerprint per document (left fold over
+    char codes: h = h*31 + c mod 2^31-1). Bit-identical to the oracle's
+    list_reduce because both fold left-to-right over exact integers."""
+    from apache_spark_streaming_project_spark.operators import text as tx
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.rolling_fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "x4_top_tokens",
+    f"""
+    SELECT token, COUNT(*) AS count
+    FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY count DESC, token ASC
+    LIMIT 20
+    """,
+    "X4",
+)
+def x4_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — token frequency top-k: explode -> groupBy().count() -> take-
+    ordered (deterministic token tie-break). The explode happens map-side;
+    partial aggregation collapses token counts before the single shuffle."""
+    from apache_spark_streaming_project_spark.operators import text as tx
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tx.tokens("text")).alias("token"))
+        .groupBy("token")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1/X2 — deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x1_exact_dedup",
+    """
+    SELECT event_type, props, MIN(event_id) AS event_id
+    FROM events GROUP BY event_type, props
+    """,
+    "X1",
+)
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — exact dedup on (event_type, props): keep the min-key row per
+    distinct value. groupBy + left-semi join back (both sides shuffle on the
+    dup key once; map-side combine keeps volume at one row per distinct)."""
+    from apache_spark_streaming_project_spark.operators.dedup import exact_dedup
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "props", "event_id")
+    return exact_dedup(ev, ["event_type", "props"], "event_id")
+
+
+@register(
+    "x1_fingerprint_dedup",
+    """
+    SELECT event_id FROM (
+      SELECT event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type, props
+                                ORDER BY event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    "X1",
+)
+def x1_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 at scale — dedup on xxhash64 of the content: the shuffle carries
+    8-byte hashes instead of full payloads. Oracle equivalence assumes no
+    64-bit collisions (valid below ~1e9 distincts)."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        exact_dedup_by_fingerprint,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_content", F.concat_ws("|", "event_type", "props")
+    )
+    return exact_dedup_by_fingerprint(ev, "_content", "event_id").select("event_id")
+
+
+@register(
+    "x2_latest_version_dedup",
+    """
+    SELECT user_id, event_type, event_id, ts, value FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    "X2",
+)
+def x2_latest_version_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — latest-version dedup: newest row per (user_id, event_type) via
+    ranking window with total order (same shape as D8)."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        latest_version_dedup,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    return latest_version_dedup(
+        ev, ["user_id", "event_type"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+
+
+_SHINGLES_SQL = r"""
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents)
+"""
+
+
+@register(
+    "x_ngram_jaccard_consecutive",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           CASE WHEN len(a.s) + len(b.s)
+                     - len(list_filter(a.s, x -> list_contains(b.s, x))) > 0
+                THEN CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+                     / CAST(len(a.s) + len(b.s)
+                            - len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+                ELSE 0.0 END AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+    "X1",
+    "X2",
+)
+def x_ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard similarity of consecutive doc-id pairs — the exact
+    similarity kernel used to verify LSH/SimHash candidates, on a
+    deterministic O(N) pair set so it is oracle-checkable."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        consecutive_jaccard,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return consecutive_jaccard(d, "doc_id", "text", 3)
+
+
+@register("x_minhash_lsh_pairs", None, "X1", "X2")
+def x_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) near-dup candidate pairs over documents.
+    Rows-only check (the banding join has no tractable SQL mirror); the
+    est_jaccard values themselves are deterministic (seeded xxhash64)."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, "doc_id", "text").orderBy("key_a", "key_b")
+
+
+@register("x_simhash_pairs", None, "X1", "X2")
+def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs within Hamming distance 3 (pigeonhole
+    block join). Rows-only check; deterministic fingerprints."""
+    from apache_spark_streaming_project_spark.operators.dedup import simhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(d, "doc_id", "text").orderBy("key_a", "key_b")
+
+
+@register("x_embedding_near_dups", None, "X1", "X3")
+def x_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (random-hyperplane LSH buckets +
+    exact cosine >= 0.9 within buckets). Rows-only check."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        embedding_near_dups,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, threshold=0.9).orderBy("key_a", "key_b")
+
+
+# ---------------------------------------------------------------------------
+# X3 — similarity search
+# ---------------------------------------------------------------------------
+
+_DOT_FOLD = (
+    "list_reduce(list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x,y) -> x + y)"
+)
+
+
+@register(
+    "x3_bruteforce_top10",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+             {dot} AS d,
+             sqrt({na}) AS na,
+             sqrt({nq}) AS nq
+      FROM embeddings, q
+    )
+    SELECT vec_id,
+           CASE WHEN na * nq > 0 THEN d / (na * nq) ELSE NULL END AS cosine
+    FROM scored
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """.format(
+        dot=_DOT_FOLD.format(a="embedding", b="qe"),
+        na=_DOT_FOLD.format(a="embedding", b="embedding"),
+        nq=_DOT_FOLD.format(a="qe", b="qe"),
+    ),
+    "X3",
+)
+def x3_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 baseline — exact cosine top-10 for the vec_id=0 query vector.
+    Map-side cosine (zip_with/aggregate fold, bit-identical to the oracle's
+    list_reduce) + TakeOrderedAndProject: per-partition top-k heaps, driver
+    merges k rows per partition — no global sort at any scale."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        brute_force_top_k,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return brute_force_top_k(e, qvec, k=10)
+
+
+@register("x3_lsh_top10", None, "X3")
+def x3_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path — multi-probe hyperplane-LSH top-10 for the vec_id=0
+    query (8 planes, Hamming-1 probes). Approximate -> rows-only check;
+    deterministic given the fixed seed."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        lsh_index,
+        lsh_top_k,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    indexed = lsh_index(e, dim=len(qvec), n_planes=8)
+    return lsh_top_k(indexed, qvec, k=10, n_planes=8)
+
+
+@register("x3_ivf_top10", None, "X3")
+def x3_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path — IVF (k-means coarse quantizer, nprobe=4) top-10 for
+    the vec_id=0 query. Rows-only check; deterministic seeded centroids."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        ivf_index,
+        ivf_top_k,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    assigned, centroids = ivf_index(e, n_centroids=16)
+    return ivf_top_k(assigned, centroids, qvec, k=10, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# X5 — multimodal columns (binary payload + typed metadata; stubbed decode)
+# ---------------------------------------------------------------------------
+
+
+@register("x5_image_features", None, "X5")
+def x5_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — binary payload -> feature vector via Arrow-batched mapInPandas
+    (deterministic fake decode kernel; real decode is a stubbed
+    NotImplementedError — see operators/multimodal.py). Rows-only check."""
+    from apache_spark_streaming_project_spark.operators.multimodal import (
+        extract_image_features,
+        synthetic_media_table,
+    )
+
+    media = synthetic_media_table(spark, n=64)
+    return extract_image_features(media, fake_decode=True).orderBy("media_id")
+
+
+@register("x5_frame_sampling", None, "X5")
+def x5_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — video frame-sampling stub: row explosion inside mapInPandas
+    (1 row per sampled frame). Rows-only check."""
+    from apache_spark_streaming_project_spark.operators.multimodal import (
+        sample_video_frames,
+        synthetic_media_table,
+    )
+
+    media = synthetic_media_table(spark, n=64).filter(
+        F.col("meta.media_type") == "video"
+    )
+    return sample_video_frames(media, every_ms=1000).orderBy("media_id", "frame_idx")

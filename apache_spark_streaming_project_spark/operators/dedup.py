@@ -1,0 +1,407 @@
+"""Deduplication operators (X1/X2 + near-dup family, SURVEY.md §2.11).
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard and embedding-cosine near-dup —
+the large-scale training-data-pipeline dedup surface. Design notes per
+operator explain the 100 TB story; all are pure DataFrame ops (shuffles only
+on the documented keys, no Python row path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from apache_spark_streaming_project_spark.functions.vector import cosine_similarity
+
+# ---------------------------------------------------------------------------
+# X1 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str], key_col: str) -> DataFrame:
+    """X1 — keep one row (min key) per distinct value of ``cols``.
+
+    groupBy on the dup-columns: one hash-partition shuffle; map-side combine
+    keeps shuffle volume at ~one row per distinct value per partition. For
+    100 TB with mostly-unique text, dedup on a FINGERPRINT column instead
+    (shuffle carries 8-byte hashes, not document bodies) — see
+    ``exact_dedup_by_fingerprint``.
+    """
+    keep = df.groupBy(*cols).agg(F.min(key_col).alias(key_col))
+    return df.join(keep, on=[*cols, key_col], how="left_semi")
+
+
+def exact_dedup_by_fingerprint(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """X1 at scale — dedup on xxhash64(text): the shuffle carries (hash, key)
+    pairs only. Collision probability at 64 bits is negligible below ~1e9
+    distinct docs; for strictness re-verify within hash-groups (cheap: groups
+    are tiny)."""
+    h = F.xxhash64(F.col(text_col))
+    w = Window.partitionBy(h).orderBy(F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — latest-version dedup (ranking window — same shape as D8)
+# ---------------------------------------------------------------------------
+
+
+def latest_version_dedup(
+    df: DataFrame, keys: list[str], order_cols: list[Column]
+) -> DataFrame:
+    """X2 — keep the newest row per logical key (reference analogue: D8
+    latest-per-group, dashboard.py:408-409). One shuffle on ``keys``."""
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by MinHash / Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (built-in only:
+    split -> sliding windows via transform over an index sequence)."""
+    c = F.col(c) if isinstance(c, str) else c
+    toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+    k = F.size(toks) - (n - 1)
+    # sequence(0, stop) DESCENDS when stop < 0 — guard short docs to empty
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature as a column expression: for seed s, min over
+    shingles of xxhash64(shingle, s). Kept for composability on small arrays;
+    the scalable path is :func:`minhash_signatures_df` (explode + groupBy:
+    one codegen'd hash pass, partial-aggregated min per seed)."""
+    # NB: single-arg lambdas only — a 2-arg lambda (e.g. closing over the
+    # seed via a default parameter) makes transform/filter pass the ELEMENT
+    # INDEX as the second argument, silently shadowing the binding.
+    def _component(seed: int) -> Column:
+        return F.aggregate(
+            F.transform(shingles, lambda sh: F.xxhash64(sh, F.lit(seed))),
+            F.lit(2**63 - 1).cast("long"),
+            lambda acc, x: F.least(acc, x),
+        )
+
+    return F.array(*[_component(s) for s in range(num_hashes)])
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Scalable MinHash: explode distinct shingles to (key, shingle) rows,
+    then ``groupBy(key).agg(min(xxhash64(shingle, s)) per seed)``.
+
+    The hash evaluations run inside WholeStageCodegen over exploded rows;
+    partial aggregation means the shuffle carries one (key, num_hashes x
+    long) row per key per map partition. Returns (_key, _sig array<long>).
+    """
+    exploded = df.select(
+        F.col(key_col).alias("_key"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("_sh"),
+    )
+    mins = exploded.groupBy("_key").agg(
+        *[
+            F.min(F.xxhash64(F.col("_sh"), F.lit(s))).alias(f"_m{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "_key", F.array(*[F.col(f"_m{s}") for s in range(num_hashes)]).alias("_sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs: shingle -> minhash signature ->
+    band rows (explode) -> self-join within (band, band_hash) buckets.
+
+    Scale story: the only shuffle key is (band_id, band_hash) — docs land in
+    tiny buckets; the quadratic self-join happens per-bucket, never globally.
+    Skewed buckets (boilerplate-heavy corpora) are handled by AQE skew-join
+    splitting. Returns (key_a, key_b, est_jaccard) with key_a < key_b;
+    est_jaccard = fraction of matching signature components.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_df(df, key_col, text_col, num_hashes, shingle_n)
+    banded = sig.select(
+        "_key",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("_sig", b * rows_per_band + i + 1)
+                                    for i in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_key", "_sig", "_b.band", "_b.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._key") < F.col("b._key")),
+        )
+        .select(
+            F.col("a._key").alias("key_a"),
+            F.col("b._key").alias("key_b"),
+            F.col("a._sig").alias("_sig_a"),
+            F.col("b._sig").alias("_sig_b"),
+        )
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    return pairs.select(
+        "key_a",
+        "key_b",
+        (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def simhash_df(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """SimHash fingerprints as (key, fp): explode shingles, hash each once,
+    then per bit position sum the bit across shingles (64 conditional-sum
+    aggregates in ONE groupBy — single hash pass, single shuffle carrying
+    (key, 64 ints)); bit of the fingerprint = majority vote.
+
+    Bit 63 is folded in as ``-2^63`` (two's complement) so the fingerprint
+    stays a signed long.
+    """
+    exploded = df.select(
+        F.col(key_col).alias("_key"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("_sh"),
+    ).select("_key", F.xxhash64(F.col("_sh")).alias("_h"))
+    counts = exploded.groupBy("_key").agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
+            for i in range(64)
+        ],
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.when(F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = fp + (bit * F.lit(2**i).cast("long") if i < 63 else bit * F.lit(-(2**63)))
+    return counts.select("_key", fp.alias("_fp"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance ``max_hamming``.
+
+    Candidate generation uses the pigeonhole trick: split the 64-bit
+    fingerprint into ``max_hamming + 1`` blocks; any pair within the distance
+    budget must agree exactly on >= 1 block, so the self-join key is
+    (block_id, block_value) — same bucketed-join scale story as LSH.
+    """
+    blocks = max_hamming + 1
+    bits_per = 64 // blocks
+    fp = simhash_df(df, key_col, text_col, shingle_n)
+    banded = fp.select(
+        "_key",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftrightunsigned(F.col("_fp"), i * bits_per)
+                        .bitwiseAND(F.lit((1 << bits_per) - 1))
+                        .alias("block_val"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_key", "_fp", "_b.block", "_b.block_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    xor = F.col("a._fp").bitwiseXOR(F.col("b._fp"))
+    hamming = F.bit_count(xor)
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a._key") < F.col("b._key")),
+        )
+        .select(
+            F.col("a._key").alias("key_a"),
+            F.col("b._key").alias("key_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["key_a", "key_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for candidate verification or small corpora)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for given candidate ``pairs`` (key_a, key_b):
+    join shingle arrays in, then |A∩B| / |A∪B| via array built-ins. Used to
+    verify LSH/SimHash candidates — exact similarity only on the candidate
+    set, never all-pairs."""
+    sh = df.select(
+        F.col(key_col).alias("_k"), word_shingles(text_col, n).alias("_sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("_k", "key_a").withColumnRenamed("_sh", "_sh_a"), "key_a")
+        .join(sh.withColumnRenamed("_k", "key_b").withColumnRenamed("_sh", "_sh_b"), "key_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return out.select(
+        "key_a",
+        "key_b",
+        F.when(union > 0, inter.cast("double") / union.cast("double"))
+        .otherwise(0.0)
+        .alias("jaccard"),
+    )
+
+
+def consecutive_jaccard(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Deterministic oracle-checkable Jaccard surface: similarity of each
+    (doc_id, doc_id+1) pair. Exercises the shingle + intersect/union kernel
+    with O(N) pairs (the all-pairs version is the LSH pipeline's job)."""
+    pairs = df.select(
+        F.col(key_col).alias("key_a"), (F.col(key_col) + 1).alias("key_b")
+    )
+    keys = df.select(F.col(key_col).alias("key_b"))
+    pairs = pairs.join(keys, "key_b", "left_semi")
+    return ngram_jaccard_pairs(df, pairs, key_col, text_col, n)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs with cosine >= threshold.
+
+    Candidates via random-hyperplane LSH: sign-pattern of ``n_planes`` fixed
+    pseudo-random projections (deterministic seed) buckets similar vectors
+    together; exact cosine verifies within buckets. The shuffle key is the
+    16-bit sign bucket — same scale story as the text LSH. Recall is
+    bucket-bound (vectors straddling a plane may be missed; raise recall by
+    multiple tables / fewer planes).
+    """
+    import random
+
+    dim = len(df.select(vec_col).first()[0])
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+    def bucket(vc: Column) -> Column:
+        acc = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    vc,
+                    F.array(*[F.lit(float(x)) for x in p]),
+                    lambda v, w: v.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            acc = acc + F.when(proj >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
+        return acc
+
+    tagged = df.select(
+        F.col(key_col).alias("_key"), F.col(vec_col).alias("_vec")
+    ).withColumn("_bucket", bucket(F.col("_vec")))
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._key") < F.col("b._key")),
+        )
+        .select(
+            F.col("a._key").alias("key_a"),
+            F.col("b._key").alias("key_b"),
+            cosine_similarity(F.col("a._vec"), F.col("b._vec")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,188 @@
+"""Multimodal columns (X5, SURVEY.md §2.11).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas functions over ``mapInPandas`` (the only operators in
+the engine with a Python row path — everything around them stays JVM-side).
+
+The actual media decode is STUBBED: the image/audio libraries are not in
+this container, so ``decode_image``-style kernels either raise
+``NotImplementedError`` (real mode) or produce a deterministic fake
+(test mode). The Spark-side plumbing — schema, batch iteration, partition
+layout, UDF signatures — is real and tested; swapping in a real decoder is a
+one-function change.
+
+Scale notes: media payloads dominate row size, so the pre-UDF plan must
+column-prune down to (key, payload) before the Python exchange
+(mapInPandas serializes the batch through Arrow), and
+``spark.sql.files.maxPartitionBytes`` should be sized so one Arrow batch of
+payloads fits executor memory. Feature outputs (small arrays) re-enter the
+JVM side for joins/aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed metadata struct carried alongside every media payload.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("format", T.StringType(), True),  # png|jpeg|wav|mp4...
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META_SCHEMA, True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _decode_image_bytes(payload: bytes, fake: bool) -> list[float]:
+    """STUB decode kernel. Real mode requires an image library not present in
+    this container; test mode derives a deterministic 8-dim byte-histogram
+    'feature' from the raw payload so the full pipeline is exercisable."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an image library (PIL/cv2) not installed "
+            "in this environment; run with fake_decode=True for the "
+            "deterministic test kernel"
+        )
+    hist = [0] * 8
+    for b in payload:
+        hist[b >> 5] += 1
+    n = max(len(payload), 1)
+    return [h / n for h in hist]
+
+
+def extract_image_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """X5 — payload -> fixed-size feature vector via ``mapInPandas``.
+
+    Input df must contain (media_id, payload). The plan projects to exactly
+    those two columns before the Arrow exchange (keep payload bytes out of
+    every other operator). Batch shape: pandas DataFrame per Arrow batch;
+    output rows align 1:1 with input rows.
+    """
+    pruned = df.select("media_id", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                None if p is None else _decode_image_bytes(bytes(p), fake_decode)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [0 if p is None else len(p) for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return pruned.mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int, fake_decode: bool = True) -> DataFrame:
+    """X5 — resize stub: returns (media_id, payload) with the payload passed
+    through (fake mode) or NotImplementedError (real mode). Demonstrates the
+    binary->binary mapInPandas shape used by any re-encode transform."""
+    pruned = df.select("media_id", "payload")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError("real image resize requires PIL/cv2")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return pruned.mapInPandas(kernel, out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame, every_ms: int = 1000, fake_decode: bool = True
+) -> DataFrame:
+    """X5 — frame sampling stub: one output row per sampled frame (row
+    EXPLOSION inside mapInPandas — output rows != input rows, the shape
+    built-in UDFs can't express). Fake mode emits one 'frame' per
+    ``every_ms`` of meta.duration_ms."""
+    pruned = df.select("media_id", "payload", F.col("meta.duration_ms").alias("duration_ms"))
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("ts_ms", T.LongType(), False),
+            T.StructField("frame_payload", T.BinaryType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError("real frame extraction requires an av library")
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame_payload": []}
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n = max(int((dur or 0) // every_ms), 1)
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["frame_payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return pruned.mapInPandas(kernel, out_schema)
+
+
+def synthetic_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        payload = bytes(rng.randrange(256) for _ in range(rng.randrange(64, 256)))
+        rows.append(
+            (
+                i,
+                payload,
+                ("image", "png", 32, 32, None, None)
+                if i % 2 == 0
+                else ("video", "mp4", 640, 480, 3500, None),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

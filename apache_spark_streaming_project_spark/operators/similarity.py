@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (X3, SURVEY.md §2.11).
+
+Brute-force cosine top-k as the correctness baseline, plus an LSH-bucketed
+approximate variant as the scale path. Both are pure DataFrame plans:
+
+* brute force — broadcast the query vector, map-side cosine, then
+  ``orderBy(desc).limit(k)`` = TakeOrderedAndProject (per-partition heap,
+  driver merges k rows per partition — no global sort). At 100 TB this is
+  one full scan; correct but O(N) per query.
+* LSH — pre-bucket vectors by random-hyperplane signs (one-off job, reusable
+  across queries); a query probes only its bucket (+ optional multi-probe
+  neighbors), turning per-query cost into O(N / 2^planes) expected.
+* IVF — k-means-style coarse quantizer (trained on a sample) assigning each
+  vector to its nearest centroid partition; queries probe the ``nprobe``
+  nearest centroid partitions only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from apache_spark_streaming_project_spark.functions.vector import (
+    cosine_similarity,
+)
+
+
+def brute_force_top_k(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 baseline — exact cosine top-k against a literal query vector.
+
+    The query vector is a folded literal array (broadcast with the plan, not
+    a join); cosine is zip_with/aggregate built-ins in doubles (deterministic
+    left-to-right fold -> oracle-comparable). Tie-break on key for a
+    deterministic k-set.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity(F.col(vec_col), q).alias("cosine")
+    return (
+        df.select(F.col(key_col), sim)
+        .orderBy(F.col("cosine").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _sign_bucket(vc: Column, planes: list[list[float]]) -> Column:
+    acc = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vc,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda v, w: v.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        acc = acc + F.when(proj >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
+    return acc
+
+
+def lsh_index(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the LSH-bucketed index: add a sign-pattern ``bucket`` column.
+    At scale, persist this partitioned/bucketed BY bucket so a query reads
+    one partition (partition pruning does the candidate selection)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    return df.withColumn("bucket", _sign_bucket(F.col(vec_col), planes))
+
+
+def lsh_top_k(
+    indexed: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 scale path — probe the query's bucket plus all buckets within
+    ``multiprobe_hamming`` bit flips (multi-probe LSH: recovers most of the
+    recall lost to plane-straddling vectors), exact cosine within candidates.
+    """
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        proj = sum(float(v) * w for v, w in zip(query_vec, p))
+        if proj >= 0:
+            qbucket |= 1 << i
+    probes = {qbucket}
+    if multiprobe_hamming >= 1:
+        for i in range(n_planes):
+            probes.add(qbucket ^ (1 << i))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity(F.col(vec_col), q).alias("cosine")
+    return (
+        indexed.filter(F.col("bucket").isin(list(probes)))
+        .select(F.col(key_col), sim)
+        .orderBy(F.col("cosine").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_index(
+    df: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    iterations: int = 3,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: Lloyd's k-means on a driver-side sample (the
+    centroid table is tiny — k x dim floats), then assign every vector to its
+    nearest centroid IN-PLAN (fold over the centroid-literal array). Returns
+    (assigned df with ``centroid_id``, centroids). At scale, write the
+    assigned table partitioned by centroid_id."""
+    import random
+
+    sample = [
+        (list(r[0]))
+        for r in df.select(vec_col).sample(False, sample_fraction, seed).collect()
+    ]
+    rng = random.Random(seed)
+    centroids = [list(map(float, v)) for v in rng.sample(sample, min(n_centroids, len(sample)))]
+    for _ in range(iterations):
+        sums = [[0.0] * len(c) for c in centroids]
+        counts = [0] * len(centroids)
+        for v in sample:
+            best, bd = 0, float("inf")
+            for ci, c in enumerate(centroids):
+                d = sum((float(a) - b) ** 2 for a, b in zip(v, c))
+                if d < bd:
+                    best, bd = ci, d
+            counts[best] += 1
+            for j, a in enumerate(v):
+                sums[best][j] += float(a)
+        centroids = [
+            [s / n for s in srow] if n else centroids[i]
+            for i, (srow, n) in enumerate(zip(sums, counts))
+        ]
+
+    def nearest(vc: Column) -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("cid"),
+                    F.aggregate(
+                        F.zip_with(
+                            vc,
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        best = F.aggregate(
+            scored,
+            F.struct(F.lit(-1).alias("cid"), F.lit(float("inf")).alias("dist")),
+            lambda acc, x: F.when(x["dist"] < acc["dist"], x).otherwise(acc),
+        )
+        return best["cid"]
+
+    return df.withColumn("centroid_id", nearest(F.col(vec_col))), centroids
+
+
+def ivf_top_k(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest centroid partitions, exact cosine within."""
+    scored = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((q - c) ** 2 for q, c in zip(query_vec, centroids[i])),
+    )
+    probe = scored[:nprobe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity(F.col(vec_col), q).alias("cosine")
+    return (
+        assigned.filter(F.col("centroid_id").isin(probe))
+        .select(F.col(key_col), sim)
+        .orderBy(F.col("cosine").desc(), F.col(key_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,150 @@
+"""Text-analysis operators (X4, SURVEY.md §2.11) over the ``documents``
+table — the training-data-pipeline surface the reference lacks.
+
+Everything here is built-in string/array/higher-order functions (JVM-side,
+whole-stage-codegen'd): tokenization via regex split, quality ratios via
+length arithmetic, language ID via stopword-hit scoring, fingerprinting via
+a polynomial rolling hash expressed with ``aggregate``. No Python in the row
+path — at 100 TB these are embarrassingly parallel map-only plans (no
+shuffle at all unless the caller aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword inventories for the n-gram/stopword heuristic
+# language ID. Public knowledge (most frequent function words).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "ich", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "que", "para"),
+}
+
+
+def tokens(c: Column | str, pattern: str = r"\s+") -> Column:
+    """Whitespace tokenization: split on runs of whitespace, drop empties
+    (split of a leading/trailing separator yields '' elements)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(F.trim(c), pattern), lambda t: t != "")
+
+
+def token_count(c: Column | str) -> Column:
+    """X4 — whitespace token count."""
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """X4 — BPE-ish token estimate: count word-piece-sized units (runs of
+    word chars split every 4 chars, plus standalone punctuation), a cheap
+    deterministic proxy for subword tokenizers."""
+    c = F.col(c) if isinstance(c, str) else c
+    # one token per ~4 chars of word text + one per punctuation mark
+    word_chars = F.length(F.regexp_replace(c, r"[^A-Za-z0-9]", ""))
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return (F.ceil(word_chars / F.lit(4.0)) + punct).cast("long")
+
+
+def punct_ratio(c: Column | str, punct_class: str = r"[.,!?;:]") -> Column:
+    """X4 quality signal — punctuation chars / total chars (0 for empty)."""
+    c = F.col(c) if isinstance(c, str) else c
+    n = F.length(c)
+    n_punct = n - F.length(F.regexp_replace(c, punct_class, ""))
+    return F.when(n > 0, n_punct.cast("double") / n.cast("double")).otherwise(0.0)
+
+
+def stopword_ratio(c: Column | str, lang: str = "en") -> Column:
+    """X4 quality signal — fraction of tokens that are stopwords."""
+    toks = F.transform(tokens(c), lambda t: F.lower(t))
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(0.0)
+
+
+def mean_token_length(c: Column | str) -> Column:
+    """X4 quality signal — average token length (0 for empty docs)."""
+    toks = tokens(c)
+    n = F.size(toks)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(0.0)
+
+
+def quality_score(c: Column | str) -> Column:
+    """X4 — composite quality score in [0,1]: rewards mid-range token length,
+    penalizes extreme punctuation density and very short docs. Deterministic
+    arithmetic only (oracle-expressible)."""
+    c = F.col(c) if isinstance(c, str) else c
+    n_tok = token_count(c).cast("double")
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    p = punct_ratio(c)
+    punct_score = F.when(p < 0.2, 1.0 - p).otherwise(F.lit(0.5))
+    mtl = mean_token_length(c)
+    mtl_score = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.6))
+    return (len_score * 0.4 + punct_score * 0.3 + mtl_score * 0.3).alias("quality")
+
+
+def language_id(c: Column | str) -> Column:
+    """X4 — stopword-hit language ID: score each candidate language by
+    stopword hits over the first tokens; argmax with deterministic
+    tie-break (lexicographic language code), 'und' when no hits.
+
+    Expressed as a fold over a literal array of (lang, hits) structs —
+    all codegen'd; no UDF.
+    """
+    toks = F.transform(tokens(c), lambda t: F.lower(t))
+
+    # single-arg lambda closures only (2-arg lambdas receive the element
+    # index as arg 2 in Spark HOFs, shadowing default-param captures)
+    def _lang_score(lang: str, words: tuple[str, ...]) -> Column:
+        sw = F.array(*[F.lit(w) for w in words])
+        return F.struct(
+            F.lit(lang).alias("lang"),
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("hits"),
+        )
+
+    scored = F.array(
+        *[_lang_score(lang, words) for lang, words in sorted(LANG_STOPWORDS.items())]
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit("und").alias("lang"), F.lit(0).alias("hits")),
+        lambda acc, x: F.when(x["hits"] > acc["hits"], x).otherwise(acc),
+    )
+    return best["lang"]
+
+
+def rolling_fingerprint(c: Column | str, base: int = 31, mod: int = 2**31 - 1) -> Column:
+    """X4 — polynomial rolling-hash document fingerprint:
+    ``h = sum(byte_i * base^(n-1-i)) mod m`` over the UTF-8-ish char codes,
+    folded left-to-right with ``aggregate`` (h = h*base + code mod m).
+    Deterministic, order-sensitive, collision-resistant enough for grouping.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + x) % F.lit(mod).cast("long"),
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The full X4 per-document profile in one map-only projection."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_tokens_bpe"),
+        mean_token_length(text_col).alias("mean_token_len"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        stopword_ratio(text_col).alias("stopword_ratio"),
+        quality_score(text_col).alias("quality"),
+        language_id(text_col).alias("lang_pred"),
+        rolling_fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,94 @@
+"""Unit tests for X1/X2 dedup operators, including near-dup recall on
+constructed near-duplicate documents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_spark_streaming_project_spark.operators import dedup as dd
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees"
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("garden", "city")),  # near dup of 0
+        (3, "completely different text about spark query engines and shuffles"),
+        (4, "another unrelated document mentioning parquet files and columnar io"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_key(spark, near_dup_docs):
+    out = dd.exact_dedup(near_dup_docs, ["text"], "doc_id")
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [0, 2, 3, 4]  # doc 1 removed (dup of 0, higher key)
+
+
+def test_exact_dedup_by_fingerprint(spark, near_dup_docs):
+    out = dd.exact_dedup_by_fingerprint(near_dup_docs, "text", "doc_id")
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [0, 2, 3, 4]
+
+
+def test_latest_version_dedup(spark):
+    rows = [("a", 1, 10.0), ("a", 2, 20.0), ("b", 5, 50.0)]
+    df = spark.createDataFrame(rows, ["key", "version", "payload"])
+    out = dd.latest_version_dedup(df, ["key"], [F.col("version").desc()])
+    got = {r.key: r.version for r in out.collect()}
+    assert got == {"a": 2, "b": 5}
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(0, "one two")], ["doc_id", "text"])
+    out = df.select(dd.word_shingles("text", 3).alias("sh")).collect()[0]
+    assert out.sh == []  # fewer tokens than n -> no shingles (not a DESC sequence)
+
+
+def test_minhash_lsh_finds_near_dups(spark, near_dup_docs):
+    pairs = dd.minhash_lsh_candidates(near_dup_docs, "doc_id", "text").collect()
+    found = {(r.key_a, r.key_b): r.est_jaccard for r in pairs}
+    assert found.get((0, 1)) == 1.0  # exact dup -> identical signatures
+    assert (0, 2) in found  # near dup bucketed together
+    assert found[(0, 2)] > 0.5
+    assert (0, 3) not in found and (3, 4) not in found  # unrelated not paired
+
+
+def test_simhash_finds_near_dups(spark, near_dup_docs):
+    # short docs flip many bits per shingle change: a one-word edit lands at
+    # hamming ~10 of 64 here, while unrelated docs sit near 32 — the budget
+    # separates them cleanly
+    pairs = dd.simhash_near_dups(near_dup_docs, "doc_id", "text", max_hamming=12).collect()
+    found = {(r.key_a, r.key_b): r.hamming for r in pairs}
+    assert found.get((0, 1)) == 0  # identical text -> identical fingerprint
+    assert (0, 2) in found  # near dup within hamming budget
+    assert 0 < found[(0, 2)] <= 12
+    assert (0, 3) not in found
+
+
+def test_consecutive_jaccard(spark, near_dup_docs):
+    out = dd.consecutive_jaccard(near_dup_docs, "doc_id", "text", 3).collect()
+    j = {(r.key_a, r.key_b): r.jaccard for r in out}
+    assert j[(0, 1)] == 1.0  # identical docs
+    assert 0.5 < j[(1, 2)] < 1.0  # one word changed
+    assert j[(3, 4)] < 0.1  # unrelated
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = dd.embedding_near_dups(df, threshold=0.95, n_planes=4).collect()
+    found = {(r.key_a, r.key_b) for r in pairs}
+    assert (0, 1) in found
+    assert (0, 2) not in found

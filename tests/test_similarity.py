@@ -1,0 +1,87 @@
+"""Unit tests for X3 similarity search (brute force + LSH + IVF)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+        (4, [0.7, 0.7, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_ordering_and_values(spark, vecs):
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        brute_force_top_k,
+    )
+
+    out = brute_force_top_k(vecs, [1.0, 0.0, 0.0], k=5).collect()
+    ids = [r.vec_id for r in out]
+    assert ids[0] == 0  # identical vector first
+    assert ids[1] == 1
+    assert ids[-1] == 3  # opposite vector last
+    assert out[0].cosine == pytest.approx(1.0)
+    assert out[1].cosine == pytest.approx(0.9 / math.sqrt(0.81 + 0.01))
+    assert out[-1].cosine == pytest.approx(-1.0)
+
+
+def test_lsh_returns_query_top1(spark, vecs):
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        lsh_index,
+        lsh_top_k,
+    )
+
+    indexed = lsh_index(vecs, dim=3, n_planes=4)
+    out = lsh_top_k(indexed, [1.0, 0.0, 0.0], k=3, n_planes=4).collect()
+    assert out[0].vec_id == 0
+    assert out[0].cosine == pytest.approx(1.0)
+
+
+def test_ivf_returns_query_top1(spark, vecs):
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        ivf_index,
+        ivf_top_k,
+    )
+
+    assigned, centroids = ivf_index(vecs, n_centroids=2)
+    out = ivf_top_k(assigned, centroids, [1.0, 0.0, 0.0], k=2, nprobe=2).collect()
+    assert out[0].vec_id == 0
+    assert out[0].cosine == pytest.approx(1.0)
+
+
+def test_multimodal_feature_extraction(spark):
+    from apache_spark_streaming_project_spark.operators.multimodal import (
+        extract_image_features,
+        sample_video_frames,
+        synthetic_media_table,
+    )
+
+    media = synthetic_media_table(spark, n=8)
+    feats = extract_image_features(media, fake_decode=True).collect()
+    assert len(feats) == 8
+    for r in feats:
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-6  # histogram normalized
+        assert r.n_bytes > 0
+    # deterministic across runs
+    feats2 = extract_image_features(media, fake_decode=True).collect()
+    assert [list(r.feature) for r in feats] == [list(r.feature) for r in feats2]
+
+    vids = media.filter("meta.media_type = 'video'")
+    frames = sample_video_frames(vids, every_ms=1000).collect()
+    assert len(frames) == vids.count() * 3  # 3500ms -> 3 frames under half-open sampling
+    # NotImplementedError path: real mode raises inside the executor
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception):
+        extract_image_features(media, fake_decode=False).collect()

@@ -1,0 +1,82 @@
+"""Unit tests for X4 text-analysis operators (hand-computed expectations)."""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_spark_streaming_project_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat and the dog, in a house."),
+        (1, "der hund und die katze ist nicht ein tier zu haben"),
+        (2, "   "),
+        (3, "x"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_count(spark, docs):
+    out = {r.doc_id: r.n for r in docs.select("doc_id", tx.token_count("text").alias("n")).collect()}
+    assert out[0] == 8
+    assert out[2] == 0  # whitespace-only -> zero tokens
+    assert out[3] == 1
+
+
+def test_punct_ratio(spark, docs):
+    out = {
+        r.doc_id: r.p for r in docs.select("doc_id", tx.punct_ratio("text").alias("p")).collect()
+    }
+    # "the cat and the dog, in a house." -> 2 punct chars / 32 chars
+    assert out[0] == pytest.approx(2 / 32)
+    assert out[2] == pytest.approx(0.0)
+
+
+def test_stopword_ratio_english(spark, docs):
+    out = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", tx.stopword_ratio("text").alias("s")).collect()
+    }
+    # en stopwords in doc 0: the, and, the, in, a -> 5/8
+    assert out[0] == pytest.approx(5 / 8)
+    assert out[2] == 0.0
+
+
+def test_language_id(spark, docs):
+    out = {
+        r.doc_id: r.lang
+        for r in docs.select("doc_id", tx.language_id("text").alias("lang")).collect()
+    }
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "und"  # no tokens -> unknown
+
+
+def test_rolling_fingerprint_matches_python(spark, docs):
+    text = "the cat and the dog, in a house."
+    expect = 0
+    for ch in text:
+        expect = (expect * 31 + ord(ch)) % (2**31 - 1)
+    out = {
+        r.doc_id: r.fp
+        for r in docs.select("doc_id", tx.rolling_fingerprint("text").alias("fp")).collect()
+    }
+    assert out[0] == expect
+
+
+def test_text_profile_schema(spark, docs):
+    prof = tx.text_profile(docs)
+    cols = set(prof.columns)
+    assert {
+        "n_tokens",
+        "n_tokens_bpe",
+        "mean_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    } <= cols
+    assert prof.count() == 4
