@@ -997,3 +997,347 @@ def x5_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.media_type") == "video"
     )
     return sample_video_frames(media, every_ms=1000).orderBy("media_id", "frame_idx")
+
+
+# ===========================================================================
+# Batch 3 — SQL API, event-time windows, JSON, set ops, grouping sets,
+# pivot, analytic windows, compat shims
+# ===========================================================================
+
+
+@register(
+    "sql_tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           {sum_qty} AS sum_qty,
+           {sum_price} AS sum_base_price,
+           {avg_qty} AS avg_qty,
+           {avg_price} AS avg_price,
+           {avg_disc} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """.format(
+        sum_qty=sum_money_sql("l_quantity"),
+        sum_price=sum_money_sql("l_extendedprice"),
+        avg_qty=avg_exact_sql("l_quantity"),
+        avg_price=avg_exact_sql("l_extendedprice"),
+        avg_disc=avg_exact_sql("l_discount"),
+    ),
+    "S19",
+    "S25",
+)
+def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary via the SQL API (temp view +
+    spark.sql) — exercises the SQL entry path; Catalyst produces the same
+    scan->partial agg->exchange->final agg plan as the DataFrame API."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= DATE '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@register(
+    "m4_tumbling_windows",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS count
+    FROM events GROUP BY 1, 2, 3
+    """,
+    "M4",
+)
+def m4_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — tumbling 1-hour event-time windows per event_type. Same
+    ``F.window`` construct the streaming variant uses (windows.py), applied
+    in batch mode so the oracle can date_trunc-mirror it."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .count()
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "count",
+        )
+    )
+
+
+@register(
+    "m4_sliding_windows",
+    """
+    WITH cand AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE, event_type FROM events
+    )
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS count
+    FROM cand GROUP BY 1, 2, 3
+    """,
+    "M4",
+)
+def m4_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — sliding windows (1 hour, 30 min slide): each event lands in two
+    windows; oracle mirrors via the two shifted 30-min buckets."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .count()
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "count",
+        )
+    )
+
+
+@register(
+    "s_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           COUNT(*) AS count, {sum_value} AS sum_value
+    FROM events GROUP BY 1
+    """.format(sum_value=sum_money_sql("value")),
+    "X4",
+)
+def s_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props payload column
+    (get_json_object -> JsonPath, JVM-side) + grouped agg on the extracted
+    key. Extends the reference's scalar-function surface (§2.8: none)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("int")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("count"), sum_money("value", out_alias="sum_value"))
+    )
+
+
+@register(
+    "s_set_ops",
+    """
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT 'except', COUNT(*) FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT 'union', COUNT(*) FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    "§2.7",
+)
+def s_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (intersect / except / union-distinct) on derived key
+    sets — absent from the reference (§2.7), free from Spark."""
+    o = _t(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+
+    def _count(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(F.lit(name).alias("op"), "n")
+
+    return (
+        _count("intersect", open_keys.intersect(done_keys))
+        .unionAll(_count("except", open_keys.distinct().exceptAll(done_keys.distinct())))
+        .unionAll(_count("union", open_keys.union(done_keys).distinct()))
+    )
+
+
+@register(
+    "s_count_distinct",
+    """
+    SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+    "§2.3",
+)
+def s_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct aggregation (Expand + two-phase agg in
+    Spark). The approximate variant is s_approx_distinct (rows-only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register("s_approx_distinct", None, "§2.3")
+def s_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — sketch implementations differ across
+    engines so no value oracle; the scale story (no Expand blow-up, constant
+    memory) is why it exists."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@register(
+    "s_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS count
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "§2.3",
+)
+def s_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets with grouping_id disambiguation."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"), F.count("*").alias("count")
+    ).select("o_orderstatus", "o_orderpriority", "gid", "count")
+
+
+@register(
+    "s_cube",
+    """
+    SELECT o_orderstatus, {bucket} AS totalprice_bucket,
+           GROUPING(o_orderstatus, {bucket}) AS gid,
+           COUNT(*) AS count
+    FROM orders GROUP BY CUBE(o_orderstatus, {bucket})
+    """.format(bucket=_TOTALPRICE_BUCKET_SQL),
+    "§2.3",
+)
+def s_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, price bucket) incl. a computed grouping column."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "totalprice_bucket", enrich.totalprice_bucket()
+    )
+    return o.cube("o_orderstatus", "totalprice_bucket").agg(
+        F.grouping_id().alias("gid"), F.count("*").alias("count")
+    ).select("o_orderstatus", "totalprice_bucket", "gid", "count")
+
+
+@register(
+    "s_pivot",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS count_O,
+           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS count_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "§2.3",
+)
+def s_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide) with a fixed value list — the engine-side
+    replacement for the reference's dynamic Mongo keys (S17)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .count()
+        .withColumnRenamed("O", "count_O")
+        .withColumnRenamed("F", "count_F")
+    )
+    # pivot emits NULL for absent cells; the CASE-WHEN oracle emits 0
+    return out.select(
+        "l_returnflag",
+        F.coalesce("count_O", F.lit(0)).alias("count_O"),
+        F.coalesce("count_F", F.lit(0)).alias("count_F"),
+    )
+
+
+@register(
+    "d16_lag_lead_running",
+    """
+    SELECT event_id, user_id, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS VARCHAR) AS DOUBLE) AS running_value,
+           row_number() OVER w AS rn
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    "§2.5",
+)
+def d16_lag_lead_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered analytic windows beyond the reference surface: lag/lead,
+    running (prefix) sum over an exact decimal, row_number — one shuffle on
+    user_id, sort within partitions."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    running = (
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        running.alias("running_value"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@register(
+    "s17_key_mangling",
+    """
+    SELECT concat('count_', replace(o_orderpriority, ' ', '_')) AS mangled_key,
+           COUNT(*) AS count
+    FROM orders GROUP BY 1
+    """,
+    "S17",
+    "S18",
+)
+def s17_key_mangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17 compat shim — the reference's dynamic Mongo key mangling
+    (``count_`` prefix + spaces->underscores, spark_streaming.py:96) as an
+    in-plan expression, for readers of the legacy key format."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.concat(
+            F.lit("count_"), F.regexp_replace("o_orderpriority", " ", "_")
+        ).alias("mangled_key")
+    ).agg(F.count("*").alias("count"))
+
+
+@register(
+    "d3_d4_selection_epoch",
+    """
+    SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS unix_ts, value
+    FROM events WHERE event_type = 'click'
+    """,
+    "D3",
+    "D4",
+)
+def d3_d4_selection_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 equality selection (pushed-down literal predicate) + D4 epoch cast
+    (timestamp -> epoch seconds, the reference's pd.to_datetime inverse)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.unix_timestamp("ts").alias("unix_ts"), "value"
+    )
