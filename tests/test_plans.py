@@ -1,0 +1,75 @@
+"""Plan-property tests (SURVEY.md §4): the physical plans must be the ones
+designed for scale — broadcast dims, pushed-down predicates, minimal
+shuffles, codegen engaged. These run at sf0.001 (plan shape is
+scale-invariant; AQE only re-tunes partition counts at runtime)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_spark_streaming_project_spark.entry_queries import QUERIES
+from apache_spark_streaming_project_spark.plans import (
+    count_shuffles,
+    has_broadcast_join,
+    physical_plan,
+    pushed_filters,
+)
+from apache_spark_streaming_project_spark.schemas import load_table
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    """j1: all four dimension joins must be broadcast — zero shuffle of the
+    fact table for the join stage; the only exchange is the final 5-key agg
+    (plus AQE's single-partition read)."""
+    df = QUERIES["j1_revenue_by_region"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = physical_plan(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 4
+    assert count_shuffles(df) <= 2  # partial->final agg only
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """D3 equality selection must reach the parquet scan as a pushed filter
+    (row-group pruning at scale)."""
+    df = QUERIES["d3_d4_selection_epoch"].fn(spark, sf_dir)
+    filters = pushed_filters(df)
+    assert any("event_type" in f and "click" in f for f in filters), filters
+
+
+def test_column_pruning(spark, sf_dir):
+    """S25 reads 2 of 6 order columns — the scan schema must shrink."""
+    df = QUERIES["s25_priority_stats"].fn(spark, sf_dir)
+    plan = physical_plan(df, "formatted")
+    assert "o_orderpriority" in plan and "o_totalprice" in plan
+    assert "o_orderdate" not in plan  # pruned column never scanned
+
+
+def test_zscore_is_single_plan_no_second_scan(spark, sf_dir):
+    """S13: the stats side joins back via broadcast — one logical pipeline,
+    no driver round-trip (the reference collected stats to the driver)."""
+    df = QUERIES["s13_value_zscore_anomalies"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """D13: orderBy().limit(k) must compile to TakeOrderedAndProject, not a
+    global sort."""
+    df = QUERIES["d13_top_users_by_value"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in physical_plan(df, "simple")
+
+
+def test_semi_join_broadcast(spark, sf_dir):
+    df = QUERIES["d2_semi_join_small_parts"].fn(spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_grouped_agg_is_partial_final(spark, sf_dir):
+    """Every groupBy compiles to partial+final HashAggregate (map-side
+    combine): two HashAggregate levels around one exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = physical_plan(df, "simple")
+    assert plan.count("HashAggregate") >= 2
+    assert count_shuffles(df) == 1
