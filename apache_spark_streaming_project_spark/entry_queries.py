@@ -532,8 +532,14 @@ def d2_semi_join_small_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j1_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way equi-join: fact lineitem joined through orders -> customer ->
     nation -> region, revenue = sum(extprice * (1 - discount)) in exact
-    decimals. Dimension sides are broadcast (no fact-table shuffle for the
-    dim joins; the only shuffle is the final 5-key aggregation)."""
+    decimals.
+
+    Broadcast policy for 100 TB: only the BOUNDED dims (nation: 25 rows,
+    region: 5 rows) get explicit broadcast hints. orders/customer scale with
+    the fact table, so their join strategy is left to the size-based
+    threshold + AQE — broadcast at bench scale, shuffled hash / sort-merge
+    on a real cluster. Forcing broadcast there would OOM executors at scale.
+    """
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
@@ -546,8 +552,8 @@ def j1_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         one - F.col("l_discount").cast("decimal(3,2)")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")

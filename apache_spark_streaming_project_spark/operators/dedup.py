@@ -313,9 +313,11 @@ def ngram_jaccard_pairs(
     join shingle arrays in, then |A∩B| / |A∪B| via array built-ins. Used to
     verify LSH/SimHash candidates — exact similarity only on the candidate
     set, never all-pairs."""
+    # shingling is the expensive kernel and feeds BOTH join sides — cache it
+    # so it's computed once, not once per branch
     sh = df.select(
         F.col(key_col).alias("_k"), word_shingles(text_col, n).alias("_sh")
-    )
+    ).cache()
     out = (
         pairs.join(sh.withColumnRenamed("_k", "key_a").withColumnRenamed("_sh", "_sh_a"), "key_a")
         .join(sh.withColumnRenamed("_k", "key_b").withColumnRenamed("_sh", "_sh_b"), "key_b")

@@ -135,28 +135,31 @@ def ivf_index(
     assigned table partitioned by centroid_id."""
     import random
 
-    sample = [
-        (list(r[0]))
-        for r in df.select(vec_col).sample(False, sample_fraction, seed).collect()
-    ]
+    import numpy as np
+
+    sample = np.array(
+        [
+            list(r[0])
+            for r in df.select(vec_col).sample(False, sample_fraction, seed).collect()
+        ],
+        dtype=np.float64,
+    )
     rng = random.Random(seed)
-    centroids = [list(map(float, v)) for v in rng.sample(sample, min(n_centroids, len(sample)))]
+    k = min(n_centroids, len(sample))
+    cent = sample[rng.sample(range(len(sample)), k)]
     for _ in range(iterations):
-        sums = [[0.0] * len(c) for c in centroids]
-        counts = [0] * len(centroids)
-        for v in sample:
-            best, bd = 0, float("inf")
-            for ci, c in enumerate(centroids):
-                d = sum((float(a) - b) ** 2 for a, b in zip(v, c))
-                if d < bd:
-                    best, bd = ci, d
-            counts[best] += 1
-            for j, a in enumerate(v):
-                sums[best][j] += float(a)
-        centroids = [
-            [s / n for s in srow] if n else centroids[i]
-            for i, (srow, n) in enumerate(zip(sums, counts))
-        ]
+        # vectorized Lloyd step: ||x-c||^2 = |x|^2 - 2x.c + |c|^2
+        d2 = (
+            (sample**2).sum(1)[:, None]
+            - 2.0 * sample @ cent.T
+            + (cent**2).sum(1)[None, :]
+        )
+        assign = d2.argmin(1)
+        for ci in range(k):
+            members = sample[assign == ci]
+            if len(members):
+                cent[ci] = members.mean(0)
+    centroids = [list(map(float, c)) for c in cent]
 
     def nearest(vc: Column) -> Column:
         scored = F.array(
