@@ -1347,3 +1347,351 @@ def d3_d4_selection_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(F.col("event_type") == "click").select(
         "event_id", F.unix_timestamp("ts").alias("unix_ts"), "value"
     )
+
+
+# ===========================================================================
+# Batch 4 — TPC-H-shaped SQL surface, percentiles, language ID, as-of /
+# range joins, audio stub
+# ===========================================================================
+
+_REV_SQL = (
+    "CAST(CAST(SUM(CAST({p} AS DECIMAL(16,2))"
+    " * (CAST('1.00' AS DECIMAL(3,2)) - CAST({d} AS DECIMAL(3,2))))"
+    " AS VARCHAR) AS DOUBLE)"
+)
+
+
+def _rev_col(price: str = "l_extendedprice", disc: str = "l_discount"):
+    one = F.lit("1.00").cast("decimal(3,2)")
+    return F.col(price).cast("decimal(16,2)") * (
+        one - F.col(disc).cast("decimal(3,2)")
+    )
+
+
+@register(
+    "sql_tpch_q6",
+    """
+    SELECT {rev} AS revenue, COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """.format(
+        rev=(
+            "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(16,2))"
+            " * CAST(l_discount AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE)"
+        )
+    ),
+    "S19",
+    "D1",
+)
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped forecast-revenue query: pure filter + global agg.
+    The showcase plan for predicate pushdown — all three predicates reach the
+    parquet scan (PushedFilters), scan reads 4 columns of 11, no shuffle at
+    all but the 1-row final agg exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(16,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(3,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "sql_tpch_q3",
+    """
+    SELECT l.l_orderkey,
+           {rev} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-06-01'
+      AND l.l_shipdate > DATE '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """.format(rev=_REV_SQL.format(p="l.l_extendedprice", d="l.l_discount")),
+    "D13",
+    "D8a",
+)
+def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped shipping-priority query: 3-way join, grouped revenue,
+    total-order top-10 (revenue DESC, orderkey ASC tie-break so the limit is
+    deterministic). Join strategy left to AQE (both sides scale with sf);
+    TakeOrderedAndProject avoids a global sort."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-06-01"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-06-01"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "sql_tpch_q14",
+    """
+    SELECT CASE WHEN {all_rev} > 0 THEN 100.0 * {promo_rev} / {all_rev}
+                ELSE 0.0 END AS promo_revenue_pct,
+           COUNT(*) AS n_rows
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1997-09-01' AND l.l_shipdate < DATE '1997-10-01'
+    """.format(
+        all_rev=_REV_SQL.format(p="l.l_extendedprice", d="l.l_discount"),
+        promo_rev=(
+            "CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN"
+            " CAST(l.l_extendedprice AS DECIMAL(16,2))"
+            " * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))"
+            " ELSE CAST('0.00' AS DECIMAL(19,4)) END) AS VARCHAR) AS DOUBLE)"
+        ),
+    ),
+    "D9",
+    "D8a",
+)
+def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo-revenue share: fact/dim equi-join + conditional
+    aggregate + ratio with zero guard. part is a true dimension (does not
+    scale with lineitem row count per key) — but it still grows with sf, so
+    no forced broadcast; the month filter prunes lineitem at the scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    zero = F.lit("0.00").cast("decimal(19,4)")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _rev_col()).otherwise(zero)
+    ).cast("double")
+    allrev = F.sum(_rev_col()).cast("double")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.when(allrev > 0, F.lit(100.0) * promo / allrev)
+            .otherwise(F.lit(0.0))
+            .alias("promo_revenue_pct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "s_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25_qty,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.75) AS p75_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "§2.3",
+)
+def s_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (linear interpolation — matches DuckDB
+    quantile_cont; bit-identical here because l_quantity is integer-valued
+    and the interpolation fractions are exact binary quarters).
+
+    Scale note: Spark's exact `percentile` buffers a value->count map per
+    group — fine for low-cardinality measures like quantity (50 distinct);
+    for unbounded-cardinality measures the scale path is approx_percentile
+    (KLL-style sketch, not oracle-comparable across engines).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25D)").alias("p25_qty"),
+        F.expr("percentile(l_quantity, 0.5D)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.75D)").alias("p75_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def _lang_sql_list(lang: str) -> str:
+    from apache_spark_streaming_project_spark.operators.text import LANG_STOPWORDS
+
+    return "[" + ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+
+
+@register(
+    "x4_language_id",
+    """
+    WITH toks AS (
+      SELECT lang,
+             list_transform(
+               list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t)) AS tk
+      FROM documents
+    ), hits AS (
+      SELECT lang,
+             len(list_filter(tk, t -> list_contains({de}, t))) AS h_de,
+             len(list_filter(tk, t -> list_contains({en}, t))) AS h_en,
+             len(list_filter(tk, t -> list_contains({es}, t))) AS h_es,
+             len(list_filter(tk, t -> list_contains({fr}, t))) AS h_fr
+      FROM toks
+    )
+    SELECT lang,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           COUNT(*) AS n_docs
+    FROM hits
+    GROUP BY 1, 2
+    """.format(
+        de=_lang_sql_list("de"),
+        en=_lang_sql_list("en"),
+        es=_lang_sql_list("es"),
+        fr=_lang_sql_list("fr"),
+    ),
+    "X4",
+)
+def x4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — language-ID confusion matrix: stopword-hit argmax prediction
+    (operators/text.py language_id — codegen'd HOF fold, tie-break =
+    lexicographic language code, 'und' on zero hits) grouped against the
+    table's true lang label."""
+    from apache_spark_streaming_project_spark.operators.text import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", language_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_PRICE_TIERS = [
+    ("T1_budget", 0, 50_000),
+    ("T2_mid", 50_000, 150_000),
+    ("T3_premium", 150_000, 300_000),
+    ("T4_luxury", 300_000, 1_000_000),
+]
+
+
+@register(
+    "j2_range_join_tiers",
+    """
+    WITH tiers(tier, lo, hi) AS (VALUES
+      ('T1_budget', 0, 50000), ('T2_mid', 50000, 150000),
+      ('T3_premium', 150000, 300000), ('T4_luxury', 300000, 1000000))
+    SELECT tier, COUNT(*) AS n_orders, {sum_price} AS sum_totalprice
+    FROM orders JOIN tiers
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY tier
+    """.format(sum_price=sum_money_sql("o_totalprice")),
+    "D2",
+    "X2",
+)
+def j2_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: orders against a small interval table on
+    lo <= o_totalprice < hi. Physical plan is BroadcastNestedLoopJoin — the
+    right strategy for a huge stream side x O(10) intervals: zero shuffle of
+    the fact table (see operators/asof.py range_join_small for the bucketed
+    rewrite once the interval side grows)."""
+    from apache_spark_streaming_project_spark.operators.asof import (
+        range_join_small,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    tiers = o.sparkSession.createDataFrame(
+        _PRICE_TIERS, "tier string, lo long, hi long"
+    )
+    return (
+        range_join_small(o, tiers, "o_totalprice", "lo", "hi")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_orders"),
+            sum_money("o_totalprice", out_alias="sum_totalprice"),
+        )
+    )
+
+
+@register(
+    "j3_asof_join",
+    """
+    WITH views AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view') WHERE rn = 1
+    ), clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           v.event_id AS matched_event_id,
+           v.ts AS matched_ts
+    FROM clicks c
+    ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+    "D8",
+    "D8a",
+)
+def j3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click event joined to the latest view event by the
+    same user at-or-before the click (operators/asof.py — union + ordered
+    window, one shuffle, no range explosion). Oracle is DuckDB's native
+    ASOF LEFT JOIN over the identically-deduplicated view stream."""
+    from apache_spark_streaming_project_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id", "ts"],
+        right_tiebreak="event_id",
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("matched_event_id"),
+        F.col("matched_ts"),
+    )
+
+
+@register("x5_audio_features", None, "X5")
+def x5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — audio payload -> rms/zero-crossing features via Arrow-batched
+    mapInPandas (deterministic fake decode; real decode stubbed — see
+    operators/multimodal.py). Rows-only check."""
+    from apache_spark_streaming_project_spark.operators.multimodal import (
+        extract_audio_features,
+        synthetic_media_table,
+    )
+
+    media = synthetic_media_table(spark, n=64).filter(
+        F.col("meta.media_type") == "audio"
+    )
+    return extract_audio_features(media, fake_decode=True).orderBy("media_id")

@@ -1,0 +1,120 @@
+"""As-of (time-series point-in-time) join — an operator the reference lacks
+and Spark has no built-in for (§2.4 notes the reference's only join is a
+read-side pandas merge, dashboard.py:409; an as-of join is the canonical
+time-series generalization of that latest-per-key lookup).
+
+Semantics: for every left row, attach the single most recent right row with
+the same key whose timestamp is <= the left timestamp (ties included).
+
+Implementation is the UNION + ordered-window formulation, not a join:
+
+    tag left/right -> union -> window over (key) ordered by
+    (ts, side, tiebreak) -> last non-null right payload at-or-before each
+    row -> keep left rows.
+
+Scale properties: exactly ONE shuffle (hash on the key) + one in-partition
+sort — identical cost to the sort-merge join Spark would pick for an
+equi-join on the same key, with no range-explosion. This beats the naive
+`left JOIN right ON key AND r.ts <= l.ts` + argmax formulation, which
+produces O(matches) intermediate rows before re-aggregating. Skewed keys
+salt the same way any windowed op does.
+
+Determinism: right rows are first deduplicated to one row per (key, ts)
+(keeping the max tiebreak), so the matched row is unique — required for
+oracle comparison against DuckDB's native ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Point-in-time join: left rows + the latest right payload at-or-before
+    each left row's timestamp, per `on` key.
+
+    `right_payload` columns come back nullable (no prior right row -> null),
+    prefixed `matched_`. `right_tiebreak` breaks ties among right rows with
+    equal (key, ts) deterministically (max wins); required if such ties can
+    exist.
+    """
+    tb = right_tiebreak
+    # one right row per (key, ts): keep the max-tiebreak row
+    if tb is not None:
+        w_dedup = Window.partitionBy(on, right_ts).orderBy(F.col(tb).desc())
+        right = (
+            right.withColumn("_rn", F.row_number().over(w_dedup))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    payload_struct = F.struct(*[F.col(c) for c in right_payload])
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),  # right sorts before left at equal ts (<=)
+        payload_struct.alias("_payload"),
+        F.lit(None).cast("long").alias("_left_row"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+    )
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_tagged.schema["_payload"].dataType).alias("_payload"),
+        F.monotonically_increasing_id().alias("_left_row"),
+        *left.columns,
+    )
+
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched: Column = F.last("_payload", ignorenulls=True).over(w)
+
+    return (
+        r_tagged.unionByName(l_tagged)
+        .withColumn("_matched", matched)
+        .filter(F.col("_side") == 1)
+        .select(
+            *left.columns,
+            *[
+                F.col(f"_matched.{c}").alias(f"matched_{c}")
+                for c in right_payload
+            ],
+        )
+    )
+
+
+def range_join_small(
+    fact: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+) -> DataFrame:
+    """Band/range join of a fact table against a SMALL interval table
+    (`lo <= value < hi`). The small side is broadcast, so the physical plan
+    is BroadcastNestedLoopJoin — the correct strategy when the stream side is
+    huge and the interval side is O(10..1000) rows: no shuffle of the fact
+    table, predicate evaluated in-generated-code per (row x interval).
+
+    For interval tables too large to broadcast, the scalable rewrite is
+    bucketing both sides by a coarse grid of the value domain and
+    equi-joining on the bucket id first — not needed at this tier count.
+    """
+    return fact.join(
+        F.broadcast(intervals),
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)),
+        "inner",
+    )

@@ -102,6 +102,73 @@ def extract_image_features(df: DataFrame, fake_decode: bool = True) -> DataFrame
     return pruned.mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def _decode_audio_bytes(payload: bytes, fake: bool) -> tuple[float, int]:
+    """STUB audio decode kernel. Real mode needs an audio library (librosa/
+    soundfile) not in this container; test mode treats the raw bytes as a
+    centered int8 waveform and computes deterministic rms + zero-crossing
+    count from it."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires an audio library (librosa/soundfile) not "
+            "installed in this environment; run with fake_decode=True for "
+            "the deterministic test kernel"
+        )
+    samples = [b - 128 for b in payload]
+    n = max(len(samples), 1)
+    rms = (sum(s * s for s in samples) / n) ** 0.5
+    zc = sum(
+        1 for a, b in zip(samples, samples[1:]) if (a >= 0) != (b >= 0)
+    )
+    return rms, zc
+
+
+def extract_audio_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """X5 — audio payload -> scalar features via ``mapInPandas``. Input df
+    must contain (media_id, payload, meta); metadata passes through JVM-side,
+    only (media_id, payload) crosses the Arrow boundary with the meta fields
+    pre-projected."""
+    pruned = df.select(
+        "media_id",
+        "payload",
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rms, zc = [], []
+            for p in pdf["payload"]:
+                if p is None:
+                    rms.append(None)
+                    zc.append(None)
+                else:
+                    r, z = _decode_audio_bytes(bytes(p), fake_decode)
+                    rms.append(r)
+                    zc.append(z)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "duration_ms": pdf["duration_ms"],
+                    "sample_rate": pdf["sample_rate"],
+                    "rms": rms,
+                    "zero_crossings": zc,
+                }
+            )
+
+    return pruned.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
 def resize_images(df: DataFrame, width: int, height: int, fake_decode: bool = True) -> DataFrame:
     """X5 — resize stub: returns (media_id, payload) with the payload passed
     through (fake mode) or NotImplementedError (real mode). Demonstrates the
@@ -176,13 +243,11 @@ def synthetic_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
     rows = []
     for i in range(n):
         payload = bytes(rng.randrange(256) for _ in range(rng.randrange(64, 256)))
-        rows.append(
-            (
-                i,
-                payload,
-                ("image", "png", 32, 32, None, None)
-                if i % 2 == 0
-                else ("video", "mp4", 640, 480, 3500, None),
-            )
-        )
+        if i % 3 == 0:
+            meta = ("image", "png", 32, 32, None, None)
+        elif i % 3 == 1:
+            meta = ("video", "mp4", 640, 480, 3500, None)
+        else:
+            meta = ("audio", "wav", None, None, 2000, 16000)
+        rows.append((i, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

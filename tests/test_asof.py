@@ -1,0 +1,97 @@
+"""As-of join + range join unit tests (hand-computed tiny inputs)."""
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from apache_spark_streaming_project_spark.operators.asof import (
+    asof_join,
+    range_join_small,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00:00")),
+            (2, "u1", _ts("2024-01-01T10:05:00")),
+            (3, "u2", _ts("2024-01-01T09:00:00")),
+        ],
+        "lid long, user string, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, "u1", _ts("2024-01-01T09:59:00")),
+            (101, "u1", _ts("2024-01-01T10:02:00")),
+            (102, "u2", _ts("2024-01-01T09:30:00")),  # after u2's only left row
+        ],
+        "rid long, user string, rts timestamp",
+    )
+    out = asof_join(
+        left, right, on="user", left_ts="lts", right_ts="rts",
+        right_payload=["rid"], right_tiebreak="rid",
+    )
+    got = {r["lid"]: r["matched_rid"] for r in out.collect()}
+    assert got == {1: 100, 2: 101, 3: None}
+
+
+def test_asof_join_equal_ts_inclusive_and_tiebreak(spark):
+    t = _ts("2024-01-01T12:00:00")
+    left = spark.createDataFrame([(1, "u", t)], "lid long, user string, lts timestamp")
+    right = spark.createDataFrame(
+        [(7, "u", t), (9, "u", t)], "rid long, user string, rts timestamp"
+    )
+    out = asof_join(
+        left, right, on="user", left_ts="lts", right_ts="rts",
+        right_payload=["rid"], right_tiebreak="rid",
+    )
+    # ts <= is inclusive; equal-ts dup resolved to max tiebreak
+    assert out.collect()[0]["matched_rid"] == 9
+
+
+def test_asof_join_single_shuffle(spark):
+    left = spark.createDataFrame([(1, "u", _ts("2024-01-01T12:00:00"))],
+                                 "lid long, user string, lts timestamp")
+    right = spark.createDataFrame([(7, "u", _ts("2024-01-01T11:00:00"))],
+                                  "rid long, user string, rts timestamp")
+    out = asof_join(left, right, on="user", left_ts="lts", right_ts="rts",
+                    right_payload=["rid"])
+    from apache_spark_streaming_project_spark.plans.inspect import count_shuffles
+
+    # no range explosion, no join: just the windowing shuffle on the key
+    assert count_shuffles(out) <= 1
+
+
+def test_range_join_small_is_broadcast_nested_loop(spark):
+    fact = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    tiers = spark.createDataFrame(
+        [("lo", 0, 50), ("hi", 50, 200)], "tier string, lo long, hi long"
+    )
+    out = range_join_small(fact, tiers, "v", "lo", "hi")
+    from apache_spark_streaming_project_spark.plans.inspect import physical_plan
+
+    assert "BroadcastNestedLoopJoin" in physical_plan(out, "simple")
+    counts = {r["tier"]: r["n"] for r in
+              out.groupBy("tier").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"lo": 50, "hi": 50}
+
+
+def test_audio_features_deterministic(spark):
+    from apache_spark_streaming_project_spark.operators.multimodal import (
+        extract_audio_features,
+        synthetic_media_table,
+    )
+
+    media = synthetic_media_table(spark, n=12).filter(
+        F.col("meta.media_type") == "audio"
+    )
+    a = extract_audio_features(media).orderBy("media_id").collect()
+    b = extract_audio_features(media).orderBy("media_id").collect()
+    assert a == b
+    assert len(a) == 4  # every 3rd row is audio
+    assert all(r["rms"] is not None and r["zero_crossings"] >= 0 for r in a)
+    assert all(r["sample_rate"] == 16000 for r in a)
