@@ -151,7 +151,10 @@ def minhash_lsh_candidates(
     est_jaccard = fraction of matching signature components.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures_df(df, key_col, text_col, num_hashes, shingle_n)
+    # the signature table feeds BOTH sides of the self-join — persist it so
+    # the shingle+hash+shuffle pipeline runs once, not twice (at cluster
+    # scale this is a materialized signature table)
+    sig = minhash_signatures_df(df, key_col, text_col, num_hashes, shingle_n).cache()
     banded = sig.select(
         "_key",
         "_sig",
@@ -259,7 +262,9 @@ def simhash_near_dups(
     """
     blocks = max_hamming + 1
     bits_per = 64 // blocks
-    fp = simhash_df(df, key_col, text_col, shingle_n)
+    # both self-join sides read the fingerprint table — persist (see
+    # minhash_lsh_candidates)
+    fp = simhash_df(df, key_col, text_col, shingle_n).cache()
     banded = fp.select(
         "_key",
         "_fp",
@@ -390,9 +395,12 @@ def embedding_near_dups(
             acc = acc + F.when(proj >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
         return acc
 
-    tagged = df.select(
-        F.col(key_col).alias("_key"), F.col(vec_col).alias("_vec")
-    ).withColumn("_bucket", bucket(F.col("_vec")))
+    # 16 dot products per row feed both self-join sides — persist
+    tagged = (
+        df.select(F.col(key_col).alias("_key"), F.col(vec_col).alias("_vec"))
+        .withColumn("_bucket", bucket(F.col("_vec")))
+        .cache()
+    )
     a, b = tagged.alias("a"), tagged.alias("b")
     return (
         a.join(

@@ -250,4 +250,8 @@ def synthetic_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
         else:
             meta = ("audio", "wav", None, None, 2000, 16000)
         rows.append((i, payload, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # a 64-row local table must not fan out to default parallelism (32
+    # partitions -> 32 Python workers for 2 rows each in mapInPandas);
+    # real media tables come from parquet with size-based partitioning
+    n_parts = max(1, min(4, n // 16))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(n_parts)
