@@ -1695,3 +1695,44 @@ def x5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.media_type") == "audio"
     )
     return extract_audio_features(media, fake_decode=True).orderBy("media_id")
+
+
+@register("m4_stateful_running_anomalies", None, "M4", "S13")
+def m4_stateful_running_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running Welford statistics with cross-batch z-score anomaly flagging over
+    the events stream (streaming/stateful.py). Genuinely non-SQL-expressible
+    (per-event output enriched by evolving state) -> rows-only check: the
+    stream is drained with availableNow into a memory sink and the
+    materialized anomalies are returned."""
+    import tempfile
+
+    from apache_spark_streaming_project_spark.streaming.stateful import (
+        running_stats_anomalies,
+    )
+
+    # streaming file source needs a directory; the testdata table is a single
+    # file -> glob-filter it out of the sf dir
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    import uuid
+
+    sink = f"m4_stateful_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_stats_anomalies(stream, min_n=10)
+        .filter(F.col("is_anomaly"))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stateful_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).orderBy("event_id")

@@ -1,0 +1,71 @@
+"""Custom stateful streaming operator tests (applyInPandasWithState):
+cross-batch state must accumulate, and anomalies must be judged against
+statistics from ALL prior batches, not just the current one."""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_spark_streaming_project_spark.streaming.stateful import (
+    running_stats_anomalies,
+)
+
+
+@pytest.fixture(scope="module")
+def stateful_run(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stateful")
+    input_dir = root / "input"
+    input_dir.mkdir()
+
+    # batch file 1: 12 normal values for u1; batch file 2: 1 outlier + normals
+    rows1 = [(i, "u1", 10.0 + (i % 3)) for i in range(12)]
+    rows2 = [(100, "u1", 500.0), (101, "u1", 11.0)]
+    for fname, rows in [("b1.parquet", rows1), ("b2.parquet", rows2)]:
+        spark.createDataFrame(
+            rows, "event_id long, user_id string, value double"
+        ).coalesce(1).write.parquet(str(input_dir / fname))
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id string, value double")
+        .option("maxFilesPerTrigger", "1")  # one micro-batch per file
+        .parquet(str(input_dir / "*.parquet"))
+    )
+    out = running_stats_anomalies(stream, min_n=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(root / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("stateful_out").orderBy("event_id").collect()
+
+
+def test_state_accumulates_across_batches(stateful_run):
+    rows = {r["event_id"]: r for r in stateful_run}
+    assert len(stateful_run) == 14
+    # n_seen keeps counting into the second micro-batch (cross-batch state)
+    assert rows[11]["n_seen"] == 12
+    assert rows[100]["n_seen"] == 13
+    assert rows[101]["n_seen"] == 14
+
+
+def test_anomaly_judged_against_running_stats(stateful_run):
+    rows = {r["event_id"]: r for r in stateful_run}
+    # the 500.0 outlier is extreme vs the 12 prior ~10s -> flagged
+    assert rows[100]["is_anomaly"] is True
+    assert rows[100]["z_score"] > 3
+    # normal values are never flagged
+    assert all(not r["is_anomaly"] for r in stateful_run if r["event_id"] != 100)
+
+
+def test_welford_matches_batch_stats(stateful_run):
+    """Running mean/stddev after the final row == plain batch mean/stddev."""
+    import statistics
+
+    vals = [r["value"] for r in stateful_run]
+    last = max(stateful_run, key=lambda r: r["n_seen"])
+    assert last["running_mean"] == pytest.approx(statistics.fmean(vals))
+    assert last["running_stddev"] == pytest.approx(statistics.stdev(vals))
