@@ -1736,3 +1736,43 @@ def m4_stateful_running_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination(300)
     return spark.table(sink).orderBy("event_id")
+
+
+@register(
+    "s11_hours_bucket_counts",
+    """
+    SELECT CASE WHEN l_quantity < 20 THEN 'Part-time (<20)'
+                WHEN l_quantity <= 40 THEN 'Full-time (20-40)'
+                ELSE 'Overtime (>40)' END AS hours_bucket,
+           COUNT(*) AS count
+    FROM lineitem GROUP BY 1
+    """,
+    "S11",
+)
+def s11_hours_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 — the work-hours bucketing with the reference's exact boundary
+    semantics (20 is Full-time: strict < then <=, reference
+    spark_streaming.py:60-63), applied to l_quantity so the CASE chain is
+    oracle-checked including the boundary rows."""
+    from apache_spark_streaming_project_spark.operators.enrich import (
+        work_hours_category,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(work_hours_category("l_quantity").alias("hours_bucket"))
+        .groupBy("hours_bucket")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+@register("s8_processing_time", None, "S8")
+def s8_processing_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — processing-time column (current_timestamp on every row,
+    reference spark_streaming.py:50). Wall-clock output is inherently
+    non-deterministic -> rows-only check; the value semantics are asserted
+    in the streaming pipeline tests (raw_data carries the batch timestamp)."""
+    ev = _t(spark, sf_dir, "events").limit(100)
+    return ev.select(
+        "event_id", F.current_timestamp().alias("processing_ts")
+    )
