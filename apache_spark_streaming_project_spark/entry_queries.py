@@ -1776,3 +1776,49 @@ def s8_processing_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.current_timestamp().alias("processing_ts")
     )
+
+
+@register(
+    "m4_session_windows",
+    """
+    WITH ord AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 1 DAY
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), grp AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ord
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 1 DAY AS session_end,
+           COUNT(*) AS count
+    FROM grp GROUP BY user_id, sid
+    """,
+    "M4",
+)
+def m4_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — gap-based session windows (1-day gap) per user, batch mode: the
+    same ``session_window`` construct the streaming variant uses
+    (streaming/windows.py session_windows). Oracle mirrors Spark's merge
+    rule (new session iff the gap to the previous event is >= the gap
+    duration; session end = last event + gap) via lag + running-sum
+    session ids."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "1 day").alias("session"), "user_id"
+        )
+        .agg(F.count("*").alias("count"))
+        .select(
+            "user_id",
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "count",
+        )
+    )

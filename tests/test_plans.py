@@ -5,6 +5,8 @@ scale-invariant; AQE only re-tunes partition counts at runtime)."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from apache_spark_streaming_project_spark.entry_queries import QUERIES
@@ -75,3 +77,37 @@ def test_grouped_agg_is_partial_final(spark, sf_dir):
     plan = physical_plan(df, "simple")
     assert plan.count("HashAggregate") >= 2
     assert count_shuffles(df) == 1
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    """All three Q6 predicates must reach the parquet scan."""
+    df = QUERIES["sql_tpch_q6"].fn(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_q3_topk_no_global_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject, not Sort."""
+    df = QUERIES["sql_tpch_q3"].fn(spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q6_reads_only_needed_columns(spark, sf_dir):
+    """ReadSchema must not include untouched columns (column pruning)."""
+    df = QUERIES["sql_tpch_q6"].fn(spark, sf_dir)
+    plan = physical_plan(df, "formatted")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_range_join_tiers_no_fact_shuffle(spark, sf_dir):
+    """Band join against the tier table must broadcast the tiers (no
+    exchange of the orders side before the join)."""
+    df = QUERIES["j2_range_join_tiers"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert count_shuffles(df) <= 2  # partial->final agg only
