@@ -1711,10 +1711,19 @@ def m4_stateful_running_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
         running_stats_anomalies,
     )
 
+    # The stateful shuffle partition count IS the state-store partition
+    # count — a provisioning decision, not AQE-tunable (streaming exchanges
+    # can't be coalesced at runtime). Size it to key cardinality / executor
+    # count: ~1.5k user keys here -> 8 partitions; a 100 TB deployment sizes
+    # this to its executor fleet before first start (it is fixed by the
+    # checkpoint afterwards).
+    session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+
     # streaming file source needs a directory; the testdata table is a single
     # file -> glob-filter it out of the sf dir
     stream = (
-        spark.readStream.schema(
+        session.readStream.schema(
             "event_id long, ts timestamp, user_id long, "
             "event_type string, value double, props string"
         )
@@ -1735,7 +1744,8 @@ def m4_stateful_running_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(sink).orderBy("event_id")
+    # memory-sink tables register in the owning session's catalog
+    return session.table(sink).orderBy("event_id")
 
 
 @register(

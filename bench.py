@@ -41,6 +41,9 @@ def main() -> None:
         df = spec.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # operator-internal caches (LSH signature tables etc.) must not
+        # leak memory pressure or warm-data advantages into later queries
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(
