@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis): engine results must match independent
+Python-reference implementations on randomized inputs — the differential
+layer below the DuckDB oracle (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+MONEY = st.decimals(
+    min_value=Decimal("-99999.99"),
+    max_value=Decimal("99999.99"),
+    places=2,
+    allow_nan=False,
+    allow_infinity=False,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(MONEY, min_size=1, max_size=50))
+def test_exact_sum_matches_decimal_reference(spark, values):
+    """sum_money must equal exact Decimal addition (no FP drift), for any
+    2-decimal inputs in any order."""
+    from apache_spark_streaming_project_spark.functions.exact import sum_money
+
+    df = spark.createDataFrame([(float(v),) for v in values], "v double")
+    got = df.agg(sum_money("v", out_alias="s")).first()["s"]
+    expect = float(sum(values))
+    assert got == expect  # bit-identical, not approx
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=40
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=0, max_size=40
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
+    """asof_join == per-row argmax over right rows with ts <= left ts."""
+    from apache_spark_streaming_project_spark.operators.asof import asof_join
+
+    left = [(i, f"k{k}", t) for i, (k, t) in enumerate(left_rows)]
+    right = [(100 + i, f"k{k}", t) for i, (k, t) in enumerate(right_rows)]
+    ldf = spark.createDataFrame(left, "lid long, key string, ts long")
+    rdf = spark.createDataFrame(right, "rid long, key string, ts long")
+    out = asof_join(
+        ldf, rdf, on="key", left_ts="ts", right_ts="ts",
+        right_payload=["rid"], right_tiebreak="rid",
+    )
+    got = {r["lid"]: r["matched_rid"] for r in out.collect()}
+
+    def brute(lk, lt):
+        cands = [(t, rid) for rid, rk, t in right if rk == lk and t <= lt]
+        return max(cands)[1] if cands else None
+
+    expect = {lid: brute(lk, lt) for lid, lk, lt in left}
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="abc ", min_size=0, max_size=30),
+                min_size=1, max_size=30))
+def test_exact_dedup_properties(spark, texts):
+    """exact_dedup output is distinct on the dedup cols, is a subset of the
+    input, and is idempotent."""
+    from apache_spark_streaming_project_spark.operators.dedup import exact_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_dedup(df, ["text"], "doc_id")
+    got = [r["text"] for r in out.collect()]
+    assert sorted(got) == sorted(set(texts))  # one survivor per distinct text
+    again = exact_dedup(out, ["text"], "doc_id")
+    assert sorted(r["text"] for r in again.collect()) == sorted(got)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.sampled_from([
+    "the cat and the dog", "der hund ist nicht da", "le chat est dans la maison",
+    "el perro es un animal", "zzz qqq xxx", "",
+]), min_size=1, max_size=12))
+def test_language_id_matches_python_reference(spark, texts):
+    from apache_spark_streaming_project_spark.operators.text import (
+        LANG_STOPWORDS,
+        language_id,
+    )
+
+    def ref(text: str) -> str:
+        toks = [t.lower() for t in text.split() if t]
+        best_lang, best_hits = "und", 0
+        for lang in sorted(LANG_STOPWORDS):
+            hits = sum(1 for t in toks if t in LANG_STOPWORDS[lang])
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        return best_lang
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got = {r["i"]: r["p"] for r in
+           df.select("i", language_id("text").alias("p")).collect()}
+    assert got == {i: ref(t) for i, t in enumerate(texts)}
