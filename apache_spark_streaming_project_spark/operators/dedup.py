@@ -68,17 +68,27 @@ def latest_version_dedup(
 
 def word_shingles(c: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (built-in only:
-    split -> sliding windows via transform over an index sequence)."""
+    split -> sliding windows via transform over an index sequence).
+
+    The token array is bound ONCE as a lambda variable (via the singleton-
+    array trick) before the sliding-window transform. Inlining the
+    split/filter expression directly into the window lambda makes Spark
+    re-evaluate the full tokenization per shingle position — O(tokens^2)
+    per document (measured ~5x slower on 5k real docs)."""
     c = F.col(c) if isinstance(c, str) else c
-    toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
-    k = F.size(toks) - (n - 1)
-    # sequence(0, stop) DESCENDS when stop < 0 — guard short docs to empty
-    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    toks_expr = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+
+    def windows(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        # sequence(0, stop) DESCENDS when stop < 0 — guard short docs to empty
+        idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+
+    return F.element_at(F.transform(F.array(toks_expr), windows), 1)
 
 
 # ---------------------------------------------------------------------------
