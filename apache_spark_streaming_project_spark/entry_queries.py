@@ -648,13 +648,14 @@ def x4_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_spark_streaming_project_spark.operators import text as tx
 
     d = _t(spark, sf_dir, "documents")
+    m = tx.token_metrics("text")  # single-pass token metrics (see text.py)
     return d.select(
         "doc_id",
-        tx.token_count("text").cast("long").alias("n_tokens"),
+        m["n_tokens"].alias("n_tokens"),
         tx.bpe_ish_token_count("text").alias("n_tokens_bpe"),
-        tx.mean_token_length("text").alias("mean_token_len"),
+        m["mean_token_len"].alias("mean_token_len"),
         tx.punct_ratio("text").alias("punct_ratio"),
-        tx.stopword_ratio("text").alias("stopword_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
     )
 
 
@@ -690,7 +691,17 @@ def x4_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_spark_streaming_project_spark.operators import text as tx
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", tx.quality_score("text").alias("quality"))
+    m = tx.token_metrics("text")
+    p = tx.punct_ratio("text")
+    n_tok = m["n_tokens"].cast("double")
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    punct_score = F.when(p < 0.2, 1.0 - p).otherwise(F.lit(0.5))
+    mtl = m["mean_token_len"]
+    mtl_score = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.6))
+    return d.select(
+        "doc_id",
+        (len_score * 0.4 + punct_score * 0.3 + mtl_score * 0.3).alias("quality"),
+    )
 
 
 @register(

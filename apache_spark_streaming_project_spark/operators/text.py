@@ -135,16 +135,78 @@ def rolling_fingerprint(c: Column | str, base: int = 31, mod: int = 2**31 - 1) -
     )
 
 
+def token_metrics(c: Column | str, lang: str = "en") -> Column:
+    """All token-derived X4 metrics in ONE pass over the token array.
+
+    The standalone metric functions above each inline their own
+    tokenization; composing several of them re-splits the text once per
+    metric per row. This binds the token array once as a lambda variable
+    (singleton-array trick — see dedup.word_shingles) and computes
+    every token metric from that binding. Returns a struct
+    (n_tokens, mean_token_len, stopword_ratio, lang_pred) with values
+    IDENTICAL to the standalone functions.
+    """
+    toks_expr = tokens(c)
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+
+    def metrics(toks: Column) -> Column:
+        n = F.size(toks)
+        total = F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        lowered = F.transform(toks, lambda t: F.lower(t))
+        hits = F.size(F.filter(lowered, lambda t: F.array_contains(sw, t)))
+
+        def _lang_score(code: str, words: tuple[str, ...]) -> Column:
+            lsw = F.array(*[F.lit(w) for w in words])
+            return F.struct(
+                F.lit(code).alias("lang"),
+                F.size(F.filter(lowered, lambda t: F.array_contains(lsw, t))).alias(
+                    "hits"
+                ),
+            )
+
+        best = F.aggregate(
+            F.array(
+                *[_lang_score(k, ws) for k, ws in sorted(LANG_STOPWORDS.items())]
+            ),
+            F.struct(F.lit("und").alias("lang"), F.lit(0).alias("hits")),
+            lambda acc, x: F.when(x["hits"] > acc["hits"], x).otherwise(acc),
+        )
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            F.when(n > 0, total.cast("double") / n.cast("double"))
+            .otherwise(0.0)
+            .alias("mean_token_len"),
+            F.when(n > 0, hits.cast("double") / n.cast("double"))
+            .otherwise(0.0)
+            .alias("stopword_ratio"),
+            best["lang"].alias("lang_pred"),
+        )
+
+    return F.element_at(F.transform(F.array(toks_expr), metrics), 1)
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """The full X4 per-document profile in one map-only projection."""
+    """The full X4 per-document profile in one map-only projection; token
+    metrics come from the single-pass :func:`token_metrics` struct."""
+    m = token_metrics(text_col)
+    p = punct_ratio(text_col)
+    n_tok = m["n_tokens"].cast("double")
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    punct_score = F.when(p < 0.2, 1.0 - p).otherwise(F.lit(0.5))
+    mtl = m["mean_token_len"]
+    mtl_score = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.6))
     return df.select(
         "*",
-        token_count(text_col).alias("n_tokens"),
+        m["n_tokens"].alias("n_tokens"),
         bpe_ish_token_count(text_col).alias("n_tokens_bpe"),
-        mean_token_length(text_col).alias("mean_token_len"),
-        punct_ratio(text_col).alias("punct_ratio"),
-        stopword_ratio(text_col).alias("stopword_ratio"),
-        quality_score(text_col).alias("quality"),
-        language_id(text_col).alias("lang_pred"),
+        m["mean_token_len"].alias("mean_token_len"),
+        p.alias("punct_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        (len_score * 0.4 + punct_score * 0.3 + mtl_score * 0.3).alias("quality"),
+        m["lang_pred"].alias("lang_pred"),
         rolling_fingerprint(text_col).alias("fingerprint"),
     )
