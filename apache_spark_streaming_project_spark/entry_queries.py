@@ -894,14 +894,17 @@ def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("x_embedding_near_dups", None, "X1", "X3")
 def x_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (random-hyperplane LSH buckets +
-    exact cosine >= 0.9 within buckets). Rows-only check."""
+    """Embedding-cosine near-dup pairs (banded random-hyperplane LSH
+    candidates + exact cosine verify within buckets). Threshold 0.4 because
+    the synthetic embeddings have no planted near-identical pairs (max
+    non-self cosine ~0.51) — 0.4 exercises the pipeline with real, non-empty
+    output. Rows-only check."""
     from apache_spark_streaming_project_spark.operators.dedup import (
         embedding_near_dups,
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(e, threshold=0.9).orderBy("key_a", "key_b")
+    return embedding_near_dups(e, threshold=0.4).orderBy("key_a", "key_b")
 
 
 # ---------------------------------------------------------------------------

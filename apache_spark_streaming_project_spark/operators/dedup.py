@@ -373,22 +373,27 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 16,
+    bands: int = 4,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding near-dup pairs with cosine >= threshold.
 
-    Candidates via random-hyperplane LSH: sign-pattern of ``n_planes`` fixed
-    pseudo-random projections (deterministic seed) buckets similar vectors
-    together; exact cosine verifies within buckets. The shuffle key is the
-    16-bit sign bucket — same scale story as the text LSH. Recall is
-    bucket-bound (vectors straddling a plane may be missed; raise recall by
-    multiple tables / fewer planes).
+    Candidates via BANDED random-hyperplane LSH: the sign pattern of
+    ``n_planes`` fixed pseudo-random projections (deterministic seed) is
+    split into ``bands`` blocks; a pair becomes a candidate if ANY block
+    matches exactly, then exact cosine verifies within buckets (precision is
+    exact — only recall is probabilistic). A single 16-bit table requires
+    all 16 signs to agree — ~18% recall even at cosine 0.95; 4 bands of 4
+    bits lift that to ~98% while keeping random pairs ~4 orders down per
+    band. The shuffle key is (band, block value) — same bucketed-join scale
+    story as the text LSH.
     """
     import random
 
     dim = len(df.select(vec_col).first()[0])
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+    bits_per = n_planes // bands
 
     def bucket(vc: Column) -> Column:
         acc = F.lit(0).cast("long")
@@ -405,17 +410,35 @@ def embedding_near_dups(
             acc = acc + F.when(proj >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
         return acc
 
-    # 16 dot products per row feed both self-join sides — persist
+    # n_planes dot products per row feed both self-join sides — persist
     tagged = (
         df.select(F.col(key_col).alias("_key"), F.col(vec_col).alias("_vec"))
-        .withColumn("_bucket", bucket(F.col("_vec")))
+        .withColumn("_sig", bucket(F.col("_vec")))
         .cache()
     )
-    a, b = tagged.alias("a"), tagged.alias("b")
+    banded = tagged.select(
+        "_key",
+        "_vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("_sig"), i * bits_per)
+                        .bitwiseAND(F.lit((1 << bits_per) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_key", "_vec", "_b.band", "_b.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
             b,
-            (F.col("a._bucket") == F.col("b._bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a._key") < F.col("b._key")),
         )
         .select(
@@ -424,4 +447,5 @@ def embedding_near_dups(
             cosine_similarity(F.col("a._vec"), F.col("b._vec")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["key_a", "key_b"])
     )
