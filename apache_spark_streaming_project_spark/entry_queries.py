@@ -895,16 +895,28 @@ def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("x_embedding_near_dups", None, "X1", "X3")
 def x_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (banded random-hyperplane LSH
-    candidates + exact cosine verify within buckets). Threshold 0.4 because
-    the synthetic embeddings have no planted near-identical pairs (max
-    non-self cosine ~0.51) — 0.4 exercises the pipeline with real, non-empty
-    output. Rows-only check."""
+    candidates + exact cosine verify within buckets). The synthetic
+    embeddings have no planted near-identical pairs (max non-self cosine
+    ~0.51), so the query plants its own: each vector is unioned with a
+    deterministically perturbed copy (vec_id + 10^6, per-coordinate
+    sin-noise, cosine ~0.9999) and the detector must recover the planted
+    pairs at threshold 0.95 — the operator's actual near-dup operating
+    regime. Rows-only check."""
     from apache_spark_streaming_project_spark.operators.dedup import (
         embedding_near_dups,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(e, threshold=0.4).orderBy("key_a", "key_b")
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + 0.005 * F.sin(F.col("vec_id") * 31 + i),
+        ).alias("embedding"),
+    )
+    return embedding_near_dups(e.unionAll(perturbed), threshold=0.95).orderBy(
+        "key_a", "key_b"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -8,6 +8,8 @@ are deterministic and oracle-comparable.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -37,3 +39,67 @@ def cosine_similarity(a: str | Column, b: str | Column) -> Column:
     d = dot(a, b)
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, d / denom).otherwise(F.lit(None).cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized kernels (numpy batch matmul)
+#
+# The higher-order-function forms above are JVM-side but INTERPRETED per
+# array element — fine for one dot product per row, but the dominant cost
+# when a candidate join evaluates hundreds of thousands of 64-dim products
+# (measured ~10x slower than Arrow+numpy on the sf0.1 near-dup bench).
+# These pandas_udf kernels batch rows through Arrow and do one numpy
+# matmul / einsum per batch. Use them in candidate-verification hot paths;
+# keep the built-in forms for oracle-checked queries (deterministic
+# left-to-right accumulation).
+# ---------------------------------------------------------------------------
+
+
+def unit_vector_pd() -> Column:
+    """pandas_udf: array -> L2-normalized array<double> (zero vectors -> all
+    zeros, so downstream dot products compare below any cosine threshold
+    instead of poisoning with NaN)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _unit(a: pd.Series) -> pd.Series:
+        V = np.stack(a.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        U = np.divide(V, n, out=np.zeros_like(V), where=n > 0)
+        return pd.Series(list(U))
+
+    return _unit
+
+
+def dot_pd() -> Column:
+    """pandas_udf: (array, array) -> double dot product, one einsum per
+    Arrow batch. On unit vectors this IS the cosine."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return _dot
+
+
+def sign_signature_pd(planes) -> Column:
+    """pandas_udf: array -> packed sign bits of the vector's projections
+    onto ``planes`` (list of lists, one row per plane; bit i set iff
+    v . planes[i] >= 0). One (batch x dim) @ (dim x n_planes) matmul per
+    Arrow batch replaces n_planes interpreted aggregate() passes per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64).T  # dim x n_planes
+    weights = (1 << np.arange(P.shape[1], dtype=np.uint64)).astype(np.uint64)
+
+    @pandas_udf("long")
+    def _sig(a: pd.Series) -> pd.Series:
+        V = np.stack(a.to_numpy()).astype(np.float64)
+        bits = (V @ P) >= 0
+        packed = (bits.astype(np.uint64) * weights).sum(axis=1)
+        return pd.Series(packed.astype(np.int64))
+
+    return _sig

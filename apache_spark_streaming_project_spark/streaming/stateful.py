@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -64,11 +65,21 @@ def running_stats_anomalies(
     """Streaming per-key running z-score anomaly detection.
 
     ``events`` must be a STREAMING DataFrame. Each row is emitted with the
-    key's running mean/stddev (updated through that row, Welford online
-    update — single pass, numerically stable) and flagged anomalous once the
-    key has ``min_n`` observations and |z| > ``z_threshold`` against the
-    pre-update statistics.
+    key's running mean/stddev (updated through that row) and flagged
+    anomalous once the key has ``min_n`` observations and |z| >
+    ``z_threshold`` against the pre-update statistics.
+
+    The per-batch update is vectorized: prefix sums over values shifted by
+    the carried mean (cancellation-safe) give every prefix's mean/M2 in one
+    numpy pass, and Chan's pairwise-combine formula merges the carried state
+    with each prefix — no per-row Python loop in the hot path.
     """
+
+    def _nullable(arr: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        out = np.empty(len(arr), dtype=object)
+        out[:] = None
+        out[valid] = arr[valid]
+        return out
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -80,38 +91,50 @@ def running_stats_anomalies(
         for pdf in pdfs:
             # deterministic in-batch order regardless of shuffle arrival
             pdf = pdf.sort_values(id_col)
-            out = {
-                "user_id": [], "event_id": [], "value": [], "n_seen": [],
-                "running_mean": [], "running_stddev": [], "z_score": [],
-                "is_anomaly": [],
-            }
-            for eid, v in zip(pdf[id_col], pdf[value_col]):
-                v = float(v)
-                # z against PRE-update stats (the value must not dilute the
-                # baseline it is judged against)
-                if n >= 2:
-                    var = m2 / (n - 1)
-                    std = var**0.5
-                else:
-                    std = None
-                z = (v - mean) / std if std else None
-                is_anom = bool(
-                    n >= min_n and z is not None and abs(z) > z_threshold
-                )
-                n += 1
-                delta = v - mean
-                mean += delta / n
-                m2 += delta * (v - mean)
-                post_std = (m2 / (n - 1)) ** 0.5 if n >= 2 else None
-                out["user_id"].append(key[0])
-                out["event_id"].append(eid)
-                out["value"].append(v)
-                out["n_seen"].append(n)
-                out["running_mean"].append(mean)
-                out["running_stddev"].append(post_std)
-                out["z_score"].append(z)
-                out["is_anomaly"].append(is_anom)
-            yield pd.DataFrame(out)
+            v = pdf[value_col].to_numpy(dtype=np.float64)
+            k = len(v)
+            if k == 0:
+                continue
+            # shift by the carried mean (or first value) so cumulative sums
+            # accumulate small deviations, not large absolute values
+            c = mean if n > 0 else float(v[0])
+            d = v - c
+            sd = np.cumsum(d)
+            sd2 = np.cumsum(d * d)
+            j = np.arange(1, k + 1, dtype=np.float64)
+            n_post = n + j
+            mean_post = c + (n * (mean - c) + sd) / n_post
+            # batch-prefix mean/M2 in shifted coordinates, then pairwise
+            # combine with the carried (n, mean, m2)
+            mb = sd / j
+            m2b = np.maximum(sd2 - sd * mb, 0.0)
+            delta = (c + mb) - mean
+            m2_post = m2 + m2b + delta * delta * (n * j) / n_post
+            # z against PRE-update stats (the value must not dilute the
+            # baseline it is judged against): row i's pre-stats are row
+            # i-1's post-stats
+            n_pre = np.concatenate(([n], n_post[:-1]))
+            mean_pre = np.concatenate(([mean], mean_post[:-1]))
+            m2_pre = np.concatenate(([m2], m2_post[:-1]))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                std_pre = np.sqrt(m2_pre / (n_pre - 1))
+                z = (v - mean_pre) / std_pre
+                std_post = np.sqrt(m2_post / (n_post - 1))
+            z_ok = (n_pre >= 2) & (std_pre > 0)
+            is_anom = z_ok & (n_pre >= min_n) & (np.abs(z) > z_threshold)
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(k, key[0], dtype=object),
+                    "event_id": pdf[id_col].to_numpy(),
+                    "value": v,
+                    "n_seen": n_post.astype(np.int64),
+                    "running_mean": mean_post,
+                    "running_stddev": _nullable(std_post, n_post >= 2),
+                    "z_score": _nullable(z, z_ok),
+                    "is_anomaly": is_anom,
+                }
+            )
+            n, mean, m2 = int(n_post[-1]), float(mean_post[-1]), float(m2_post[-1])
         state.update((n, mean, m2))
 
     return (

@@ -109,9 +109,13 @@ def test_embedding_near_dups_recall_and_precision(spark, sf_dir):
     from apache_spark_streaming_project_spark.schemas import load_table
 
     e = load_table(spark, sf_dir, "embeddings")
+    # 4-bit bands: wide-net parameters for the low-cosine regime this test
+    # probes (the 0.4-recall assertion below is derived for 4 bands x 4 bits)
     got = {
         (r["key_a"], r["key_b"]): r["cosine"]
-        for r in embedding_near_dups(e, threshold=0.35).collect()
+        for r in embedding_near_dups(
+            e, threshold=0.35, n_planes=16, bands=4
+        ).collect()
     }
 
     rows = e.select("vec_id", "embedding").collect()
