@@ -8,6 +8,8 @@ on the documented keys, no Python row path).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -226,32 +228,67 @@ def simhash_df(
     text_col: str = "text",
     shingle_n: int = 2,
 ) -> DataFrame:
-    """SimHash fingerprints as (key, fp): explode shingles, hash each once,
-    then per bit position sum the bit across shingles (64 conditional-sum
-    aggregates in ONE groupBy — single hash pass, single shuffle carrying
-    (key, 64 ints)); bit of the fingerprint = majority vote.
+    """SimHash fingerprints as (key, fp), computed MAP-ONLY: a document's
+    shingles live in its own row, so unlike MinHash-LSH there is no shuffle
+    at any scale. The whole fingerprint — tokenize, distinct word
+    ``shingle_n``-grams, 64-bit shingle hashes (pandas ``hash_array``,
+    SipHash with a fixed key: deterministic and C-vectorized), per-bit
+    majority vote — is ONE Arrow-batched numpy kernel per batch: all
+    shingles in the batch are hashed as a single flat array, bit-unpacked
+    to a (n_shingles, 64) matrix, and per-document ones-counts come from
+    ``np.add.reduceat`` over the document offsets. No per-shingle Python
+    and no JVM expression interpretation in the hot path.
 
-    Bit 63 is folded in as ``-2^63`` (two's complement) so the fingerprint
-    stays a signed long.
+    Bit 63 makes the fingerprint negative in two's complement; ``fp`` stays
+    a signed long. Documents with no shingles produce no fingerprint. The
+    kernel runs as ``mapInPandas`` (its own Arrow exec node) rather than a
+    scalar pandas_udf so it can never be inlined into a projection.
     """
-    exploded = df.select(
-        F.col(key_col).alias("_key"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("_sh"),
-    ).select("_key", F.xxhash64(F.col("_sh")).alias("_h"))
-    counts = exploded.groupBy("_key").agg(
-        F.count("*").alias("_n"),
-        *[
-            F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
-            for i in range(64)
-        ],
-    )
-    fp = F.lit(0).cast("long")
-    for i in range(64):
-        bit = F.when(F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = fp + (bit * F.lit(2**i).cast("long") if i < 63 else bit * F.lit(-(2**63)))
-    return counts.select("_key", fp.alias("_fp"))
+    from collections.abc import Iterator
+
+    from pandas.util import hash_array
+
+    key_field = df.schema[key_col].dataType.simpleString()
+    n = shingle_n
+
+    def _fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            flat: list[str] = []
+            offsets: list[int] = [0]
+            keep: list[int] = []
+            for i, t in enumerate(pdf["_text"]):
+                toks = t.strip().lower().split() if isinstance(t, str) else []
+                if len(toks) >= n:
+                    # dict.fromkeys: distinct, order-preserving
+                    sh = dict.fromkeys(
+                        " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+                    )
+                    if sh:
+                        keep.append(i)
+                        flat.extend(sh)
+                        offsets.append(len(flat))
+            if not keep:
+                continue
+            h = hash_array(np.asarray(flat, dtype=object))
+            # (n_shingles, 64) bit matrix; segment sums = per-doc ones-counts
+            bits = np.unpackbits(
+                h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            ones = np.add.reduceat(bits.astype(np.int64), offsets[:-1], axis=0)
+            counts = np.diff(offsets)[:, None]
+            fp_bits = (ones * 2 > counts).astype(np.uint64)
+            fps = (fp_bits << shifts).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame(
+                {
+                    "_key": pdf["_key"].iloc[keep].reset_index(drop=True),
+                    "_fp": pd.Series(fps.view(np.int64)),
+                }
+            )
+
+    return df.select(
+        F.col(key_col).alias("_key"), F.col(text_col).alias("_text")
+    ).mapInPandas(_fp_batches, schema=f"_key {key_field}, _fp long")
 
 
 def simhash_near_dups(

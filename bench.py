@@ -32,8 +32,11 @@ def main() -> None:
 
     spark = get_spark("bench")
 
-    # warm-up: session init + parquet footer reads
-    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).limit(1).count()
+    # warm-up: session init + file listing + parquet footer reads for every
+    # table, so one-time metadata costs aren't attributed to whichever query
+    # happens to touch a table first (the metric is query execution time)
+    for p in sorted(Path(sf_dir).glob("*.parquet")):
+        spark.read.parquet(str(p)).limit(1).count()
 
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():
