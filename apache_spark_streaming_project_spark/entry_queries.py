@@ -997,6 +997,50 @@ def x3_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_top_k(assigned, centroids, qvec, k=10, nprobe=4)
 
 
+@register(
+    "x3_blocked_sim_join",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    w AS (
+      SELECT vec_id, label, qv,
+             list_sum(list_transform(qv, x -> x * x)) AS nrm
+      FROM q
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                p -> p[1] * p[2])) AS DOUBLE)
+             / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cosine
+    FROM w a JOIN w b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE a.nrm > 0 AND b.nrm > 0
+      AND CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                p -> p[1] * p[2])) AS DOUBLE)
+             / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) >= 0.35
+    """,
+    "X3",
+    "X2",
+)
+def x3_blocked_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — exact blocked cosine similarity self-join (label blocks, int64-
+    quantized vectors): the hash-checked correctness anchor for the
+    approximate near-dup family (x_embedding_near_dups, x3_lsh/ivf). The
+    integer quantization makes dot products order-free exact, so the numpy
+    matmul kernel and the oracle's sequential list fold agree bit-for-bit
+    (see operators/similarity.py blocked_cosine_join)."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        blocked_cosine_join,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return blocked_cosine_join(
+        e, key_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # X5 — multimodal columns (binary payload + typed metadata; stubbed decode)
 # ---------------------------------------------------------------------------

@@ -212,3 +212,68 @@ def ivf_top_k(
         .orderBy(F.col("cosine").desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def blocked_cosine_join(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.35,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact cosine similarity self-join within blocks: all pairs
+    (``key_a < key_b``) sharing ``block_col`` with cosine >= ``threshold``.
+
+    This is the verification kernel of every scalable similarity join: a
+    blocking key (here a label; at scale an LSH band bucket or IVF cell —
+    see ``lsh_index``/``ivf_index``) partitions the space, and within each
+    block the exact O(b^2 d) pair computation runs as one integer matmul.
+    Cost is sum(b^2) over blocks, never N^2; the only shuffle is the
+    groupBy on the blocking key.
+
+    Determinism: embeddings are quantized to int64 (floor(x * scale + 0.5)
+    on float64) so dot products and norms are EXACT integers — summation
+    order cannot change them, so a numpy matmul here and a sequential SQL
+    fold in an oracle engine agree bit-for-bit. The final
+    cosine = double(dot) / sqrt(double(na) * double(nb)) is two correctly-
+    rounded IEEE ops from exact integers — also engine-independent.
+    Overflow bound: scale^2 * dim * max|x|^2 must stay < 2^63 (1e6 scale,
+    unit-ish vectors, dim <= 4096 is safe).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    key_t = df.schema[key_col].dataType.simpleString()
+    out_schema = f"id_a {key_t}, id_b {key_t}, cosine double"
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_key").reset_index(drop=True)
+        ids = pdf["_key"].to_numpy()
+        M = np.floor(
+            np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]]) * scale
+            + 0.5
+        ).astype(np.int64)
+        G = M @ M.T  # exact int64 Gram matrix
+        nrm = np.diag(G).astype(np.float64)
+        ok = nrm > 0
+        denom = np.sqrt(nrm[:, None] * nrm[None, :])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = G.astype(np.float64) / denom
+        i, j = np.triu_indices(len(ids), k=1)
+        keep = ok[i] & ok[j] & (C[i, j] >= threshold)
+        return pd.DataFrame(
+            {"id_a": ids[i[keep]], "id_b": ids[j[keep]], "cosine": C[i[keep], j[keep]]}
+        )
+
+    return (
+        df.select(
+            F.col(block_col).alias("_block"),
+            F.col(key_col).alias("_key"),
+            F.col(vec_col).alias("_vec"),
+        )
+        .groupBy("_block")
+        .applyInPandas(per_block, schema=out_schema)
+    )

@@ -85,3 +85,33 @@ def test_multimodal_feature_extraction(spark):
 
     with _pytest.raises(Exception):
         extract_image_features(media, fake_decode=False).collect()
+
+
+def test_blocked_cosine_join_exact_pairs(spark):
+    import math
+
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        blocked_cosine_join,
+    )
+
+    rows = [
+        # block "a": 0~1 nearly identical, 2 orthogonal to both
+        (0, [1.0, 0.0, 0.0], "a"),
+        (1, [0.99, 0.01, 0.0], "a"),
+        (2, [0.0, 1.0, 0.0], "a"),
+        # block "b": 3~4 identical -> cosine 1.0; 5 is a zero vector (dropped)
+        (3, [0.5, 0.5, 0.5], "b"),
+        (4, [0.5, 0.5, 0.5], "b"),
+        (5, [0.0, 0.0, 0.0], "b"),
+        # 6 would match 0 but is in another block -> never paired
+        (6, [1.0, 0.0, 0.0], "c"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {
+        (r.id_a, r.id_b): r.cosine
+        for r in blocked_cosine_join(df, threshold=0.9).collect()
+    }
+    assert set(out) == {(0, 1), (3, 4)}
+    assert out[(3, 4)] == 1.0
+    expected_01 = 0.99 / math.sqrt(0.99**2 + 0.01**2)
+    assert abs(out[(0, 1)] - expected_01) < 1e-6
