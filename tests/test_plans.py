@@ -111,3 +111,23 @@ def test_range_join_tiers_no_fact_shuffle(spark, sf_dir):
     df = QUERIES["j2_range_join_tiers"].fn(spark, sf_dir)
     assert has_broadcast_join(df)
     assert count_shuffles(df) <= 2  # partial->final agg only
+
+
+def test_simhash_fingerprint_is_map_only(spark, sf_dir):
+    """simhash_df claims zero shuffles at any scale (a document's shingles
+    are colocated in its row) — assert no Exchange in the plan."""
+    from apache_spark_streaming_project_spark.operators.dedup import simhash_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert count_shuffles(simhash_df(docs, "doc_id", "text")) == 0
+
+
+def test_blocked_cosine_join_single_shuffle(spark, sf_dir):
+    """blocked_cosine_join claims exactly one shuffle (the groupBy on the
+    blocking key); the O(b^2) pair work happens inside the block kernel."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        blocked_cosine_join,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assert count_shuffles(blocked_cosine_join(e)) == 1
