@@ -1478,6 +1478,39 @@ def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_correlated_above_avg",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+        SELECT {avg} FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """.format(avg=avg_exact_sql("o2.o_totalprice")),
+    "§2.3",
+)
+def sql_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar aggregate subquery — orders priced above 1.5x their
+    customer's average order value. Exercises Catalyst's subquery
+    decorrelation (SURVEY.md §4.2): the optimizer rewrites the per-row
+    subquery into one aggregate over orders plus an equi-join back, so the
+    plan is two scans + one grouped agg + one join — never a per-row
+    re-execution. The inner average uses the exact-decimal formulation so
+    the comparison threshold is bit-identical across engines."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM sq_orders o
+        WHERE o_totalprice > 1.5 * (
+            SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(o2.o_totalprice)
+            FROM sq_orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@register(
     "sql_tpch_q3",
     """
     SELECT l.l_orderkey,

@@ -131,3 +131,13 @@ def test_blocked_cosine_join_single_shuffle(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     assert count_shuffles(blocked_cosine_join(e)) == 1
+
+
+def test_correlated_subquery_is_decorrelated(spark, sf_dir):
+    """The correlated scalar subquery must plan as one grouped aggregate
+    joined back to the outer scan (Catalyst decorrelation) — a join and a
+    partial/final agg in the plan, no per-row subquery re-execution."""
+    df = QUERIES["sql_correlated_above_avg"].fn(spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "Join" in plan
+    assert "HashAggregate" in plan
