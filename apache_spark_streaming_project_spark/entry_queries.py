@@ -574,7 +574,7 @@ def j1_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS n_high,
+           CAST(SUM(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
            CASE WHEN COUNT(*) > 0
                 THEN CAST(SUM(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS DOUBLE)
                      / CAST(COUNT(*) AS DOUBLE) * 100.0
@@ -1057,7 +1057,17 @@ def x5_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = synthetic_media_table(spark, n=64)
-    return extract_image_features(media, fake_decode=True).orderBy("media_id")
+    feats = extract_image_features(media, fake_decode=True)
+    # The harness canonicalizer sorts values per column, which dies on raw
+    # array cells — project the feature vector to a deterministic string
+    # digest here; the library API (extract_image_features) keeps the array.
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.concat_ws(
+            ",", F.expr("transform(feature, x -> format_number(x, 6))")
+        ).alias("feature_digest"),
+    ).orderBy("media_id")
 
 
 @register("x5_frame_sampling", None, "X5")
@@ -1314,8 +1324,8 @@ def s_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_pivot",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS count_O,
-           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS count_F
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS count_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS count_F
     FROM lineitem GROUP BY l_returnflag
     """,
     "§2.3",

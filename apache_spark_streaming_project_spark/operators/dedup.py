@@ -428,27 +428,53 @@ def embedding_near_dups(
     — same bucketed-join scale story as the text LSH.
     """
     import random
+    from collections.abc import Iterator
 
-    from apache_spark_streaming_project_spark.functions.vector import (
-        dot_pd,
-        sign_signature_pd,
-        unit_vector_pd,
-    )
+    import numpy as np
+    import pandas as pd
+
+    from apache_spark_streaming_project_spark.functions.vector import dot_pd
 
     dim = len(df.select(vec_col).first()[0])
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
     bits_per = n_planes // bands
 
-    # signature (one numpy matmul per Arrow batch) + unit-normalization feed
-    # both self-join sides — persist; storing UNIT vectors makes the per-pair
-    # verify a bare dot product instead of dot + two norms
-    sig_udf, unit_udf, dot_udf = sign_signature_pd(planes), unit_vector_pd(), dot_pd()
-    tagged = df.select(
-        F.col(key_col).alias("_key"),
-        unit_udf(F.col(vec_col)).alias("_vec"),
-        sig_udf(F.col(vec_col)).alias("_sig"),
-    ).cache()
+    # signature + unit-normalization feed both self-join sides — persist;
+    # storing UNIT vectors makes the per-pair verify a bare dot product
+    # instead of dot + two norms. Both derived columns come from ONE
+    # mapInPandas kernel (a dedicated Arrow exec node): scalar pandas_udf
+    # projections here hit the data/ordering-dependent planner inlining edge
+    # ("Cannot generate code for expression: pythonUDF") that simhash_df and
+    # blocked_cosine_join were moved off of — see the note at the simhash
+    # kernel.
+    P = np.asarray(planes, dtype=np.float64).T  # dim x n_planes
+    weights = (1 << np.arange(P.shape[1], dtype=np.uint64)).astype(np.uint64)
+    key_t = df.schema[key_col].dataType.simpleString()
+
+    def tag_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["_raw"].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(V, axis=1, keepdims=True)
+            U = np.divide(V, n, out=np.zeros_like(V), where=n > 0)
+            bits = (V @ P) >= 0
+            packed = (bits.astype(np.uint64) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "_key": pdf["_key"],
+                    "_vec": list(U),
+                    "_sig": packed.astype(np.int64),
+                }
+            )
+
+    dot_udf = dot_pd()
+    tagged = (
+        df.select(F.col(key_col).alias("_key"), F.col(vec_col).alias("_raw"))
+        .mapInPandas(tag_kernel, f"_key {key_t}, _vec array<double>, _sig long")
+        .cache()
+    )
     banded = tagged.select(
         "_key",
         "_vec",

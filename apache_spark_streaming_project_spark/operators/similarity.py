@@ -125,23 +125,32 @@ def ivf_index(
     seed: int = 42,
     key_col: str = "vec_id",
     vec_col: str = "embedding",
-    sample_fraction: float = 1.0,
+    max_train_rows: int = 10_000,
     iterations: int = 3,
 ) -> tuple[DataFrame, list[list[float]]]:
-    """IVF coarse quantizer: Lloyd's k-means on a driver-side sample (the
-    centroid table is tiny — k x dim floats), then assign every vector to its
-    nearest centroid IN-PLAN (fold over the centroid-literal array). Returns
-    (assigned df with ``centroid_id``, centroids). At scale, write the
-    assigned table partitioned by centroid_id."""
+    """IVF coarse quantizer: Lloyd's k-means on a BOUNDED driver-side sample
+    (the centroid table is tiny — k x dim floats), then assign every vector
+    to its nearest centroid IN-PLAN (fold over the centroid-literal array).
+    Returns (assigned df with ``centroid_id``, centroids). At scale, write
+    the assigned table partitioned by centroid_id.
+
+    The training collect is capped at ``max_train_rows`` regardless of table
+    size: we estimate the row count, sample at ~max_train_rows/n (with slack),
+    and hard-cap with ``limit`` — so the driver never materializes more than
+    max_train_rows vectors even at 100 TB. k-means centroid quality needs a
+    statistical sample, not the full table."""
     import random
 
     import numpy as np
 
+    n = df.count()  # metadata-cheap for parquet; one job otherwise
+    if n > max_train_rows:
+        frac = min(1.0, 1.5 * max_train_rows / n)
+        train = df.select(vec_col).sample(False, frac, seed).limit(max_train_rows)
+    else:
+        train = df.select(vec_col)
     sample = np.array(
-        [
-            list(r[0])
-            for r in df.select(vec_col).sample(False, sample_fraction, seed).collect()
-        ],
+        [list(r[0]) for r in train.collect()],
         dtype=np.float64,
     )
     rng = random.Random(seed)

@@ -72,13 +72,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown happen at the source, so callers should select/filter eagerly.
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's reader
-    only surfaces as nanosecond longs (``spark.sql.legacy.parquet.nanosAsLong``
-    — set in the session factory); convert to a microsecond timestamp by
-    floor-division, matching DuckDB's NANOS->micros truncation so oracle
-    comparisons agree.
+    only surfaces as nanosecond longs (``spark.sql.legacy.parquet.nanosAsLong``);
+    convert to a microsecond timestamp by floor-division, matching DuckDB's
+    NANOS->micros truncation so oracle comparisons agree.
+
+    The nanosAsLong conf is set here (runtime-settable) rather than only in the
+    session factory, so externally-built SparkSessions — e.g. the driver's
+    correctness harness — can read ``events`` too.
     """
     from pyspark.sql import functions as F
 
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -58,13 +58,21 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 def main() -> int:
     import __spark_entry__ as entry_mod
-    from apache_spark_streaming_project_spark import get_spark
+    from pyspark.sql import SparkSession
 
     args = sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
 
-    spark = get_spark("oracle_check")
+    # DELIBERATELY a vanilla session, NOT the repo's get_spark factory: the
+    # driver's harness builds its own session, so queries must not depend on
+    # any conf only our factory sets (the round-1 nanos bug hid behind that).
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle_check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
