@@ -892,16 +892,26 @@ def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(d, "doc_id", "text").orderBy("key_a", "key_b")
 
 
-@register("x_embedding_near_dups", None, "X1", "X3")
+@register(
+    "x_embedding_near_dups",
+    """
+    SELECT vec_id AS key_a, vec_id + 1000000 AS key_b
+    FROM embeddings ORDER BY key_a
+    """,
+    "X1",
+    "X3",
+)
 def x_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (banded random-hyperplane LSH
     candidates + exact cosine verify within buckets). The synthetic
     embeddings have no planted near-identical pairs (max non-self cosine
     ~0.51), so the query plants its own: each vector is unioned with a
     deterministically perturbed copy (vec_id + 10^6, per-coordinate
-    sin-noise, cosine ~0.9999) and the detector must recover the planted
-    pairs at threshold 0.95 — the operator's actual near-dup operating
-    regime. Rows-only check."""
+    sin-noise, cosine ~0.9999) and the detector must recover EXACTLY the
+    planted pairs at threshold 0.95 — which is what the oracle asserts
+    (recall: every planted pair found; precision: nothing else crosses
+    0.95). The float cosine stays in the library API; the registered
+    output is the key pairs, which are engine-comparable."""
     from apache_spark_streaming_project_spark.operators.dedup import (
         embedding_near_dups,
     )
@@ -914,8 +924,10 @@ def x_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, i: x + 0.005 * F.sin(F.col("vec_id") * 31 + i),
         ).alias("embedding"),
     )
-    return embedding_near_dups(e.unionAll(perturbed), threshold=0.95).orderBy(
-        "key_a", "key_b"
+    return (
+        embedding_near_dups(e.unionAll(perturbed), threshold=0.95)
+        .select("key_a", "key_b")
+        .orderBy("key_a", "key_b")
     )
 
 
@@ -1039,6 +1051,162 @@ def x3_blocked_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_cosine_join(
         e, key_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-visible verification of the approximate ops: each approximate
+# pipeline (MinHash-LSH, SimHash, batch-ANN) is composed with an EXACT
+# verifier so the end-to-end result is deterministic and equals a plain-SQL
+# ground truth — the check passes iff the approximate stage has 100% recall
+# at this scale (precision is exact by construction of the verify stage).
+# ---------------------------------------------------------------------------
+
+_ALLPAIRS_JACCARD_SQL = """
+    WITH sh AS ({shingles}),
+    j AS (
+      SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+             len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
+             len(a.s) + len(b.s)
+               - len(list_filter(a.s, x -> list_contains(b.s, x))) AS un
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT key_a, key_b, CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) AS jaccard
+    FROM j
+    WHERE un > 0 AND CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) >= 0.5
+    ORDER BY key_a, key_b
+"""
+
+
+@register(
+    "x_minhash_verified_pairs",
+    _ALLPAIRS_JACCARD_SQL.format(shingles=_SHINGLES_SQL),
+    "X1",
+    "X2",
+)
+def x_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified by EXACT word-3-gram Jaccard >= 0.5.
+
+    The oracle recomputes ground truth as an all-pairs exact-Jaccard join
+    (tractable for the oracle at sf0.01; the Spark side never goes
+    quadratic). Equality holds iff LSH recall on >=0.5-Jaccard pairs is
+    100% — a real, oracle-visible recall check for the approximate op.
+    """
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, "doc_id", "text").select("key_a", "key_b")
+    return (
+        ngram_jaccard_pairs(d, cand, "doc_id", "text", 3)
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("key_a", "key_b")
+    )
+
+
+@register(
+    "x_simhash_verified_pairs",
+    _ALLPAIRS_JACCARD_SQL.format(shingles=_SHINGLES_SQL),
+    "X1",
+    "X2",
+)
+def x_simhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidates (9-block pigeonhole, Hamming <= 8) verified by
+    exact word-3-gram Jaccard >= 0.5 — same all-pairs oracle as the MinHash
+    check. Hamming <= 8 is the widest radius the testdata's planted
+    near-dup pairs span; the default operating point (Hamming <= 3,
+    x_simhash_pairs) stays registered as the scale-tuned variant."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_near_dups,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = simhash_near_dups(d, "doc_id", "text", max_hamming=8).select(
+        "key_a", "key_b"
+    )
+    return (
+        ngram_jaccard_pairs(d, cand, "doc_id", "text", 3)
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("key_a", "key_b")
+    )
+
+
+@register(
+    "x3_lsh_planted_retrieval",
+    """
+    SELECT vec_id AS query_id, vec_id AS found_vec_id
+    FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+    """,
+    "X3",
+)
+def x3_lsh_planted_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-ANN retrieval check in LSH's actual operating regime: perturb
+    vectors 0..9 into near-identical queries (cosine ~0.9999) and assert
+    multi-probe LSH returns the original as top-1 for every query. The
+    oracle is the known planted answer — the check passes iff retrieval
+    recall@1 is 100%. (Top-10-vs-bruteforce is NOT a meaningful LSH check
+    on this data: the synthetic embeddings have no near neighbors, max
+    non-self cosine ~0.51, so global top-10 membership is bucket-random.)
+    """
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        lsh_batch_top_k,
+        lsh_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(e.first()["embedding"])
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x + 0.005 * F.sin(F.col("vec_id") * 31 + i)).cast(
+                "double"
+            ),
+        ).alias("qvec"),
+    )
+    indexed = lsh_index(e, dim=dim, n_planes=8)
+    top1 = lsh_batch_top_k(
+        indexed, queries, dim, k=1, n_planes=8, multiprobe_hamming=2
+    )
+    return top1.select(
+        "query_id", F.col("vec_id").alias("found_vec_id")
+    ).orderBy("query_id")
+
+
+@register(
+    "x3_ivf_planted_retrieval",
+    """
+    SELECT vec_id AS query_id, vec_id AS found_vec_id
+    FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+    """,
+    "X3",
+)
+def x3_ivf_planted_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-ANN retrieval check for the IVF index: same planted queries as
+    the LSH check; each query probes its nprobe=4 nearest cells and must
+    return the original vector as top-1."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        ivf_batch_top_k,
+        ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x + 0.005 * F.sin(F.col("vec_id") * 31 + i)).cast(
+                "double"
+            ),
+        ).alias("qvec"),
+    )
+    assigned, centroids = ivf_index(e, n_centroids=16)
+    top1 = ivf_batch_top_k(assigned, centroids, queries, k=1, nprobe=4)
+    return top1.select(
+        "query_id", F.col("vec_id").alias("found_vec_id")
+    ).orderBy("query_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1859,6 +2027,92 @@ def m4_stateful_running_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
     q.awaitTermination(300)
     # memory-sink tables register in the owning session's catalog
     return session.table(sink).orderBy("event_id")
+
+
+@register(
+    "m3_streaming_parity",
+    """
+    SELECT CASE WHEN age < 18 THEN 'Under 18'
+                WHEN age < 30 THEN '18-29'
+                WHEN age < 45 THEN '30-44'
+                WHEN age < 65 THEN '45-64'
+                ELSE '65+' END AS age_group,
+           COUNT(*) AS n
+    FROM (SELECT CAST(o_orderkey % 74 + 17 AS INT) AS age
+          FROM orders WHERE o_orderkey < 40000)
+    GROUP BY 1 ORDER BY 1
+    """,
+    "S1",
+    "S2",
+    "S3",
+    "S4",
+    "S5",
+    "S6",
+    "S7",
+    "G1",
+)
+def m3_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end oracle check of the STREAMING parity pipeline (S1-S7):
+    derive a deterministic census fixture from ``orders`` (pure column
+    arithmetic, so the oracle can recompute it in SQL), write it as
+    headerless CSV micro-batch files, drain them through the full streaming
+    pipeline (file source -> enrich -> 8 sinks, availableNow, multi-epoch
+    via maxFilesPerTrigger), then read the ``age_group_distribution`` sink
+    back and re-aggregate across epoch snapshots. Equality with the batch
+    SQL oracle proves the source/enrich/aggregate/sink path end to end —
+    every row through the stream is counted exactly once (checkpointed
+    exactly-once per epoch)."""
+    import os
+    import tempfile
+
+    from apache_spark_streaming_project_spark.streaming.pipeline import (
+        PipelineConfig,
+        read_result_table,
+        run_available_now,
+    )
+
+    base = tempfile.mkdtemp(prefix="m3_parity_")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    k = F.col("o_orderkey")
+    # fixed key cap: the fixture (and so the pipeline cost) stays the same
+    # size at every sf — this query checks the streaming path, not scan scale
+    fixture = _t(spark, sf_dir, "orders").filter(k < 40000).select(
+        (k % 74 + 17).cast("int").alias("age"),
+        F.col("o_orderstatus").alias("workclass"),
+        F.lit("HS-grad").alias("education"),
+        F.lit("Never-married").alias("marital_status"),
+        F.col("o_orderpriority").alias("occupation"),
+        F.lit("Not-in-family").alias("relationship"),
+        F.lit("Other").alias("race"),
+        F.when(k % 2 == 0, "Male").otherwise("Female").alias("gender"),
+        (k % 10000).cast("int").alias("capital_gain"),
+        (k % 3000).cast("int").alias("capital_loss"),
+        (k % 80 + 1).cast("int").alias("hours_per_week"),
+        F.lit("United-States").alias("native_country"),
+        (k % 2).cast("int").alias("income"),
+        (k % 10000 - k % 3000).cast("int").alias("capital_income"),
+    )
+    # 4 files, 2 per trigger -> 2 micro-batch epochs through the pipeline
+    fixture.repartition(4).write.mode("overwrite").csv(in_dir)
+    run_available_now(
+        spark,
+        PipelineConfig(
+            input_dir=in_dir,
+            output_dir=out_dir,
+            checkpoint_dir=ckpt,
+            trigger_seconds=None,
+            max_files_per_trigger=2,
+        ),
+    )
+    agg = read_result_table(spark, out_dir, "age_group_distribution")
+    return (
+        agg.groupBy("age_group")
+        .agg(F.sum("count").alias("n"))
+        .orderBy("age_group")
+    )
 
 
 @register(

@@ -18,17 +18,40 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(df: DataFrame, cols: list[str], key_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    cols: list[str],
+    key_col: str,
+    fingerprint_wide_cols: bool = True,
+) -> DataFrame:
     """X1 — keep one row (min key) per distinct value of ``cols``.
 
-    groupBy on the dup-columns: one hash-partition shuffle; map-side combine
-    keeps shuffle volume at ~one row per distinct value per partition. For
-    100 TB with mostly-unique text, dedup on a FINGERPRINT column instead
-    (shuffle carries 8-byte hashes, not document bodies) — see
-    ``exact_dedup_by_fingerprint``.
+    Default path (``fingerprint_wide_cols=True``): ONE shuffle — a ranking
+    window partitioned on (xxhash64(cols), cols). Surviving rows must move
+    once no matter what, so one row-shuffle is the floor; the 8-byte hash
+    prefix makes partitioner/sort comparisons resolve on the hash instead
+    of long text, and including ``cols`` in the partition key costs nothing
+    extra (rows carry their columns regardless) while making the result
+    EXACT — a 64-bit collision can never merge distinct rows. When only the
+    keep-DECISION is needed (not the rows), project (hash, key) first and
+    shuffle 16 bytes/row — see ``exact_dedup_by_fingerprint``.
+
+    ``fingerprint_wide_cols=False`` is the reference shape: groupBy +
+    min-key + semi-join — TWO shuffles. Appropriate when ``cols`` are small
+    scalars and the keep-table is reused, never for text at scale.
     """
-    keep = df.groupBy(*cols).agg(F.min(key_col).alias(key_col))
-    return df.join(keep, on=[*cols, key_col], how="left_semi")
+    if not fingerprint_wide_cols:
+        keep = df.groupBy(*cols).agg(F.min(key_col).alias(key_col))
+        return df.join(keep, on=[*cols, key_col], how="left_semi")
+    h = F.xxhash64(*[F.col(c) for c in cols])
+    # rank within (hash, exact col values): same shuffle key as hash-only,
+    # but the window ORDER/PARTITION re-checks true equality per group
+    w = Window.partitionBy(h, *cols).orderBy(F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def exact_dedup_by_fingerprint(

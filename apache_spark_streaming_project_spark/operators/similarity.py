@@ -153,6 +153,8 @@ def ivf_index(
         [list(r[0]) for r in train.collect()],
         dtype=np.float64,
     )
+    # invariant: the driver never holds more than the training cap
+    assert len(sample) <= max_train_rows, "IVF training collect exceeded cap"
     rng = random.Random(seed)
     k = min(n_centroids, len(sample))
     cent = sample[rng.sample(range(len(sample)), k)]
@@ -220,6 +222,122 @@ def ivf_top_k(
         .select(F.col(key_col), sim)
         .orderBy(F.col("cosine").desc(), F.col(key_col).asc())
         .limit(k)
+    )
+
+
+def lsh_batch_top_k(
+    indexed: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Batch ANN: top-k for MANY query vectors in one plan.
+
+    The query table computes its own sign-bucket in-plan with the same
+    hyperplanes as ``lsh_index``, explodes its multi-probe neighbor buckets
+    (Hamming <= ``multiprobe_hamming`` bit flips), and broadcast-joins the
+    indexed table on ``bucket`` — so each query only scans its probe
+    buckets, and the scan side never shuffles. Top-k per query via a
+    row_number window partitioned by query (the only shuffle, keyed on
+    query_id, proportional to candidate volume not table size).
+    """
+    from pyspark.sql import Window
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    masks = [0]
+    if multiprobe_hamming >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if multiprobe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    probes = queries.withColumn(
+        "_qbucket", _sign_bucket(F.col(query_vec_col), planes)
+    ).select(
+        query_key_col,
+        query_vec_col,
+        F.explode(
+            F.array(*[F.col("_qbucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    cand = indexed.join(F.broadcast(probes), "bucket")
+    sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cosine")
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.col("cosine").desc(), F.col(key_col).asc()
+    )
+    return (
+        cand.select(F.col(query_key_col), F.col(key_col), sim)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def ivf_batch_top_k(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Batch ANN over the IVF index: each query scores the centroid-literal
+    array in-plan, keeps its ``nprobe`` nearest cells (array_sort on
+    (dist, cid) structs), and broadcast-joins the assigned table on
+    ``centroid_id`` — partition pruning when the table is stored
+    partitioned by cell. Top-k per query via a query-keyed window."""
+    from pyspark.sql import Window
+
+    def probe_cells(qc: Column) -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            qc,
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda a, b: (a.cast("double") - b)
+                            * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.transform(
+            F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cid"]
+        )
+
+    probes = queries.select(
+        query_key_col,
+        query_vec_col,
+        F.explode(probe_cells(F.col(query_vec_col))).alias("centroid_id"),
+    )
+    cand = assigned.join(F.broadcast(probes), "centroid_id")
+    sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cosine")
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.col("cosine").desc(), F.col(key_col).asc()
+    )
+    return (
+        cand.select(F.col(query_key_col), F.col(key_col), sim)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )
 
 

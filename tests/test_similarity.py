@@ -115,3 +115,75 @@ def test_blocked_cosine_join_exact_pairs(spark):
     assert out[(3, 4)] == 1.0
     expected_01 = 0.99 / math.sqrt(0.99**2 + 0.01**2)
     assert abs(out[(0, 1)] - expected_01) < 1e-6
+
+
+def test_ivf_training_collect_is_capped(spark):
+    """ivf_index must never collect more than max_train_rows vectors to the
+    driver, no matter the table size (the 100 TB survival property). The
+    cap is enforced by an internal assertion; this drives a table larger
+    than the cap through index build + probe."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        ivf_index,
+        ivf_top_k,
+    )
+
+    rows = [(i, [float(i % 7), float(i % 11), 1.0]) for i in range(400)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, centroids = ivf_index(df, n_centroids=4, max_train_rows=50)
+    assert 1 <= len(centroids) <= 4
+    out = ivf_top_k(assigned, centroids, [0.0, 0.0, 1.0], k=3, nprobe=4).collect()
+    assert len(out) == 3
+
+
+def test_lsh_batch_top_k_retrieves_planted(spark):
+    """Batch ANN: every perturbed query must retrieve its original as top-1
+    (the near-dup regime where LSH guarantees apply)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        lsh_batch_top_k,
+        lsh_index,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(
+            "embedding", lambda x, i: x + 1e-4 * F.sin(F.col("vec_id") + i)
+        ).alias("qvec"),
+    )
+    indexed = lsh_index(df, dim=8, n_planes=6)
+    top1 = lsh_batch_top_k(
+        indexed, queries, dim=8, k=1, n_planes=6, multiprobe_hamming=2
+    ).collect()
+    assert {r.query_id: r.vec_id for r in top1} == {i: i for i in range(5)}
+
+
+def test_ivf_batch_top_k_retrieves_planted(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        ivf_batch_top_k,
+        ivf_index,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(
+            "embedding", lambda x, i: x + 1e-4 * F.sin(F.col("vec_id") + i)
+        ).alias("qvec"),
+    )
+    assigned, centroids = ivf_index(df, n_centroids=4)
+    top1 = ivf_batch_top_k(
+        assigned, centroids, queries, k=1, nprobe=3
+    ).collect()
+    assert {r.query_id: r.vec_id for r in top1} == {i: i for i in range(5)}
