@@ -1438,15 +1438,38 @@ def s_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("s_approx_distinct", None, "§2.3")
+@register(
+    "s_approx_distinct",
+    """
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_within_5pct,
+           TRUE AS orders_within_5pct
+    FROM lineitem
+    """,
+    "§2.3",
+)
 def s_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) — sketch implementations differ across
-    engines so no value oracle; the scale story (no Expand blow-up, constant
-    memory) is why it exists."""
+    """approx_count_distinct (HLL++) — sketch values differ across engines,
+    so the oracle-visible claim is the accuracy CONTRACT: the sketch must
+    land within 5% of the exact distinct count (HLL++ at default rsd=0.05;
+    the sketch is deterministic for fixed data, so this is a stable check,
+    not a flaky one). Exact counts ride along as directly-compared values.
+    The scale story (no Expand blow-up, constant memory, mergeable partial
+    sketches) is why the operator exists."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey").alias("_ap"),
+        F.approx_count_distinct("l_orderkey").alias("_ao"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    err = lambda a, e: F.abs(a - F.col(e)) / F.col(e)  # noqa: E731
+    return agg.select(
+        "exact_parts",
+        "exact_orders",
+        (err(F.col("_ap"), "exact_parts") < 0.05).alias("parts_within_5pct"),
+        (err(F.col("_ao"), "exact_orders") < 0.05).alias("orders_within_5pct"),
     )
 
 
@@ -1978,14 +2001,40 @@ def x5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(media, fake_decode=True).orderBy("media_id")
 
 
-@register("m4_stateful_running_anomalies", None, "M4", "S13")
+@register(
+    "m4_stateful_running_anomalies",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, value,
+        COUNT(*) OVER w AS n_pre,
+        AVG(value) OVER w AS mean_pre,
+        STDDEV_SAMP(value) OVER w AS std_pre
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, CAST(n_pre + 1 AS BIGINT) AS n_seen
+    FROM s
+    WHERE n_pre >= 10 AND std_pre > 0 AND ABS((value - mean_pre) / std_pre) > 3
+    ORDER BY event_id
+    """,
+    "M4",
+    "S13",
+)
 def m4_stateful_running_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     running Welford statistics with cross-batch z-score anomaly flagging over
-    the events stream (streaming/stateful.py). Genuinely non-SQL-expressible
-    (per-event output enriched by evolving state) -> rows-only check: the
-    stream is drained with availableNow into a memory sink and the
-    materialized anomalies are returned."""
+    the events stream (streaming/stateful.py), drained with availableNow into
+    a memory sink.
+
+    Oracle-checked: with the whole table in one epoch the running semantics
+    equal per-user prefix window aggregates ordered by event_id, so the
+    anomaly SET is plain SQL. The registered output keeps the integer
+    columns (ids + n_seen) — the float running stats come from a different
+    summation order (Welford/Chan vs the oracle's windowed moments) and are
+    library-API output; the anomaly DECISIONS agree because the smallest
+    |z|-to-threshold margin in the testdata is ~1e-4, ~8 orders above
+    float64 noise (verified at sf0.01 and sf0.1)."""
     import tempfile
 
     from apache_spark_streaming_project_spark.streaming.stateful import (
@@ -2026,7 +2075,11 @@ def m4_stateful_running_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination(300)
     # memory-sink tables register in the owning session's catalog
-    return session.table(sink).orderBy("event_id")
+    return (
+        session.table(sink)
+        .select("user_id", "event_id", "n_seen")
+        .orderBy("event_id")
+    )
 
 
 @register(
