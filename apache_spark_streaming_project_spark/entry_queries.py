@@ -1134,6 +1134,167 @@ def x_simhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_stratified_sample",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 50 ORDER BY doc_id
+    """,
+    "X4",
+)
+def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with exact per-stratum quotas (50 docs per
+    language, deterministic by doc_id). Map-side WindowGroupLimit keeps at
+    most n rows per stratum per task before the exchange — the corpus
+    never shuffles (operators/sampling.py)."""
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(d, ["lang"], 50, "doc_id").orderBy("doc_id")
+
+
+@register(
+    "x_hash_split_contract",
+    """
+    SELECT COUNT(*) AS total_docs,
+           TRUE AS covers_all,
+           TRUE AS train_within_5pp,
+           TRUE AS val_within_5pp,
+           TRUE AS test_within_5pp
+    FROM documents
+    """,
+    "X4",
+)
+def x_hash_split_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (80/10/10 by
+    xxhash64(doc_id) bucket — map-only, stable under appends, no RNG
+    state; operators/sampling.py). The split values differ per engine's
+    hash, so the oracle-visible claim is the CONTRACT: every row assigned
+    exactly once (counts sum to the corpus) and each split lands within
+    5pp of its target fraction — deterministic for fixed data."""
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        hash_split,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    split = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = F.sum(F.lit(1))
+    frac = lambda name: F.sum(  # noqa: E731
+        F.when(F.col("split") == name, 1).otherwise(0)
+    ) / n
+    return split.agg(
+        n.cast("bigint").alias("total_docs"),
+        (
+            F.sum(F.when(F.col("split").isin("train", "val", "test"), 1).otherwise(0))
+            == n
+        ).alias("covers_all"),
+        (F.abs(frac("train") - 0.8) < 0.05).alias("train_within_5pp"),
+        (F.abs(frac("val") - 0.1) < 0.05).alias("val_within_5pp"),
+        (F.abs(frac("test") - 0.1) < 0.05).alias("test_within_5pp"),
+    )
+
+
+_CC_ORACLE_PREFIX = """
+    WITH RECURSIVE sh AS ({shingles}),
+    j AS (
+      SELECT a.doc_id AS key_a, b.doc_id AS key_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.s) + len(b.s)
+              - len(list_filter(a.s, x -> list_contains(b.s, x))) > 0
+        AND CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+            / CAST(len(a.s) + len(b.s)
+                   - len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+            >= 0.5
+    ),
+    edges AS (
+      SELECT key_a AS src, key_b AS dst FROM j
+      UNION SELECT key_b, key_a FROM j
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+    ),
+    cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+"""
+
+
+@register(
+    "x_dedup_clusters",
+    _CC_ORACLE_PREFIX.format(shingles=_SHINGLES_SQL)
+    + """
+    SELECT id AS doc_id, cluster_id FROM cc ORDER BY doc_id
+    """,
+    "X1",
+    "X2",
+)
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH candidates -> exact-Jaccard verify
+    -> connected components (iterative min-label propagation,
+    operators/dedup.near_dup_clusters). The oracle computes the same
+    transitive closure with a recursive CTE over the all-pairs exact
+    ground truth — checks candidate recall AND the component labels."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, "doc_id", "text").select("key_a", "key_b")
+    verified = (
+        ngram_jaccard_pairs(d, cand, "doc_id", "text", 3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("key_a", "key_b")
+    )
+    return (
+        near_dup_clusters(verified)
+        .select(F.col("key").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x_dedup_representatives",
+    _CC_ORACLE_PREFIX.format(shingles=_SHINGLES_SQL)
+    + """
+    SELECT d.doc_id FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+    WHERE cc.id IS NULL OR cc.cluster_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    "X1",
+    "X2",
+)
+def x_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup collapse pipeline: candidates -> verify -> cluster
+    -> keep one representative per component (min key; every unpaired doc
+    survives). The corpus never shuffles — non-representatives arrive as a
+    broadcast anti-join side."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        dedup_keep_representatives,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, "doc_id", "text").select("key_a", "key_b")
+    verified = (
+        ngram_jaccard_pairs(d, cand, "doc_id", "text", 3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("key_a", "key_b")
+    )
+    return (
+        dedup_keep_representatives(d, verified, "doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "x3_lsh_planted_retrieval",
     """
     SELECT vec_id AS query_id, vec_id AS found_vec_id

@@ -421,6 +421,104 @@ def consecutive_jaccard(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering: connected components + representative selection
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    key_a: str = "key_a",
+    key_b: str = "key_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph -> (key, cluster_id),
+    cluster_id = min key reachable (deterministic canonical label). Only
+    keys that appear in ``pairs`` are returned; singletons are implicitly
+    their own cluster.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own and its neighbors' labels (2 shuffles/round: edge-label join +
+    per-node min), converging in O(graph diameter) rounds. Near-dup graphs
+    are bounded-diameter by construction (clusters are small cliques/chains
+    from banding), so this terminates in a handful of rounds at any data
+    size; pathological long-chain graphs are what the alternating
+    small-star/large-star formulation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") is for — same join primitives,
+    drop-in upgrade. ``localCheckpoint`` truncates the per-round lineage so
+    the plan doesn't grow exponentially; the convergence probe is one
+    count() per round (driver sees a scalar, never rows).
+    """
+    edges = pairs.select(
+        F.col(key_a).alias("_src"), F.col(key_b).alias("_dst")
+    )
+    edges = (
+        edges.union(
+            edges.select(
+                F.col("_dst").alias("_src"), F.col("_src").alias("_dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("_src").alias("_key")).distinct().select(
+        "_key", F.col("_key").alias("cluster_id")
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(
+                labels.withColumnRenamed("_key", "_dst"), "_dst"
+            )
+            .groupBy("_src")
+            .agg(F.min("cluster_id").alias("_nlabel"))
+            .withColumnRenamed("_src", "_key")
+        )
+        new_labels = (
+            labels.join(neigh, "_key", "left")
+            .select(
+                "_key",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("_nlabel", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "_key")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("_key").alias("key"), "cluster_id")
+
+
+def dedup_keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    key_a: str = "key_a",
+    key_b: str = "key_b",
+) -> DataFrame:
+    """Collapse near-dup clusters: keep ONE row per connected component (the
+    min-key member — swap the ordering for a quality-score argmax), plus
+    every row not in any pair. This is the final step of a near-dup
+    pipeline: candidates -> verify -> cluster -> keep representative.
+
+    One broadcast-size join against the cluster table (clusters are a
+    vanishing fraction of the corpus; hint broadcast if the optimizer's
+    stats miss that) — the corpus itself never shuffles.
+    """
+    clusters = near_dup_clusters(pairs, key_a, key_b)
+    drop = clusters.filter(F.col("key") != F.col("cluster_id")).select(
+        F.col("key").alias(key_col)
+    )
+    return df.join(F.broadcast(drop), key_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

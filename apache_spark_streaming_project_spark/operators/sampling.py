@@ -1,0 +1,73 @@
+"""Dataset sampling/splitting operators for training-data pipelines.
+
+Two first-class ops a 100 TB corpus pipeline needs next to dedup and
+similarity:
+
+* :func:`stratified_sample` — exact per-stratum quotas (e.g. "50 docs per
+  language"), deterministic by an ordering key. Compiles to a ranking
+  window that Spark executes with a map-side ``WindowGroupLimit`` (each
+  task keeps at most n rows per stratum before the exchange), so the
+  shuffle carries at most ``n x strata x partitions`` rows, never the
+  corpus.
+* :func:`hash_split` — train/val/test assignment by ``xxhash64`` of a
+  stable key: fully deterministic across runs and machines, no RNG state,
+  no shuffle AT ALL (a map-only projection), and adding rows later never
+  reassigns existing ones — the properties ``randomSplit`` (sampling by
+  partition-seeded RNG) cannot give. Fractions hold in expectation with
+  HLL-grade concentration; exactness of quotas is what
+  :func:`stratified_sample` is for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    order_col: str | Column,
+) -> DataFrame:
+    """Keep the first ``n_per_stratum`` rows per stratum, ordered by
+    ``order_col`` (pass a random-looking but deterministic expression —
+    e.g. ``F.xxhash64("doc_id")`` — for an unbiased draw, or a quality
+    score for best-of selection)."""
+    order_col = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = Window.partitionBy(*strata_cols).orderBy(order_col.asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split by
+    hash-bucketing ``xxhash64(key, salt)`` into ``buckets`` and carving the
+    bucket range by cumulative fraction. Map-only; deterministic; stable
+    under appends. ``fractions`` must sum to ~1.0."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(buckets))
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < int(round(cum * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)

@@ -166,3 +166,34 @@ def test_embedding_near_dups_finds_planted_pairs(spark):
     planted = {(i, 1000 + i) for i in range(40)}
     found = planted & got
     assert len(found) >= 38  # >= 95% of planted pairs
+
+
+def test_near_dup_clusters_chain_and_triangle(spark):
+    """Min-label propagation: a 3-chain (diameter 2) and a triangle must
+    each collapse to one component labeled by its min key."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["key_a", "key_b"],
+    )
+    got = {r.key: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_keep_representatives(spark):
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        dedup_keep_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], ["key_a", "key_b"])
+    kept = sorted(
+        r.doc_id for r in dedup_keep_representatives(docs, pairs).collect()
+    )
+    # cluster {1,2,4} keeps 1; 0, 3, 5 untouched
+    assert kept == [0, 1, 3, 5]

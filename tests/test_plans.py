@@ -141,3 +141,39 @@ def test_correlated_subquery_is_decorrelated(spark, sf_dir):
     plan = physical_plan(df, "simple")
     assert "Join" in plan
     assert "HashAggregate" in plan
+
+
+def test_batch_ann_broadcasts_queries_single_shuffle(spark, sf_dir):
+    """lsh_batch_top_k: the query side must broadcast (the index side never
+    shuffles for the join) and the only exchange is the per-query top-k
+    window — which Spark executes with a map-side WindowGroupLimit, i.e.
+    partial top-k before the shuffle."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        lsh_batch_top_k,
+        lsh_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(e.first()["embedding"])
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    df = lsh_batch_top_k(lsh_index(e, dim=dim), qs, dim, k=3)
+    assert has_broadcast_join(df)
+    plan = physical_plan(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert count_shuffles(df) <= 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_exact_dedup_default_single_shuffle(spark, sf_dir):
+    """exact_dedup default path: ONE exchange (the ranking window), not the
+    two-shuffle groupBy + semi-join shape."""
+    from apache_spark_streaming_project_spark.operators.dedup import exact_dedup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+    df = exact_dedup(ev, ["event_type", "props"], "event_id")
+    assert count_shuffles(df) <= 1

@@ -1,0 +1,71 @@
+"""Unit tests for stratified sampling and hash-based splits."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(90)]
+    return spark.createDataFrame(rows, ["doc_id", "lang"])
+
+
+def test_stratified_sample_exact_quotas(spark, docs):
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    out = stratified_sample(docs, ["lang"], 5, "doc_id").collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert {k: len(v) for k, v in by_lang.items()} == {
+        "en": 5, "de": 5, "fr": 5,
+    }
+    # deterministic: the 5 smallest doc_ids per stratum
+    assert sorted(by_lang["en"]) == [0, 3, 6, 9, 12]
+
+
+def test_stratified_sample_short_stratum_kept_whole(spark):
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "xx")], ["doc_id", "lang"]
+    )
+    out = stratified_sample(df, ["lang"], 5, "doc_id").collect()
+    assert len(out) == 3
+
+
+def test_hash_split_partition_properties(spark, docs):
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        hash_split,
+    )
+
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = out.collect()
+    assert len(rows) == 90
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    # deterministic & stable: a re-run and a subset agree row-for-row
+    again = {
+        r.doc_id: r.split
+        for r in hash_split(
+            docs.filter(F.col("doc_id") < 30),
+            "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        ).collect()
+    }
+    full = {r.doc_id: r.split for r in rows}
+    assert all(full[k] == v for k, v in again.items())
+
+
+def test_hash_split_rejects_bad_fractions(spark, docs):
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        hash_split,
+    )
+
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
