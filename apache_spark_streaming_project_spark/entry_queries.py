@@ -873,7 +873,9 @@ def x_ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) near-dup candidate pairs over documents.
     Rows-only check (the banding join has no tractable SQL mirror); the
-    est_jaccard values themselves are deterministic (seeded xxhash64)."""
+    est_jaccard values themselves are deterministic (seeded xxhash64).
+    Oracle-visible verification of this pipeline lives in
+    x_minhash_verified_pairs (recall vs all-pairs exact Jaccard)."""
     from apache_spark_streaming_project_spark.operators.dedup import (
         minhash_lsh_candidates,
     )
@@ -885,7 +887,9 @@ def x_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("x_simhash_pairs", None, "X1", "X2")
 def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs within Hamming distance 3 (pigeonhole
-    block join). Rows-only check; deterministic fingerprints."""
+    block join). Rows-only check; deterministic fingerprints.
+    Oracle-visible verification lives in x_simhash_verified_pairs
+    (wider radius + exact-Jaccard verify vs all-pairs ground truth)."""
     from apache_spark_streaming_project_spark.operators.dedup import simhash_near_dups
 
     d = _t(spark, sf_dir, "documents")
@@ -982,7 +986,8 @@ def x3_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x3_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path — multi-probe hyperplane-LSH top-10 for the vec_id=0
     query (8 planes, Hamming-1 probes). Approximate -> rows-only check;
-    deterministic given the fixed seed."""
+    deterministic given the fixed seed. Oracle-visible retrieval
+    correctness lives in x3_lsh_planted_retrieval."""
     from apache_spark_streaming_project_spark.operators.similarity import (
         lsh_index,
         lsh_top_k,
@@ -997,7 +1002,9 @@ def x3_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("x3_ivf_top10", None, "X3")
 def x3_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path — IVF (k-means coarse quantizer, nprobe=4) top-10 for
-    the vec_id=0 query. Rows-only check; deterministic seeded centroids."""
+    the vec_id=0 query. Rows-only check; deterministic seeded centroids.
+    Oracle-visible retrieval correctness lives in
+    x3_ivf_planted_retrieval."""
     from apache_spark_streaming_project_spark.operators.similarity import (
         ivf_index,
         ivf_top_k,
@@ -1412,6 +1419,78 @@ def x5_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.media_type") == "video"
     )
     return sample_video_frames(media, every_ms=1000).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "x5_media_contract",
+    """
+    SELECT CAST(64 AS BIGINT) AS n_media,
+           CAST(22 AS BIGINT) AS n_images_featurized,
+           CAST(21 AS BIGINT) AS n_audio_featurized,
+           CAST(63 AS BIGINT) AS n_frames,
+           TRUE AS features_8_dim,
+           TRUE AS rms_nonneg,
+           TRUE AS frames_within_duration
+    """,
+    "X5",
+)
+def x5_media_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 contract check: the decode KERNELS are acknowledged stubs (no
+    media libs in this container), but the Spark plumbing around them —
+    typed metadata routing, per-type Arrow batch shapes, the 1:1 feature
+    map and the 1:N frame explosion — has exact structural invariants,
+    asserted here as an oracle-comparable row: every image/audio payload
+    produces exactly one feature row, every video produces
+    duration//1000 frames with in-range timestamps, features are 8-dim,
+    rms is non-negative."""
+    from apache_spark_streaming_project_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+        sample_video_frames,
+        synthetic_media_table,
+    )
+
+    media = synthetic_media_table(spark, n=64)
+    img = extract_image_features(
+        media.filter(F.col("meta.media_type") == "image"), fake_decode=True
+    )
+    aud = extract_audio_features(
+        media.filter(F.col("meta.media_type") == "audio"), fake_decode=True
+    )
+    frm = sample_video_frames(
+        media.filter(F.col("meta.media_type") == "video"), every_ms=1000
+    )
+    img_agg = img.agg(
+        F.count("*").alias("n_images_featurized"),
+        (
+            (F.min(F.size("feature")) == 8) & (F.max(F.size("feature")) == 8)
+        ).alias("features_8_dim"),
+    )
+    aud_agg = aud.agg(
+        F.count("*").alias("n_audio_featurized"),
+        (F.min("rms") >= 0).alias("rms_nonneg"),
+    )
+    frm_agg = frm.agg(
+        F.count("*").alias("n_frames"),
+        ((F.min("ts_ms") >= 0) & (F.max("ts_ms") < 3500)).alias(
+            "frames_within_duration"
+        ),
+    )
+    n_media = media.agg(F.count("*").alias("n_media"))
+    return (
+        n_media.crossJoin(img_agg)
+        .crossJoin(aud_agg)
+        .crossJoin(frm_agg)
+        .select(
+            "n_media",
+            "n_images_featurized",
+            "n_audio_featurized",
+            "n_frames",
+            "features_8_dim",
+            "rms_nonneg",
+            "frames_within_duration",
+        )
+    )
 
 
 # ===========================================================================
