@@ -754,6 +754,71 @@ def x4_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x4_pii_redaction",
+    r"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com tel 555-'
+                  || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+               AS n_email,
+           CAST(len(regexp_extract_all(text, '\d{3}-\d{4}')) AS INT)
+               AS n_phone,
+           md5(regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[email]', 'g'),
+                 '\d{3}-\d{4}', '[phone]', 'g')) AS redacted_md5
+    FROM planted ORDER BY doc_id
+    """,
+    "X4",
+)
+def x4_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — text scrubbing: redact emails/phone numbers with per-label match
+    counts (operators/text.redact_patterns — map-only JVM regex, scan-speed
+    at any scale). The corpus has no organic PII, so the query PLANTS a
+    deterministic email+phone per document with pure string arithmetic the
+    oracle reproduces; the redacted text is compared as md5 (identical
+    digests iff identical strings). Patterns are from the Java-regex/RE2
+    common subset so both engines interpret them identically."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        redact_patterns,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel 555-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    red = redact_patterns(
+        planted,
+        "text",
+        {
+            "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "phone": r"\d{3}-\d{4}",
+        },
+        replacement_fmt="[{label}]",
+    )
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        F.md5("text_redacted").alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # X1/X2 — deduplication
 # ---------------------------------------------------------------------------

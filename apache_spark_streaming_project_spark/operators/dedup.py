@@ -448,15 +448,22 @@ def near_dup_clusters(
     the plan doesn't grow exponentially; the convergence probe is one
     count() per round (driver sees a scalar, never rows).
     """
-    edges = pairs.select(
-        F.col(key_a).alias("_src"), F.col(key_b).alias("_dst")
-    )
+    # both edge directions via explode, NOT union-of-swapped-self: a union
+    # would execute the (possibly expensive) pairs plan twice
     edges = (
-        edges.union(
-            edges.select(
-                F.col("_dst").alias("_src"), F.col("_src").alias("_dst")
-            )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(key_a).alias("_src"), F.col(key_b).alias("_dst")
+                    ),
+                    F.struct(
+                        F.col(key_b).alias("_src"), F.col(key_a).alias("_dst")
+                    ),
+                )
+            ).alias("_e")
         )
+        .select("_e._src", "_e._dst")
         .distinct()
         .localCheckpoint()
     )

@@ -210,3 +210,36 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         m["lang_pred"].alias("lang_pred"),
         rolling_fingerprint(text_col).alias("fingerprint"),
     )
+
+
+# Patterns chosen from the Java-regex / RE2 COMMON SUBSET so the same string
+# runs unchanged in Spark (regexp_replace/regexp_count) and oracle engines.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\d{3}-\d{4}",
+}
+
+
+def redact_patterns(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    replacement_fmt: str = "[{label}]",
+) -> DataFrame:
+    """Text scrubbing: replace every match of each labeled pattern with a
+    placeholder and count the matches per label (``n_<label>`` columns,
+    ``<text_col>_redacted`` output). Map-only — pure JVM regex inside
+    WholeStageCodegen, no shuffle, no Python; at 100 TB this runs at scan
+    speed. Patterns apply in dict order (earlier redactions can shadow
+    later patterns, so order specific -> general)."""
+    patterns = PII_PATTERNS if patterns is None else patterns
+    redacted = F.col(text_col)
+    counts = []
+    for label, pat in patterns.items():
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{label}")
+        )
+        redacted = F.regexp_replace(
+            redacted, pat, replacement_fmt.format(label=label)
+        )
+    return df.select("*", *counts, redacted.alias(f"{text_col}_redacted"))

@@ -80,3 +80,21 @@ def test_text_profile_schema(spark, docs):
         "fingerprint",
     } <= cols
     assert prof.count() == 4
+
+
+def test_redact_patterns_counts_and_replacement(spark):
+    from apache_spark_streaming_project_spark.operators.text import (
+        redact_patterns,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c@d.org tel 555-1234"),
+            (2, "no pii here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in redact_patterns(df, "text").collect()}
+    assert out[1].n_email == 2 and out[1].n_phone == 1
+    assert out[1].text_redacted == "mail [email] and [email] tel [phone]"
+    assert out[2].n_email == 0 and out[2].text_redacted == "no pii here"
