@@ -570,6 +570,39 @@ def j1_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j4_anti_join_inactive_customers",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= DATE '1996-01-01'
+        AND o.o_orderdate < DATE '1996-07-01'
+    )
+    ORDER BY c.c_custkey
+    """,
+    "D2",
+)
+def j4_anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left ANTI join (NOT EXISTS): customers with no orders in 1996 H1 —
+    completes the join-type surface next to inner/broadcast (j1), semi
+    (d2), range (j2) and as-of (j3). The date filter pushes into the
+    orders scan BEFORE the anti join, so the join's build side is the
+    pruned key set, not the orders table."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(o, "c_custkey", "left_anti").orderBy("c_custkey")
+
+
+@register(
     "d9_high_value_share",
     """
     SELECT o_orderstatus,
@@ -751,6 +784,56 @@ def x4_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .orderBy(F.col("count").desc(), F.col("token").asc())
         .limit(20)
+    )
+
+
+@register(
+    "x4_rarity_scores",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    tf AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(tot.total // tf.cnt) AS rarity_sum,
+           CAST(SUM(CASE WHEN tf.cnt <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rare
+    FROM toks t JOIN tf ON t.tok = tf.tok CROSS JOIN tot
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    "X4",
+)
+def x4_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — corpus-statistics scoring: per-document token rarity against
+    GLOBAL corpus frequencies (the two-pass shape every corpus-level
+    quality/rarity/IDF signal needs: build the frequency table once, join
+    it back to the exploded tokens). rarity_sum uses INTEGER floor division
+    (total // count) so every value is exact in both engines — no
+    float-summation-order hazard. At scale: the frequency table is
+    vocabulary-sized (broadcastable); the token join shuffles on the token
+    key with partial aggregation; the corpus scan runs twice (classic
+    stats-then-score two-pass) or once if the exploded tokens are
+    persisted."""
+    from apache_spark_streaming_project_spark.operators import text as tx
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tx.tokens("text")).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("total"))
+    return (
+        toks.join(F.broadcast(tf), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.expr("total div cnt")).alias("rarity_sum"),
+            F.sum(F.when(F.col("cnt") <= 5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rare"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -67,10 +68,11 @@ def main() -> int:
     # DELIBERATELY a vanilla session, NOT the repo's get_spark factory: the
     # driver's harness builds its own session, so queries must not depend on
     # any conf only our factory sets (the round-1 nanos bug hid behind that).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .appName("oracle_check")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", cpus)
         .getOrCreate()
     )
     con = duckdb.connect()
