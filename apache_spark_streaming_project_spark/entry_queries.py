@@ -788,6 +788,40 @@ def x4_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x4_chunking",
+    """
+    WITH ch AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil(CAST(len(text) - 50 AS DOUBLE) / 150)
+                           AS INT), 1) AS n_chunks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(i * 150 AS INT) AS char_start,
+           substring(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text
+    FROM ch, unnest(range(0, n_chunks)) AS t(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+    "X4",
+)
+def x4_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — document chunking (200-char chunks, 50-char overlap): the
+    pre-embedding step of a retrieval/training pipeline, as a single
+    map-only generator-explode (operators/text.chunk_documents). Chunk
+    text compares exactly cross-engine (same 1-based substring
+    semantics)."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        chunk_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", 200, 50).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@register(
     "x4_rarity_scores",
     f"""
     WITH toks AS (

@@ -243,3 +243,51 @@ def redact_patterns(
             redacted, pat, replacement_fmt.format(label=label)
         )
     return df.select("*", *counts, redacted.alias(f"{text_col}_redacted"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split each document into fixed-size character chunks with overlap —
+    the standard pre-embedding step of a retrieval/training pipeline.
+    Output: (key, chunk_idx, char_start, chunk_text), one row per chunk;
+    short documents yield exactly one chunk.
+
+    Map-only: chunk offsets come from a ``sequence`` over the document
+    length and the slices from ``substring`` — a single generator-explode
+    projection inside codegen, no Python, no shuffle; at 100 TB this is
+    scan-bound like every other map-only text op. ``stride = chunk_chars -
+    overlap`` must be positive.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    c = F.col(text_col)
+    n = F.length(c)
+    # last chunk starts at the largest multiple of stride still < length
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride
+    )
+    return (
+        df.select(
+            F.col(key_col),
+            F.posexplode(starts).alias("chunk_idx", "char_start"),
+            c.alias("_t"),
+        )
+        .select(
+            key_col,
+            "chunk_idx",
+            "char_start",
+            F.substring(
+                F.col("_t"), F.col("char_start") + 1, chunk_chars
+            ).alias("chunk_text"),
+        )
+    )

@@ -98,3 +98,34 @@ def test_redact_patterns_counts_and_replacement(spark):
     assert out[1].n_email == 2 and out[1].n_phone == 1
     assert out[1].text_redacted == "mail [email] and [email] tel [phone]"
     assert out[2].n_email == 0 and out[2].text_redacted == "no pii here"
+
+
+def test_chunk_documents_offsets_and_overlap(spark):
+    from apache_spark_streaming_project_spark.operators.text import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a" * 10), (2, "x" * 450)], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_chars=200, overlap=50)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.char_start, len(r.chunk_text))
+         for r in out.collect())
+    )
+    # short doc -> exactly one whole chunk
+    assert rows[0] == (1, 0, 0, 10)
+    # 450 chars, stride 150 -> chunks at 0/150/300 (last one 150 long)
+    assert [(r[2], r[3]) for r in rows[1:]] == [(0, 200), (150, 200), (300, 150)]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from apache_spark_streaming_project_spark.operators.text import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=50, overlap=50)
