@@ -23,11 +23,19 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 8,
     sorted_by: str | None = None,
+    partition_cols: list[str] | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sort-within-bucket)
     managed table. ``n_buckets`` should divide evenly into the cluster's
-    task parallelism; each bucket should target 100-500 MB at scale."""
-    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    task parallelism; each bucket should target 100-500 MB at scale.
+
+    ``partition_cols`` is the orthogonal axis: low-cardinality columns
+    (date, region) become directories for partition PRUNING, while
+    bucketing handles the high-cardinality join key."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w = w.bucketBy(n_buckets, bucket_col)
     if sorted_by:
         w = w.sortBy(sorted_by)
     w.saveAsTable(table)
