@@ -2758,6 +2758,54 @@ def m3_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m3_simulator_contract",
+    """
+    SELECT CAST(506 AS BIGINT) AS n_rows,
+           CAST(21 AS BIGINT) AS n_injected_anomalies,
+           TRUE AS ages_in_domain,
+           TRUE AS income_binary
+    """,
+    "G1",
+    "G2",
+)
+def m3_simulator_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G2 — the micro-batch fixture generator end to end: run the
+    simulator (seeded -> deterministic), read its headerless CSV batch
+    files back with the declared census schema, and assert the generation
+    contract as an oracle-comparable row: exact row count, exact injected
+    anomaly count (the extreme hours_per_week values sit outside the
+    normal 20-60 domain, so they are exactly countable), and value-domain
+    invariants."""
+    import tempfile
+
+    from apache_spark_streaming_project_spark.schemas import CENSUS_SCHEMA
+    from apache_spark_streaming_project_spark.streaming.simulator import (
+        ANOMALY_HOURS,
+        generate_batches,
+    )
+
+    out = tempfile.mkdtemp(prefix="m3_sim_")
+    generate_batches(out, total_rows=500, seed=42)
+    df = (
+        spark.read.schema(CENSUS_SCHEMA)
+        .option("header", "false")
+        .csv(out)
+    )
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("hours_per_week").isin(*ANOMALY_HOURS), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_injected_anomalies"),
+        ((F.min("age") >= 17) & (F.max("age") <= 90)).alias("ages_in_domain"),
+        (
+            F.sum(F.when(F.col("income").isin(0, 1), 0).otherwise(1)) == 0
+        ).alias("income_binary"),
+    )
+
+
+@register(
     "s11_hours_bucket_counts",
     """
     SELECT CASE WHEN l_quantity < 20 THEN 'Part-time (<20)'
