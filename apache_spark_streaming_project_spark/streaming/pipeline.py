@@ -96,10 +96,14 @@ def write_batch(batch_df: DataFrame, epoch_id: int, output_dir: str) -> None:
     """
     if batch_df.isEmpty():
         return
+    from concurrent.futures import ThreadPoolExecutor
+
     enriched = enrich_census(batch_df).persist()
     try:
         snapshot_ts = F.lit(time.time()).cast("double")
-        for name, table in compute_result_tables(enriched).items():
+
+        def _write(item: tuple[str, DataFrame]) -> None:
+            name, table = item
             out = table.withColumn("timestamp", snapshot_ts).withColumn(
                 "epoch_id", F.lit(int(epoch_id))
             )
@@ -109,6 +113,16 @@ def write_batch(batch_df: DataFrame, epoch_id: int, output_dir: str) -> None:
                 .option("partitionOverwriteMode", "dynamic")
                 .parquet(f"{output_dir}/{name}")
             )
+
+        # the 8 sinks are independent reads of the SAME persisted batch —
+        # submit them as concurrent jobs (Spark's scheduler interleaves
+        # them) instead of paying 8 sequential job startups per epoch
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for f in [
+                pool.submit(_write, item)
+                for item in compute_result_tables(enriched).items()
+            ]:
+                f.result()  # propagate the first failure
     finally:
         enriched.unpersist()
 
