@@ -55,22 +55,6 @@ def cosine_similarity(a: str | Column, b: str | Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def unit_vector_pd() -> Column:
-    """pandas_udf: array -> L2-normalized array<double> (zero vectors -> all
-    zeros, so downstream dot products compare below any cosine threshold
-    instead of poisoning with NaN)."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("array<double>")
-    def _unit(a: pd.Series) -> pd.Series:
-        V = np.stack(a.to_numpy()).astype(np.float64)
-        n = np.linalg.norm(V, axis=1, keepdims=True)
-        U = np.divide(V, n, out=np.zeros_like(V), where=n > 0)
-        return pd.Series(list(U))
-
-    return _unit
-
-
 def dot_pd() -> Column:
     """pandas_udf: (array, array) -> double dot product, one einsum per
     Arrow batch. On unit vectors this IS the cosine."""
@@ -83,23 +67,3 @@ def dot_pd() -> Column:
         return pd.Series(np.einsum("ij,ij->i", A, B))
 
     return _dot
-
-
-def sign_signature_pd(planes) -> Column:
-    """pandas_udf: array -> packed sign bits of the vector's projections
-    onto ``planes`` (list of lists, one row per plane; bit i set iff
-    v . planes[i] >= 0). One (batch x dim) @ (dim x n_planes) matmul per
-    Arrow batch replaces n_planes interpreted aggregate() passes per row."""
-    from pyspark.sql.functions import pandas_udf
-
-    P = np.asarray(planes, dtype=np.float64).T  # dim x n_planes
-    weights = (1 << np.arange(P.shape[1], dtype=np.uint64)).astype(np.uint64)
-
-    @pandas_udf("long")
-    def _sig(a: pd.Series) -> pd.Series:
-        V = np.stack(a.to_numpy()).astype(np.float64)
-        bits = (V @ P) >= 0
-        packed = (bits.astype(np.uint64) * weights).sum(axis=1)
-        return pd.Series(packed.astype(np.int64))
-
-    return _sig
