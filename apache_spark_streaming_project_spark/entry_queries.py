@@ -2672,6 +2672,61 @@ def m4_stateful_running_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "d17_gap_filled_daily",
+    """
+    WITH b AS (
+      SELECT min(date_trunc('day', ts)) AS mn, max(date_trunc('day', ts)) AS mx
+      FROM events
+    ),
+    days AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events WHERE value > 300 GROUP BY 1, 2
+    )
+    SELECT t.event_type, d.day, COALESCE(a.n, 0) AS n
+    FROM days d CROSS JOIN types t
+    LEFT JOIN actual a ON a.event_type = t.event_type AND a.day = d.day
+    ORDER BY t.event_type, d.day
+    """,
+    "D1",
+    "D5",
+)
+def d17_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling / resampling: zero-fill the (event_type, day)
+    calendar for a sparse predicate (value > 300 populates ~15% of cells).
+    The calendar spine is generated IN-PLAN (sequence over the min/max day
+    from a one-row agg, cross-joined with the distinct types) — tiny and
+    broadcast; the sparse counts shuffle once with partial aggregation.
+    The dashboard-family op the reference's trailing-window queries
+    implicitly assume (a day with no rows must chart as 0, not vanish)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    bounds = ev.agg(
+        F.min(day).alias("mn"), F.max(day).alias("mx")
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    spine = days.crossJoin(types)
+    actual = (
+        ev.filter(F.col("value") > 300)
+        .groupBy("event_type", day.alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        spine.join(actual, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
     "m3_streaming_parity",
     """
     SELECT CASE WHEN age < 18 THEN 'Under 18'
