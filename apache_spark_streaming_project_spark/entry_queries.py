@@ -1387,6 +1387,100 @@ def x_hash_split_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_oracle_col(c: str, value_expr: str | None = None) -> str:
+    v = value_expr or c
+    return f"""
+    SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({v}) AS VARCHAR) AS min_value,
+           CAST(MAX({v}) AS VARCHAR) AS max_value
+    FROM orders"""
+
+
+@register(
+    "x_data_profile",
+    " UNION ALL ".join(
+        _profile_oracle_col(c, v)
+        for c, v in [
+            ("o_orderkey", None),
+            ("o_custkey", None),
+            ("o_orderstatus", None),
+            ("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+            ("o_orderdate", None),
+            ("o_orderpriority", None),
+        ]
+    ),
+    "X4",
+)
+def x_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling / validation: per-column null counts, exact
+    distinct cardinalities, and stringified value ranges over ``orders``,
+    in ONE partial-aggregatable pass (operators/profile.py) — the
+    pre-training data-quality gate a corpus pipeline runs before any
+    compute is spent. The long format comes from a driver-free ``stack``
+    unpivot of the single agg row; at corpus scale the library swaps the
+    exact distinct counts for HyperLogLog (``exact=False``) to drop the
+    Expand from the plan."""
+    from apache_spark_streaming_project_spark.operators.profile import (
+        column_profile,
+    )
+
+    return column_profile(_t(spark, sf_dir, "orders")).orderBy("column_name")
+
+
+@register(
+    "x_decontamination",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 7, 0) + 1),
+               i -> array_to_string(t[i:i+7], ' '))) AS grams,
+             doc_id % 10 < 8 AS is_train
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                               x -> x <> '') AS t
+            FROM documents)
+    ),
+    train AS (SELECT DISTINCT unnest(grams) AS gram FROM s WHERE is_train),
+    ev AS (SELECT doc_id, unnest(grams) AS gram FROM s WHERE NOT is_train),
+    hits AS (
+      SELECT e.doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contaminated
+      FROM ev e LEFT JOIN train t USING (gram)
+      GROUP BY e.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(COALESCE(h.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated
+    FROM (SELECT doc_id FROM s WHERE NOT is_train) s
+    LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """,
+    "X1",
+    "X4",
+)
+def x_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: split ``documents`` 80/20 by
+    ``doc_id % 10`` (modulo, so the oracle can mirror it exactly; the
+    library's production splitter is ``sampling.hash_split``), then for
+    each held-out doc count the distinct word 8-grams that also occur in
+    the training split (operators/dedup.py:cross_split_contamination).
+    The benchmark-leakage gate between corpus assembly and eval. Shuffle
+    keys are the grams (8-byte hashes via ``hash_grams=True`` at corpus
+    scale; exact strings here for the oracle audit)."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        cross_split_contamination,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return cross_split_contamination(
+        d, F.col("doc_id") % 10 < 8, "doc_id", "text", n=8
+    ).orderBy("doc_id")
+
+
 _CC_ORACLE_PREFIX = """
     WITH RECURSIVE sh AS ({shingles}),
     j AS (

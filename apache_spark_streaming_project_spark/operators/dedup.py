@@ -420,6 +420,57 @@ def consecutive_jaccard(
     return ngram_jaccard_pairs(df, pairs, key_col, text_col, n)
 
 
+def cross_split_contamination(
+    df: DataFrame,
+    is_train: Column,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Train/eval decontamination (benchmark-leakage check): for every
+    held-out document, count its distinct word ``n``-grams that also occur
+    anywhere in the training split. Returns one row per held-out doc:
+    ``(key, n_grams, n_contaminated)`` — ``n_contaminated > 0`` flags the
+    doc for removal from the eval set (or the overlapping train docs for
+    removal from the corpus, per policy).
+
+    Scale shape: shingling is map-only; the train-side gram set dedups via
+    partial aggregation (shuffle carries one row per distinct gram per
+    partition); the membership check is one gram-keyed left join (train
+    grams are distinct, so no row multiplication); the per-doc rollup
+    shuffles only held-out keys. With ``hash_grams=True`` every exchanged
+    gram is replaced by its ``xxhash64`` — 8-byte shuffle keys instead of
+    ~50-byte strings for corpus-scale runs (collision odds 2^-64 per pair,
+    the standard trade; keep strings for oracle-exact audits).
+
+    No reference equivalent — this is the decontamination op every
+    LLM-training pipeline runs between corpus assembly and eval.
+    """
+    gram = F.explode_outer(word_shingles(text_col, n)).alias("gram")
+    grams = df.select(F.col(key_col), is_train.alias("_train"), gram)
+    if hash_grams:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
+    train_set = (
+        grams.filter(F.col("_train"))
+        .filter(F.col("gram").isNotNull())
+        .select("gram")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    held_out = grams.filter(~F.col("_train")).drop("_train")
+    return (
+        held_out.join(train_set, "gram", "left")
+        .groupBy(key_col)
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clustering: connected components + representative selection
 # ---------------------------------------------------------------------------

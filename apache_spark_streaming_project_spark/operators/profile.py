@@ -1,0 +1,96 @@
+"""Dataset profiling / validation operators.
+
+Before a corpus feeds a training run, a pipeline needs a cheap,
+trustworthy answer to "does this table look right?": per-column null
+rates, distinct cardinalities, and value ranges, plus hard expectation
+gates built on top of them. The reference has no equivalent (its
+dashboard recomputes ad-hoc pandas stats per page load,
+dashboard.py:150-170); this is the engine-side generalization.
+
+Scale design (100 TB):
+
+* :func:`column_profile` is ONE aggregation pass over the table — every
+  metric (count / null-count / distinct / min / max) partial-aggregates,
+  so the shuffle carries one row per partition, never data rows. The
+  long-format output is produced by a driver-free ``stack`` unpivot of
+  the single agg row.
+* Exact multi-column ``count_distinct`` makes Catalyst plan an Expand
+  (one input row replicated per distinct-agg) — acceptable when profiles
+  run over a handful of columns, and required for oracle-exact output.
+  At full corpus scale pass ``exact=False`` to use
+  ``approx_count_distinct`` (HyperLogLog++, single pass, NO Expand);
+  every other metric is unchanged.
+* :func:`expect` turns a profile into a boolean gate without collecting
+  anything: expectations evaluate in-plan and the operator returns the
+  violated rows, so an empty result means "ship it".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_string(c: Column, dtype: str) -> Column:
+    """Cast a min/max value to a cross-engine-stable string.
+
+    Doubles >= 1e7 stringify scientifically in Spark but positionally in
+    most other engines; money-style doubles are routed through
+    DECIMAL(18,2) so both render positionally with two places.
+    """
+    if dtype == "double":
+        return c.cast("decimal(18,2)").cast("string")
+    return c.cast("string")
+
+
+def column_profile(
+    df: DataFrame, cols: list[str] | None = None, exact: bool = True
+) -> DataFrame:
+    """Long-format per-column profile: one output row per column with
+    ``(column, n_rows, n_nulls, n_distinct, min_value, max_value)``.
+
+    Single aggregation pass; ``exact=False`` swaps the distinct counts to
+    HyperLogLog sketches for corpus-scale runs (no Expand in the plan).
+    The column label is ``column_name`` (``column`` is reserved in ANSI
+    engines and would force quoting in every downstream query).
+    """
+    cols = cols or df.columns
+    dtypes = dict(df.dtypes)
+    n_distinct = F.countDistinct if exact else F.approx_count_distinct
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            n_distinct(col).alias(f"{c}__distinct"),
+            _as_string(F.min(col), dtypes[c]).alias(f"{c}__min"),
+            _as_string(F.max(col), dtypes[c]).alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        F.col("n_rows"),
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    )
+
+
+def expect(
+    profile: DataFrame,
+    max_null_rate: float = 0.0,
+    min_distinct: int = 1,
+) -> DataFrame:
+    """Expectation gate over a :func:`column_profile` result: returns the
+    VIOLATING profile rows (empty result == all expectations hold).
+    Evaluates in-plan; never collects."""
+    return profile.filter(
+        (F.col("n_nulls") > F.col("n_rows") * F.lit(max_null_rate))
+        | (F.col("n_distinct") < F.lit(min_distinct))
+    )

@@ -1,0 +1,88 @@
+"""column_profile / expect (profiling gate) and cross_split_contamination
+(train/eval decontamination) unit tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_spark_streaming_project_spark.operators.dedup import (
+    cross_split_contamination,
+)
+from apache_spark_streaming_project_spark.operators.profile import (
+    column_profile,
+    expect,
+)
+
+
+def test_column_profile_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "k int, v string"
+    )
+    prof = {r["column_name"]: r for r in column_profile(df).collect()}
+    assert set(prof) == {"k", "v"}
+    k, v = prof["k"], prof["v"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 1, 3)
+    assert (k["min_value"], k["max_value"]) == ("1", "3")
+    assert (v["n_nulls"], v["n_distinct"], v["max_value"]) == (1, 2, "b")
+
+
+def test_column_profile_approx_mode_same_shape(spark):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("bucket")
+    )
+    exact = column_profile(df).collect()
+    approx = column_profile(df, exact=False).collect()
+    assert [r["column_name"] for r in exact] == [r["column_name"] for r in approx]
+    # HLL estimates within its default 5% rsd (observed 103 for 100)
+    est = {r["column_name"]: r["n_distinct"] for r in approx}
+    assert est["bucket"] == 7
+    assert abs(est["id"] - 100) <= 10
+
+
+def test_expect_gate(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "k int, v string")
+    prof = column_profile(df)
+    bad = expect(prof, max_null_rate=0.0).collect()
+    assert [r["column_name"] for r in bad] == ["v"]
+    assert expect(prof.filter(F.col("column_name") == "k")).count() == 0
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+CONTAMINATED = "one two three four five six seven eight nine ten"
+
+
+def test_cross_split_contamination_flags_leak(spark):
+    rows = [
+        (0, CONTAMINATED),  # train
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota"),  # train
+        (10, CONTAMINATED + " extra tail words here"),  # eval: leaks
+        (11, "totally unrelated words that never appeared in training data"),
+        (12, "short"),  # eval: fewer than 8 tokens -> zero grams
+    ]
+    df = _docs(spark, rows)
+    out = {
+        r["doc_id"]: r
+        for r in cross_split_contamination(
+            df, F.col("doc_id") < 10, n=8
+        ).collect()
+    }
+    assert set(out) == {10, 11, 12}
+    assert out[10]["n_contaminated"] >= 3  # the 3 shared 8-gram windows
+    assert out[11]["n_contaminated"] == 0 and out[11]["n_grams"] > 0
+    assert out[12]["n_grams"] == 0 and out[12]["n_contaminated"] == 0
+
+
+def test_cross_split_contamination_hashed_matches_exact(spark):
+    rows = [
+        (i, f"w{i} " + CONTAMINATED if i % 2 else CONTAMINATED + f" w{i}")
+        for i in range(8)
+    ]
+    df = _docs(spark, rows)
+    split = F.col("doc_id") < 4
+    exact = cross_split_contamination(df, split, n=8).collect()
+    hashed = cross_split_contamination(df, split, n=8, hash_grams=True).collect()
+    key = lambda rs: sorted((r["doc_id"], r["n_grams"], r["n_contaminated"]) for r in rs)  # noqa: E731
+    assert key(exact) == key(hashed)
