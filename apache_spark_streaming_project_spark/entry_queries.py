@@ -1399,6 +1399,35 @@ def _profile_oracle_col(c: str, value_expr: str | None = None) -> str:
 
 
 @register(
+    "x_weighted_sample",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'),
+                                      1, 15)) AS BIGINT) + 1)
+                / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE) AS p
+      FROM documents
+    ) ORDER BY p DESC, doc_id LIMIT 100
+    """,
+    "X7",
+)
+def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus selection: Efraimidis–Spirakis A-ES priority
+    sampling (operators/sampling.py:weighted_sample) of 100 documents with
+    inclusion probability proportional to ``n_chars``. The uniform draw is
+    md5-derived (engine- and partitioning-independent), so the selected
+    set is deterministic and the oracle mirrors it exactly; the global
+    top-k compiles to TakeOrderedAndProject — no corpus shuffle."""
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(d, "n_chars", 100, "doc_id", "ws")
+
+
+@register(
     "x_data_profile",
     " UNION ALL ".join(
         _profile_oracle_col(c, v)

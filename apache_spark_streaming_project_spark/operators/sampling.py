@@ -1,6 +1,6 @@
 """Dataset sampling/splitting operators for training-data pipelines.
 
-Two first-class ops a 100 TB corpus pipeline needs next to dedup and
+First-class ops a 100 TB corpus pipeline needs next to dedup and
 similarity:
 
 * :func:`stratified_sample` — exact per-stratum quotas (e.g. "50 docs per
@@ -71,3 +71,45 @@ def hash_split(
         else expr.otherwise(names[-1])
     )
     return df.withColumn("split", expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str | Column,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    keep the ``k`` rows with the largest priority ``u^(1/w)`` where ``u``
+    is a per-row uniform draw and ``w`` the row's weight — inclusion
+    probability proportional to weight, exactly the scheme a quality- or
+    length-weighted corpus selection needs.
+
+    Determinism: ``u`` is not RNG state but ``(h+1)/2^60`` where ``h`` is
+    the first 60 bits of ``md5(key || ':' || salt)`` — identical across
+    runs, engines, and partitionings (md5 is everywhere; xxhash64 is
+    not). Priorities compare via the monotone-equivalent ``ln(u)/w``.
+
+    Scale shape: the priority is a map-only projection; the global top-k
+    compiles to TakeOrderedAndProject (per-task partial top-k, then a
+    single k-row merge) — the corpus itself never shuffles or sorts.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    priority = F.ln(u) / w.cast("double")
+    return (
+        df.withColumn("_p", priority)
+        .orderBy(F.col("_p").desc(), F.col(key_col))
+        .limit(k)
+        .drop("_p")
+    )

@@ -69,3 +69,24 @@ def test_hash_split_rejects_bad_fractions(spark, docs):
 
     with pytest.raises(ValueError):
         hash_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_weighted_sample_favors_heavy_and_is_partition_independent(spark):
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    # 500 light rows (w=1) + 500 heavy rows (w=50): a 100-row A-ES draw
+    # should be dominated by heavy rows (E[heavy] ~ 98)
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 500, 50).otherwise(1).alias("w"),
+    )
+    picked = weighted_sample(df, "w", 100, "doc_id").collect()
+    assert len(picked) == 100
+    heavy = sum(1 for r in picked if r.doc_id >= 500)
+    assert heavy >= 85
+
+    # determinism: same selection regardless of physical partitioning
+    again = weighted_sample(df.repartition(7), "w", 100, "doc_id").collect()
+    assert sorted(r.doc_id for r in picked) == sorted(r.doc_id for r in again)
