@@ -2362,6 +2362,79 @@ def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_tpch_q7",
+    """
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           {rev} AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    ORDER BY cust_nation, supp_nation, l_year
+    """.format(rev=_REV_SQL.format(p="l.l_extendedprice", d="l.l_discount")),
+    "D8a",
+    "§2.3",
+)
+def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped two-nation trade volume: the same ``nation`` dim
+    joined TWICE under different roles (customer's vs supplier's), a
+    disjunctive cross-side nation-pair predicate, and a per-year rollup.
+    Both nation sides broadcast (25 rows) and their name filters apply
+    BEFORE the fact joins, so each broadcast semi-filters the fact stream
+    down to the two nations' rows; the only shuffles are the two
+    fact-fact key exchanges (orderkey, then custkey) under AQE. The pair
+    disjunction is evaluated post-join on the two broadcast names —
+    Catalyst cannot push a cross-side OR below the join, so shrinking
+    each side to the pair's nations first is the scalable formulation."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(pair.withColumnRenamed("n_name", "cust_nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(pair.withColumnRenamed("n_name", "supp_nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(
+            ((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2"))
+            | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(_rev_col()).cast("double").alias("volume"))
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )
+
+
+@register(
     "sql_tpch_q10",
     """
     SELECT c.c_custkey, c.c_name, {rev} AS revenue, n.n_name
