@@ -1428,6 +1428,40 @@ def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_histogram",
+    """
+    SELECT bucket,
+           0.0 + bucket * 5000.0 AS bucket_lo,
+           0.0 + (bucket + 1) * 5000.0 AS bucket_hi,
+           COUNT(*) AS n
+    FROM (
+      SELECT CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 5000.0)
+                  AS BIGINT) AS bucket
+      FROM lineitem
+      WHERE CAST(l_extendedprice AS DOUBLE) >= 0.0
+        AND CAST(l_extendedprice AS DOUBLE) < 100000.0
+    ) GROUP BY bucket ORDER BY bucket
+    """,
+    "X4",
+)
+def x_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value-distribution histogram (20 x 5000 buckets of
+    l_extendedprice on [0, 100000)) — operators/profile.py:
+    fixed_width_histogram. Bucketing is pure IEEE double arithmetic, so
+    both engines bin identically; the plan is map-side projection +
+    partial/final hash agg on <=20 keys, with the range predicate pushed
+    to the scan."""
+    from apache_spark_streaming_project_spark.operators.profile import (
+        fixed_width_histogram,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return fixed_width_histogram(li, "l_extendedprice", 0.0, 100000.0, 20).orderBy(
+        "bucket"
+    )
+
+
+@register(
     "x_data_profile",
     " UNION ALL ".join(
         _profile_oracle_col(c, v)

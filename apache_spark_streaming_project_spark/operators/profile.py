@@ -82,6 +82,36 @@ def column_profile(
     )
 
 
+def fixed_width_histogram(
+    df: DataFrame, value_col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column over ``[lo, hi)``:
+    ``(bucket, bucket_lo, bucket_hi, n)``, one row per NON-EMPTY bucket.
+
+    Bucket assignment is pure IEEE double arithmetic
+    (``floor((x - lo) / width)``) so any engine computes the identical
+    bucketing bit-for-bit. The plan is a map-side projection plus a
+    partial+final hash agg on at most ``nbins`` keys — the cheapest
+    possible distribution sketch at corpus scale (out-of-range rows are
+    filtered at the scan, so the predicate can prune row groups)."""
+    width = (hi - lo) / nbins
+    x = F.col(value_col).cast("double")
+    bucket = F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("bigint")
+    return (
+        df.filter((x >= lo) & (x < hi))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.lit(float(lo)) + F.col("bucket") * F.lit(width)).alias("bucket_lo"),
+            (F.lit(float(lo)) + (F.col("bucket") + 1) * F.lit(width)).alias(
+                "bucket_hi"
+            ),
+            "n",
+        )
+    )
+
+
 def expect(
     profile: DataFrame,
     max_null_rate: float = 0.0,
