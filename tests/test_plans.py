@@ -177,3 +177,52 @@ def test_exact_dedup_default_single_shuffle(spark, sf_dir):
     )
     df = exact_dedup(ev, ["event_type", "props"], "event_id")
     assert count_shuffles(df) <= 1
+
+
+def test_profile_approx_mode_has_no_expand(spark, sf_dir):
+    """column_profile: exact multi-distinct forces an Expand; the
+    corpus-scale HLL mode must NOT have one (single partial+final agg)."""
+    from apache_spark_streaming_project_spark.operators.profile import (
+        column_profile,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    assert "Expand" in physical_plan(column_profile(o), "simple")
+    approx = column_profile(o, exact=False)
+    plan = physical_plan(approx, "simple")
+    assert "Expand" not in plan
+    assert count_shuffles(approx) <= 1
+
+
+def test_histogram_pushes_range_predicate(spark, sf_dir):
+    """fixed_width_histogram: the [lo, hi) range must reach the parquet
+    scan (row-group pruning), and the agg must be partial+final on the
+    bucket key only."""
+    df = QUERIES["x_histogram"].fn(spark, sf_dir)
+    assert any("l_extendedprice" in f for f in pushed_filters(df))
+    assert count_shuffles(df) <= 2  # bucket agg + the display orderBy
+
+
+def test_weighted_sample_is_top_k_not_global_sort(spark, sf_dir):
+    """weighted_sample: global k-selection must compile to
+    TakeOrderedAndProject (map-side partial top-k), never a full sort."""
+    df = QUERIES["x_weighted_sample"].fn(spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_decontamination_dedups_grams_before_join(spark, sf_dir):
+    """cross_split_contamination: the train gram set must be deduped via
+    partial+final aggregation BEFORE the membership join (never a raw
+    exploded-grams join), and both scans must prune to (doc_id, text)."""
+    df = QUERIES["x_decontamination"].fn(spark, sf_dir)
+    plan = physical_plan(df, "formatted")
+    join_pos = min(
+        p for p in (plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
+        if p >= 0
+    )
+    # a partial+final HashAggregate pair feeds the join's build side
+    assert plan.count("HashAggregate") >= 2
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert join_pos >= 0
