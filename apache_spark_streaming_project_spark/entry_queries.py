@@ -2160,6 +2160,47 @@ def d16_lag_lead_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d18_time_range_moving",
+    """
+    SELECT event_id, event_type,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR)
+                AS DOUBLE) AS trailing_1h_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS trailing_1h_n
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    "D1",
+    "§2.5",
+)
+def d18_time_range_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE-frame moving aggregate: per event type, the
+    trailing-one-hour sum and count at every event — the window frame
+    family (value-range, not row-count) the dashboard's trailing-window
+    reads (D1) imply but never compute per-row. Spark orders the frame by
+    exact epoch microseconds (``unix_micros``), bit-equivalent to the
+    oracle's ``RANGE INTERVAL 1 HOUR`` over microsecond timestamps; one
+    shuffle on event_type, in-partition sort, running frame scan."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
+    )
+
+
+@register(
     "s17_key_mangling",
     """
     SELECT concat('count_', replace(o_orderpriority, ' ', '_')) AS mangled_key,
