@@ -2201,6 +2201,42 @@ def d18_time_range_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d19_scd2_intervals",
+    """
+    SELECT user_id, event_id, value AS version_value,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CAST(lead(ts) OVER w IS NULL AS BOOLEAN) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    "D8",
+    "§2.5",
+)
+def d19_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval construction: each
+    user's event stream becomes versioned rows with
+    ``[valid_from, valid_to)`` validity and an ``is_current`` flag (open
+    interval = latest version). The warehouse-side complement of the
+    as-of join (j3): j3 probes point-in-time state, this materializes it.
+    One shuffle on user_id, in-partition sort, ``lead`` frame — the same
+    scale shape as latest-version dedup (X2) but keeping full history."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    valid_to = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("version_value"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@register(
     "s17_key_mangling",
     """
     SELECT concat('count_', replace(o_orderpriority, ' ', '_')) AS mangled_key,
