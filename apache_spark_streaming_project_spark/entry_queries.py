@@ -693,6 +693,48 @@ def x4_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x4_repetition",
+    r"""
+    SELECT doc_id,
+           CASE WHEN len(t) > 0
+                THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                           / CAST(len(t) AS DOUBLE)
+                ELSE 0.0 END AS repetition_1gram,
+           CASE WHEN greatest(len(t) - 1, 0) > 0
+                THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                           / CAST(greatest(len(t) - 1, 0) AS DOUBLE)
+                ELSE 0.0 END AS repetition_2gram
+    FROM (
+      SELECT doc_id, t,
+             list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                            i -> array_to_string(t[i:i+1], ' ')) AS g2
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                               x -> x <> '') AS t
+            FROM documents)
+    ) ORDER BY doc_id
+    """,
+    "X4",
+)
+def x4_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratios (Gopher-rule quality signal):
+    fraction of duplicate words and duplicate bigrams per document
+    (operators/text.py:repetition_ratio). Map-only array built-ins, no
+    shuffle; ratios are correctly-rounded IEEE divisions so the oracle
+    reproduces them bit-for-bit."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        repetition_ratio,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        repetition_ratio("text", 1).alias("repetition_1gram"),
+        repetition_ratio("text", 2).alias("repetition_2gram"),
+    ).orderBy("doc_id")
+
+
+@register(
     "x4_quality_scores",
     f"""
     WITH base AS (

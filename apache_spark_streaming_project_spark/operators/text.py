@@ -120,6 +120,36 @@ def language_id(c: Column | str) -> Column:
     return best["lang"]
 
 
+def repetition_ratio(c: Column | str, n: int = 1) -> Column:
+    """Gopher-style intra-document repetition: the fraction of word
+    ``n``-grams that are duplicates of an earlier one,
+    ``1 - distinct/total`` (0.0 for docs with fewer than ``n`` tokens).
+    High word/bigram repetition is a standard low-quality signal in
+    LLM-corpus filtering rules. Map-only array built-ins (lowercased to
+    match the dedup shingle pipeline); the ratio is a correctly-rounded
+    IEEE division, so any engine reproduces it bit-for-bit."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        word_shingles,
+    )
+
+    c = F.col(c) if isinstance(c, str) else c
+    toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+    if n == 1:
+        total = F.size(toks)
+        distinct = F.size(F.array_distinct(toks))
+    else:
+        total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        distinct = F.size(word_shingles(c, n))
+    return (
+        F.when(
+            total > 0,
+            F.lit(1.0) - distinct.cast("double") / total.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias(f"repetition_{n}gram")
+    )
+
+
 def rolling_fingerprint(c: Column | str, base: int = 31, mod: int = 2**31 - 1) -> Column:
     """X4 — polynomial rolling-hash document fingerprint:
     ``h = sum(byte_i * base^(n-1-i)) mod m`` over the UTF-8-ish char codes,
