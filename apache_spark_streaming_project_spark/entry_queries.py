@@ -3076,6 +3076,72 @@ def d17_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m5_stream_stream_join",
+    """
+    SELECT a.user_id, a.event_id AS a_event_id, b.event_id AS b_event_id
+    FROM events a JOIN events b ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    ORDER BY a_event_id, b_event_id
+    """,
+    "S6",
+    "§2.9",
+)
+def m5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM event-time interval join, oracle-checked end to end:
+    clicks and purchases flow as two independent file streams, joined on
+    user_id where the purchase lands within 6 hours after the click
+    (streaming/joins.py:interval_join — watermarks both sides, interval
+    bound caps the symmetric-hash-join state at watermark + 6h per side).
+    The streamed result equals the batch join the oracle computes,
+    proving no pair is dropped or duplicated across micro-batches. The
+    test watermark exceeds the fixture span so eviction can't race the
+    drain (production uses a tight one — the state bound is the point)."""
+    import os
+    import tempfile
+
+    from apache_spark_streaming_project_spark.streaming.joins import (
+        interval_join,
+    )
+
+    base = tempfile.mkdtemp(prefix="m5_ssj_")
+    a_dir = os.path.join(base, "a")
+    b_dir = os.path.join(base, "b")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("a_event_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("b_event_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    clicks.repartition(2).write.mode("overwrite").parquet(a_dir)
+    purchases.repartition(2).write.mode("overwrite").parquet(b_dir)
+
+    sa = spark.readStream.schema(clicks.schema).parquet(a_dir)
+    sb = spark.readStream.schema(purchases.schema).parquet(b_dir)
+    joined = interval_join(
+        sa, sb, "user_id", "a_ts", "b_ts", "6 hours", watermark="3650 days"
+    )
+    q = (
+        joined.select("user_id", "a_event_id", "b_event_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).orderBy("a_event_id", "b_event_id")
+
+
+@register(
     "m3_streaming_parity",
     """
     SELECT CASE WHEN age < 18 THEN 'Under 18'
