@@ -197,3 +197,98 @@ def test_checkpoint_resume_no_duplicates(spark, tmp_path):
     # every epoch's rows written exactly once
     per_epoch = raw.groupBy("epoch_id").count().collect()
     assert sum(r["count"] for r in per_epoch) == n1 + n2
+
+
+def _one_file(df, path):
+    df.repartition(1).write.mode("append").parquet(path)
+
+
+def _drain_interval_join(spark, a_dir, b_dir, ckpt, name, watermark, max_delay):
+    from apache_spark_streaming_project_spark.streaming.joins import interval_join
+
+    schema_a = "user_id int, a_id string, a_ts timestamp"
+    schema_b = "user_id int, b_id string, b_ts timestamp"
+    sa = (
+        spark.readStream.schema(schema_a)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(a_dir)
+    )
+    sb = (
+        spark.readStream.schema(schema_b)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(b_dir)
+    )
+    j = interval_join(sa, sb, "user_id", "a_ts", "b_ts", max_delay, watermark)
+    q = (
+        j.select("user_id", "a_id", "b_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def _ab_row(spark, user, ident, ts, side):
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame([(user, ident, ts)], "user_id int, i string, t string")
+    return df.select(
+        "user_id",
+        SF.col("i").alias(f"{side}_id"),
+        SF.to_timestamp("t").alias(f"{side}_ts"),
+    )
+
+
+def test_interval_join_state_survives_micro_batches(spark, tmp_path):
+    """A click drained in batch 1 must still match a purchase arriving in
+    batch 2 (maxFilesPerTrigger=1) when the watermark retains its state."""
+    import time
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    _one_file(_ab_row(spark, 1, "c1", "2024-01-01 10:00:00", "a"), a_dir)
+    _one_file(_ab_row(spark, 50, "p_other", "2024-01-01 10:00:00", "b"), b_dir)
+    time.sleep(1.1)  # later mtime -> second micro-batch
+    _one_file(_ab_row(spark, 60, "c_dummy", "2024-01-01 10:01:00", "a"), a_dir)
+    _one_file(_ab_row(spark, 1, "p1", "2024-01-01 10:05:00", "b"), b_dir)
+    rows = _drain_interval_join(
+        spark, a_dir, b_dir, str(tmp_path / "ck"), "ssj_keep",
+        watermark="3650 days", max_delay="10 minutes",
+    )
+    assert [(r.a_id, r.b_id) for r in rows] == [("c1", "p1")]
+
+
+def test_interval_join_watermark_evicts_late_rows(spark, tmp_path):
+    """The bounded-state contract: once the global watermark passes
+    click_ts + max_delay, a late purchase must NOT produce a pair (its
+    partner's state is evicted / the row is late) — the batch join would
+    have matched it."""
+    import time
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    # batch 1 (ONE file per source) advances both sides' event time to
+    # T0+2h while carrying the click whose partner comes late
+    batch1_a = _ab_row(spark, 1, "c1", "2024-01-01 10:00:00", "a").union(
+        _ab_row(spark, 99, "c_adv", "2024-01-01 12:00:00", "a")
+    )
+    _one_file(batch1_a, a_dir)
+    _one_file(_ab_row(spark, 98, "p_adv", "2024-01-01 12:00:00", "b"), b_dir)
+    time.sleep(1.1)
+    # batch 2: padding only — its END is when the now-advanced watermark
+    # (12:00) evicts c1's state (eviction runs post-join each batch, so a
+    # same-batch late arrival would still have matched; see batch 3)
+    _one_file(_ab_row(spark, 96, "c_pad", "2024-01-01 12:30:00", "a"), a_dir)
+    _one_file(_ab_row(spark, 95, "p_pad", "2024-01-01 12:30:00", "b"), b_dir)
+    time.sleep(1.1)
+    # batch 3: the matching purchase arrives 1h55m behind the watermark —
+    # its partner's state is gone, so no pair can be emitted
+    _one_file(_ab_row(spark, 94, "c_pad2", "2024-01-01 13:00:00", "a"), a_dir)
+    _one_file(_ab_row(spark, 1, "p_late", "2024-01-01 10:05:00", "b"), b_dir)
+    rows = _drain_interval_join(
+        spark, a_dir, b_dir, str(tmp_path / "ck"), "ssj_evict",
+        watermark="0 seconds", max_delay="10 minutes",
+    )
+    assert rows == []
