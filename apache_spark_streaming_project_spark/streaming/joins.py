@@ -30,15 +30,23 @@ def interval_join(
     right_ts: str,
     max_delay: str = "6 hours",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two STREAMING DataFrames on ``key`` where the right
-    event time falls in ``[left_ts, left_ts + max_delay]``. Column names
-    must already be disjoint apart from ``key`` (prefix them upstream).
+    """Join two STREAMING DataFrames on ``key`` where the right event
+    time falls in ``[left_ts, left_ts + max_delay]``. Column names must
+    already be disjoint apart from ``key`` (prefix them upstream).
 
     ``watermark`` is the lateness bound for BOTH sides; with the interval
     condition it caps join state at watermark + max_delay per side. For
     deterministic drains in tests, pass a watermark larger than the
-    fixture's time span (nothing evicts before all files arrive)."""
+    fixture's time span (nothing evicts before all files arrive).
+
+    ``how="leftOuter"`` additionally emits a null-padded row for each
+    left event whose match window expired unmatched — Spark emits these
+    at state-eviction time, i.e. only once the watermark passes
+    ``left_ts + max_delay`` (an availableNow drain therefore reports
+    outer rows only for windows the final watermark has closed; the
+    tail stays pending, matching streaming semantics, not batch)."""
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark).withColumnRenamed(
         key, "_rkey"
@@ -48,4 +56,4 @@ def interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
-    return lw.join(rw, cond, "inner").drop("_rkey")
+    return lw.join(rw, cond, how).drop("_rkey")

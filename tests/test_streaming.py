@@ -292,3 +292,51 @@ def test_interval_join_watermark_evicts_late_rows(spark, tmp_path):
         watermark="0 seconds", max_delay="10 minutes",
     )
     assert rows == []
+
+
+def test_interval_join_left_outer_emits_on_window_close(spark, tmp_path):
+    """leftOuter: a click with no purchase must surface as a null-padded
+    row — but only after the watermark closes its match window (emission
+    happens at state eviction, so a later padding batch is needed)."""
+    import time
+
+    from apache_spark_streaming_project_spark.streaming.joins import interval_join
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    _one_file(_ab_row(spark, 1, "c_alone", "2024-01-01 10:00:00", "a"), a_dir)
+    _one_file(_ab_row(spark, 50, "p_other", "2024-01-01 10:00:00", "b"), b_dir)
+    time.sleep(1.1)
+    # advance the watermark well past 10:10 so c_alone's window closes
+    _one_file(_ab_row(spark, 98, "c_adv", "2024-01-01 12:00:00", "a"), a_dir)
+    _one_file(_ab_row(spark, 97, "p_adv", "2024-01-01 12:00:00", "b"), b_dir)
+    time.sleep(1.1)
+    # one more batch for the eviction pass to run with the advanced mark
+    _one_file(_ab_row(spark, 96, "c_pad", "2024-01-01 12:30:00", "a"), a_dir)
+    _one_file(_ab_row(spark, 95, "p_pad", "2024-01-01 12:30:00", "b"), b_dir)
+
+    sa = (
+        spark.readStream.schema("user_id int, a_id string, a_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(a_dir)
+    )
+    sb = (
+        spark.readStream.schema("user_id int, b_id string, b_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(b_dir)
+    )
+    j = interval_join(
+        sa, sb, "user_id", "a_ts", "b_ts", "10 minutes", "0 seconds",
+        how="leftOuter",
+    )
+    q = (
+        j.select("user_id", "a_id", "b_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_outer")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.a_id: r.b_id for r in spark.sql("SELECT * FROM ssj_outer").collect()}
+    assert rows.get("c_alone", "missing") is None  # unmatched, window closed
