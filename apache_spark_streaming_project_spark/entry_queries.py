@@ -693,6 +693,47 @@ def x4_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x4_source_divergence",
+    r"""
+    WITH toks AS (
+      SELECT source = 'src0' AS is_a, unnest(t) AS token
+      FROM (SELECT source,
+                   list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                               x -> x <> '') AS t
+            FROM documents)
+    ),
+    cnt AS (
+      SELECT token,
+             CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM toks GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
+      FROM cnt
+    )
+    SELECT token, n_a, n_b, abs(n_a * tb - n_b * ta) AS divergence
+    FROM cnt, tot
+    ORDER BY divergence DESC, token ASC LIMIT 25
+    """,
+    "X4",
+)
+def x4_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix drift check: the 25 tokens most over/under-represented
+    in source ``src0`` vs the rest of the corpus, ranked by the exact
+    integer cross-product divergence ``|n_a*total_b - n_b*total_a|``
+    (operators/text.py:contrast_top_tokens — all-bigint, so both engines
+    rank identically). One token-keyed shuffle, broadcast totals,
+    TakeOrderedAndProject top-k."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        contrast_top_tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    return contrast_top_tokens(d, F.col("source") == "src0", "text", 25)
+
+
+@register(
     "x4_repetition",
     r"""
     SELECT doc_id,

@@ -120,6 +120,53 @@ def language_id(c: Column | str) -> Column:
     return best["lang"]
 
 
+def contrast_top_tokens(
+    df: DataFrame, is_a: Column, text_col: str = "text", k: int = 25
+) -> DataFrame:
+    """Corpus-contrast analysis: which tokens are most over/under-
+    represented in slice A vs slice B of a corpus — the drift check a
+    pipeline runs when mixing sources (is one crawl skewing the token
+    distribution?).
+
+    The divergence score is the EXACT integer cross-product
+    ``|n_a * total_b - n_b * total_a|`` (rate difference cross-multiplied
+    to clear denominators) — all-bigint arithmetic, so any engine ranks
+    identically with no float-parity caveats.
+
+    Scale shape: one explode + token-keyed partial/final agg (the only
+    data-sized shuffle), a broadcast one-row totals join, then global
+    top-k via TakeOrderedAndProject."""
+    toks = df.select(
+        is_a.alias("_a"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    cnt = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("_a"), 1).otherwise(0)).alias("n_b"),
+    )
+    totals = cnt.agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
+    )
+    return (
+        cnt.crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("n_a") * F.col("_tb") - F.col("n_b") * F.col("_ta")
+            ).alias("divergence"),
+        )
+        .orderBy(F.col("divergence").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
 def repetition_ratio(c: Column | str, n: int = 1) -> Column:
     """Gopher-style intra-document repetition: the fraction of word
     ``n``-grams that are duplicates of an earlier one,
