@@ -1482,6 +1482,42 @@ def _profile_oracle_col(c: str, value_expr: str | None = None) -> str:
 
 
 @register(
+    "x3_label_centroids",
+    """
+    WITH idx AS (
+      SELECT label, embedding, unnest(generate_series(1, 64)) AS i
+      FROM embeddings
+    ),
+    e AS (
+      SELECT label, i - 1 AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS q
+      FROM idx
+    )
+    SELECT label, pos,
+           CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 1000000.0 AS centroid
+    FROM e GROUP BY label, pos ORDER BY label, pos
+    """,
+    "X3",
+    "X5",
+)
+def x3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes) in long format —
+    operators/similarity.py:label_centroids. Components quantized to
+    int64 so per-position sums are exact integers (summation order
+    immaterial; same contract as the blocked cosine join); the mean is
+    two correctly-rounded divisions, bit-identical across engines. One
+    (label, pos)-keyed shuffle of partial sums; output is labels x 64."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("label", "embedding")
+    return label_centroids(e).orderBy("label", "pos")
+
+
+@register(
     "x_weighted_sample",
     """
     SELECT doc_id, lang, n_chars FROM (

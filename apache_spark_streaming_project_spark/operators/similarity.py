@@ -404,3 +404,45 @@ def blocked_cosine_join(
         .groupBy("_block")
         .applyInPandas(per_block, schema=out_schema)
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group vector centroid (elementwise mean embedding per label) in
+    long format ``(label, pos, centroid)`` — the class-prototype /
+    cluster-summary op an embedding pipeline needs (seed centroids for
+    IVF, per-source drift monitoring, nearest-class assignment).
+
+    Determinism: components are quantized to int64
+    (``floor(x * scale + 0.5)``, the same contract as
+    :func:`blocked_cosine_join`) so the per-position sums are EXACT
+    integers — summation order can't change them — and the final mean is
+    two correctly-rounded IEEE divisions from exact operands, identical
+    in any engine.
+
+    Scale shape: ``posexplode`` is map-only; the single shuffle carries
+    partial (label, pos) sums — one row per (label, pos, partition),
+    never the vectors. Output cardinality is labels x dim.
+    """
+    q = F.floor(
+        F.col("x").cast("double") * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("long")
+    return (
+        df.select(F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "x"))
+        .select("label", "pos", q.alias("q"))
+        .groupBy("label", "pos")
+        .agg(F.sum("q").alias("_sq"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "label",
+            "pos",
+            (
+                F.col("_sq").cast("double")
+                / F.col("_n").cast("double")
+                / F.lit(float(scale))
+            ).alias("centroid"),
+        )
+    )
