@@ -1518,6 +1518,65 @@ def x3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x3_nearest_centroid_confusion",
+    """
+    WITH idx AS (
+      SELECT label, embedding, unnest(generate_series(1, 64)) AS i
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, i - 1 AS pos,
+             CAST(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000
+                                      + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS centroid
+      FROM idx GROUP BY label, i
+    ),
+    carr AS (
+      SELECT label AS clabel, list(centroid ORDER BY pos) AS cvec
+      FROM cent GROUP BY label
+    ),
+    d AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             list_reduce(list_transform(range(1, 65),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                   * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])),
+                (s, x) -> s + x) AS dist
+      FROM embeddings e CROSS JOIN carr c
+    ),
+    a AS (
+      SELECT vec_id, label, clabel,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+      FROM d
+    )
+    SELECT label, clabel AS assigned_label, COUNT(*) AS n
+    FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "X3",
+)
+def x3_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-purity evaluation: assign every embedding to its nearest
+    per-label centroid (operators/similarity.py:assign_to_centroids —
+    all centroids collapse to ONE broadcast row; assignment is a
+    map-only in-plan argmin over sequential-fold distances, so the
+    vector table never shuffles) and report the true-vs-assigned
+    confusion counts. Distances fold deterministically (0.0-seeded left
+    fold == the oracle's list_reduce), centroids are the exact quantized
+    means of x3_label_centroids."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        assign_to_centroids,
+        label_centroids,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    assigned = assign_to_centroids(e, label_centroids(e))
+    return (
+        assigned.groupBy("label", "assigned_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "assigned_label")
+    )
+
+
+@register(
     "x_weighted_sample",
     """
     SELECT doc_id, lang, n_chars FROM (

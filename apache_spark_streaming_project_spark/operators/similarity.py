@@ -446,3 +446,57 @@ def label_centroids(
             ).alias("centroid"),
         )
     )
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids_long: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment: label every vector with the centroid
+    (from :func:`label_centroids` long format) minimizing squared
+    euclidean distance — the evaluation op behind cluster purity,
+    nearest-class sanity checks, and IVF cell assignment.
+
+    Determinism: the per-row distance is a sequential left fold over the
+    zipped (vector, centroid) arrays (``zip_with`` + ``aggregate`` —
+    deterministic element order, identical to an oracle's ``list_reduce``
+    because ``0.0 + x == x`` exactly); argmin ties break by label via a
+    struct min. No order-dependent double summation anywhere.
+
+    Scale shape: ALL centroids collapse to a single one-row array of
+    (label, vector) structs, broadcast-cross-joined onto the vector
+    table; the argmin is an in-plan ``array_min`` over per-centroid
+    distance structs — assignment is strictly map-only, the vector table
+    never shuffles and there is no per-vector aggregation at all."""
+    carr = (
+        centroids_long.groupBy(F.col("label").alias("_clabel"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid"))).alias("_cs")
+        )
+        .select(
+            "_clabel",
+            F.transform("_cs", lambda s: s["centroid"]).alias("_cvec"),
+        )
+        .agg(F.collect_list(F.struct("_clabel", "_cvec")).alias("_cents"))
+    )
+    v = F.col(vec_col).cast("array<double>")
+
+    def _dist(c):
+        return F.aggregate(
+            F.zip_with(v, c["_cvec"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(_dist(c).alias("dist"), c["_clabel"].alias("label")),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(carr))
+        .withColumn("assigned_label", best["label"])
+        .drop("_cents")
+    )
