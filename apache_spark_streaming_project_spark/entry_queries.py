@@ -2338,6 +2338,48 @@ def d16_lag_lead_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_rank_distributions",
+    """
+    SELECT o_orderkey,
+           NTILE(10) OVER w AS decile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           RANK() OVER p AS rank_in_priority,
+           DENSE_RANK() OVER p AS dense_rank_in_priority
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC),
+           p AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    "§2.5",
+)
+def s_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking-window family in one query: global deciles
+    (ntile), percent_rank and cume_dist (exact rationals k/n — one
+    correctly-rounded division, engine-identical), and rank/dense_rank
+    within priority groups. Unique (price, orderkey) ordering makes every
+    rank deterministic. Scale note: the GLOBAL windows are single-
+    partition by definition — fine for ranked exports and small result
+    tiers, but at corpus scale the per-group formulation (partitioned
+    window, as in the priority ranks here) is the shape to reach for."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    p = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.rank().over(p).alias("rank_in_priority"),
+        F.dense_rank().over(p).alias("dense_rank_in_priority"),
+    )
+
+
+@register(
     "d18_time_range_moving",
     """
     SELECT event_id, event_type,
