@@ -66,6 +66,24 @@ def streaming_dedup(
     )
 
 
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    event_time_col: str,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """X1-streaming variant for RE-DELIVERED duplicates: dedup by ``keys``
+    ALONE, tolerating different event times among the duplicates (an
+    at-least-once upstream stamps each redelivery with a fresh time, so
+    keying the classic ``dropDuplicates`` on (keys, time) would keep
+    both). ``dropDuplicatesWithinWatermark`` keeps the first arrival per
+    key and suppresses any duplicate seen while the key is within the
+    watermark; state still evicts with the watermark (bounded memory)."""
+    return stream.withWatermark(
+        event_time_col, watermark
+    ).dropDuplicatesWithinWatermark(keys)
+
+
 def session_windows(
     stream: DataFrame,
     event_time_col: str,

@@ -340,3 +340,36 @@ def test_interval_join_left_outer_emits_on_window_close(spark, tmp_path):
     q.awaitTermination()
     rows = {r.a_id: r.b_id for r in spark.sql("SELECT * FROM ssj_outer").collect()}
     assert rows.get("c_alone", "missing") is None  # unmatched, window closed
+
+
+def test_dedup_within_watermark_suppresses_redelivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a re-delivered event with a FRESH
+    timestamp must still be suppressed (keyed dropDuplicates on
+    (key, time) would pass it through)."""
+    from apache_spark_streaming_project_spark.streaming.windows import (
+        streaming_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "src")
+    rows = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:00:03"),  # redelivery, new stamp
+            (2, "2024-01-01 10:00:05"),
+        ],
+        "event_id int, t string",
+    ).select("event_id", F.to_timestamp("t").alias("ts"))
+    rows.repartition(1).write.parquet(src)
+    stream = spark.readStream.schema("event_id int, ts timestamp").parquet(src)
+    dd = streaming_dedup_within_watermark(stream, ["event_id"], "ts", "10 minutes")
+    q = (
+        dd.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ddww")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT event_id FROM ddww").collect()
+    assert sorted(r.event_id for r in out) == [1, 2]
