@@ -2693,6 +2693,67 @@ def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j5_bucketed_cojoin",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           {rev} AS total_revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c_mktsegment
+    """.format(
+        rev="CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(16,2))) AS VARCHAR)"
+        " AS DOUBLE)"
+    ),
+    "D8a",
+    "§4.4",
+)
+def j5_bucketed_cojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-storage scale path surfaced as a checkable query:
+    orders and customer are written bucketed+sorted on custkey
+    (sources/bucketed.py — external tables in a tmp dir, bucket metadata
+    in the catalog), then joined WITHOUT ANY EXCHANGE: each task zips
+    bucket i of both tables straight off storage (the zero-shuffle plan
+    tests/test_bucketing.py asserts). Pay the shuffle once at write time,
+    never again for any join on the key — THE layout decision at 100 TB.
+    Result equality with the oracle's plain join proves the bucketed
+    layout loses/duplicates nothing."""
+    import tempfile
+
+    from apache_spark_streaming_project_spark.sources.bucketed import (
+        cojoin_bucketed,
+        write_bucketed,
+    )
+
+    base = tempfile.mkdtemp(prefix="j5_buckets_")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    write_bucketed(
+        o, "j5_orders_b", "o_custkey", 8, sorted_by="o_custkey",
+        path=f"{base}/orders",
+    )
+    write_bucketed(
+        c, "j5_customer_b", "o_custkey", 8, sorted_by="o_custkey",
+        path=f"{base}/customer",
+    )
+    joined = cojoin_bucketed(spark, "j5_orders_b", "j5_customer_b", "o_custkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(16,2)"))
+            .cast("double")
+            .alias("total_revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "sql_tpch_q7",
     """
     SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,

@@ -24,6 +24,7 @@ def write_bucketed(
     n_buckets: int = 8,
     sorted_by: str | None = None,
     partition_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sort-within-bucket)
     managed table. ``n_buckets`` should divide evenly into the cluster's
@@ -31,13 +32,19 @@ def write_bucketed(
 
     ``partition_cols`` is the orthogonal axis: low-cardinality columns
     (date, region) become directories for partition PRUNING, while
-    bucketing handles the high-cardinality join key."""
+    bucketing handles the high-cardinality join key.
+
+    ``path`` makes the table EXTERNAL at that location — use it when the
+    session's warehouse dir isn't yours to write (bucket metadata lives
+    in the catalog either way)."""
     w = df.write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w = w.bucketBy(n_buckets, bucket_col)
     if sorted_by:
         w = w.sortBy(sorted_by)
+    if path:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 
