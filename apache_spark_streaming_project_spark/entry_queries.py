@@ -2380,6 +2380,48 @@ def s_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_mergeable_stats",
+    """
+    SELECT event_type,
+           COUNT(value) AS n,
+           MIN(value) AS min_v,
+           MAX(value) AS max_v,
+           {mean} AS mean,
+           {std} AS stddev
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """.format(
+        mean=avg_exact_sql("value"), std=stddev_exact_sql("value")
+    ),
+    "S19",
+    "D5",
+)
+def x_mergeable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-rollup correctness, oracle-proved: per-(event_type,
+    day) PARTIAL statistics are merged down to per-event_type and
+    finalized (operators/mergeable.py) — and the result must equal the
+    oracle computing the stats DIRECTLY over all events. Exact decimal
+    components make the merge order-free; this is the partial+final
+    split Spark performs inside one query, lifted to a persistable
+    cross-epoch surface (the engine-side generalization of the
+    reference's snapshot re-aggregation, dashboard.py:274)."""
+    from apache_spark_streaming_project_spark.operators.mergeable import (
+        finalize_stats,
+        merge_stats,
+        partial_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day"), "value"
+    )
+    parts = partial_stats(ev, ["event_type", "day"], "value")
+    merged = merge_stats(parts, ["event_type"])
+    return finalize_stats(merged).select(
+        "event_type", "n", "min_v", "max_v", "mean", "stddev"
+    ).orderBy("event_type")
+
+
+@register(
     "d18_time_range_moving",
     """
     SELECT event_id, event_type,

@@ -1,0 +1,74 @@
+"""Mergeable (partial-aggregatable) statistics as a user-level operator.
+
+The reference's dashboard re-aggregates per-batch COUNT snapshots
+(dashboard.py:274,310,346 — D5); this module generalizes the pattern to
+the full summary-statistics family (S19): persist per-epoch/per-shard
+PARTIAL components, then merge partials to any coarser grouping WITHOUT
+rescanning the data — the mechanism behind incremental rollups, multi-
+cluster aggregation, and tiered storage summaries.
+
+Exactness: the components are (n, sum, sum-of-squares) as exact DECIMALs
+plus min/max — all associative and commutative, so merge order cannot
+change a bit (the float-sum pitfall the exact-decimal machinery in
+``functions/exact.py`` exists to avoid). Finalization (mean/stddev)
+reuses the same expression tree as ``stddev_exact``, so a merged result
+is IDENTICAL to computing the stats directly over the union — which is
+exactly what the registered oracle check proves.
+
+Scale: partials are tiny (one row per group per epoch); merging them is
+an aggregation over snapshots, not data. This is the same partial+final
+split Spark's HashAggregate performs inside one query, lifted to a
+persistable, cross-job surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def partial_stats(
+    df: DataFrame, group_cols: list[str], value_col: str, scale: int = 2
+) -> DataFrame:
+    """Per-group mergeable components of the summary-stats family:
+    ``(n, sum_dec, sumsq_dec, min_v, max_v)`` with exact decimal sums
+    (values must carry <= ``scale`` fractional digits)."""
+    d = F.col(value_col).cast(f"decimal(16,{scale})")
+    return df.groupBy(*group_cols).agg(
+        F.count(value_col).alias("n"),
+        F.sum(d).alias("sum_dec"),
+        F.sum(d * d).alias("sumsq_dec"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )
+
+
+def merge_stats(parts: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge partial-stat rows down to a coarser grouping. Decimal sums of
+    decimal partials stay exact (associative), so merging per-epoch rows
+    equals computing over the union directly."""
+    return parts.groupBy(*group_cols).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_dec").alias("sum_dec"),
+        F.sum("sumsq_dec").alias("sumsq_dec"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+def finalize_stats(stats: DataFrame) -> DataFrame:
+    """Derive ``(mean, stddev)`` from merged components with the same
+    deterministic expression tree as ``functions.exact.stddev_exact``:
+    exact components -> double once -> fixed-shape IEEE arithmetic."""
+    n = F.col("n")
+    nd = n.cast("double")
+    sd = F.col("sum_dec").cast("double")
+    sqd = F.col("sumsq_dec").cast("double")
+    var = (nd * sqd - sd * sd) / (nd * (nd - F.lit(1.0)))
+    return stats.select(
+        *[c for c in stats.columns if c not in ("sum_dec", "sumsq_dec")],
+        (sd / n).alias("mean"),
+        F.when(n > 1, F.sqrt(var)).otherwise(F.lit(None).cast("double")).alias(
+            "stddev"
+        ),
+    )
