@@ -10,6 +10,7 @@ schema; none of these ever infer.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from apache_spark_streaming_project_spark.schemas import CENSUS_SCHEMA
@@ -55,3 +56,43 @@ def read_rate_stream(
     if num_partitions is not None:
         reader = reader.option("numPartitions", str(num_partitions))
     return reader.load()
+
+
+def read_csv_stream_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Malformed-input hardening for the CSV source: PERMISSIVE parsing
+    with the raw text of any unparseable line captured in ``corrupt_col``.
+    Returns ``(clean, quarantined)`` — two filters over ONE source scan;
+    route the quarantine to a dead-letter sink instead of failing (or
+    silently nulling) the pipeline. The reference would ingest a
+    malformed CSV line as nulls and corrupt downstream aggregates
+    (spark_streaming.py:43-46 has no malformed-row handling).
+
+    At scale this is the difference between one bad producer poisoning a
+    result table and a bounded, auditable reject stream."""
+    # StructType.add mutates in place — build a fresh schema so the
+    # caller's (often module-level) schema object stays untouched
+    full = T.StructType(
+        [*schema.fields, T.StructField(corrupt_col, T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(full)
+        .format("csv")
+        .option("header", "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    for k, v in options.items():
+        stream = stream.option(k, v)
+    df = stream.load(path)
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    # the quarantine keeps the FULL row (partially-parsed fields aid
+    # debugging) — also required: Spark rejects a query whose only
+    # referenced file column is the internal corrupt-record column
+    quarantined = df.filter(F.col(corrupt_col).isNotNull())
+    return clean, quarantined

@@ -94,12 +94,16 @@ def write_batch(batch_df: DataFrame, epoch_id: int, output_dir: str) -> None:
     replayed epoch (post-crash restart from checkpoint) rewrites its own
     partition instead of appending duplicates — exactly-once per epoch.
     """
-    if batch_df.isEmpty():
-        return
     from concurrent.futures import ThreadPoolExecutor
 
+    # the emptiness guard runs on the PERSISTED frame: a pre-persist
+    # isEmpty() partially re-executes the source scan, which double-counts
+    # rows in the stream's observe() metrics; through the cache every
+    # partition materializes (and is observed) exactly once
     enriched = enrich_census(batch_df).persist()
     try:
+        if enriched.isEmpty():
+            return
         snapshot_ts = F.lit(time.time()).cast("double")
 
         def _write(item: tuple[str, DataFrame]) -> None:
@@ -136,6 +140,15 @@ def start_pipeline(spark: SparkSession, cfg: PipelineConfig) -> StreamingQuery:
         cfg.input_dir,
         cfg.source_format,
         max_files_per_trigger=cfg.max_files_per_trigger,
+    )
+    # per-batch operational metrics via the Observation API: surfaced in
+    # every StreamingQueryProgress (progress["observedMetrics"]["census_in"])
+    # and to any StreamingQueryListener — zero extra jobs, the metrics ride
+    # the existing batch execution. The reference exposes no metrics at all.
+    stream = stream.observe(
+        "census_in",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("hours_per_week").cast("long")).alias("total_hours"),
     )
     writer = (
         stream.writeStream.outputMode("update")
