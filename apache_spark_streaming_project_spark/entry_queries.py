@@ -734,6 +734,43 @@ def x4_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x4_edit_distance",
+    """
+    SELECT a.doc_id,
+           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))
+             AS edit_distance
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    ORDER BY a.doc_id
+    """,
+    "X4",
+    "X2",
+)
+def x4_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level string similarity (levenshtein) over consecutive
+    doc pairs — the fuzzy-matching primitive for near-identical record
+    linkage where token methods are too coarse (templated text, IDs,
+    names). Prefixed to 40 chars: edit distance is O(len^2) per pair, so
+    at scale it runs ONLY on candidate pairs from a blocking stage
+    (LSH/fingerprint), never all pairs — same discipline as
+    ngram_jaccard_pairs. JVM built-in, codegen'd, no Python."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.select(
+        F.col("doc_id"), F.substring("text", 1, 40).alias("_ta")
+    )
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.substring("text", 1, 40).alias("_tb"),
+    )
+    return (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id", F.levenshtein("_ta", "_tb").alias("edit_distance")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "x4_repetition",
     r"""
     SELECT doc_id,
