@@ -104,3 +104,44 @@ def test_language_id_matches_python_reference(spark, texts):
     got = {r["i"]: r["p"] for r in
            df.select("i", language_id("text").alias("p")).collect()}
     assert got == {i: ref(t) for i, t in enumerate(texts)}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5), MONEY),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_mergeable_stats_merge_equals_direct(spark, rows):
+    """Merging per-(group, shard) partials must equal computing the stats
+    directly per group — bit-identical, for ANY sharding of the rows."""
+    from apache_spark_streaming_project_spark.operators.mergeable import (
+        finalize_stats,
+        merge_stats,
+        partial_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{g}", s, float(v)) for g, s, v in rows],
+        "grp string, shard int, v double",
+    )
+    via_merge = {
+        r["grp"]: r
+        for r in finalize_stats(
+            merge_stats(partial_stats(df, ["grp", "shard"], "v"), ["grp"])
+        ).collect()
+    }
+    direct = {
+        r["grp"]: r
+        for r in finalize_stats(partial_stats(df, ["grp"], "v")).collect()
+    }
+    assert set(via_merge) == set(direct)
+    for g, d in direct.items():
+        m = via_merge[g]
+        assert (m["n"], m["min_v"], m["max_v"]) == (d["n"], d["min_v"], d["max_v"])
+        assert m["mean"] == d["mean"]  # exact, not approx
+        assert m["stddev"] == d["stddev"] or (
+            m["stddev"] is None and d["stddev"] is None
+        )
