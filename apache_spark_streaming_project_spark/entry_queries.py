@@ -734,6 +734,45 @@ def x4_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x4_sequence_packing",
+    """
+    WITH t AS (
+      SELECT lang, doc_id,
+             CAST(ceil(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                       / 4.0) AS BIGINT)
+               + CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                      AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, doc_id, n_tokens,
+           CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - 1) / 512.0) AS BIGINT) AS pack_id
+    FROM t ORDER BY lang, doc_id
+    """,
+    "X4",
+)
+def x4_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: BPE-ish token counts filled into
+    512-token bins per language partition by contiguous running sum
+    (operators/text.py:pack_documents) — one window scan, no global
+    sort, packs local to each shard the way a sharded training run
+    consumes them. Exact greedy bin packing is inherently sequential;
+    this is the standard scalable approximation."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        bpe_ish_token_count,
+        pack_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", bpe_ish_token_count("text").alias("n_tokens")
+    )
+    return pack_documents(d, "n_tokens", 512, "doc_id", "lang").orderBy(
+        "lang", "doc_id"
+    )
+
+
+@register(
     "x4_edit_distance",
     """
     SELECT a.doc_id,

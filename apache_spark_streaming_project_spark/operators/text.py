@@ -11,7 +11,7 @@ shuffle at all unless the caller aggregates).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword inventories for the n-gram/stopword heuristic
@@ -118,6 +118,38 @@ def language_id(c: Column | str) -> Column:
         lambda acc, x: F.when(x["hits"] > acc["hits"], x).otherwise(acc),
     )
     return best["lang"]
+
+
+def pack_documents(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str = "doc_id",
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing for pretraining: assign documents to fixed
+    token-budget bins (``pack_id``) by contiguous fill — running token
+    total in a deterministic order, bin = ``floor((cumsum - 1) / budget)``
+    (so a bin closes when the budget would overflow ON AVERAGE; documents
+    longer than the budget occupy their own bin span). This is the
+    scalable streaming-fill approximation of bin packing: exact greedy
+    packing is inherently sequential, while this is one window scan.
+
+    ``partition_col`` keeps the window partitioned (e.g. by shard or
+    source) so no single global sort is required at corpus scale — packs
+    are then local to each partition, which is what a sharded training
+    run wants anyway. Unpartitioned, the window is a single global
+    cumulative sum: fine for bounded exports, not for 100 TB.
+    """
+    w = Window.orderBy(order_col)
+    if partition_col:
+        w = Window.partitionBy(partition_col).orderBy(order_col)
+    cum = F.sum(F.col(token_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "pack_id", F.floor((cum - F.lit(1)) / F.lit(budget)).cast("bigint")
+    )
 
 
 def contrast_top_tokens(
