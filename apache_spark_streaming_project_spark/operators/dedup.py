@@ -450,7 +450,12 @@ def cross_split_contamination(
     gram = F.explode_outer(word_shingles(text_col, n)).alias("gram")
     grams = df.select(F.col(key_col), is_train.alias("_train"), gram)
     if hash_grams:
-        grams = grams.withColumn("gram", F.xxhash64("gram"))
+        # xxhash64(NULL) is the seed hash, NOT null — guard so zero-gram
+        # docs (explode_outer's null row) keep counting as zero grams
+        grams = grams.withColumn(
+            "gram",
+            F.when(F.col("gram").isNotNull(), F.xxhash64("gram")),
+        )
     train_set = (
         grams.filter(F.col("_train"))
         .filter(F.col("gram").isNotNull())

@@ -80,6 +80,7 @@ def test_cross_split_contamination_hashed_matches_exact(spark):
         (i, f"w{i} " + CONTAMINATED if i % 2 else CONTAMINATED + f" w{i}")
         for i in range(8)
     ]
+    rows.append((8, "too short"))  # zero-gram doc: xxhash64(NULL) guard
     df = _docs(spark, rows)
     split = F.col("doc_id") < 4
     exact = cross_split_contamination(df, split, n=8).collect()
