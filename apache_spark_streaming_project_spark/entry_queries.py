@@ -712,7 +712,10 @@ def x4_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
       FROM cnt
     )
-    SELECT token, n_a, n_b, abs(n_a * tb - n_b * ta) AS divergence
+    SELECT token, n_a, n_b,
+           CAST(abs(CAST(n_a AS DECIMAL(38,0)) * tb
+                    - CAST(n_b AS DECIMAL(38,0)) * ta)
+                AS DECIMAL(38,0)) AS divergence
     FROM cnt, tot
     ORDER BY divergence DESC, token ASC LIMIT 25
     """,

@@ -162,8 +162,11 @@ def contrast_top_tokens(
 
     The divergence score is the EXACT integer cross-product
     ``|n_a * total_b - n_b * total_a|`` (rate difference cross-multiplied
-    to clear denominators) — all-bigint arithmetic, so any engine ranks
-    identically with no float-parity caveats.
+    to clear denominators) — exact integer arithmetic, so any engine
+    ranks identically with no float-parity caveats. The products run in
+    DECIMAL(38,0): two bigint token totals can exceed 2^63 when crossed
+    at corpus scale (25T tokens squared), and Spark's non-ANSI bigint
+    multiply would wrap silently.
 
     Scale shape: one explode + token-keyed partial/final agg (the only
     data-sized shuffle), a broadcast one-row totals join, then global
@@ -191,8 +194,11 @@ def contrast_top_tokens(
             "n_a",
             "n_b",
             F.abs(
-                F.col("n_a") * F.col("_tb") - F.col("n_b") * F.col("_ta")
-            ).alias("divergence"),
+                F.col("n_a").cast("decimal(38,0)") * F.col("_tb")
+                - F.col("n_b").cast("decimal(38,0)") * F.col("_ta")
+            )
+            .cast("decimal(38,0)")
+            .alias("divergence"),
         )
         .orderBy(F.col("divergence").desc(), F.col("token").asc())
         .limit(k)
