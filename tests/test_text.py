@@ -129,3 +129,26 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_chars=50, overlap=50)
+
+
+def test_pack_documents_fills_budget_and_handles_oversize(spark):
+    from apache_spark_streaming_project_spark.operators.text import pack_documents
+
+    df = spark.createDataFrame(
+        [(0, 100), (1, 100), (2, 100), (3, 900), (4, 100)],
+        "doc_id long, n_tokens int",
+    )
+    packs = {
+        r.doc_id: r.pack_id
+        for r in pack_documents(df, "n_tokens", 512, "doc_id").collect()
+    }
+    # docs 0-2 (cum 100,200,300) share pack 0; doc 3 (cum 1200) overflows
+    # into pack 2 (oversize doc spans its own bin range); doc 4 follows
+    assert packs[0] == packs[1] == packs[2] == 0
+    assert packs[3] == 2
+    assert packs[4] == 2  # cum 1300 -> floor(1299/512) = 2
+
+    # per-partition packing restarts the fill per group
+    df2 = df.withColumn("part", (df.doc_id % 2).cast("int"))
+    by_part = pack_documents(df2, "n_tokens", 512, "doc_id", "part").collect()
+    assert all(r.pack_id == 0 for r in by_part if r.part == 0 and r.doc_id < 3)
