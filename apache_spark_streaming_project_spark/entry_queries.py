@@ -2459,6 +2459,32 @@ def s_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_salted_distinct",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "S22",
+    "§4.4",
+)
+def x_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-robust exact COUNT(DISTINCT) surfaced as an oracle row: the
+    salted two-stage formulation (functions/skew.py — stage 1 shuffles
+    on (key, salt) so a hot key spreads over 16 tasks; stage 2 merges
+    only the per-salt partial sets) must equal the plain distinct count.
+    Semantics-neutrality of salting is the point: it's the standard
+    rewrite when one key dominates an exchange at 100 TB."""
+    from apache_spark_streaming_project_spark.functions.skew import (
+        salted_distinct_count,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return salted_distinct_count(ev, "event_type", "user_id").orderBy(
+        "event_type"
+    )
+
+
+@register(
     "x_mergeable_stats",
     """
     SELECT event_type,
