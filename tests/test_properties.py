@@ -145,3 +145,43 @@ def test_mergeable_stats_merge_equals_direct(spark, rows):
         assert m["stddev"] == d["stddev"] or (
             m["stddev"] is None and d["stddev"] is None
         )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8),
+        min_size=2,
+        max_size=16,
+    )
+)
+def test_contamination_matches_python_reference(spark, token_lists):
+    """cross_split_contamination == brute-force python n-gram overlap for
+    ANY corpus (n=3, split = even/odd index)."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        cross_split_contamination,
+    )
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def grams(text):
+        t = [x for x in text.lower().strip().split() if x]
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    train = set()
+    for i, text in docs:
+        if i % 2 == 0:
+            train |= grams(text)
+    expect = {
+        i: (len(grams(text)), len(grams(text) & train))
+        for i, text in docs
+        if i % 2 == 1
+    }
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated"])
+        for r in cross_split_contamination(
+            df, F.col("doc_id") % 2 == 0, n=3
+        ).collect()
+    }
+    assert got == expect
