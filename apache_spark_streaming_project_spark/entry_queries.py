@@ -1700,6 +1700,7 @@ def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) GROUP BY bucket ORDER BY bucket
     """,
     "X4",
+    "X9",
 )
 def x_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value-distribution histogram (20 x 5000 buckets of
@@ -1732,6 +1733,7 @@ def x_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     ),
     "X4",
+    "X9",
 )
 def x_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset profiling / validation: per-column null counts, exact
@@ -1781,6 +1783,7 @@ def x_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "X1",
     "X4",
+    "X10",
 )
 def x_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: split ``documents`` 80/20 by
@@ -1834,6 +1837,7 @@ _CC_ORACLE_PREFIX = """
     """,
     "X1",
     "X2",
+    "X6",
 )
 def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: MinHash-LSH candidates -> exact-Jaccard verify
@@ -1871,6 +1875,7 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "X1",
     "X2",
+    "X6",
 )
 def x_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup collapse pipeline: candidates -> verify -> cluster
@@ -1904,6 +1909,7 @@ def x_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings WHERE vec_id < 10 ORDER BY query_id
     """,
     "X3",
+    "X8",
 )
 def x3_lsh_planted_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-ANN retrieval check in LSH's actual operating regime: perturb
@@ -1946,6 +1952,7 @@ def x3_lsh_planted_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings WHERE vec_id < 10 ORDER BY query_id
     """,
     "X3",
+    "X8",
 )
 def x3_ivf_planted_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-ANN retrieval check for the IVF index: same planted queries as
@@ -2500,6 +2507,7 @@ def x_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     "S19",
     "D5",
+    "X11",
 )
 def x_mergeable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-rollup correctness, oracle-proved: per-(event_type,
