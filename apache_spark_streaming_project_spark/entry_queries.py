@@ -2982,6 +2982,87 @@ def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_tpch_q19",
+    """
+    SELECT COUNT(*) AS n_lines, {rev} AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """.format(rev=_REV_SQL.format(p="l.l_extendedprice", d="l.l_discount")),
+    "D8a",
+    "§2.2",
+)
+def sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive join predicate (OR of cross-side
+    conjunctions): the optimizer-stress shape — Catalyst extracts the
+    common single-side conjuncts from the OR (brand IN set, size/quantity
+    envelope) and pushes them below the join, so both scans prune even
+    though the full predicate can only evaluate post-join. Part side
+    broadcasts; the fact table never shuffles for the join."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_rev_col()).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "s_string_agg",
+    """
+    SELECT c_mktsegment,
+           string_agg(DISTINCT c_nationkey::VARCHAR, ',' ORDER BY
+                      c_nationkey::VARCHAR) AS nations
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "S22",
+)
+def s_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg family: distinct values per group concatenated
+    in a DETERMINISTIC (sorted) order — ``collect_set`` -> ``array_sort``
+    -> ``concat_ws``, since a bare collect order is partition-dependent
+    and would never survive a cross-engine hash comparison. Partial-agg
+    set union; group count bounded by segment cardinality."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_set(F.col("c_nationkey").cast("string"))
+                ),
+            ).alias("nations")
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "sql_tpch_q10",
     """
     SELECT c.c_custkey, c.c_name, {rev} AS revenue, n.n_name
