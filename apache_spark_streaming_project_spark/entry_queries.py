@@ -2466,6 +2466,59 @@ def s_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_robust_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, m2.med AS median_value, m1.mad AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * m1.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d
+    JOIN mad m1 USING (event_type)
+    JOIN med m2 ON m2.event_type = d.event_type
+    GROUP BY d.event_type, m2.med, m1.mad
+    ORDER BY d.event_type
+    """,
+    "S13",
+    "§2.3",
+)
+def x_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier statistics: per-group median, median absolute
+    deviation, and the count of values beyond the 3-sigma-equivalent MAD
+    fence (1.4826 x MAD ~ sigma for normal data) — the z-score family
+    (S13) rebuilt on order statistics so a single wild value can't drag
+    the threshold the way it drags mean/stddev. Two grouped exact-median
+    passes + one broadcast join back; medians of 2-decimal values are
+    exact halves, so both engines agree bitwise."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    fence = F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", F.col("med").alias("median_value"), "mad")
+        .agg(
+            F.sum(F.when(F.col("adev") > fence, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "x_salted_distinct",
     """
     SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
