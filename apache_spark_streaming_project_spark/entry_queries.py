@@ -715,9 +715,11 @@ def x4_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT token, n_a, n_b,
            CAST(abs(CAST(n_a AS DECIMAL(38,0)) * tb
                     - CAST(n_b AS DECIMAL(38,0)) * ta)
-                AS DECIMAL(38,0)) AS divergence
+                AS BIGINT) AS divergence
     FROM cnt, tot
-    ORDER BY divergence DESC, token ASC LIMIT 25
+    ORDER BY abs(CAST(n_a AS DECIMAL(38,0)) * tb
+                 - CAST(n_b AS DECIMAL(38,0)) * ta) DESC, token ASC
+    LIMIT 25
     """,
     "X4",
 )
@@ -993,7 +995,7 @@ def x4_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT COUNT(*) AS total FROM toks)
     SELECT t.doc_id,
            COUNT(*) AS n_tokens,
-           SUM(tot.total // tf.cnt) AS rarity_sum,
+           CAST(SUM(tot.total // tf.cnt) AS BIGINT) AS rarity_sum,
            CAST(SUM(CASE WHEN tf.cnt <= 5 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_rare
     FROM toks t JOIN tf ON t.tok = tf.tok CROSS JOIN tot
@@ -1008,10 +1010,14 @@ def x4_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     it back to the exploded tokens). rarity_sum uses INTEGER floor division
     (total // count) so every value is exact in both engines — no
     float-summation-order hazard. At scale: the frequency table is
-    vocabulary-sized (broadcastable); the token join shuffles on the token
-    key with partial aggregation; the corpus scan runs twice (classic
-    stats-then-score two-pass) or once if the exploded tokens are
-    persisted."""
+    vocabulary-sized — NOT reliably broadcastable for web corpora
+    (10^8–10^9 distinct tokens), so the token-frequency join carries NO
+    broadcast hint: AQE broadcasts it when small and falls back to a
+    shuffled join keyed on the token otherwise (asserted in
+    tests/test_plans.py::test_rarity_join_survives_unbroadcastable_vocab).
+    The one-row totals join stays broadcast. The corpus scan runs twice
+    (classic stats-then-score two-pass) or once if the exploded tokens
+    are persisted."""
     from apache_spark_streaming_project_spark.operators import text as tx
 
     d = _t(spark, sf_dir, "documents")
@@ -1019,7 +1025,7 @@ def x4_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = toks.agg(F.count("*").alias("total"))
     return (
-        toks.join(F.broadcast(tf), "tok")
+        toks.join(tf, "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -1493,7 +1499,7 @@ def x_simhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ) WHERE rn <= 50 ORDER BY doc_id
     """,
-    "X4",
+    "X7",
 )
 def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling with exact per-stratum quotas (50 docs per
@@ -1518,7 +1524,7 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS test_within_5pp
     FROM documents
     """,
-    "X4",
+    "X7",
 )
 def x_hash_split_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test split (80/10/10 by
@@ -1579,7 +1585,6 @@ def _profile_oracle_col(c: str, value_expr: str | None = None) -> str:
     FROM e GROUP BY label, pos ORDER BY label, pos
     """,
     "X3",
-    "X5",
 )
 def x3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (class prototypes) in long format —

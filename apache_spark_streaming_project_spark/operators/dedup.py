@@ -12,6 +12,18 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# types with a total order usable as a deterministic window tiebreaker
+_ORDERABLE_ATOMIC = (
+    T.NumericType,
+    T.StringType,
+    T.BinaryType,
+    T.BooleanType,
+    T.DateType,
+    T.TimestampType,
+    T.TimestampNTZType,
+)
 
 # ---------------------------------------------------------------------------
 # X1 — exact dedup
@@ -39,6 +51,11 @@ def exact_dedup(
     ``fingerprint_wide_cols=False`` is the reference shape: groupBy +
     min-key + semi-join — TWO shuffles. Appropriate when ``cols`` are small
     scalars and the keep-table is reused, never for text at scale.
+
+    Determinism: the survivor is the min-``key_col`` row; if ``key_col``
+    values repeat within a dup-group, ties break on the remaining
+    orderable (atomic-typed) columns, so the pick is stable across runs
+    and partitionings — never partition-order-dependent.
     """
     if not fingerprint_wide_cols:
         keep = df.groupBy(*cols).agg(F.min(key_col).alias(key_col))
@@ -46,7 +63,16 @@ def exact_dedup(
     h = F.xxhash64(*[F.col(c) for c in cols])
     # rank within (hash, exact col values): same shuffle key as hash-only,
     # but the window ORDER/PARTITION re-checks true equality per group
-    w = Window.partitionBy(h, *cols).orderBy(F.col(key_col).asc())
+    tiebreak = [
+        F.col(f.name).asc_nulls_first()
+        for f in df.schema.fields
+        if f.name != key_col
+        and f.name not in cols
+        and isinstance(f.dataType, _ORDERABLE_ATOMIC)
+    ]
+    w = Window.partitionBy(h, *cols).orderBy(
+        F.col(key_col).asc(), *tiebreak
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -555,6 +581,18 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # falling through with changed > 0 would silently return WRONG
+        # (under-merged) labels for graphs whose diameter exceeds the
+        # round budget — long transitive chains in templated text can do
+        # this. Fail loudly; callers with genuinely deep graphs should
+        # raise max_iterations (or move to the small-star/large-star
+        # formulation, which converges in O(log n) rounds).
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iterations} "
+            f"rounds ({changed} labels still changing): pair-graph "
+            "diameter exceeds the round budget; raise max_iterations"
+        )
     return labels.select(F.col("_key").alias("key"), "cluster_id")
 
 
@@ -564,21 +602,28 @@ def dedup_keep_representatives(
     key_col: str = "doc_id",
     key_a: str = "key_a",
     key_b: str = "key_b",
+    broadcast_drop: bool = False,
 ) -> DataFrame:
     """Collapse near-dup clusters: keep ONE row per connected component (the
     min-key member — swap the ordering for a quality-score argmax), plus
     every row not in any pair. This is the final step of a near-dup
     pipeline: candidates -> verify -> cluster -> keep representative.
 
-    One broadcast-size join against the cluster table (clusters are a
-    vanishing fraction of the corpus; hint broadcast if the optimizer's
-    stats miss that) — the corpus itself never shuffles.
+    The anti-join against the drop-key set carries NO broadcast hint by
+    default: crawl corpora routinely have a LARGE near-dup fraction
+    (30%+), so the drop set is not reliably driver/broadcast-sized, and a
+    forced hint fails outright instead of degrading. AQE broadcasts it at
+    runtime when it measures small; pass ``broadcast_drop=True`` only when
+    the caller KNOWS the dup fraction is tiny and wants to pin the plan
+    (e.g. stats are unavailable and the shuffle must be avoided).
     """
     clusters = near_dup_clusters(pairs, key_a, key_b)
     drop = clusters.filter(F.col("key") != F.col("cluster_id")).select(
         F.col("key").alias(key_col)
     )
-    return df.join(F.broadcast(drop), key_col, "left_anti")
+    if broadcast_drop:
+        drop = F.broadcast(drop)
+    return df.join(drop, key_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

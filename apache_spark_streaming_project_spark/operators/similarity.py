@@ -17,6 +17,8 @@ approximate variant as the scale path. Both are pure DataFrame plans:
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -251,15 +253,15 @@ def lsh_batch_top_k(
     from pyspark.sql import Window
 
     planes = _hyperplanes(dim, n_planes, seed)
-    masks = [0]
-    if multiprobe_hamming >= 1:
-        masks += [1 << i for i in range(n_planes)]
-    if multiprobe_hamming >= 2:
-        masks += [
-            (1 << i) | (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        ]
+    # probe masks for ALL Hamming radii up to the requested one — generated
+    # generically so radius >= 3 yields real masks instead of a silent
+    # recall clamp (probe count grows as C(n_planes, r); callers pay
+    # exactly what they ask for)
+    masks = [
+        sum(1 << b for b in bits)
+        for r in range(multiprobe_hamming + 1)
+        for bits in itertools.combinations(range(n_planes), r)
+    ]
     probes = queries.withColumn(
         "_qbucket", _sign_bucket(F.col(query_vec_col), planes)
     ).select(

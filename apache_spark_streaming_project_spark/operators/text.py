@@ -166,7 +166,10 @@ def contrast_top_tokens(
     ranks identically with no float-parity caveats. The products run in
     DECIMAL(38,0): two bigint token totals can exceed 2^63 when crossed
     at corpus scale (25T tokens squared), and Spark's non-ANSI bigint
-    multiply would wrap silently.
+    multiply would wrap silently. The RANKING stays in exact decimal;
+    the emitted ``divergence`` column is cast to BIGINT so every engine
+    renders the identical integer identically (decimal128 stringification
+    differs across engines even when values are bit-equal).
 
     Scale shape: one explode + token-keyed partial/final agg (the only
     data-sized shuffle), a broadcast one-row totals join, then global
@@ -198,10 +201,16 @@ def contrast_top_tokens(
                 - F.col("n_b").cast("decimal(38,0)") * F.col("_ta")
             )
             .cast("decimal(38,0)")
-            .alias("divergence"),
+            .alias("_div_exact"),
         )
-        .orderBy(F.col("divergence").desc(), F.col("token").asc())
+        .orderBy(F.col("_div_exact").desc(), F.col("token").asc())
         .limit(k)
+        .select(
+            "token",
+            "n_a",
+            "n_b",
+            F.col("_div_exact").cast("bigint").alias("divergence"),
+        )
     )
 
 

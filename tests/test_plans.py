@@ -226,3 +226,23 @@ def test_decontamination_dedups_grams_before_join(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
     assert join_pos >= 0
+
+
+def test_rarity_join_survives_unbroadcastable_vocab(spark, sf_dir):
+    """x4_rarity_scores: the token-frequency join must carry NO forced
+    broadcast hint — at web-corpus scale the vocabulary (10^8-10^9 distinct
+    tokens) exceeds broadcast limits, so a hard hint would OOM executors
+    instead of degrading to a shuffled join. With auto-broadcast disabled
+    (simulating an unbroadcastable build side) the plan must fall back to a
+    shuffled token-keyed join; the one-row totals join stays broadcast
+    (BroadcastNestedLoopJoin, immune to the threshold via explicit hint)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["x4_rarity_scores"].fn(spark, sf_dir)
+        plan = physical_plan(df, "simple")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        # the explicit one-row totals broadcast survives the threshold
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
