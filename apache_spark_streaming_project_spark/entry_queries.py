@@ -1990,43 +1990,116 @@ def x3_ivf_planted_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("x5_image_features", None, "X5")
+# Shared oracle CTE: the derived media table (operators/multimodal.py:
+# derived_media_table) reconstructed byte-for-byte in DuckDB SQL — payload
+# hex is an md5-chain over the text, truncated per-doc; media type and
+# duration are pure functions of doc_id. mt: 0=image, 1=video, 2=audio.
+_X5_MEDIA_CTE = """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 3 AS INT) AS mt,
+             CAST(16 + doc_id % 49 AS INT) AS blen,
+             substr(md5(text || ':0') || md5(text || ':1')
+                    || md5(text || ':2') || md5(text || ':3'),
+                    1, CAST(2 * (16 + doc_id % 49) AS INT)) AS hx,
+             CAST(500 + (doc_id % 7) * 700 AS BIGINT) AS duration_ms
+      FROM documents
+    )
+"""
+
+@register(
+    "x5_image_features",
+    _X5_MEDIA_CTE
+    + """
+    , img AS (SELECT media_id, blen, hx FROM m WHERE mt = 0),
+    bins AS (
+      SELECT media_id, CAST(blen AS BIGINT) AS n_bytes,
+             list_transform(range(1, blen + 1),
+               j -> (strpos('0123456789abcdef', substr(hx, 2*j - 1, 1)) - 1)
+                    // 2) AS bin
+      FROM img
+    )
+    SELECT media_id, n_bytes,
+           CAST(len(list_filter(bin, b -> b = 0)) AS BIGINT) AS h0,
+           CAST(len(list_filter(bin, b -> b = 1)) AS BIGINT) AS h1,
+           CAST(len(list_filter(bin, b -> b = 2)) AS BIGINT) AS h2,
+           CAST(len(list_filter(bin, b -> b = 3)) AS BIGINT) AS h3,
+           CAST(len(list_filter(bin, b -> b = 4)) AS BIGINT) AS h4,
+           CAST(len(list_filter(bin, b -> b = 5)) AS BIGINT) AS h5,
+           CAST(len(list_filter(bin, b -> b = 6)) AS BIGINT) AS h6,
+           CAST(len(list_filter(bin, b -> b = 7)) AS BIGINT) AS h7
+    FROM bins ORDER BY media_id
+    """,
+    "X5",
+)
 def x5_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 — binary payload -> feature vector via Arrow-batched mapInPandas
-    (deterministic fake decode kernel; real decode is a stubbed
-    NotImplementedError — see operators/multimodal.py). Rows-only check."""
+    """X5 — binary payload -> feature histogram via Arrow-batched
+    mapInPandas over the documents-derived media table. The fake-decode
+    kernel (real decode is a stubbed NotImplementedError — see
+    operators/multimodal.py) emits EXACT integer byte-histogram bins, and
+    the oracle recomputes every byte from the md5-chain hex in pure SQL —
+    so the whole Arrow pipeline (column-pruned payload exchange, 1:1 batch
+    alignment, typed output schema) is hash-verified, not rows-only. The
+    top-3-bit bin of a byte is its first hex nibble >> 1, which is what
+    the oracle's nibble arithmetic computes."""
     from apache_spark_streaming_project_spark.operators.multimodal import (
+        derived_media_table,
         extract_image_features,
-        synthetic_media_table,
     )
 
-    media = synthetic_media_table(spark, n=64)
+    media = derived_media_table(_t(spark, sf_dir, "documents")).filter(
+        F.col("meta.media_type") == "image"
+    )
     feats = extract_image_features(media, fake_decode=True)
-    # The harness canonicalizer sorts values per column, which dies on raw
-    # array cells — project the feature vector to a deterministic string
-    # digest here; the library API (extract_image_features) keeps the array.
     return feats.select(
         "media_id",
         "n_bytes",
-        F.concat_ws(
-            ",", F.expr("transform(feature, x -> format_number(x, 6))")
-        ).alias("feature_digest"),
+        *[F.col("hist").getItem(i).alias(f"h{i}") for i in range(8)],
     ).orderBy("media_id")
 
 
-@register("x5_frame_sampling", None, "X5")
+@register(
+    "x5_frame_sampling",
+    _X5_MEDIA_CTE
+    + """
+    , vid AS (
+      SELECT media_id, duration_ms, upper(hx) AS hex_payload
+      FROM m WHERE mt = 1
+    )
+    SELECT media_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i * 1000 AS BIGINT) AS ts_ms,
+           hex_payload AS frame_hex
+    FROM vid, unnest(range(0, greatest(duration_ms // 1000, 1))) AS t(i)
+    ORDER BY media_id, frame_idx
+    """,
+    "X5",
+)
 def x5_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 — video frame-sampling stub: row explosion inside mapInPandas
-    (1 row per sampled frame). Rows-only check."""
+    """X5 — video frame sampling: row EXPLOSION inside mapInPandas (one
+    output row per sampled frame — output rows != input rows, the shape
+    scalar UDFs can't express), over the documents-derived media table.
+    Frame count = max(duration_ms // 1000, 1); the fake kernel emits the
+    source payload per frame, surfaced as hex so the oracle verifies the
+    binary round-trip byte-for-byte."""
     from apache_spark_streaming_project_spark.operators.multimodal import (
+        derived_media_table,
         sample_video_frames,
-        synthetic_media_table,
     )
 
-    media = synthetic_media_table(spark, n=64).filter(
+    media = derived_media_table(_t(spark, sf_dir, "documents")).filter(
         F.col("meta.media_type") == "video"
     )
-    return sample_video_frames(media, every_ms=1000).orderBy("media_id", "frame_idx")
+    return (
+        sample_video_frames(media, every_ms=1000)
+        .select(
+            "media_id",
+            "frame_idx",
+            "ts_ms",
+            F.hex(F.col("frame_payload")).alias("frame_hex"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
 
 
 @register(
@@ -3456,20 +3529,63 @@ def j3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x5_audio_features", None, "X5")
+@register(
+    "x5_audio_features",
+    _X5_MEDIA_CTE
+    + """
+    , aud AS (SELECT media_id, duration_ms, blen, hx FROM m WHERE mt = 2),
+    wav AS (
+      SELECT media_id, duration_ms, blen,
+             list_transform(range(1, blen + 1),
+               i -> (strpos('0123456789abcdef', substr(hx, 2*i - 1, 1)) - 1)
+                      * 16
+                    + (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1)
+             ) AS bytes
+      FROM aud
+    )
+    SELECT media_id, duration_ms,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(blen AS BIGINT) AS n_bytes,
+           CAST(list_reduce(list_transform(bytes,
+                  b -> (b - 128) * (b - 128)), (x, y) -> x + y) AS BIGINT)
+             AS sum_sq,
+           CAST(len(list_filter(range(1, blen),
+                  i -> (bytes[i] >= 128) != (bytes[i + 1] >= 128))) AS BIGINT)
+             AS zero_crossings
+    FROM wav ORDER BY media_id
+    """,
+    "X5",
+)
 def x5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 — audio payload -> rms/zero-crossing features via Arrow-batched
-    mapInPandas (deterministic fake decode; real decode stubbed — see
-    operators/multimodal.py). Rows-only check."""
+    """X5 — audio payload -> waveform features via Arrow-batched
+    mapInPandas over the documents-derived media table (real decode is a
+    stubbed NotImplementedError; see operators/multimodal.py). The fake
+    kernel reads the bytes as a centered int8 waveform and emits EXACT
+    integers — sample count, sum of squared amplitudes, zero crossings —
+    which the oracle recomputes from the md5-chain hex in pure SQL, so
+    the kernel is hash-verified end-to-end (rms stays float-only in the
+    library API and is excluded here: Python's ``** 0.5`` is not
+    guaranteed bit-equal to SQL sqrt)."""
     from apache_spark_streaming_project_spark.operators.multimodal import (
+        derived_media_table,
         extract_audio_features,
-        synthetic_media_table,
     )
 
-    media = synthetic_media_table(spark, n=64).filter(
+    media = derived_media_table(_t(spark, sf_dir, "documents")).filter(
         F.col("meta.media_type") == "audio"
     )
-    return extract_audio_features(media, fake_decode=True).orderBy("media_id")
+    return (
+        extract_audio_features(media, fake_decode=True)
+        .select(
+            "media_id",
+            "duration_ms",
+            "sample_rate",
+            "n_bytes",
+            "sum_sq",
+            "zero_crossings",
+        )
+        .orderBy("media_id")
+    )
 
 
 @register(

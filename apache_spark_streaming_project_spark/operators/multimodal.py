@@ -53,15 +53,18 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("hist", T.ArrayType(T.LongType()), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
     ]
 )
 
 
-def _decode_image_bytes(payload: bytes, fake: bool) -> list[float]:
+def _decode_image_bytes(payload: bytes, fake: bool) -> list[int]:
     """STUB decode kernel. Real mode requires an image library not present in
-    this container; test mode derives a deterministic 8-dim byte-histogram
-    'feature' from the raw payload so the full pipeline is exercisable."""
+    this container; test mode derives a deterministic 8-bin byte histogram
+    from the raw payload (exact integer counts — SQL-reproducible, so the
+    oracle gate can hash-verify the whole Arrow pipeline; the normalized
+    float 'feature' is derived from it)."""
     if not fake:
         raise NotImplementedError(
             "image decode requires an image library (PIL/cv2) not installed "
@@ -71,8 +74,7 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> list[float]:
     hist = [0] * 8
     for b in payload:
         hist[b >> 5] += 1
-    n = max(len(payload), 1)
-    return [h / n for h in hist]
+    return hist
 
 
 def extract_image_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
@@ -87,14 +89,24 @@ def extract_image_features(df: DataFrame, fake_decode: bool = True) -> DataFrame
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
+            hists = [
                 None if p is None else _decode_image_bytes(bytes(p), fake_decode)
                 for p in pdf["payload"]
+            ]
+            feats = [
+                None
+                if h is None
+                else [c / max(n, 1) for c in h]
+                for h, n in zip(
+                    hists,
+                    (0 if p is None else len(p) for p in pdf["payload"]),
+                )
             ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": [0 if p is None else len(p) for p in pdf["payload"]],
+                    "hist": hists,
                     "feature": feats,
                 }
             )
@@ -107,17 +119,20 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("duration_ms", T.LongType(), True),
         T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
         T.StructField("rms", T.DoubleType(), True),
         T.StructField("zero_crossings", T.LongType(), True),
     ]
 )
 
 
-def _decode_audio_bytes(payload: bytes, fake: bool) -> tuple[float, int]:
+def _decode_audio_bytes(payload: bytes, fake: bool) -> tuple[int, int, float, int]:
     """STUB audio decode kernel. Real mode needs an audio library (librosa/
     soundfile) not in this container; test mode treats the raw bytes as a
-    centered int8 waveform and computes deterministic rms + zero-crossing
-    count from it."""
+    centered int8 waveform and computes (n_samples, sum of squared
+    amplitudes, rms, zero-crossing count). The integer outputs are exact
+    and SQL-reproducible (oracle hash parity); rms is derived from them."""
     if not fake:
         raise NotImplementedError(
             "audio decode requires an audio library (librosa/soundfile) not "
@@ -126,11 +141,12 @@ def _decode_audio_bytes(payload: bytes, fake: bool) -> tuple[float, int]:
         )
     samples = [b - 128 for b in payload]
     n = max(len(samples), 1)
-    rms = (sum(s * s for s in samples) / n) ** 0.5
+    sum_sq = sum(s * s for s in samples)
+    rms = (sum_sq / n) ** 0.5
     zc = sum(
         1 for a, b in zip(samples, samples[1:]) if (a >= 0) != (b >= 0)
     )
-    return rms, zc
+    return len(samples), sum_sq, rms, zc
 
 
 def extract_audio_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
@@ -147,13 +163,17 @@ def extract_audio_features(df: DataFrame, fake_decode: bool = True) -> DataFrame
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rms, zc = [], []
+            nb, ssq, rms, zc = [], [], [], []
             for p in pdf["payload"]:
                 if p is None:
+                    nb.append(None)
+                    ssq.append(None)
                     rms.append(None)
                     zc.append(None)
                 else:
-                    r, z = _decode_audio_bytes(bytes(p), fake_decode)
+                    n_, s_, r, z = _decode_audio_bytes(bytes(p), fake_decode)
+                    nb.append(n_)
+                    ssq.append(s_)
                     rms.append(r)
                     zc.append(z)
             yield pd.DataFrame(
@@ -161,6 +181,8 @@ def extract_audio_features(df: DataFrame, fake_decode: bool = True) -> DataFrame
                     "media_id": pdf["media_id"],
                     "duration_ms": pdf["duration_ms"],
                     "sample_rate": pdf["sample_rate"],
+                    "n_bytes": nb,
+                    "sum_sq": ssq,
                     "rms": rms,
                     "zero_crossings": zc,
                 }
@@ -233,6 +255,48 @@ def sample_video_frames(
             yield pd.DataFrame(out)
 
     return pruned.mapInPandas(kernel, out_schema)
+
+
+def derived_media_table(docs: DataFrame) -> DataFrame:
+    """Deterministic media table DERIVED IN-PLAN from the documents table:
+    payload bytes are an md5-chain over the text (``unhex(md5(text||':0')
+    || ... || md5(text||':3'))`` truncated to a per-doc length), metadata is
+    a pure function of doc_id. Because every byte is expressible in ANSI
+    SQL, a DuckDB oracle can reconstruct the EXACT payloads and verify the
+    mapInPandas decode kernels end-to-end by value hash — this is what
+    upgrades the X5 queries from rows-only to hash-checked.
+
+    The plan is map-only (no shuffle): one projection over the documents
+    scan. Payload length varies 16..64 bytes so histogram/zero-crossing
+    paths see non-uniform inputs. doc_id % 3: 0=image, 1=video, 2=audio.
+    """
+    mt = F.element_at(
+        F.array(F.lit("image"), F.lit("video"), F.lit("audio")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    blen = (F.lit(16) + F.pmod(F.col("doc_id"), F.lit(49))).cast("int")
+    hx = F.concat(
+        *[F.md5(F.concat(F.col("text"), F.lit(f":{i}"))) for i in range(4)]
+    )
+    payload = F.unhex(F.substring(hx, F.lit(1), blen * 2))
+    is_img = mt == "image"
+    is_vid = mt == "video"
+    is_aud = mt == "audio"
+    dur = (F.lit(500) + F.pmod(F.col("doc_id"), F.lit(7)) * 700).cast("long")
+    meta = F.struct(
+        mt.alias("media_type"),
+        F.when(is_img, "png")
+        .when(is_vid, "mp4")
+        .otherwise("wav")
+        .alias("format"),
+        F.when(is_img, 32).when(is_vid, 640).cast("int").alias("width"),
+        F.when(is_img, 32).when(is_vid, 480).cast("int").alias("height"),
+        F.when(is_vid | is_aud, dur).alias("duration_ms"),
+        F.when(is_aud, 16000).cast("int").alias("sample_rate"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload"), meta.alias("meta")
+    )
 
 
 def synthetic_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
