@@ -2434,12 +2434,23 @@ def s_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale story (no Expand blow-up, constant memory, mergeable partial
     sketches) is why the operator exists."""
     li = _t(spark, sf_dir, "lineitem")
-    agg = li.agg(
+    # approx sketches in ONE pass; exact counts as two separate
+    # single-distinct partial aggs cross-joined back (1-row sides). Putting
+    # both COUNT(DISTINCT)s in one agg compiles to an Expand plan that
+    # doubles every input row before the shuffle — measured 3x slower at
+    # sf0.1 and strictly worse at scale. This shape keeps every branch
+    # Expand-free with map-side partial aggregation.
+    ap = li.agg(
         F.approx_count_distinct("l_partkey").alias("_ap"),
         F.approx_count_distinct("l_orderkey").alias("_ao"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+    ep = (
+        li.select("l_partkey").distinct().agg(F.count("*").alias("exact_parts"))
+    )
+    eo = (
+        li.select("l_orderkey").distinct().agg(F.count("*").alias("exact_orders"))
+    )
+    agg = ap.crossJoin(ep).crossJoin(eo)
     err = lambda a, e: F.abs(a - F.col(e)) / F.col(e)  # noqa: E731
     return agg.select(
         "exact_parts",
