@@ -3857,6 +3857,92 @@ def m5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m5_stream_stream_left_outer",
+    """
+    WITH a AS (SELECT user_id, event_id AS a_event_id, ts AS a_ts
+               FROM events WHERE event_type = 'click'),
+    b AS (SELECT user_id, event_id AS b_event_id, ts AS b_ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(a_ts) FROM a), (SELECT max(b_ts) FROM b))
+                  - INTERVAL 1 HOUR AS w),
+    matched AS (
+      SELECT a.user_id, a.a_event_id, b.b_event_id
+      FROM a JOIN b ON a.user_id = b.user_id
+       AND b.b_ts >= a.a_ts AND b.b_ts <= a.a_ts + INTERVAL 6 HOUR
+    ),
+    expired_unmatched AS (
+      SELECT a.user_id, a.a_event_id, CAST(NULL AS BIGINT) AS b_event_id
+      FROM a, wm
+      WHERE a.a_ts + INTERVAL 6 HOUR < wm.w
+        AND NOT EXISTS (SELECT 1 FROM b WHERE b.user_id = a.user_id
+                        AND b.b_ts >= a.a_ts
+                        AND b.b_ts <= a.a_ts + INTERVAL 6 HOUR)
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM expired_unmatched
+    ORDER BY a_event_id, b_event_id
+    """,
+    "S6",
+    "§2.9",
+)
+def m5_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM event-time LEFT OUTER interval join with a TIGHT
+    watermark, oracle-checked against the exact streaming semantics:
+    matches emit as seen; a null-padded row emits for a click only when
+    the watermark closes its 6 h match window unmatched (state eviction),
+    so the availableNow drain reports outer rows for every window below
+    the FINAL watermark ``min(max(click_ts), max(purchase_ts)) - 1 h``
+    and keeps the tail pending — streaming semantics, not batch. The
+    oracle reproduces exactly that: inner matches plus expired-unmatched
+    clicks under the final watermark (streaming/joins.py:44 documents
+    the emission rule). State per side stays bounded by
+    watermark + interval (probed in BASELINE.md)."""
+    import os
+    import tempfile
+
+    from apache_spark_streaming_project_spark.streaming.joins import (
+        interval_join,
+    )
+
+    base = tempfile.mkdtemp(prefix="m5_lo_")
+    a_dir = os.path.join(base, "a")
+    b_dir = os.path.join(base, "b")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("a_event_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("b_event_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    clicks.repartition(2).write.mode("overwrite").parquet(a_dir)
+    purchases.repartition(2).write.mode("overwrite").parquet(b_dir)
+
+    sa = spark.readStream.schema(clicks.schema).parquet(a_dir)
+    sb = spark.readStream.schema(purchases.schema).parquet(b_dir)
+    joined = interval_join(
+        sa, sb, "user_id", "a_ts", "b_ts", "6 hours",
+        watermark="1 hour", how="leftOuter",
+    )
+    q = (
+        joined.select("user_id", "a_event_id", "b_event_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).orderBy("a_event_id", "b_event_id")
+
+
+@register(
     "m3_streaming_parity",
     """
     SELECT CASE WHEN age < 18 THEN 'Under 18'

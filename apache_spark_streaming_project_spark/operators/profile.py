@@ -49,24 +49,42 @@ def column_profile(
     """Long-format per-column profile: one output row per column with
     ``(column, n_rows, n_nulls, n_distinct, min_value, max_value)``.
 
-    Single aggregation pass; ``exact=False`` swaps the distinct counts to
-    HyperLogLog sketches for corpus-scale runs (no Expand in the plan).
+    ``exact=False`` (the corpus-scale mode) computes everything in ONE
+    aggregation pass with HyperLogLog distinct sketches — no Expand in
+    the plan. ``exact=True`` keeps the non-distinct stats in that single
+    pass but computes each column's exact distinct count as its own
+    column-pruned partial-agg branch cross-joined back (1-row sides):
+    putting k countDistincts in one aggregate compiles to an Expand that
+    replicates every input row k+1 times before the shuffle, while k
+    single-column branches each scan one parquet column with map-side
+    combine — strictly less data moved on a columnar source (measured 3x
+    faster at sf0.1 even for the 2-distinct case; see s_approx_distinct).
     The column label is ``column_name`` (``column`` is reserved in ANSI
     engines and would force quoting in every downstream query).
     """
     cols = cols or df.columns
     dtypes = dict(df.dtypes)
-    n_distinct = F.countDistinct if exact else F.approx_count_distinct
     aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         col = F.col(c)
         aggs += [
             F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
-            n_distinct(col).alias(f"{c}__distinct"),
             _as_string(F.min(col), dtypes[c]).alias(f"{c}__min"),
             _as_string(F.max(col), dtypes[c]).alias(f"{c}__max"),
         ]
+        if not exact:
+            aggs.append(F.approx_count_distinct(col).alias(f"{c}__distinct"))
     one = df.agg(*aggs)
+    if exact:
+        for c in cols:
+            # countDistinct semantics: distinct NON-NULL values
+            branch = (
+                df.filter(F.col(c).isNotNull())
+                .select(c)
+                .distinct()
+                .agg(F.count(F.lit(1)).alias(f"{c}__distinct"))
+            )
+            one = one.crossJoin(branch)
     stack_args = ", ".join(
         f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
         for c in cols

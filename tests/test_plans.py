@@ -179,15 +179,18 @@ def test_exact_dedup_default_single_shuffle(spark, sf_dir):
     assert count_shuffles(df) <= 1
 
 
-def test_profile_approx_mode_has_no_expand(spark, sf_dir):
-    """column_profile: exact multi-distinct forces an Expand; the
-    corpus-scale HLL mode must NOT have one (single partial+final agg)."""
+def test_profile_both_modes_have_no_expand(spark, sf_dir):
+    """column_profile must never compile to an Expand: the HLL mode is a
+    single partial+final agg, and the exact mode computes each column's
+    distinct count as its own column-pruned partial-agg branch instead of
+    a multi-distinct aggregate (which would replicate every input row
+    k+1 times pre-shuffle)."""
     from apache_spark_streaming_project_spark.operators.profile import (
         column_profile,
     )
 
     o = load_table(spark, sf_dir, "orders")
-    assert "Expand" in physical_plan(column_profile(o), "simple")
+    assert "Expand" not in physical_plan(column_profile(o), "simple")
     approx = column_profile(o, exact=False)
     plan = physical_plan(approx, "simple")
     assert "Expand" not in plan
