@@ -1128,6 +1128,61 @@ def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x1_incremental_dedup",
+    """
+    WITH base AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+    incoming AS (
+      SELECT doc_id, text FROM documents WHERE source = 'src0'
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+      WHERE source = 'src1' AND doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents
+      WHERE source = 'src0' AND doc_id % 7 = 0
+    )
+    SELECT i.doc_id FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.text = i.text)
+      AND i.doc_id = (SELECT min(j.doc_id) FROM incoming j
+                      WHERE j.text = i.text)
+    ORDER BY doc_id
+    """,
+    "X1",
+)
+def x1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 ingest path — dedup an incoming crawl batch against the
+    already-ingested base corpus by fingerprint anti-join, then within
+    itself (operators/dedup.incremental_dedup). The batch is constructed
+    in-plan to contain genuine overlap: fresh src0 docs, re-crawled src1
+    copies (must drop — their text is in the base) and re-keyed src0
+    copies (must collapse to the min-key original within the batch). The
+    oracle expresses the same semantics with text equality; the engine
+    shuffles 8-byte xxhash64 fingerprints, never text."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    base = d.filter(F.col("source") != "src0").select("doc_id", "text")
+    incoming = (
+        d.filter(F.col("source") == "src0")
+        .select("doc_id", "text")
+        .unionAll(
+            d.filter((F.col("source") == "src1") & (F.col("doc_id") % 5 == 0))
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        )
+        .unionAll(
+            d.filter((F.col("source") == "src0") & (F.col("doc_id") % 7 == 0))
+            .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+        )
+    )
+    return (
+        incremental_dedup(base, incoming, "text", "doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "x1_fingerprint_dedup",
     """
     SELECT event_id FROM (
@@ -1189,6 +1244,40 @@ _SHINGLES_SQL = r"""
                              x -> x <> '') AS t
           FROM documents)
 """
+
+
+@register(
+    "x4_gram_boilerplate",
+    """
+    WITH sh AS ({shingles}),
+    g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+    dfq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(MAX(dfq.df) AS BIGINT) AS max_gram_df,
+           CAST(SUM(CASE WHEN dfq.df >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_common_grams
+    FROM g JOIN dfq USING (gram)
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """.format(shingles=_SHINGLES_SQL),
+    "X4",
+    "X2",
+)
+def x4_gram_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate/template detection: per-doc 3-gram
+    document-frequency stats (operators/text.gram_boilerplate_signal) —
+    the corpus-level companion to the intra-doc repetition ratios. Two-
+    pass corpus-stats shape: distinct per-doc shingles exploded map-side,
+    one gram-keyed agg for the df table, unhinted join back (vocabulary-
+    sized build side, AQE decides), per-doc final agg."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        gram_boilerplate_signal,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gram_boilerplate_signal(d, "doc_id", "text", 3, 20).orderBy(
+        "doc_id"
+    )
 
 
 @register(

@@ -94,6 +94,38 @@ def exact_dedup_by_fingerprint(
     )
 
 
+def incremental_dedup(
+    base: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """X1 ingest path — dedup an INCOMING batch against an already-ingested
+    base corpus, then within itself: the shape every continuously-crawled
+    training corpus needs (re-crawls and mirrors re-deliver old content
+    forever; re-deduping the full corpus per batch is O(corpus) per batch,
+    this is O(batch + fingerprint-lookup)).
+
+    Plan: the base side is reduced to DISTINCT 8-byte xxhash64 fingerprints
+    (in production this fingerprint table is persisted once and appended
+    per batch, never recomputed — see mergeable.py for the same
+    incremental philosophy); the batch anti-joins it on the fingerprint,
+    then keeps the min-``key_col`` row per surviving fingerprint. Both
+    joins shuffle 8-byte keys, never text. Collision caveat as
+    ``exact_dedup_by_fingerprint`` (negligible below ~1e9 distincts)."""
+    base_fp = base.select(
+        F.xxhash64(F.col(text_col)).alias("_fp")
+    ).distinct()
+    inc = incoming.withColumn("_fp", F.xxhash64(F.col(text_col)))
+    fresh = inc.join(base_fp, "_fp", "left_anti")
+    w = Window.partitionBy("_fp").orderBy(F.col(key_col).asc())
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_fp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # X2 — latest-version dedup (ranking window — same shape as D8)
 # ---------------------------------------------------------------------------

@@ -214,6 +214,48 @@ def contrast_top_tokens(
     )
 
 
+def gram_boilerplate_signal(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    common_df: int = 20,
+) -> DataFrame:
+    """Template/boilerplate detection over a corpus: per-document n-gram
+    document-frequency stats — ``n_grams`` (distinct n-grams in the doc),
+    ``max_gram_df`` (how many documents share the doc's most widespread
+    n-gram) and ``n_common_grams`` (how many of its n-grams appear in >=
+    ``common_df`` documents). High values flag boilerplate/templated text
+    (cookie banners, scaffold pages) that inflates an LLM corpus — the
+    C4/Gopher-style cross-document companion to the intra-document
+    ``repetition_ratio``.
+
+    Scale shape: shingles are per-doc DISTINCT (so gram count == document
+    frequency), explode is map-side, the df table comes from one
+    gram-keyed partial/final agg, and the join back to the exploded grams
+    carries NO broadcast hint — the gram vocabulary is corpus-sized, AQE
+    decides (same discipline as x4_rarity_scores)."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        word_shingles,
+    )
+
+    grams = df.select(
+        key_col, F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    )
+    dfq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(dfq, "gram")
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.max("df").alias("max_gram_df"),
+            F.sum((F.col("df") >= common_df).cast("long")).alias(
+                "n_common_grams"
+            ),
+        )
+    )
+
+
 def repetition_ratio(c: Column | str, n: int = 1) -> Column:
     """Gopher-style intra-document repetition: the fraction of word
     ``n``-grams that are duplicates of an earlier one,

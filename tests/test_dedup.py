@@ -197,3 +197,28 @@ def test_dedup_keep_representatives(spark):
     )
     # cluster {1,2,4} keeps 1; 0, 3, 5 untouched
     assert kept == [0, 1, 3, 5]
+
+
+def test_incremental_dedup(spark):
+    """Batch-vs-base anti-join drops re-crawled content; within-batch
+    duplicates collapse to the min-key row; fresh content survives."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "old news"), (2, "press release")], ["doc_id", "text"]
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "fresh article"),      # new -> survives
+            (11, "old news"),           # re-crawl of base -> dropped
+            (12, "another fresh one"),  # new -> survives
+            (13, "another fresh one"),  # within-batch dup -> dropped (min key 12)
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r.doc_id for r in incremental_dedup(base, incoming).collect()
+    )
+    assert kept == [10, 12]

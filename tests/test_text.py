@@ -152,3 +152,22 @@ def test_pack_documents_fills_budget_and_handles_oversize(spark):
     df2 = df.withColumn("part", (df.doc_id % 2).cast("int"))
     by_part = pack_documents(df2, "n_tokens", 512, "doc_id", "part").collect()
     assert all(r.pack_id == 0 for r in by_part if r.part == 0 and r.doc_id < 3)
+
+
+def test_gram_boilerplate_signal(spark):
+    """Hand-computed 3-gram document frequencies: the shared template
+    prefix shows up with df == number of docs carrying it."""
+    rows = [
+        (0, "terms of service apply here now"),
+        (1, "terms of service apply to everything"),
+        (2, "a completely original document body"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.n_grams, r.max_gram_df, r.n_common_grams)
+        for r in tx.gram_boilerplate_signal(d, common_df=2).collect()
+    }
+    # docs 0/1 share 'terms of service' and 'of service apply' (df=2)
+    assert out[0] == (4, 2, 2)
+    assert out[1] == (4, 2, 2)
+    assert out[2] == (3, 1, 0)
