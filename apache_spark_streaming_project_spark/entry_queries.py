@@ -1834,6 +1834,53 @@ def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x9_histogram_drift",
+    """
+    WITH ref AS (
+      SELECT CAST(floor((value - 0.0) / 25.0) AS BIGINT) AS bucket,
+             COUNT(*) AS n_ref
+      FROM events
+      WHERE value >= 0.0 AND value < 500.0 AND ts < TIMESTAMP '2024-01-16'
+      GROUP BY 1
+    ),
+    cur AS (
+      SELECT CAST(floor((value - 0.0) / 25.0) AS BIGINT) AS bucket,
+             COUNT(*) AS n_cur
+      FROM events
+      WHERE value >= 0.0 AND value < 500.0 AND ts >= TIMESTAMP '2024-01-16'
+      GROUP BY 1
+    )
+    SELECT COALESCE(ref.bucket, cur.bucket) AS bucket,
+           COALESCE(n_ref, 0) AS n_ref,
+           COALESCE(n_cur, 0) AS n_cur,
+           abs(COALESCE(n_ref, 0) - COALESCE(n_cur, 0)) AS abs_diff
+    FROM ref FULL JOIN cur ON ref.bucket = cur.bucket
+    ORDER BY bucket
+    """,
+    "X9",
+)
+def x9_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — distribution drift between two time slices of the events
+    stream (operators/profile.histogram_drift): identical fixed-width
+    binning on both snapshots, full-outer bucket join, integer per-bucket
+    counts and |diff| — the exact-integer inputs of any PSI / total-
+    variation / chi-square drift score. Each side is a pushed-range scan
+    + partial/final agg on <= 20 keys; the bucket join is broadcast-
+    trivial."""
+    from apache_spark_streaming_project_spark.operators.profile import (
+        histogram_drift,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ref = ev.filter(F.col("ts") < cut).select("value")
+    cur = ev.filter(F.col("ts") >= cut).select("value")
+    return histogram_drift(ref, cur, "value", 0.0, 500.0, 20).orderBy(
+        "bucket"
+    )
+
+
+@register(
     "x_histogram",
     """
     SELECT bucket,

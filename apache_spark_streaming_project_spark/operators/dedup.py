@@ -584,6 +584,7 @@ def near_dup_clusters(
     labels = edges.select(F.col("_src").alias("_key")).distinct().select(
         "_key", F.col("_key").alias("cluster_id")
     )
+    changed = -1  # "never ran a round" sentinel for the exhaustion error
     for _ in range(max_iterations):
         neigh = (
             edges.join(

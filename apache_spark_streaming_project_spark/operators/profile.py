@@ -130,6 +130,44 @@ def fixed_width_histogram(
     )
 
 
+def histogram_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Distribution-drift check between two snapshots of the same column
+    (the X9 monitoring primitive a pipeline runs between ingest batches,
+    model-training epochs, or before/after a filter change): both
+    snapshots binned with the SAME fixed-width histogram, full-outer
+    joined on the bucket, per-bucket counts plus integer |diff| — the
+    exact inputs a PSI/TV-distance/chi-square computation normalizes, kept
+    integer-exact here so any engine reproduces them bit-for-bit.
+
+    Scale shape: each side is a map-side projection + partial/final agg on
+    <= nbins keys; the join touches <= nbins rows per side (broadcast-
+    trivial). Cost is two scans — at corpus scale run it over the already-
+    materialized per-batch histograms instead (they merge by summing
+    counts; see mergeable.py for the philosophy)."""
+    a = fixed_width_histogram(ref, value_col, lo, hi, nbins).select(
+        "bucket", F.col("n").alias("n_ref")
+    )
+    b = fixed_width_histogram(cur, value_col, lo, hi, nbins).select(
+        "bucket", F.col("n").alias("n_cur")
+    )
+    return (
+        a.join(b, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .withColumn("abs_diff", F.abs(F.col("n_ref") - F.col("n_cur")))
+    )
+
+
 def expect(
     profile: DataFrame,
     max_null_rate: float = 0.0,

@@ -87,3 +87,18 @@ def test_cross_split_contamination_hashed_matches_exact(spark):
     hashed = cross_split_contamination(df, split, n=8, hash_grams=True).collect()
     key = lambda rs: sorted((r["doc_id"], r["n_grams"], r["n_contaminated"]) for r in rs)  # noqa: E731
     assert key(exact) == key(hashed)
+
+
+def test_histogram_drift_fills_missing_buckets(spark):
+    from apache_spark_streaming_project_spark.operators.profile import (
+        histogram_drift,
+    )
+
+    ref = spark.createDataFrame([(5.0,), (15.0,), (15.1,)], ["v"])
+    cur = spark.createDataFrame([(15.5,), (25.0,)], ["v"])
+    out = {
+        r.bucket: (r.n_ref, r.n_cur, r.abs_diff)
+        for r in histogram_drift(ref, cur, "v", 0.0, 30.0, 3).collect()
+    }
+    # bucket 0 only in ref, bucket 2 only in cur -> zero-filled sides
+    assert out == {0: (1, 0, 1), 1: (2, 1, 1), 2: (0, 1, 1)}
