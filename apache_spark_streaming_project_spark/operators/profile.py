@@ -157,6 +157,8 @@ def histogram_drift(
     b = fixed_width_histogram(cur, value_col, lo, hi, nbins).select(
         "bucket", F.col("n").alias("n_cur")
     )
+    # FULL OUTER can't use a broadcast hash join in Spark; both sides are
+    # <= nbins rows so the sort-merge join here is trivially cheap
     return (
         a.join(b, "bucket", "full")
         .select(

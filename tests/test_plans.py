@@ -249,3 +249,38 @@ def test_rarity_join_survives_unbroadcastable_vocab(spark, sf_dir):
         assert "BroadcastHashJoin" not in plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_gram_boilerplate_three_shuffles(spark, sf_dir):
+    """x4_gram_boilerplate: exactly the three unavoidable exchanges (gram
+    df agg, gram-keyed join, per-doc final agg) — the explode and shingle
+    construction must stay map-side, and no Expand anywhere."""
+    df = QUERIES["x4_gram_boilerplate"].fn(spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "Expand" not in plan
+    assert count_shuffles(df) <= 4  # 3 + the final presentation sort
+
+
+def test_incremental_dedup_prunes_and_pushes(spark, sf_dir):
+    """x1_incremental_dedup: the source equality predicates must reach the
+    parquet scans (only the relevant slices are read), and the final
+    projection prunes to doc_id so no text column survives past the
+    fingerprint computation."""
+    df = QUERIES["x1_incremental_dedup"].fn(spark, sf_dir)
+    filters = pushed_filters(df)
+    assert any("src0" in f for f in filters), filters
+    plan = physical_plan(df, "formatted")
+    # scans read only what the fingerprint + key path needs
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan \
+        or "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_histogram_drift_pushes_both_ranges(spark, sf_dir):
+    """x9_histogram_drift: the [lo, hi) range predicate must be pushed to
+    BOTH snapshot scans, and the bucket join must not trigger an Expand or
+    a fact-side shuffle beyond the two <=nbins-key aggregations."""
+    df = QUERIES["x9_histogram_drift"].fn(spark, sf_dir)
+    filters = pushed_filters(df)
+    ranged = [f for f in filters if "GreaterThanOrEqual(value,0.0)" in f]
+    assert len(ranged) >= 2, filters
+    assert "Expand" not in physical_plan(df, "simple")
