@@ -3549,6 +3549,137 @@ def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_tpch_q4",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "D2",
+    "D8a",
+)
+def sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped order-priority check: orders in a quarter having at
+    least one LATE-shipped line (shipdate > orderdate + 60 days; the
+    -ish schema has no commit/receipt dates, so the lag condition stands
+    in for Q4's commit-vs-receipt predicate). EXISTS compiles to a LEFT
+    SEMI join with the extra non-equi condition attached — each order
+    counted once no matter how many late lines; the quarter predicate
+    prunes the orders scan."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-04-01")
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "sql_tpch_q13",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    "D5",
+    "D8a",
+)
+def sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped customer order-count distribution: LEFT OUTER join
+    with the filter INSIDE the join condition (customers with only 'F'
+    orders must still appear with count 0 — pushing the filter below the
+    join would be wrong), then a two-level re-aggregation. COUNT(col)
+    ignores the outer join's nulls by SQL semantics, giving the zero
+    bucket for order-less customers."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_orderstatus") != "F"
+    )
+    per_cust = (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "sql_tpch_q17",
+    """
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(16,2)))
+                AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_small_lots
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+    "D8a",
+    "S13",
+)
+def sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped small-lot revenue: correlated scalar AVG subquery
+    (quantity below 20% of the part's average) decorrelated by Catalyst
+    into one per-part aggregate joined back — no per-row re-execution.
+    Cross-engine float safety: quantities are integer-valued doubles, so
+    the per-part mean is an exact-integer sum / count in BOTH engines
+    (order-independent); the revenue SUM runs in exact decimal and
+    converts via VARCHAR (correctly-rounded) before the final /7.0."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11").select(
+        "p_partkey"
+    )
+    thresh = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_qbar")
+    ).withColumnRenamed("l_partkey", "_tpartkey")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(thresh, F.col("l_partkey") == F.col("_tpartkey"))
+        .filter(F.col("l_quantity") < F.col("_qbar"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(16,2)"))
+                .cast("string")
+                .cast("double")
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_small_lots"),
+        )
+    )
+
+
+@register(
     "s_percentiles",
     """
     SELECT l_returnflag,
