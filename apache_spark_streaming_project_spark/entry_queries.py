@@ -56,6 +56,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Scoped shuffle-partition override for the streaming verification
+    drains. Stateful streaming fixes the number of state stores at the
+    FIRST checkpoint and pays per-store open/commit I/O every micro-batch
+    — at fixture scale, 32 stores/side cost ~5x the join itself (measured
+    17.9 s -> 3.8 s on m5). Production sizes this to join-key cardinality
+    per deployment (streaming exchanges are not AQE-coalescible, see
+    streaming/joins.py); each drain here uses a fresh checkpoint dir, so
+    the scoped value never leaks into another query's state layout —
+    restored in finally, per the vanilla-session contract."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 # ---------------------------------------------------------------------------
 # S25 — flagship: grouped multi-agg (occupation-stats shape on orders)
 # reference spark_streaming.py:177-181
@@ -4111,15 +4133,16 @@ def m5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = interval_join(
         sa, sb, "user_id", "a_ts", "b_ts", "6 hours", watermark="3650 days"
     )
-    q = (
-        joined.select("user_id", "a_event_id", "b_event_id")
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = (
+            joined.select("user_id", "a_event_id", "b_event_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out).orderBy("a_event_id", "b_event_id")
 
 
@@ -4197,15 +4220,16 @@ def m5_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         sa, sb, "user_id", "a_ts", "b_ts", "6 hours",
         watermark="1 hour", how="leftOuter",
     )
-    q = (
-        joined.select("user_id", "a_event_id", "b_event_id")
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark):
+        q = (
+            joined.select("user_id", "a_event_id", "b_event_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out).orderBy("a_event_id", "b_event_id")
 
 
@@ -4277,16 +4301,17 @@ def m3_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 4 files, 2 per trigger -> 2 micro-batch epochs through the pipeline
     fixture.repartition(4).write.mode("overwrite").csv(in_dir)
-    run_available_now(
-        spark,
-        PipelineConfig(
-            input_dir=in_dir,
-            output_dir=out_dir,
-            checkpoint_dir=ckpt,
-            trigger_seconds=None,
-            max_files_per_trigger=2,
-        ),
-    )
+    with _stream_shuffle_partitions(spark):
+        run_available_now(
+            spark,
+            PipelineConfig(
+                input_dir=in_dir,
+                output_dir=out_dir,
+                checkpoint_dir=ckpt,
+                trigger_seconds=None,
+                max_files_per_trigger=2,
+            ),
+        )
     agg = read_result_table(spark, out_dir, "age_group_distribution")
     return (
         agg.groupBy("age_group")
