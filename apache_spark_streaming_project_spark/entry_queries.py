@@ -3682,12 +3682,17 @@ def sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11").select(
         "p_partkey"
     )
-    thresh = li.groupBy("l_partkey").agg(
+    # restrict to the brand's lines BEFORE the per-part aggregate: the
+    # threshold is only consumed for brand parts, so aggregating the full
+    # fact table would shuffle the whole corpus for a 1/|brands| slice
+    # (Catalyst's decorrelation of the oracle's subquery does the same
+    # pushdown through the join keys)
+    li_brand = li.join(p, li.l_partkey == p.p_partkey)
+    thresh = li_brand.groupBy("l_partkey").agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("_qbar")
     ).withColumnRenamed("l_partkey", "_tpartkey")
     return (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .join(thresh, F.col("l_partkey") == F.col("_tpartkey"))
+        li_brand.join(thresh, F.col("l_partkey") == F.col("_tpartkey"))
         .filter(F.col("l_quantity") < F.col("_qbar"))
         .agg(
             (
