@@ -1903,6 +1903,46 @@ def x9_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x7_partitioned_export",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "X7",
+    "S2",
+)
+def x7_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned corpus export + read-back round-trip
+    (sources/partitioned.py): documents written partitioned by lang
+    (repartition-before-partitionBy so each directory gets dense files,
+    not tasks x values slivers), read back with partition values
+    recovered from directory names, re-aggregated per lang. The oracle
+    aggregates the source table directly — equality proves the export
+    is lossless and the recovered partition column is faithful. Pruning
+    on the read side is asserted in tests/test_plans.py."""
+    import tempfile
+
+    from apache_spark_streaming_project_spark.sources.partitioned import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    out = tempfile.mkdtemp(prefix="x7_export_") + "/docs"
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    write_partitioned(d, out, ["lang"])
+    rb = read_partitioned(spark, out)
+    return (
+        rb.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "x_histogram",
     """
     SELECT bucket,

@@ -284,3 +284,30 @@ def test_histogram_drift_pushes_both_ranges(spark, sf_dir):
     ranged = [f for f in filters if "GreaterThanOrEqual(value,0.0)" in f]
     assert len(ranged) >= 2, filters
     assert "Expand" not in physical_plan(df, "simple")
+
+
+def test_partitioned_readback_prunes_at_listing(spark, sf_dir, tmp_path):
+    """Partitioned export: an equality filter on the partition key must
+    appear as a PartitionFilter on the scan (pruned at file listing), not
+    a post-scan Filter; and the partition directories must exist."""
+    import os
+
+    from apache_spark_streaming_project_spark.schemas import load_table
+    from apache_spark_streaming_project_spark.sources.partitioned import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "docs")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    write_partitioned(d, out, ["lang"])
+    dirs = sorted(x for x in os.listdir(out) if x.startswith("lang="))
+    assert dirs, os.listdir(out)
+    langs = [x.split("=", 1)[1] for x in dirs]
+    rb = read_partitioned(spark, out).filter(F.col("lang") == langs[0])
+    plan = physical_plan(rb, "formatted")
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf, plan
+    assert f"= {langs[0]})" in pf.group(1), pf.group(1)
+    # the partition key never reaches the row scan — pruned from ReadSchema
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
