@@ -311,3 +311,45 @@ def test_partitioned_readback_prunes_at_listing(spark, sf_dir, tmp_path):
     assert f"= {langs[0]})" in pf.group(1), pf.group(1)
     # the partition key never reaches the row scan — pruned from ReadSchema
     assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_partitioned_join_triggers_dynamic_pruning(spark, sf_dir, tmp_path):
+    """Joining the lang-partitioned export against a selective dimension
+    must plan a dynamicpruning subquery on the partition key: at cluster
+    scale the fact side then lists only the partitions the dim filter
+    survives — the join-driven analog of static partition pruning."""
+    from apache_spark_streaming_project_spark.schemas import load_table
+    from apache_spark_streaming_project_spark.sources.partitioned import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "docs_dpp")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    write_partitioned(d, out, ["lang"])
+    rb = read_partitioned(spark, out)
+    d = load_table(spark, sf_dir, "documents")
+    # filter ON the join key: Catalyst propagates a STATIC partition
+    # filter through the equi-join — no runtime subquery needed
+    dim_static = d.select("lang").distinct().filter(F.col("lang") == "en")
+    p1 = physical_plan(
+        rb.join(dim_static, "lang").groupBy("lang").count(), "formatted"
+    )
+    pf1 = re.search(r"PartitionFilters: \[([^\]]*)\]", p1)
+    assert pf1 and "= en)" in pf1.group(1), p1
+    # filter on a NON-join column: pruning must come from a runtime
+    # dynamicpruning subquery fed by the broadcast dim
+    dim_dyn = (
+        d.select("lang")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.when(F.col("lang").isin("en", "de"), "big").otherwise("small"),
+        )
+        .filter(F.col("tier") == "big")
+    )
+    p2 = physical_plan(
+        rb.join(F.broadcast(dim_dyn), "lang").groupBy("lang").count(),
+        "formatted",
+    )
+    assert "dynamicpruning" in p2, p2
