@@ -185,3 +185,38 @@ def test_contamination_matches_python_reference(spark, token_lists):
         ).collect()
     }
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=12),
+             min_size=1, max_size=12),
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=12),
+             min_size=1, max_size=12),
+)
+def test_incremental_dedup_properties(spark, base_texts, inc_texts):
+    """incremental_dedup: survivors are exactly the incoming texts not in
+    the base, one (min-key) survivor per distinct text; re-ingesting the
+    survivors against base+survivors yields nothing (idempotence)."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    base = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base_texts)], "doc_id long, text string"
+    )
+    inc = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(inc_texts)],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(base, inc)
+    got = sorted((r.doc_id, r.text) for r in out.collect())
+    fresh = set(inc_texts) - set(base_texts)
+    expect = sorted(
+        (100 + min(i for i, t in enumerate(inc_texts) if t == ft), ft)
+        for ft in fresh
+    )
+    assert got == expect
+    merged = base.unionAll(out)
+    again = incremental_dedup(merged, out)
+    assert again.count() == 0
