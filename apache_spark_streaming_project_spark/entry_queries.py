@@ -3777,6 +3777,44 @@ def s_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s_approx_percentile",
+    """
+    SELECT quantile_cont(l_extendedprice, 0.5) AS exact_median,
+           TRUE AS sketch_within_rank_window,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+    "§2.3",
+)
+def s_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style mergeable quantile sketch) — the
+    unbounded-cardinality scale path s_percentiles' docstring points to.
+    Sketch values differ across engines, so (same design as
+    s_approx_distinct) the hash-verified claim is the accuracy CONTRACT:
+    the sketched median must land inside the exact p45..p55 rank window
+    (accuracy=1000 bounds rank error to n/1000 << 5% of n; deterministic
+    for fixed data). The exact median rides along as a directly-compared
+    value: at fraction 0.5 both engines reduce the interpolation to the
+    same two order statistics combined with the same IEEE ops, so the
+    double is bit-identical (the non-binary 0.45/0.55 fractions are only
+    used Spark-side for the window test, never hashed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.expr("percentile(l_extendedprice, 0.45D)").alias("_p45"),
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("exact_median"),
+        F.expr("percentile(l_extendedprice, 0.55D)").alias("_p55"),
+        F.expr("approx_percentile(l_extendedprice, 0.5D, 1000)").alias("_ap"),
+        F.count("*").alias("n_rows"),
+    )
+    return agg.select(
+        "exact_median",
+        ((F.col("_ap") >= F.col("_p45")) & (F.col("_ap") <= F.col("_p55")))
+        .alias("sketch_within_rank_window"),
+        "n_rows",
+    )
+
+
 def _lang_sql_list(lang: str) -> str:
     from apache_spark_streaming_project_spark.operators.text import LANG_STOPWORDS
 
