@@ -2602,14 +2602,26 @@ def s_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "§2.3",
 )
 def s_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact multi-column distinct aggregation (Expand + two-phase agg in
-    Spark). The approximate variant is s_approx_distinct (rows-only)."""
+    """Exact multi-column distinct aggregation. Putting all three
+    COUNT(DISTINCT)s in one agg compiles to an Expand replicating every
+    row 3x pre-shuffle; each count instead runs as its own column-pruned
+    single-distinct partial agg (scans one parquet column, map-side
+    combine) cross-joined back — strictly less data moved on a columnar
+    source. Same fix class as s_approx_distinct/column_profile; the
+    sketch variant is s_approx_distinct."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
-    )
+    parts = [
+        li.select(c).distinct().agg(F.count("*").alias(alias))
+        for c, alias in (
+            ("l_partkey", "n_parts"),
+            ("l_suppkey", "n_supps"),
+            ("l_orderkey", "n_orders"),
+        )
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.crossJoin(p)
+    return out
 
 
 @register(
