@@ -1943,6 +1943,50 @@ def x7_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x7_compaction",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS fragmented_8_files,
+           TRUE AS compacted_2_files,
+           TRUE AS rows_preserved
+    FROM documents
+    """,
+    "X7",
+    "S2",
+)
+def x7_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction round-trip (sources/partitioned.py:
+    compact_parquet): documents fragmented into 8 files, compacted to 2
+    with a shuffle-free coalesce rewrite into a fresh directory, read
+    back and compared. The oracle-checked contract: file counts before/
+    after are exactly as requested and no row is lost or duplicated —
+    the invariants a table-maintenance job must guarantee before
+    swapping the compacted directory in."""
+    import glob
+    import tempfile
+
+    from apache_spark_streaming_project_spark.sources.partitioned import (
+        compact_parquet,
+    )
+
+    base = tempfile.mkdtemp(prefix="x7_compact_")
+    frag, dense = base + "/frag", base + "/dense"
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    d.repartition(8).write.mode("overwrite").parquet(frag)
+    compact_parquet(spark, frag, dense, 2)
+    n_frag = len(glob.glob(frag + "/part-*"))
+    n_dense = len(glob.glob(dense + "/part-*"))
+    rb = spark.read.parquet(dense)
+    src_n = d.count()
+    return rb.agg(F.count("*").alias("n_docs")).select(
+        "n_docs",
+        F.lit(n_frag == 8).alias("fragmented_8_files"),
+        F.lit(n_dense == 2).alias("compacted_2_files"),
+        (F.col("n_docs") == F.lit(src_n)).alias("rows_preserved"),
+    )
+
+
+@register(
     "x_histogram",
     """
     SELECT bucket,
