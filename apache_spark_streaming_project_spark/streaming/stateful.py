@@ -61,6 +61,7 @@ def running_stats_anomalies(
     id_col: str = "event_id",
     z_threshold: float = 3.0,
     min_n: int = 10,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming per-key running z-score anomaly detection.
 
@@ -73,6 +74,15 @@ def running_stats_anomalies(
     the carried mean (cancellation-safe) give every prefix's mean/M2 in one
     numpy pass, and Chan's pairwise-combine formula merges the carried state
     with each prefix — no per-row Python loop in the hot path.
+
+    ``idle_timeout_ms`` arms a PROCESSING-TIME state TTL: a key that
+    receives no data for that long is evicted on the next trigger (its
+    statistics restart from zero if it reappears). This is the bounded-
+    state contract for UNBOUNDED key domains — user-id-shaped keys at
+    corpus scale churn forever, and without a TTL the state store grows
+    monotonically with distinct keys ever seen, not active keys. The
+    eviction callback emits nothing; with ``None`` state lives for the
+    stream's lifetime (bounded-key-domain mode).
     """
 
     def _nullable(arr: np.ndarray, valid: np.ndarray) -> np.ndarray:
@@ -84,6 +94,11 @@ def running_stats_anomalies(
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # idle-key eviction: drop the statistics, emit nothing; the
+            # key restarts cold if it ever reappears
+            state.remove()
+            return
         if state.exists:
             n, mean, m2 = state.get
         else:
@@ -136,7 +151,15 @@ def running_stats_anomalies(
             )
             n, mean, m2 = int(n_post[-1]), float(mean_post[-1]), float(m2_post[-1])
         state.update((n, mean, m2))
+        if idle_timeout_ms is not None:
+            # re-arm the TTL after every batch that touched the key
+            state.setTimeoutDuration(idle_timeout_ms)
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events.select(key_col, id_col, value_col)
         .groupBy(key_col)
@@ -145,6 +168,6 @@ def running_stats_anomalies(
             _output_schema(events.schema[key_col].dataType),
             RUNNING_STATS_STATE_SCHEMA,
             "append",
-            GroupStateTimeout.NoTimeout,
+            timeout,
         )
     )

@@ -69,3 +69,47 @@ def test_welford_matches_batch_stats(stateful_run):
     last = max(stateful_run, key=lambda r: r["n_seen"])
     assert last["running_mean"] == pytest.approx(statistics.fmean(vals))
     assert last["running_stddev"] == pytest.approx(statistics.stdev(vals))
+
+
+def test_idle_timeout_evicts_and_restarts(spark, tmp_path):
+    """With a processing-time TTL, a key idle for a batch is evicted (its
+    statistics restart cold on reappearance) — the bounded-state contract
+    for unbounded key domains. Without the TTL the same sequence keeps
+    accumulating (asserted by test_state_accumulates_across_batches)."""
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    batches = [
+        ("b1.parquet", [(i, "u1", 10.0 + (i % 3)) for i in range(6)]),
+        # u1 idle this batch; its 1 ms TTL expires long before the batch runs
+        ("b2.parquet", [(100 + i, "u2", 20.0) for i in range(3)]),
+        ("b3.parquet", [(200, "u1", 10.0), (201, "u1", 11.0)]),
+    ]
+    for fname, rows in batches:
+        spark.createDataFrame(
+            rows, "event_id long, user_id string, value double"
+        ).coalesce(1).write.parquet(str(input_dir / fname))
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(input_dir / "*.parquet"))
+    )
+    out = running_stats_anomalies(stream, min_n=5, idle_timeout_ms=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_ttl_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["event_id"]: r
+        for r in spark.table("stateful_ttl_out").collect()
+    }
+    assert rows[5]["n_seen"] == 6          # b1 accumulated normally
+    assert rows[102]["n_seen"] == 3        # u2 unaffected
+    # u1 was evicted while idle -> statistics restarted cold in b3
+    assert rows[200]["n_seen"] == 1
+    assert rows[201]["n_seen"] == 2
