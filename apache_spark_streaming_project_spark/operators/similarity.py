@@ -137,10 +137,17 @@ def ivf_index(
     the assigned table partitioned by centroid_id.
 
     The training collect is capped at ``max_train_rows`` regardless of table
-    size: we estimate the row count, sample at ~max_train_rows/n (with slack),
-    and hard-cap with ``limit`` — so the driver never materializes more than
-    max_train_rows vectors even at 100 TB. k-means centroid quality needs a
-    statistical sample, not the full table."""
+    size: we estimate the row count, select a ~max_train_rows/n keyed-hash
+    slice (with slack), and hard-cap with ``limit`` — so the driver never
+    materializes more than max_train_rows vectors even at 100 TB. k-means
+    centroid quality needs a statistical sample, not the full table.
+
+    Determinism is LAYOUT-INDEPENDENT: the sample is selected by a pure
+    function of the key (``xxhash64(key) % B < B*frac`` — the same rows
+    survive under any partitioning or file order, unlike seeded
+    ``sample()`` whose per-partition RNG changes with the split), and the
+    collected rows are sorted driver-side before seeding k-means so
+    arrival order can't influence the centroids."""
     import random
 
     import numpy as np
@@ -148,11 +155,15 @@ def ivf_index(
     n = df.count()  # metadata-cheap for parquet; one job otherwise
     if n > max_train_rows:
         frac = min(1.0, 1.5 * max_train_rows / n)
-        train = df.select(vec_col).sample(False, frac, seed).limit(max_train_rows)
+        bucket = 1 << 16
+        keep = F.pmod(
+            F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(bucket)
+        ) < F.lit(int(bucket * frac))
+        train = df.filter(keep).select(vec_col).limit(max_train_rows)
     else:
         train = df.select(vec_col)
     sample = np.array(
-        [list(r[0]) for r in train.collect()],
+        sorted(tuple(r[0]) for r in train.collect()),
         dtype=np.float64,
     )
     # invariant: the driver never holds more than the training cap
