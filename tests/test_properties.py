@@ -220,3 +220,41 @@ def test_incremental_dedup_properties(spark, base_texts, inc_texts):
     merged = base.unionAll(out)
     again = incremental_dedup(merged, out)
     assert again.count() == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=20),
+                min_size=1, max_size=10))
+def test_gram_boilerplate_matches_python_reference(spark, texts):
+    """gram_boilerplate_signal agrees with a brute-force python reference
+    (distinct per-doc 3-gram shingles, document frequencies, per-doc
+    n_grams / max df / >=threshold count) on arbitrary short corpora."""
+    from collections import Counter
+
+    from apache_spark_streaming_project_spark.operators.text import (
+        gram_boilerplate_signal,
+    )
+
+    def shingles(t):
+        toks = [w for w in t.strip().lower().split() if w]
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {i: shingles(t) for i, t in enumerate(texts)}
+    df_counts = Counter(g for s in sh.values() for g in s)
+    expect = {
+        i: (
+            len(s),
+            max(df_counts[g] for g in s),
+            sum(1 for g in s if df_counts[g] >= 2),
+        )
+        for i, s in sh.items()
+        if s
+    }
+    d = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.max_gram_df, r.n_common_grams)
+        for r in gram_boilerplate_signal(d, common_df=2).collect()
+    }
+    assert got == expect
