@@ -3415,7 +3415,11 @@ def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
     )
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # no forced hint on the supplier side: it is nation-FILTERED but
+        # still scales with sf (a fixed fraction of a growing table) —
+        # AQE broadcasts it while it fits and degrades to a shuffled join
+        # beyond that, instead of OOMing on a hard hint
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .filter(
@@ -3452,13 +3456,15 @@ def sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     conjunctions): the optimizer-stress shape — Catalyst extracts the
     common single-side conjuncts from the OR (brand IN set, size/quantity
     envelope) and pushes them below the join, so both scans prune even
-    though the full predicate can only evaluate post-join. Part side
-    broadcasts; the fact table never shuffles for the join."""
+    though the full predicate can only evaluate post-join. The part side
+    carries NO forced hint — it scales with sf even after brand/size
+    pruning, so AQE picks broadcast while it fits and a shuffled join
+    beyond (a hard hint would OOM instead of degrading)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#1")
