@@ -250,6 +250,7 @@ def lsh_batch_top_k(
     vec_col: str = "embedding",
     query_key_col: str = "query_id",
     query_vec_col: str = "qvec",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Batch ANN: top-k for MANY query vectors in one plan.
 
@@ -257,7 +258,10 @@ def lsh_batch_top_k(
     hyperplanes as ``lsh_index``, explodes its multi-probe neighbor buckets
     (Hamming <= ``multiprobe_hamming`` bit flips), and broadcast-joins the
     indexed table on ``bucket`` — so each query only scans its probe
-    buckets, and the scan side never shuffles. Top-k per query via a
+    buckets, and the scan side never shuffles. The broadcast bound is
+    |queries| x probes-per-query; for query batches too large for that
+    (offline all-vs-all retrieval), pass ``broadcast_queries=False`` to
+    fall back to a bucket-keyed shuffled join. Top-k per query via a
     row_number window partitioned by query (the only shuffle, keyed on
     query_id, proportional to candidate volume not table size).
     """
@@ -282,7 +286,9 @@ def lsh_batch_top_k(
             F.array(*[F.col("_qbucket").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("bucket"),
     )
-    cand = indexed.join(F.broadcast(probes), "bucket")
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    cand = indexed.join(probes, "bucket")
     sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cosine")
     w = Window.partitionBy(query_key_col).orderBy(
         F.col("cosine").desc(), F.col(key_col).asc()
@@ -305,12 +311,15 @@ def ivf_batch_top_k(
     vec_col: str = "embedding",
     query_key_col: str = "query_id",
     query_vec_col: str = "qvec",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Batch ANN over the IVF index: each query scores the centroid-literal
     array in-plan, keeps its ``nprobe`` nearest cells (array_sort on
     (dist, cid) structs), and broadcast-joins the assigned table on
     ``centroid_id`` — partition pruning when the table is stored
-    partitioned by cell. Top-k per query via a query-keyed window."""
+    partitioned by cell. Broadcast bound is |queries| x nprobe; pass
+    ``broadcast_queries=False`` for query batches beyond it (cell-keyed
+    shuffled join instead). Top-k per query via a query-keyed window."""
     from pyspark.sql import Window
 
     def probe_cells(qc: Column) -> Column:
@@ -341,7 +350,9 @@ def ivf_batch_top_k(
         query_vec_col,
         F.explode(probe_cells(F.col(query_vec_col))).alias("centroid_id"),
     )
-    cand = assigned.join(F.broadcast(probes), "centroid_id")
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    cand = assigned.join(probes, "centroid_id")
     sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cosine")
     w = Window.partitionBy(query_key_col).orderBy(
         F.col("cosine").desc(), F.col(key_col).asc()
