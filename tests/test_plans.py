@@ -353,3 +353,27 @@ def test_partitioned_join_triggers_dynamic_pruning(spark, sf_dir, tmp_path):
         "formatted",
     )
     assert "dynamicpruning" in p2, p2
+
+
+def test_ivf_batch_ann_broadcasts_queries_single_shuffle(spark, sf_dir):
+    """ivf_batch_top_k mirrors the LSH batch path: probe cells computed
+    in-plan on the query side, broadcast join against the assigned table
+    (no index-side shuffle), single exchange for the per-query top-k
+    window with map-side WindowGroupLimit."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        ivf_batch_top_k,
+        ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, centroids = ivf_index(e, n_centroids=4)
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    df = ivf_batch_top_k(assigned, centroids, qs, k=3, nprobe=2)
+    assert has_broadcast_join(df)
+    plan = physical_plan(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert count_shuffles(df) <= 1
+    assert "WindowGroupLimit" in plan
