@@ -56,6 +56,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _epoch_micros(col_name: str):
+    """Epoch microseconds of a (naive) timestamp column.
+
+    The testdata timestamps are TIMESTAMP_NTZ, which ``unix_micros``/
+    ``unix_timestamp`` reject outright; ``timestampdiff`` coerces both sides
+    through the session zone (UTC here), so the result equals DuckDB's
+    ``epoch``-style arithmetic on naive timestamps exactly."""
+    return F.expr(
+        "timestampdiff(MICROSECOND,"
+        f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {col_name})"
+    )
+
+
 import contextlib
 
 
@@ -3004,15 +3017,17 @@ def d18_time_range_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing-one-hour sum and count at every event — the window frame
     family (value-range, not row-count) the dashboard's trailing-window
     reads (D1) imply but never compute per-row. Spark orders the frame by
-    exact epoch microseconds (``unix_micros``), bit-equivalent to the
-    oracle's ``RANGE INTERVAL 1 HOUR`` over microsecond timestamps; one
-    shuffle on event_type, in-partition sort, running frame scan."""
+    exact epoch microseconds (``timestampdiff`` from the epoch — NTZ-safe:
+    ``unix_micros`` rejects the TIMESTAMP_NTZ the testdata now carries),
+    bit-equivalent to the oracle's ``RANGE INTERVAL 1 HOUR`` over
+    microsecond timestamps; one shuffle on event_type, in-partition sort,
+    running frame scan."""
     from pyspark.sql import Window as W
 
     ev = _t(spark, sf_dir, "events")
     w = (
         W.partitionBy("event_type")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(_epoch_micros("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
@@ -3095,10 +3110,17 @@ def s17_key_mangling(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d3_d4_selection_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 equality selection (pushed-down literal predicate) + D4 epoch cast
-    (timestamp -> epoch seconds, the reference's pd.to_datetime inverse)."""
+    (timestamp -> epoch seconds, the reference's pd.to_datetime inverse).
+    Epoch seconds = epoch micros div 1e6 (NTZ-safe; positive epochs make
+    integer div == the oracle's floor)."""
     ev = _t(spark, sf_dir, "events")
     return ev.filter(F.col("event_type") == "click").select(
-        "event_id", F.unix_timestamp("ts").alias("unix_ts"), "value"
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 1000000"
+        ).alias("unix_ts"),
+        "value",
     )
 
 
@@ -4262,16 +4284,18 @@ def m5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
 
+    # withWatermark requires TIMESTAMP (LTZ); the testdata ts is NTZ, and
+    # the NTZ->LTZ cast is an identity instant in this UTC session
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
         F.col("event_id").alias("a_event_id"),
-        F.col("ts").alias("a_ts"),
+        F.col("ts").cast("timestamp").alias("a_ts"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("event_id").alias("b_event_id"),
-        F.col("ts").alias("b_ts"),
+        F.col("ts").cast("timestamp").alias("b_ts"),
     )
     clicks.repartition(2).write.mode("overwrite").parquet(a_dir)
     purchases.repartition(2).write.mode("overwrite").parquet(b_dir)
@@ -4348,16 +4372,18 @@ def m5_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
 
+    # withWatermark requires TIMESTAMP (LTZ); NTZ->LTZ is an identity
+    # instant in this UTC session (see m5_stream_stream_join)
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
         F.col("event_id").alias("a_event_id"),
-        F.col("ts").alias("a_ts"),
+        F.col("ts").cast("timestamp").alias("a_ts"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("event_id").alias("b_event_id"),
-        F.col("ts").alias("b_ts"),
+        F.col("ts").cast("timestamp").alias("b_ts"),
     )
     clicks.repartition(2).write.mode("overwrite").parquet(a_dir)
     purchases.repartition(2).write.mode("overwrite").parquet(b_dir)
@@ -4617,3 +4643,504 @@ def m4_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "count",
         )
     )
+
+
+# ===========================================================================
+# Batch 5 (round 3) — remaining TPC-H join/subquery shapes expressible on
+# the reduced -ish schema (no partsupp table, so q2/q9/q11/q16/q20 are out
+# of reach; q12/q21/q22 swap their missing columns for available ones while
+# keeping the exact join/subquery structure).
+# ===========================================================================
+
+_Q8_NAT_SQL = (
+    "CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_0' THEN v"
+    " ELSE CAST('0.00' AS DECIMAL(19,4)) END) AS VARCHAR) AS DOUBLE)"
+)
+_Q8_TOT_SQL = "CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE)"
+
+
+@register(
+    "sql_tpch_q8",
+    """
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(16,2))
+               * (CAST('1.00' AS DECIMAL(3,2))
+                  - CAST(l.l_discount AS DECIMAL(3,2))) AS v,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CASE WHEN {tot} > 0 THEN {nat} / {tot} ELSE 0.0 END AS mkt_share,
+           {tot} AS total_volume,
+           COUNT(*) AS n_rows
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """.format(nat=_Q8_NAT_SQL, tot=_Q8_TOT_SQL),
+    "D8a",
+    "D9",
+)
+def sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped national market share: 8-table join (nation twice —
+    customer-region role vs supplier-nation role) + per-year conditional
+    revenue ratio. The fixed-cardinality dims (region 5, nation 25) are
+    broadcast and semi-filter their fact sides BEFORE the fact-fact
+    shuffles; part is PROMO-filtered but still sf-scaling, so no forced
+    hint (AQE broadcasts while it fits). Exact-decimal volume sums; the
+    ratio is one IEEE division of two correctly-rounded doubles."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r_am = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nat_am = n.join(
+        F.broadcast(r_am), n.n_regionkey == r_am.r_regionkey
+    ).select("n_nationkey")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nat_am), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    zero = F.lit("0.00").cast("decimal(19,4)")
+    nat = F.sum(
+        F.when(F.col("supp_nation") == "NATION_0", _rev_col()).otherwise(zero)
+    ).cast("double")
+    tot = F.sum(_rev_col()).cast("double")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.when(tot > 0, nat / tot).otherwise(F.lit(0.0)).alias("mkt_share"),
+            tot.alias("total_volume"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "sql_tpch_q15",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(16,2))
+                 * (CAST('1.00' AS DECIMAL(3,2))
+                    - CAST(l_discount AS DECIMAL(3,2)))) AS rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(CAST(r.rev_dec AS VARCHAR) AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.rev_dec = (SELECT MAX(rev_dec) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    "D6",
+    "D8a",
+)
+def sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier: quarterly per-supplier revenue, then
+    the rows equal to the global max (uncorrelated scalar subquery). The
+    max is computed as a 1-row aggregate joined back via an always-true
+    broadcast condition — no collect, no window-over-everything; the
+    equality runs on the EXACT decimal sums (tie-safe), cast to double
+    only for output."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_col()).alias("rev_dec"))
+    mx = rev.agg(F.max("rev_dec").alias("mx"))
+    # 1-row derived aggregate: broadcast by construction
+    top = rev.join(F.broadcast(mx), F.col("rev_dec") == F.col("mx")).select(
+        "l_suppkey", "rev_dec"
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # top is bounded by the number of max-ties (~1 row): broadcast side
+    return (
+        sup.join(F.broadcast(top), sup.s_suppkey == top.l_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "sql_tpch_q12",
+    """
+    SELECT CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) <= 30 THEN 'FAST'
+                WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) <= 60 THEN 'MEDIUM'
+                ELSE 'SLOW' END AS ship_bucket,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+    "S9",
+    "D8a",
+)
+def sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped shipping-priority crosstab: fact-fact join + dual
+    conditional counts grouped by a DERIVED bucket (the -ish schema has no
+    l_shipmode/commit/receipt dates, so the bucket is the order->ship lag
+    band — same structure: join, CASE bucketing, two-way conditional
+    aggregation). Integer-only outputs, no float concerns; the year
+    filter prunes the lineitem scan before the orderkey shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(lag <= 30, "FAST").when(lag <= 60, "MEDIUM").otherwise("SLOW")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+@register(
+    "sql_tpch_q21",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_3'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+    "D2",
+    "D8a",
+)
+def sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped sole-late-supplier count: the EXISTS/NOT-EXISTS
+    self-join pair over lineitem ("another supplier contributed to the
+    order" / "no OTHER supplier was late"), compiled to LEFT SEMI + LEFT
+    ANTI joins whose conditions mix the orderkey equi-key with non-equi
+    supplier/date predicates ("late" = shipped > 60 days after order
+    date, standing in for Q21's commit-vs-receipt lag). The nation filter
+    broadcasts and shrinks the supplier side before any fact shuffle;
+    both self-joins shuffle on l_orderkey only."""
+    n3 = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey", "s_name")
+        .join(F.broadcast(n3), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l1 = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("l2_orderkey"))
+        & (F.col("l_suppkey") != F.col("l2_suppkey")),
+        "left_semi",
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    l1 = l1.join(
+        l3,
+        (F.col("l_orderkey") == F.col("l3_orderkey"))
+        & (F.col("l_suppkey") != F.col("l3_suppkey"))
+        & (
+            F.col("l3_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_anti",
+    )
+    return (
+        l1.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@register(
+    "sql_tpch_q22",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(c_acctbal) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name, COUNT(*) AS numcust,
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE) AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    "D2",
+    "D8a",
+)
+def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped dormant high-balance customers: uncorrelated scalar
+    AVG subquery as the selection threshold (1-row aggregate broadcast
+    cross-joined — no collect), NOT EXISTS against recent orders as a
+    LEFT ANTI join on custkey, per-nation rollup (standing in for Q22's
+    phone country codes, which the -ish schema lacks; "dormant" = no
+    order since 1999, because every testdata customer has SOME order).
+    The threshold average is the exact-decimal formulation so both
+    engines compare against the bit-identical double; the date filter
+    prunes the orders scan before the anti-join shuffle."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(avg_exact("c_acctbal", out_alias="a"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        # 1-row threshold: BroadcastNestedLoopJoin, zero shuffle
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            sum_money("c_acctbal", out_alias="totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "m6_streaming_dedup",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_type = 'click'
+    ORDER BY event_id
+    """,
+    "S6",
+    "X1",
+)
+def m6_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup, oracle-checked end to end: the click stream
+    is re-delivered with jittered event times (every third event arrives
+    twice, the copy stamped +2 minutes — the at-least-once upstream
+    shape), and ``dropDuplicatesWithinWatermark`` keyed on event_id ALONE
+    suppresses the re-deliveries (classic dropDuplicates over
+    (key, time) would keep both copies since their times differ). The
+    drained result must equal the batch DISTINCT the oracle computes —
+    no duplicate survives, no event is lost. State is keyed by event_id
+    and evicted with the watermark (streaming/windows.py:
+    streaming_dedup_within_watermark), so memory stays bounded on an
+    unbounded stream; the 10-minute test watermark just exceeds the
+    2-minute jitter. ts is cast NTZ->LTZ for the watermark (identity
+    instant in this UTC session) and excluded from the output, so the
+    result is arrival-order-independent."""
+    import os
+    import tempfile
+
+    from apache_spark_streaming_project_spark.streaming.windows import (
+        streaming_dedup_within_watermark,
+    )
+
+    base = tempfile.mkdtemp(prefix="m6_dedup_")
+    in_dir = os.path.join(base, "in")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    dups = ev.filter(F.col("event_id") % 3 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 2 MINUTES")
+    )
+    ev.unionByName(dups).repartition(2).write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    dd = streaming_dedup_within_watermark(
+        stream, ["event_id"], "ts", "10 minutes"
+    )
+    with _stream_shuffle_partitions(spark):
+        q = (
+            dd.select("event_id", "user_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out).orderBy("event_id")
+
+
+@register("x3_pq_top10", _RECALL_SQL, "X3")
+def x3_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 memory-scale path — product quantization (m=4 subspaces, 32
+    centroids each -> 4 small codes per vector) with asymmetric-distance
+    top-10 for the vec_id=0 query over the planted corpus, checked against
+    the EXACT brute-force top-10 as an in-plan recall@10 >= 0.8 contract
+    (seeded codebooks, deterministic). Encoding is map-only; scoring is m
+    literal-table lookups per row + TakeOrderedAndProject — at 100 TB the
+    float vectors are never read at query time, only the m-byte codes
+    (operators/similarity.py pq_train/pq_encode/pq_top_k)."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        brute_force_top_k,
+        pq_encode,
+        pq_top_k,
+        pq_train,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = _planted_corpus(e)
+    books = pq_train(corpus, m=4, n_centroids=32)
+    enc = pq_encode(corpus, books)
+    approx = pq_top_k(enc, books, qvec, k=10)
+    exact = brute_force_top_k(corpus, qvec, k=10)
+    return _recall_contract(approx, exact, k=10, min_hits=8)
+
+
+@register(
+    "x1_merge_upsert",
+    """
+    WITH updates AS (
+      SELECT doc_id, 'UPDATED: ' || text AS text, lang, source
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, lang, source
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    merged AS (
+      SELECT doc_id, text, lang, source FROM updates
+      UNION ALL
+      SELECT d.doc_id, d.text, d.lang, d.source
+      FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.doc_id = d.doc_id)
+    )
+    SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS text_len
+    FROM merged ORDER BY doc_id
+    """,
+    "X1",
+)
+def x1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 ingest path — MERGE/upsert semantics (operators/dedup.py
+    merge_upsert): a refresh batch of changed docs (every 7th, text
+    prefixed) plus brand-new docs (every 11th, re-keyed) merges into the
+    base corpus — updates win on key collision, unmatched base rows pass
+    through, new keys insert. One anti-join shuffle on the 8-byte key
+    (broadcastable update batches make it map-only); the oracle rebuilds
+    the same merge with NOT EXISTS. Output projects a text-length
+    fingerprint so the value hash proves the RIGHT version of each doc
+    survived."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        merge_upsert,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    changed = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "text", F.concat(F.lit("UPDATED: "), F.col("text"))
+    )
+    fresh = d.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    merged = merge_upsert(d, changed.unionByName(fresh), key_col="doc_id")
+    return merged.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("text_len"),
+    ).orderBy("doc_id")

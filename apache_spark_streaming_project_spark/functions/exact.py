@@ -69,7 +69,13 @@ def stddev_exact(col: str | Column, scale: int = 2, out_alias: str | None = None
     nd = n.cast("double")
     sd = s.cast("double")
     sqd = sq.cast("double")
-    var = (nd * sqd - sd * sd) / (nd * (nd - F.lit(1.0)))
+    # clamp at 0: the exact numerator is >= 0, but the two double products
+    # each round, and for zero-variance groups of large values the rounded
+    # difference can land epsilon-negative -> sqrt(NaN). greatest(_, 0.0)
+    # (mirrored in the SQL twin) keeps those groups at stddev 0.
+    var = F.greatest(
+        (nd * sqd - sd * sd) / (nd * (nd - F.lit(1.0))), F.lit(0.0)
+    )
     expr = F.when(n > 1, F.sqrt(var)).otherwise(F.lit(None).cast("double"))
     return expr.alias(out_alias) if out_alias else expr
 
@@ -91,11 +97,11 @@ def stddev_exact_sql(col_sql: str, scale: int = 2) -> str:
     """DuckDB-side mirror of :func:`stddev_exact` (same expression tree)."""
     d = f"CAST({col_sql} AS DECIMAL(16,{scale}))"
     return (
-        f"CASE WHEN COUNT({col_sql}) > 1 THEN sqrt("
+        f"CASE WHEN COUNT({col_sql}) > 1 THEN sqrt(GREATEST("
         f"(CAST(COUNT({col_sql}) AS DOUBLE) * {_dec2dbl(f'SUM({d} * {d})')}"
         f" - {_dec2dbl(f'SUM({d})')} * {_dec2dbl(f'SUM({d})')})"
         f" / (CAST(COUNT({col_sql}) AS DOUBLE) * (CAST(COUNT({col_sql}) AS DOUBLE) - 1.0))"
-        f") ELSE NULL END"
+        f", 0.0)) ELSE NULL END"
     )
 
 

@@ -126,6 +126,31 @@ def incremental_dedup(
     )
 
 
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """X1 ingest path — MERGE/upsert semantics without a table format:
+    every ``updates`` row wins over the ``base`` row with the same key;
+    base rows with no update pass through; update rows with new keys
+    insert. (Delta/Iceberg MERGE INTO for the WHEN MATCHED UPDATE ALL /
+    WHEN NOT MATCHED INSERT ALL case, expressed as composable DataFrame
+    ops — the shape an incremental corpus refresh needs.)
+
+    Plan: updates UNION ALL (base LEFT ANTI updates-keys). One shuffle on
+    the key for the anti-join (or zero if base is already bucketed by the
+    key — the anti-join then co-locates); the union is free. The anti-join
+    build side is just the updates' key column — 8 bytes/row — so AQE
+    broadcasts it whenever the update batch is small relative to the
+    corpus, which is the common refresh shape. Precondition: ``updates``
+    itself has unique keys (run it through exact/latest-version dedup
+    first otherwise; duplicate update keys would both survive)."""
+    upd_keys = updates.select(key_col)
+    survivors = base.join(upd_keys, key_col, "left_anti")
+    return updates.unionByName(survivors)
+
+
 # ---------------------------------------------------------------------------
 # X2 — latest-version dedup (ranking window — same shape as D8)
 # ---------------------------------------------------------------------------

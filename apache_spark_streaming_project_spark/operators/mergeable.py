@@ -64,7 +64,10 @@ def finalize_stats(stats: DataFrame) -> DataFrame:
     nd = n.cast("double")
     sd = F.col("sum_dec").cast("double")
     sqd = F.col("sumsq_dec").cast("double")
-    var = (nd * sqd - sd * sd) / (nd * (nd - F.lit(1.0)))
+    # epsilon-negative clamp — same rationale as functions.exact.stddev_exact
+    var = F.greatest(
+        (nd * sqd - sd * sd) / (nd * (nd - F.lit(1.0))), F.lit(0.0)
+    )
     return stats.select(
         *[c for c in stats.columns if c not in ("sum_dec", "sumsq_dec")],
         (sd / n).alias("mean"),

@@ -121,6 +121,61 @@ def lsh_top_k(
     )
 
 
+def _train_sample(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    max_train_rows: int,
+    seed: int,
+):
+    """Bounded, layout-independent k-means training sample (see ivf_index
+    docstring — this is that logic, shared with the PQ trainer): keyed-hash
+    row selection (pure function of the key, stable under any partitioning),
+    hard ``limit`` cap, and a driver-side sort so arrival order can't
+    influence the centroids."""
+    import numpy as np
+
+    n = df.count()  # metadata-cheap for parquet; one job otherwise
+    if n > max_train_rows:
+        frac = min(1.0, 1.5 * max_train_rows / n)
+        bucket = 1 << 16
+        keep = F.pmod(
+            F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(bucket)
+        ) < F.lit(int(bucket * frac))
+        train = df.filter(keep).select(vec_col).limit(max_train_rows)
+    else:
+        train = df.select(vec_col)
+    sample = np.array(
+        sorted(tuple(r[0]) for r in train.collect()),
+        dtype=np.float64,
+    )
+    # invariant: the driver never holds more than the training cap
+    assert len(sample) <= max_train_rows, "training collect exceeded cap"
+    return sample
+
+
+def _lloyd(sample, n_centroids: int, iterations: int, seed: int):
+    """Seeded vectorized Lloyd's k-means over a driver-side numpy sample."""
+    import random
+
+    rng = random.Random(seed)
+    k = min(n_centroids, len(sample))
+    cent = sample[rng.sample(range(len(sample)), k)]
+    for _ in range(iterations):
+        # vectorized Lloyd step: ||x-c||^2 = |x|^2 - 2x.c + |c|^2
+        d2 = (
+            (sample**2).sum(1)[:, None]
+            - 2.0 * sample @ cent.T
+            + (cent**2).sum(1)[None, :]
+        )
+        assign = d2.argmin(1)
+        for ci in range(k):
+            members = sample[assign == ci]
+            if len(members):
+                cent[ci] = members.mean(0)
+    return cent
+
+
 def ivf_index(
     df: DataFrame,
     n_centroids: int = 16,
@@ -148,41 +203,8 @@ def ivf_index(
     ``sample()`` whose per-partition RNG changes with the split), and the
     collected rows are sorted driver-side before seeding k-means so
     arrival order can't influence the centroids."""
-    import random
-
-    import numpy as np
-
-    n = df.count()  # metadata-cheap for parquet; one job otherwise
-    if n > max_train_rows:
-        frac = min(1.0, 1.5 * max_train_rows / n)
-        bucket = 1 << 16
-        keep = F.pmod(
-            F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(bucket)
-        ) < F.lit(int(bucket * frac))
-        train = df.filter(keep).select(vec_col).limit(max_train_rows)
-    else:
-        train = df.select(vec_col)
-    sample = np.array(
-        sorted(tuple(r[0]) for r in train.collect()),
-        dtype=np.float64,
-    )
-    # invariant: the driver never holds more than the training cap
-    assert len(sample) <= max_train_rows, "IVF training collect exceeded cap"
-    rng = random.Random(seed)
-    k = min(n_centroids, len(sample))
-    cent = sample[rng.sample(range(len(sample)), k)]
-    for _ in range(iterations):
-        # vectorized Lloyd step: ||x-c||^2 = |x|^2 - 2x.c + |c|^2
-        d2 = (
-            (sample**2).sum(1)[:, None]
-            - 2.0 * sample @ cent.T
-            + (cent**2).sum(1)[None, :]
-        )
-        assign = d2.argmin(1)
-        for ci in range(k):
-            members = sample[assign == ci]
-            if len(members):
-                cent[ci] = members.mean(0)
+    sample = _train_sample(df, key_col, vec_col, max_train_rows, seed)
+    cent = _lloyd(sample, n_centroids, iterations, seed)
     centroids = [list(map(float, c)) for c in cent]
 
     def nearest(vc: Column) -> Column:
@@ -523,4 +545,137 @@ def assign_to_centroids(
         df.crossJoin(F.broadcast(carr))
         .withColumn("assigned_label", best["label"])
         .drop("_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale path of the ANN family: each
+# vector compresses to m small codes (m bytes at 256 centroids/subspace), so
+# a 100 TB float corpus becomes a few-TB code table that fits the scan/cache
+# budget; queries score codes via a tiny per-query lookup table (ADC) with
+# no float vectors read at all. Codebooks train like IVF: bounded
+# layout-independent sample, seeded Lloyd per subspace.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    n_centroids: int = 16,
+    seed: int = 7,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_rows: int = 10_000,
+    iterations: int = 3,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split the vector into ``m`` contiguous subspaces
+    and run seeded k-means independently in each (subspace j gets seed+j so
+    the codebooks differ). Returns ``codebooks[j][c] = centroid vector``
+    (m x n_centroids x dim/m floats — kilobytes; ships as plan literals).
+
+    The training collect reuses the IVF cap: bounded at ``max_train_rows``
+    driver-side rows regardless of table size, keyed-hash selected so the
+    sample is identical under any data layout."""
+    sample = _train_sample(df, key_col, vec_col, max_train_rows, seed)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    return [
+        [
+            list(map(float, c))
+            for c in _lloyd(
+                sample[:, j * d_sub : (j + 1) * d_sub],
+                n_centroids,
+                iterations,
+                seed + j,
+            )
+        ]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its m nearest-centroid codes — map-only, zero
+    shuffles at any scale. The argmin over (m x n_centroids) codebook
+    entries runs as a vectorized Arrow ``mapInPandas`` kernel (one numpy
+    matmul per subspace per batch) — a plan-literal fold over 128 centroid
+    arrays is codegen-hostile (25 s just to build/compile the expression
+    at toy scale), while the batched kernel is the same shape the simhash
+    fingerprinter uses. The codebooks ship inside the serialized closure
+    (kilobytes). The encoded table is the persistable PQ index: m small
+    ints per row. Deterministic: argmin of exact numpy arithmetic, ties
+    broken by lowest code id, independent of batch boundaries."""
+    import numpy as np
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    key_type = df.schema[key_col].dataType.simpleString()
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                sub = vecs[:, j * d_sub : (j + 1) * d_sub]
+                b = books[j]
+                d2 = (
+                    (sub**2).sum(1)[:, None]
+                    - 2.0 * sub @ b.T
+                    + (b**2).sum(1)[None, :]
+                )
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col],
+                    "pq_code": [[int(c) for c in row] for row in codes],
+                }
+            )
+
+    return df.select(key_col, vec_col).mapInPandas(
+        kernel, schema=f"{key_col} {key_type}, pq_code array<int>"
+    )
+
+
+def pq_top_k(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the driver computes the
+    tiny per-query distance table d[j][c] = ||q_j - codebook[j][c]||^2
+    (m x n_centroids doubles), and each row's approximate distance is m
+    array-literal lookups summed — no vector math per row, no shuffle;
+    ``orderBy(asc).limit(k)`` compiles to TakeOrderedAndProject."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    adc = None
+    for j, book in enumerate(codebooks):
+        qj = [float(x) for x in query_vec[j * d_sub : (j + 1) * d_sub]]
+        table = [
+            sum((q - c) ** 2 for q, c in zip(qj, cent)) for cent in book
+        ]
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in table]),
+            F.element_at(F.col("pq_code"), j + 1) + F.lit(1),
+        )
+        adc = term if adc is None else adc + term
+    return (
+        encoded.select(F.col(key_col), adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(key_col).asc())
+        .limit(k)
     )

@@ -71,10 +71,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Parquet scan: column pruning + predicate
     pushdown happen at the source, so callers should select/filter eagerly.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's reader
-    only surfaces as nanosecond longs (``spark.sql.legacy.parquet.nanosAsLong``);
-    convert to a microsecond timestamp by floor-division, matching DuckDB's
-    NANOS->micros truncation so oracle comparisons agree.
+    ``events.ts`` was historically parquet TIMESTAMP(NANOS), which Spark's
+    reader only surfaces as nanosecond longs
+    (``spark.sql.legacy.parquet.nanosAsLong``); convert to a microsecond
+    timestamp by floor-division, matching DuckDB's NANOS->micros truncation
+    so oracle comparisons agree. Current testdata stores micros with
+    isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ — passed
+    through untouched (NTZ == DuckDB's naive TIMESTAMP semantics; callers
+    must avoid LTZ-only expressions like ``unix_micros``).
 
     The nanosAsLong conf is set here (runtime-settable) rather than only in the
     session factory, so externally-built SparkSessions — e.g. the driver's

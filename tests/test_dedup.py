@@ -222,3 +222,23 @@ def test_incremental_dedup(spark):
         r.doc_id for r in incremental_dedup(base, incoming).collect()
     )
     assert kept == [10, 12]
+
+
+def test_merge_upsert_semantics(spark):
+    """Updates win on key collision, unmatched base rows pass through, new
+    keys insert; column order is irrelevant (unionByName)."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "B2"), (9, "new")], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.text)
+        for r in merge_upsert(base, updates, key_col="doc_id").collect()
+    }
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (9, "new")}

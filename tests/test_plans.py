@@ -377,3 +377,71 @@ def test_ivf_batch_ann_broadcasts_queries_single_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert count_shuffles(df) <= 1
     assert "WindowGroupLimit" in plan
+
+
+def test_q8_dims_broadcast_no_cartesian(spark, sf_dir):
+    """Q8's fixed-cardinality dims (region, nation x2) are hinted broadcasts
+    that semi-filter the fact sides before any fact-fact exchange; the
+    8-table join must contain no cartesian product."""
+    df = QUERIES["sql_tpch_q8"].fn(spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_max_is_aggregate_not_window(spark, sf_dir):
+    """Q15's scalar MAX must be a 1-row aggregate joined back (broadcast),
+    NOT a window over the whole revenue table (a single-partition sort at
+    scale)."""
+    df = QUERIES["sql_tpch_q15"].fn(spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "Window" not in plan
+    assert has_broadcast_join(df)
+
+
+def test_q12_year_filter_pushed(spark, sf_dir):
+    """Q12's ship-year predicate must reach the lineitem parquet scan."""
+    df = QUERIES["sql_tpch_q12"].fn(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed
+
+
+def test_q21_compiles_semi_and_anti(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS pair must compile to LEFT SEMI + LEFT ANTI
+    self-joins (each one orderkey-keyed exchange), never a join-then-
+    distinct rewrite."""
+    df = QUERIES["sql_tpch_q21"].fn(spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_threshold_broadcast_anti_join(spark, sf_dir):
+    """Q22's scalar threshold is a 1-row BroadcastNestedLoopJoin (zero
+    shuffle) and the dormancy check a LEFT ANTI join; the order-date
+    filter must prune the orders scan before that shuffle."""
+    df = QUERIES["sql_tpch_q22"].fn(spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed
+
+
+def test_pq_encode_map_only_and_adc_top_k(spark, sf_dir):
+    """PQ: encoding must be map-only (zero shuffles — the codebooks travel
+    with the closure), and ADC top-k must compile to TakeOrderedAndProject
+    (per-partition heap), not a global sort."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        pq_encode,
+        pq_top_k,
+        pq_train,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(e, m=4, n_centroids=8)
+    enc = pq_encode(e, books)
+    assert count_shuffles(enc) == 0
+    top = pq_top_k(enc, books, [0.0] * 64, k=10)
+    assert "TakeOrderedAndProject" in physical_plan(top, "simple")

@@ -28,6 +28,7 @@ EXECUTING = {
     "m3_simulator_contract",
     "m5_stream_stream_join",
     "m5_stream_stream_left_outer",
+    "m6_streaming_dedup",
     "m4_stateful_running_anomalies",
     "j5_bucketed_cojoin",
 }

@@ -187,3 +187,44 @@ def test_ivf_batch_top_k_retrieves_planted(spark):
         assigned, centroids, queries, k=1, nprobe=3
     ).collect()
     assert {r.query_id: r.vec_id for r in top1} == {i: i for i in range(5)}
+
+
+def test_pq_encode_and_adc_retrieves_self(spark):
+    """PQ round-trip: every vector's ADC-nearest code row should be (close
+    to) itself — with 60 well-spread vectors and 16 centroids x 4
+    subspaces, the query vector's own code must land in the ADC top-3."""
+    import random
+
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        pq_encode,
+        pq_top_k,
+        pq_train,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = pq_train(df, m=4, n_centroids=16, key_col="vec_id")
+    assert len(books) == 4 and len(books[0][0]) == 2
+    enc = pq_encode(df, books)
+    assert enc.columns == ["vec_id", "pq_code"]
+    hits = 0
+    for qid in range(5):
+        qvec = rows[qid][1]
+        top = pq_top_k(enc, books, qvec, k=3).collect()
+        hits += any(r.vec_id == qid for r in top)
+    assert hits >= 4  # 16^4 code space over 60 vectors: self-retrieval
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    import pytest
+
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        pq_train,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=2, n_centroids=2)
