@@ -5144,3 +5144,105 @@ def x1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.length("text").cast("bigint").alias("text_len"),
     ).orderBy("doc_id")
+
+
+@register(
+    "x9_expectation_gate",
+    """
+    SELECT * FROM (
+    {profile}
+    ) WHERE n_nulls > n_rows * 0.0 OR n_distinct < 1000
+    ORDER BY column_name
+    """.format(
+        profile=" UNION ALL ".join(
+            _profile_oracle_col(c, v)
+            for c, v in [
+                ("o_orderkey", None),
+                ("o_custkey", None),
+                ("o_orderstatus", None),
+                ("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+                ("o_orderdate", None),
+                ("o_orderpriority", None),
+            ]
+        )
+    ),
+    "X9",
+)
+def x9_expectation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — the expectation gate over the orders profile: emit the
+    VIOLATING profile rows (no-nulls-allowed + at-least-1000-distinct
+    expectations; the low-cardinality status/priority columns violate by
+    design so the contract is non-trivial). Evaluates fully in-plan on
+    the single-pass profile — a pipeline admission check that costs one
+    aggregate, never collects, and composes with any downstream gate
+    (operators/profile.py expect)."""
+    from apache_spark_streaming_project_spark.operators.profile import (
+        column_profile,
+        expect,
+    )
+
+    prof = column_profile(_t(spark, sf_dir, "orders"))
+    return expect(prof, max_null_rate=0.0, min_distinct=1000).orderBy(
+        "column_name"
+    )
+
+
+@register(
+    "d20_conversion_funnel",
+    """
+    WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    purch AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    conv AS (
+      SELECT c.user_id, c.ts FROM clicks c
+      WHERE EXISTS (SELECT 1 FROM purch p
+                    WHERE p.user_id = c.user_id
+                      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR)
+    ),
+    a AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 COUNT(*) AS n_clicks
+          FROM clicks GROUP BY 1),
+    b AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 COUNT(*) AS n_converted
+          FROM conv GROUP BY 1)
+    SELECT a.day, a.n_clicks,
+           CAST(COALESCE(b.n_converted, 0) AS BIGINT) AS n_converted
+    FROM a LEFT JOIN b USING (day) ORDER BY day
+    """,
+    "D2",
+    "D1",
+)
+def d20_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel — per day, how many clicks saw a purchase by the
+    same user within 6 hours: the BATCH twin of the m5 streaming interval
+    join, expressed as a LEFT SEMI join with the time-band condition
+    (each click counts once however many purchases follow), then two
+    per-day rollups stitched with a LEFT join so zero-conversion days
+    keep their click counts. The semi-join shuffles on user_id only;
+    both rollups are partial+final aggs on the day key."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    conv = clicks.join(
+        purch,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 6 HOURS")),
+        "left_semi",
+    )
+    a = clicks.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n_clicks")
+    )
+    b = conv.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n_converted")
+    )
+    return (
+        a.join(b, "day", "left")
+        .select(
+            "day",
+            "n_clicks",
+            F.coalesce("n_converted", F.lit(0)).cast("bigint").alias("n_converted"),
+        )
+        .orderBy("day")
+    )
