@@ -5246,3 +5246,154 @@ def d20_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register("x3_ivfpq_top10", _RECALL_SQL, "X3")
+def x3_ivfpq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 composed scale path — FAISS-style IVF-PQ (coarse k-means router +
+    per-cell RESIDUAL product quantization) top-10 for the vec_id=0 query
+    over the planted corpus, vs exact brute force as an in-plan
+    recall@10 >= 0.8 contract (seeded, deterministic; measured 9/10 — the
+    single miss is a swap between two cosine-~0.9999 planted copies,
+    inherent ADC behavior). One Arrow kernel assigns cells and encodes
+    residuals map-only; the query reads nprobe=4 cells' m-byte codes with
+    a per-cell ADC lookup table — at 100 TB this is the index family that
+    keeps both memory (codes, not floats) and scan (nprobe cells, not the
+    corpus) sublinear (operators/similarity.py ivfpq_index/ivfpq_top_k)."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        brute_force_top_k,
+        ivfpq_index,
+        ivfpq_top_k,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = _planted_corpus(e)
+    indexed, coarse, books = ivfpq_index(
+        corpus, n_centroids=16, m=4, pq_centroids=32
+    )
+    approx = ivfpq_top_k(indexed, coarse, books, qvec, k=10, nprobe=4)
+    exact = brute_force_top_k(corpus, qvec, k=10)
+    return _recall_contract(approx, exact, k=10, min_hits=8)
+
+
+@register(
+    "x8_pq_batch_retrieval",
+    """
+    SELECT vec_id AS query_id, vec_id AS found_vec_id
+    FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+    """,
+    "X8",
+    "X3",
+)
+def x8_pq_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-ANN retrieval check for the PQ code table: the same ten
+    perturbed planted queries as the LSH/IVF batch checks, scored purely
+    on m-byte codes — each query's ADC lookup table is computed IN-PLAN
+    and broadcast with the query row, each candidate costs m array
+    lookups, and the per-query top-1 comes from a rank window Spark
+    rewrites to a map-side WindowGroupLimit. Every query must return its
+    original vector as top-1 (measured 10/10: quantization error is well
+    below the isotropic inter-point distances)."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        pq_batch_top_k,
+        pq_encode,
+        pq_train,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x + 0.005 * F.sin(F.col("vec_id") * 31 + i)).cast(
+                "double"
+            ),
+        ).alias("qvec"),
+    )
+    books = pq_train(e, m=4, n_centroids=32)
+    enc = pq_encode(e, books)
+    top1 = pq_batch_top_k(enc, books, queries, k=1)
+    return top1.select(
+        "query_id", F.col("vec_id").alias("found_vec_id")
+    ).orderBy("query_id")
+
+
+@register(
+    "x_curation_pipeline",
+    f"""
+    WITH deduped AS (
+      SELECT doc_id, text, lang, source FROM (
+        SELECT doc_id, text, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT doc_id, lang, source,
+             least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0) * 0.4
+               + (CASE WHEN p < 0.2 THEN 1.0 - p ELSE 0.5 END) * 0.3
+               + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.6 END)
+                 * 0.3 AS quality
+      FROM (
+        SELECT doc_id, lang, source, toks,
+               CASE WHEN length(text) > 0
+                    THEN CAST(length(text) - length({{punct}}) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS p,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(list_reduce(list_transform(toks,
+                              x -> CAST(length(x) AS BIGINT)), (a,b) -> a + b)
+                         AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                    ELSE 0.0 END AS mtl
+        FROM (SELECT doc_id, text, lang, source, {{toks}} AS toks
+              FROM deduped
+              WHERE lang IN ('en', 'de', 'fr'))
+      )
+    )
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM scored WHERE quality >= 0.9
+    ) WHERE rn <= 40 ORDER BY doc_id
+    """.format(toks=_TOKS_SQL, punct=_PUNCT_REMOVED),
+    "X1",
+    "X4",
+    "X7",
+)
+def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composition the individual X
+    operators exist for, as ONE lazy plan: exact dedup (min-doc_id
+    survivor per text) -> language allowlist -> in-plan quality gate
+    (token/punctuation/length signals) -> exact per-language quota
+    sampling. Catalyst fuses the whole thing: the dedup and quota windows
+    are the only two exchanges (both ranking windows -> map-side
+    WindowGroupLimit caps what each shuffles), and the quality score is
+    pure column arithmetic between them. The oracle rebuilds every stage
+    in SQL, so the hash proves the exact survivor SET of the full
+    pipeline, not just of each stage in isolation. Stage ORDER is
+    semantic, not an optimizer choice: dedup runs BEFORE the language
+    allowlist (a text duplicated across langs must resolve to its
+    min-doc_id copy before the allowlist decides), so the lang predicate
+    correctly cannot push below the dedup window."""
+    from apache_spark_streaming_project_spark.operators import text as tx
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy(F.col("doc_id").asc())
+    deduped = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    gated = deduped.filter(F.col("lang").isin("en", "de", "fr")).withColumn(
+        "quality", tx.quality_score("text")
+    ).filter(F.col("quality") >= 0.9)
+    return (
+        stratified_sample(
+            gated.select("doc_id", "lang", "source"), ["lang"], 40, "doc_id"
+        )
+        .orderBy("doc_id")
+    )

@@ -679,3 +679,225 @@ def pq_top_k(
         .orderBy(F.col("adc_dist").asc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def pq_batch_top_k(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    key_col: str = "vec_id",
+    query_key_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batch ANN over PQ codes (X8 x X3): every query's ADC lookup table
+    (m x n_centroids distances to the codebook literals) is computed
+    IN-PLAN on the query side, the tiny (query, adc) table broadcast-joins
+    the code table, and each row costs m array lookups — the scan reads
+    only the m-byte codes, never the float vectors. Top-k per query via a
+    rank window, which Spark rewrites to a map-side WindowGroupLimit (per
+    partition top-k BEFORE the query-keyed shuffle). Pass
+    ``broadcast_queries=False`` for query batches beyond the broadcast
+    bound."""
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    # adc[j][c] = ||q_j - codebook[j][c]||^2, computed from literals
+    adc = F.array(
+        *[
+            F.transform(
+                F.array(
+                    *[
+                        F.array(*[F.lit(x) for x in cent])
+                        for cent in codebooks[j]
+                    ]
+                ),
+                lambda cent: F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col(query_vec_col), j * d_sub + 1, d_sub),
+                        cent,
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            for j in range(m)
+        ]
+    )
+    q = queries.select(F.col(query_key_col), adc.alias("_adc"))
+    if broadcast_queries:
+        q = F.broadcast(q)
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("_adc"), j),
+            F.element_at(F.col("pq_code"), j) + F.lit(1),
+        ),
+    )
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.col("adc_dist").asc(), F.col(key_col).asc()
+    )
+    return (
+        encoded.crossJoin(q)
+        .select(F.col(query_key_col), F.col(key_col), dist.alias("adc_dist"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def ivfpq_index(
+    df: DataFrame,
+    n_centroids: int = 16,
+    m: int = 4,
+    pq_centroids: int = 32,
+    seed: int = 42,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_rows: int = 10_000,
+    iterations: int = 3,
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """FAISS-style IVF-PQ: a coarse k-means quantizer routes each vector to
+    a cell, and the RESIDUAL (vector minus its cell centroid) is
+    PQ-encoded — residual encoding spends the codebook's resolution on
+    the within-cell distribution instead of the global one, the standard
+    recall win over raw-vector PQ. One bounded training collect serves
+    both stages (coarse centroids, then per-subspace residual codebooks);
+    the full-table pass is a single Arrow ``mapInPandas`` kernel doing
+    coarse-assign + residual-encode per batch (map-only, zero shuffles).
+    Returns (indexed df with ``centroid_id`` + ``pq_code``, coarse
+    centroids, residual codebooks). At scale, persist partitioned by
+    ``centroid_id`` — a query then reads nprobe cells' codes only."""
+    import numpy as np
+
+    sample = _train_sample(df, key_col, vec_col, max_train_rows, seed)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    coarse = _lloyd(sample, n_centroids, iterations, seed)
+    d2 = (
+        (sample**2).sum(1)[:, None]
+        - 2.0 * sample @ coarse.T
+        + (coarse**2).sum(1)[None, :]
+    )
+    resid = sample - coarse[d2.argmin(1)]
+    codebooks = [
+        [
+            list(map(float, c))
+            for c in _lloyd(
+                resid[:, j * d_sub : (j + 1) * d_sub],
+                pq_centroids,
+                iterations,
+                seed + 1 + j,
+            )
+        ]
+        for j in range(m)
+    ]
+    coarse_list = [list(map(float, c)) for c in coarse]
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    key_type = df.schema[key_col].dataType.simpleString()
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            dd = (
+                (vecs**2).sum(1)[:, None]
+                - 2.0 * vecs @ coarse.T
+                + (coarse**2).sum(1)[None, :]
+            )
+            cells = dd.argmin(1)
+            res = vecs - coarse[cells]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                sub = res[:, j * d_sub : (j + 1) * d_sub]
+                b = books[j]
+                e2 = (
+                    (sub**2).sum(1)[:, None]
+                    - 2.0 * sub @ b.T
+                    + (b**2).sum(1)[None, :]
+                )
+                codes[:, j] = e2.argmin(1)
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col],
+                    "centroid_id": [int(c) for c in cells],
+                    "pq_code": [[int(c) for c in row] for row in codes],
+                }
+            )
+
+    indexed = df.select(key_col, vec_col).mapInPandas(
+        kernel,
+        schema=f"{key_col} {key_type}, centroid_id int, pq_code array<int>",
+    )
+    return indexed, coarse_list, codebooks
+
+
+def ivfpq_top_k(
+    indexed: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ query: probe the ``nprobe`` nearest cells; within each, score
+    codes by ADC against the RESIDUAL query (q minus that cell's
+    centroid) — so each probed cell gets its own tiny lookup table,
+    selected per-row by a CASE over the probed cell ids. The scan reads
+    nprobe cells' codes (partition pruning when stored by cell), costs m
+    lookups/row, and ends in TakeOrderedAndProject."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    scored = sorted(
+        range(len(coarse)),
+        key=lambda i: sum(
+            (float(q) - c) ** 2 for q, c in zip(query_vec, coarse[i])
+        ),
+    )
+    probe = scored[:nprobe]
+    # per-cell ADC tables on the residual query
+    tables = {}
+    for cell in probe:
+        rq = [float(q) - c for q, c in zip(query_vec, coarse[cell])]
+        tables[cell] = [
+            [
+                sum(
+                    (q - c) ** 2
+                    for q, c in zip(rq[j * d_sub : (j + 1) * d_sub], cent)
+                )
+                for cent in codebooks[j]
+            ]
+            for j in range(m)
+        ]
+    adc = None
+    for j in range(m):
+        tab = None
+        for cell in probe:
+            lit = F.array(*[F.lit(x) for x in tables[cell][j]])
+            tab = (
+                F.when(F.col("centroid_id") == cell, lit)
+                if tab is None
+                else tab.when(F.col("centroid_id") == cell, lit)
+            )
+        term = F.element_at(tab, F.element_at(F.col("pq_code"), j + 1) + F.lit(1))
+        adc = term if adc is None else adc + term
+    return (
+        indexed.filter(F.col("centroid_id").isin(probe))
+        .select(F.col(key_col), adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(key_col).asc())
+        .limit(k)
+    )

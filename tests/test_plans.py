@@ -445,3 +445,57 @@ def test_pq_encode_map_only_and_adc_top_k(spark, sf_dir):
     assert count_shuffles(enc) == 0
     top = pq_top_k(enc, books, [0.0] * 64, k=10)
     assert "TakeOrderedAndProject" in physical_plan(top, "simple")
+
+
+def test_pq_batch_ann_broadcasts_queries_single_shuffle(spark, sf_dir):
+    """pq_batch_top_k: the per-query ADC tables are computed in-plan and
+    broadcast with the query rows (no code-table shuffle for the join);
+    the only exchange is the per-query top-k window, with map-side
+    WindowGroupLimit ahead of it."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        pq_batch_top_k,
+        pq_encode,
+        pq_train,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_train(e, m=4, n_centroids=8)
+    enc = pq_encode(e, books)
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    df = pq_batch_top_k(enc, books, qs, k=3)
+    plan = physical_plan(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert count_shuffles(df) <= 1
+
+
+def test_ivfpq_index_map_only_topk_prunes_cells(spark, sf_dir):
+    """ivfpq_index's assign+residual-encode kernel is map-only (zero
+    shuffles); ivfpq_top_k filters to the probed cells (pushable
+    centroid_id predicate) and ends in TakeOrderedAndProject."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_top_k,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    indexed, coarse, books = ivfpq_index(
+        e, n_centroids=4, m=4, pq_centroids=8
+    )
+    assert count_shuffles(indexed) == 0
+    top = ivfpq_top_k(indexed, coarse, books, [0.0] * 64, k=5, nprobe=2)
+    assert "TakeOrderedAndProject" in physical_plan(top, "simple")
+
+
+def test_curation_pipeline_two_window_exchanges(spark, sf_dir):
+    """The fused curation pipeline's only exchanges are the dedup window
+    and the quota window (<=3 with AQE reads), both rank-limited via
+    map-side WindowGroupLimit; no join, no cartesian."""
+    df = QUERIES["x_curation_pipeline"].fn(spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert count_shuffles(df) <= 3

@@ -228,3 +228,31 @@ def test_pq_train_rejects_indivisible_dim(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(df, m=2, n_centroids=2)
+
+
+def test_ivfpq_retrieves_planted(spark):
+    """IVF-PQ end to end on a small synthetic corpus: perturbed queries
+    must retrieve their original vector as ADC top-1 (residual encoding,
+    4 cells x 8 codes x 4 subspaces over 60 well-spread vectors)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_top_k,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    indexed, coarse, books = ivfpq_index(
+        df, n_centroids=4, m=4, pq_centroids=8
+    )
+    indexed = indexed.cache()
+    hits = 0
+    for qid in range(5):
+        qvec = [x + 1e-4 for x in rows[qid][1]]
+        top = ivfpq_top_k(indexed, coarse, books, qvec, k=1, nprobe=2)
+        hits += top.collect()[0].vec_id == qid
+    assert hits >= 4
