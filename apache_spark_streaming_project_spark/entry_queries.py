@@ -5397,3 +5397,34 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "s_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS count
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+    "§2.3",
+)
+def s_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form ROLLUP/CUBE sugar over) via
+    the native DataFrame ``groupingSets`` API — here the ROLLUP lattice
+    minus nothing, but declared set-by-set, with grouping_id
+    disambiguating the NULL-as-total rows. Same Expand-based physical
+    plan as rollup: one pass, replication factor = number of sets (a
+    semantic Expand, exempt from the plan-audit budget like s_rollup)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(F.grouping_id().alias("gid"), F.count("*").alias("count"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "count")
+    )

@@ -256,3 +256,26 @@ def test_ivfpq_retrieves_planted(spark):
         top = ivfpq_top_k(indexed, coarse, books, qvec, k=1, nprobe=2)
         hits += top.collect()[0].vec_id == qid
     assert hits >= 4
+
+
+def test_pq_codes_layout_independent(spark):
+    """pq_train's sample is keyed-hash selected and driver-sorted, and the
+    encode kernel is a pure function of row values — so codebooks AND
+    codes must be identical under any partitioning of the same data."""
+    import random
+
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    a = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    b = spark.createDataFrame(list(reversed(rows)), ["vec_id", "embedding"]).repartition(7)
+    books_a = pq_train(a, m=4, n_centroids=8)
+    books_b = pq_train(b, m=4, n_centroids=8)
+    assert books_a == books_b
+    codes_a = {r.vec_id: r.pq_code for r in pq_encode(a, books_a).collect()}
+    codes_b = {r.vec_id: r.pq_code for r in pq_encode(b, books_b).collect()}
+    assert codes_a == codes_b
