@@ -5428,3 +5428,73 @@ def s_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.grouping_id().alias("gid"), F.count("*").alias("count"))
         .select("o_orderstatus", "o_orderpriority", "gid", "count")
     )
+
+
+@register(
+    "x2_containment_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    frag AS (
+      SELECT doc_id + 3000000 AS doc_id, t[1:greatest(len(t) // 2, 0)] AS t
+      FROM toks WHERE doc_id % 5 = 0
+    ),
+    corpus AS (SELECT * FROM toks UNION ALL SELECT * FROM frag),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM corpus
+    )
+    SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           CASE WHEN len(a.s) > 0
+                THEN CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                          AS DOUBLE) / CAST(len(a.s) AS DOUBLE)
+                ELSE 0.0 END AS containment_a,
+           CASE WHEN len(b.s) > 0
+                THEN CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                          AS DOUBLE) / CAST(len(b.s) AS DOUBLE)
+                ELSE 0.0 END AS containment_b
+    FROM sh a JOIN sh b ON a.doc_id = b.doc_id + 3000000
+    ORDER BY key_a
+    """,
+    "X2",
+)
+def x2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — asymmetric n-gram CONTAINMENT (doc-inside-doc detection, the
+    crawl-dedup metric Jaccard misses): every fifth document gets a
+    planted first-half fragment (in-plan token slice, re-keyed), and
+    containment_a of (fragment -> original) must be exactly 1.0 — every
+    3-gram of a prefix occurs in the full document — while containment_b
+    stays fractional. The hash therefore proves the asymmetry, not just
+    the intersection arithmetic (operators/dedup.py
+    ngram_containment_pairs)."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+    from apache_spark_streaming_project_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.lower(F.col("text")))
+    frag = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(toks, 1, F.floor(F.size(toks) / 2).cast("int")),
+            ).alias("text"),
+        )
+    )
+    corpus = d.unionByName(frag)
+    pairs = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("key_a"),
+        F.col("doc_id").alias("key_b"),
+    )
+    return ngram_containment_pairs(corpus, pairs, "doc_id", "text", 3).orderBy(
+        "key_a"
+    )

@@ -489,6 +489,48 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT for candidate pairs: |A∩B|/|A| and
+    |A∩B|/|B|. Jaccard misses doc-inside-doc duplication (a fragment
+    quoted whole inside a larger page scores low Jaccard because the
+    union is big) — containment is the metric crawl dedup uses to catch
+    it: containment_a ~= 1 means A is essentially contained in B,
+    whatever else B carries. Same join shape as the Jaccard verifier:
+    shingle once (cached), join both sides in, array built-ins do the
+    set math — exact scoring only on the candidate set, never all-pairs."""
+    sh = df.select(
+        F.col(key_col).alias("_k"), word_shingles(text_col, n).alias("_sh")
+    ).cache()
+    out = (
+        pairs.join(
+            sh.withColumnRenamed("_k", "key_a").withColumnRenamed("_sh", "_sh_a"),
+            "key_a",
+        ).join(
+            sh.withColumnRenamed("_k", "key_b").withColumnRenamed("_sh", "_sh_b"),
+            "key_b",
+        )
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+    na = F.size("_sh_a")
+    nb = F.size("_sh_b")
+    return out.select(
+        "key_a",
+        "key_b",
+        F.when(na > 0, inter / na.cast("double")).otherwise(0.0).alias(
+            "containment_a"
+        ),
+        F.when(nb > 0, inter / nb.cast("double")).otherwise(0.0).alias(
+            "containment_b"
+        ),
+    )
+
+
 def consecutive_jaccard(
     df: DataFrame, key_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:

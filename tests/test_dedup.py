@@ -242,3 +242,22 @@ def test_merge_upsert_semantics(spark):
         for r in merge_upsert(base, updates, key_col="doc_id").collect()
     }
     assert got == {(1, "a"), (2, "B2"), (3, "c"), (9, "new")}
+
+
+def test_containment_detects_fragment(spark):
+    """A prefix fragment must have containment_a exactly 1.0 in its source
+    doc, while Jaccard (symmetric) would under-report the duplication."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    base = "a b c d e f g h i j k l"
+    docs = spark.createDataFrame(
+        [(1, base), (2, "a b c d e f")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(2, 1)], ["key_a", "key_b"])
+    r = ngram_containment_pairs(docs, pairs, n=3).collect()[0]
+    assert r.containment_a == 1.0
+    assert r.containment_b < 1.0
