@@ -5498,3 +5498,81 @@ def x2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(corpus, pairs, "doc_id", "text", 3).orderBy(
         "key_a"
     )
+
+
+@register(
+    "m7_streaming_sessions",
+    """
+    WITH ord AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 1 DAY
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), grp AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ord
+    ), sessions AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 1 DAY AS session_end,
+             COUNT(*) AS count
+      FROM grp GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, count
+    FROM sessions, (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    WHERE session_end < w
+    ORDER BY user_id, session_start
+    """,
+    "M4",
+    "S6",
+)
+def m7_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gap-based session windows with a TIGHT watermark,
+    oracle-checked against the exact append-mode emission rule: sessions
+    merge across micro-batches in the state store and emit only once the
+    watermark (max event time - 1 h) passes their end (last event +
+    1-day gap) — the drained result is precisely the batch sessionization
+    restricted to watermark-closed sessions; the tail stays pending in
+    state. Completes the streaming window surface next to the m5 joins
+    and m6 dedup: state per user is the open session row, evicted on
+    close (streaming/windows.py session_windows)."""
+    import os
+    import tempfile
+
+    from apache_spark_streaming_project_spark.streaming.windows import (
+        session_windows,
+    )
+
+    base = tempfile.mkdtemp(prefix="m7_sess_")
+    in_dir = os.path.join(base, "in")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    # withWatermark requires LTZ; NTZ->LTZ is an identity instant in UTC
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    ev.repartition(2).write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    sess = session_windows(
+        stream, "ts", ["user_id"], gap="1 day", watermark="1 hour"
+    )
+    with _stream_shuffle_partitions(spark):
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .select("user_id", "session_start", "session_end", "count")
+        .orderBy("user_id", "session_start")
+    )

@@ -29,6 +29,7 @@ EXECUTING = {
     "m5_stream_stream_join",
     "m5_stream_stream_left_outer",
     "m6_streaming_dedup",
+    "m7_streaming_sessions",
     "m4_stateful_running_anomalies",
     "j5_bucketed_cojoin",
 }
