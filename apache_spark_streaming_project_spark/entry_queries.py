@@ -5576,3 +5576,72 @@ def m7_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "session_end", "count")
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "x6_best_representatives",
+    _CC_ORACLE_PREFIX.format(shingles=_SHINGLES_SQL)
+    + f"""
+    , q AS (
+      SELECT doc_id,
+             least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0) * 0.4
+               + (CASE WHEN p < 0.2 THEN 1.0 - p ELSE 0.5 END) * 0.3
+               + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.6 END)
+                 * 0.3 AS quality
+      FROM (
+        SELECT doc_id, toks,
+               CASE WHEN length(text) > 0
+                    THEN CAST(length(text) - length({{punct}}) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS p,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(list_reduce(list_transform(toks,
+                              x -> CAST(length(x) AS BIGINT)), (a,b) -> a + b)
+                         AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                    ELSE 0.0 END AS mtl
+        FROM (SELECT doc_id, text, {{toks}} AS toks FROM documents)
+      )
+    ),
+    ranked AS (
+      SELECT cc.id,
+             ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                                ORDER BY q.quality DESC, cc.id ASC) AS rn
+      FROM cc JOIN q ON q.doc_id = cc.id
+    )
+    SELECT d.doc_id FROM documents d LEFT JOIN ranked r ON d.doc_id = r.id
+    WHERE r.id IS NULL OR r.rn = 1
+    ORDER BY d.doc_id
+    """.format(toks=_TOKS_SQL, punct=_PUNCT_REMOVED),
+    "X6",
+    "X4",
+)
+def x6_best_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 curation-grade collapse: near-dup clusters keep their HIGHEST-
+    QUALITY member (quality argmax, min-id tiebreak) instead of an
+    arbitrary min-key survivor — when a page was crawled five times, ship
+    the best copy. Candidates -> exact-Jaccard verify -> connected
+    components -> per-cluster quality ranking over MEMBERS ONLY (paired
+    docs are a vanishing corpus fraction; the corpus never shuffles, the
+    losers anti-join back). Oracle: recursive-CTE transitive closure +
+    the same quality arithmetic + rank (operators/dedup.py
+    dedup_keep_best)."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        dedup_keep_best,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from apache_spark_streaming_project_spark.operators.text import (
+        quality_score,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, "doc_id", "text").select("key_a", "key_b")
+    verified = (
+        ngram_jaccard_pairs(d, cand, "doc_id", "text", 3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("key_a", "key_b")
+    )
+    return (
+        dedup_keep_best(d, verified, quality_score("text"), "doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

@@ -726,6 +726,42 @@ def dedup_keep_representatives(
     return df.join(drop, key_col, "left_anti")
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score: Column,
+    key_col: str = "doc_id",
+    key_a: str = "key_a",
+    key_b: str = "key_b",
+) -> DataFrame:
+    """Collapse near-dup clusters keeping the BEST member per component by
+    ``score`` (ties break on min key) — the curation-grade variant of
+    :func:`dedup_keep_representatives`: when a page was crawled five
+    times, keep the highest-quality copy, not whichever got the smallest
+    id.
+
+    Scale shape: the score is evaluated ONLY on cluster members (an inner
+    join against the small cluster table — paired docs are a vanishing
+    fraction of a corpus), the per-cluster argmax is a ranking window
+    over that member table, and the corpus itself never shuffles — the
+    losers come back as an anti-join side AQE broadcasts when small."""
+    clusters = near_dup_clusters(pairs, key_a, key_b).select(
+        F.col("key").alias(key_col), "cluster_id"
+    )
+    members = df.join(clusters, key_col).select(
+        key_col, "cluster_id", score.alias("_score")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_score").desc(), F.col(key_col).asc()
+    )
+    drop = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(key_col)
+    )
+    return df.join(drop, key_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------

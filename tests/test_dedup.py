@@ -261,3 +261,40 @@ def test_containment_detects_fragment(spark):
     r = ngram_containment_pairs(docs, pairs, n=3).collect()[0]
     assert r.containment_a == 1.0
     assert r.containment_b < 1.0
+
+
+def test_keep_best_prefers_quality_over_min_key(spark):
+    """dedup_keep_best must keep the higher-quality cluster member even
+    when it has the larger key (where min-key would keep the other)."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        dedup_keep_best,
+        dedup_keep_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x"),                                # low quality, min key
+            (2, "alpha beta gamma delta " * 8),      # high quality
+            (9, "untouched loner document"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["key_a", "key_b"])
+    from apache_spark_streaming_project_spark.operators.text import (
+        quality_score,
+    )
+
+    best = {
+        r.doc_id
+        for r in dedup_keep_best(
+            docs, pairs, quality_score("text"), "doc_id"
+        ).collect()
+    }
+    minkey = {
+        r.doc_id
+        for r in dedup_keep_representatives(docs, pairs, "doc_id").collect()
+    }
+    assert best == {2, 9}
+    assert minkey == {1, 9}
