@@ -5645,3 +5645,71 @@ def x6_best_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "m8_streaming_tumbling",
+    """
+    WITH agg AS (
+      SELECT CAST(time_bucket(INTERVAL 1 DAY, ts) AS TIMESTAMP) AS window_start,
+             CAST(time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY
+                  AS TIMESTAMP) AS window_end,
+             event_type,
+             COUNT(*) AS count
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT window_start, window_end, event_type, count
+    FROM agg, (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    WHERE window_end < w
+    ORDER BY window_start, event_type
+    """,
+    "M4",
+    "S6",
+)
+def m8_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING tumbling-window aggregation with a TIGHT watermark,
+    oracle-checked against the append-mode emission rule (same contract
+    design as m7): per-day per-event-type counts accumulate in window
+    state across micro-batches and emit only once the watermark
+    (max ts - 1 h) passes the window END — the drained result is the
+    batch tumbling aggregation restricted to closed windows, with the
+    final partial day held in state. The streaming aggregate is the
+    partial+final HashAggregate shape per window pane
+    (streaming/windows.py tumbling_window); state per key is one count
+    row, evicted on emission."""
+    import os
+    import tempfile
+
+    from apache_spark_streaming_project_spark.streaming.windows import (
+        windowed_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="m8_tumb_")
+    in_dir = os.path.join(base, "in")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    # withWatermark requires LTZ; NTZ->LTZ is an identity instant in UTC
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    ev.repartition(2).write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    agg = windowed_counts(
+        stream, "ts", ["event_type"], "1 day", watermark="1 hour"
+    )
+    with _stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .select("window_start", "window_end", "event_type", "count")
+        .orderBy("window_start", "event_type")
+    )
