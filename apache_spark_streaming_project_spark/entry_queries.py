@@ -5713,3 +5713,42 @@ def m8_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("window_start", "window_end", "event_type", "count")
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "x7_time_split",
+    """
+    SELECT split, COUNT(*) AS n_rows, MIN(ts) AS min_ts, MAX(ts) AS max_ts
+    FROM (
+      SELECT ts,
+             CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'train'
+                  WHEN ts >= TIMESTAMP '2024-01-22 12:00:00' THEN 'test'
+                  ELSE 'purged' END AS split
+      FROM events
+    ) GROUP BY split ORDER BY split
+    """,
+    "X7",
+)
+def x7_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — temporal train/test split with a 12-hour PURGE GAP (the
+    leakage guard for trailing-window features: nothing inside the gap
+    reaches either side). Map-only labeling, one pushable comparison per
+    row; the contract aggregates per-split counts AND time bounds, so the
+    hash proves the boundary semantics (train max < cutoff <= purged <
+    cutoff+purge <= test min), not just the proportions
+    (operators/sampling.py time_split)."""
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        time_split,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("ts")
+    return (
+        time_split(ev, "ts", "2024-01-22 00:00:00", "12 HOURS")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("split")
+    )

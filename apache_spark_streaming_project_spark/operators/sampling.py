@@ -113,3 +113,26 @@ def weighted_sample(
         .limit(k)
         .drop("_p")
     )
+
+
+def time_split(
+    df: DataFrame,
+    time_col: str,
+    cutoff: str,
+    purge: str = "0 seconds",
+) -> DataFrame:
+    """X7 — temporal train/test split with a PURGE GAP: rows before
+    ``cutoff`` are train, rows at/after ``cutoff + purge`` are test, and
+    rows inside the gap are dropped (``split`` = 'purged'). The purge gap
+    is the leakage guard time-series and event-stream pipelines need when
+    features aggregate trailing windows — a trailing feature computed at
+    the first test timestamp must not see any train-adjacent rows.
+    Map-only (one pushable comparison per row, no shuffle); the same
+    filter prunes parquet row groups at scale."""
+    t = F.col(time_col)
+    lo = F.lit(cutoff).cast("timestamp_ntz")
+    hi = F.lit(cutoff).cast("timestamp_ntz") + F.expr(f"INTERVAL {purge}")
+    return df.withColumn(
+        "split",
+        F.when(t < lo, "train").when(t >= hi, "test").otherwise("purged"),
+    )
