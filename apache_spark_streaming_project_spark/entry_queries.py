@@ -5752,3 +5752,65 @@ def x7_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "s_corrupt_records",
+    """
+    SELECT CAST(4 AS BIGINT) AS n_clean,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           CAST(10.5 AS DOUBLE) AS sum_clean_v
+    """,
+    "S1",
+    "S18",
+)
+def s_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust ingest: PERMISSIVE CSV parsing with a corrupt-record escrow
+    column — malformed rows (wrong arity, unparsable numerics) land in
+    ``_corrupt_record`` instead of failing the job or silently vanishing,
+    the production posture for crawled/vendor feeds (DROPMALFORMED loses
+    data silently; FAILFAST turns one bad row into an outage). The
+    fixture plants 3 malformed rows among 4 clean ones; the contract row
+    asserts the clean/corrupt partition AND that clean values aggregate
+    unpolluted. Schema is declared (the reference's stance — its stream
+    requires one, spark_streaming.py:25-40); parsing stays JVM-side."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="s_corrupt_")
+    path = os.path.join(base, "feed.csv")
+    with open(path, "w") as f:
+        f.write(
+            "1,alpha,2.5\n"
+            "2,beta,3.0\n"
+            "garbage-no-commas\n"
+            "3,gamma,not-a-number\n"
+            "4,delta,1.0\n"
+            "5,epsilon,4.0\n"
+            "6,zeta,1.0,extra-field\n"
+        )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), True),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("v", T.DoubleType(), True),
+            T.StructField("_corrupt_record", T.StringType(), True),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()  # SPARK-21610: corrupt-record queries need the full parse
+    )
+    corrupt = F.col("_corrupt_record").isNotNull()
+    return df.agg(
+        F.sum(F.when(~corrupt, 1).otherwise(0)).cast("bigint").alias("n_clean"),
+        F.sum(F.when(corrupt, 1).otherwise(0)).cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(~corrupt, F.col("v")).otherwise(F.lit(0.0))).alias(
+            "sum_clean_v"
+        ),
+    )
