@@ -5814,3 +5814,53 @@ def s_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_clean_v"
         ),
     )
+
+
+@register(
+    "d21_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', CAST(f.cohort_day AS DATE),
+                          CAST(a.day AS DATE)) AS BIGINT) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN first_seen f USING (user_id)
+    WHERE date_diff('day', CAST(f.cohort_day AS DATE),
+                    CAST(a.day AS DATE)) <= 7
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "D5",
+    "D8a",
+)
+def d21_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — users grouped by first-seen day, counted
+    on each of their first 7 active-day offsets: the canonical product-
+    analytics shape (argmin-per-user -> distinct activity days -> self
+    join -> offset rollup). Two user-keyed aggregations and one user-
+    keyed join share a single shuffle partitioning under AQE; the offset
+    rollup is a partial+final agg on (cohort_day, offset) — no Expand
+    (single COUNT DISTINCT), no window over the corpus."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    offset = F.datediff(F.to_date("day"), F.to_date("cohort_day"))
+    return (
+        activity.join(first_seen, "user_id")
+        .filter(offset <= 7)
+        .groupBy(
+            "cohort_day", offset.cast("bigint").alias("day_offset")
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )

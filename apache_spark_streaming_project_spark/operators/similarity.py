@@ -697,9 +697,16 @@ def pq_batch_top_k(
     the code table, and each row costs m array lookups — the scan reads
     only the m-byte codes, never the float vectors. Top-k per query via a
     rank window, which Spark rewrites to a map-side WindowGroupLimit (per
-    partition top-k BEFORE the query-keyed shuffle). Pass
-    ``broadcast_queries=False`` for query batches beyond the broadcast
-    bound."""
+    partition top-k BEFORE the query-keyed shuffle).
+
+    Exhaustive ADC scores EVERY (code, query) pair by definition, so the
+    join is a semantic cross product: with ``broadcast_queries=True``
+    (default) it runs as a BroadcastNestedLoopJoin streaming the code
+    table once; ``broadcast_queries=False`` merely switches to Spark's
+    shuffle-replicate NL when the batch exceeds the broadcast bound. For
+    genuinely huge batches route through ``ivfpq_index`` + per-cell
+    probing instead — sublinear candidate selection, not a bigger cross
+    product."""
     from pyspark.sql import Window
 
     m = len(codebooks)
