@@ -1343,31 +1343,183 @@ def x_ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return consecutive_jaccard(d, "doc_id", "text", 3)
 
 
-@register("x_minhash_lsh_pairs", None, "X1", "X2")
+# Shingles of an arbitrary text expression (parameterized variant of
+# _SHINGLES_SQL, for oracles that perturb the text in-plan).
+_SHINGLES_OF_SQL = r"""
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower({expr})), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents)
+"""
+
+
+@register(
+    "x_minhash_lsh_pairs",
+    """
+    WITH orig AS ({orig}),
+    pert AS ({pert}),
+    j AS (
+      SELECT o.doc_id,
+             CASE WHEN len(o.s) + len(p.s)
+                       - len(list_filter(o.s, x -> list_contains(p.s, x))) > 0
+                  THEN CAST(len(list_filter(o.s, x -> list_contains(p.s, x)))
+                            AS DOUBLE)
+                       / CAST(len(o.s) + len(p.s)
+                              - len(list_filter(o.s, x -> list_contains(p.s, x)))
+                              AS DOUBLE)
+                  ELSE 0.0 END AS jac
+      FROM orig o JOIN pert p USING (doc_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS planted_pairs,
+           CAST(SUM(CASE WHEN jac >= 0.85 THEN 1 ELSE 0 END) AS BIGINT)
+             AS eligible_pairs,
+           TRUE AS recall_ok
+    FROM j
+    """.format(
+        orig=_SHINGLES_OF_SQL.format(expr="text"),
+        pert=_SHINGLES_OF_SQL.format(expr="text || ' zzqx'"),
+    ),
+    "X1",
+    "X2",
+)
 def x_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32)+LSH(8 bands) near-dup candidate pairs over documents.
-    Rows-only check (the banding join has no tractable SQL mirror); the
-    est_jaccard values themselves are deterministic (seeded xxhash64).
-    Oracle-visible verification of this pipeline lives in
-    x_minhash_verified_pairs (recall vs all-pairs exact Jaccard)."""
+    """MinHash(32)+LSH(8 bands) candidate RECALL contract, hash-verified
+    (was rows-only through round 3 — the banding join itself has no
+    tractable SQL mirror, but its recall is measurable): every document is
+    paired with a planted near-copy (one appended token, key + 10^6, exact
+    word-3-gram Jaccard (n-2)/(n-1) ~ 0.9), and the LSH pipeline must
+    recover >= 95% of the planted pairs whose EXACT Jaccard is >= 0.85.
+    The oracle recomputes the planted-pair Jaccards independently (DuckDB
+    list ops on the same perturbation), so ``planted_pairs`` and
+    ``eligible_pairs`` are value-hash-checked counts, and ``recall_ok``
+    goes FALSE — a red driver row — if banding recall degrades. At
+    J = 0.89 the design recall is 1-(1-J^4)^8 ~ 0.9996, so the 0.95 bar
+    has real slack; everything is seeded xxhash64, hence deterministic.
+    Scale shape: the planted pair set is O(N) (no all-pairs anywhere), the
+    exact verify touches candidates only, and the contract aggregates are
+    1-row crossJoins (operators/dedup.py minhash_lsh_candidates,
+    ngram_jaccard_pairs)."""
     from apache_spark_streaming_project_spark.operators.dedup import (
         minhash_lsh_candidates,
+        ngram_jaccard_pairs,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(d, "doc_id", "text").orderBy("key_a", "key_b")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
+    )
+    corpus = d.unionByName(pert)
+    planted = d.select(
+        F.col("doc_id").alias("key_a"),
+        (F.col("doc_id") + 1_000_000).alias("key_b"),
+    )
+    eligible = (
+        ngram_jaccard_pairs(corpus, planted, "doc_id", "text", 3)
+        .filter(F.col("jaccard") >= 0.85)
+        .select("key_a", "key_b")
+    )
+    cand = minhash_lsh_candidates(corpus, "doc_id", "text").select(
+        "key_a", "key_b"
+    )
+    found = eligible.join(cand, ["key_a", "key_b"], "left_semi")
+    p_n = planted.agg(F.count(F.lit(1)).alias("planted_pairs"))
+    e_n = eligible.agg(F.count(F.lit(1)).alias("_elig"))
+    f_n = found.agg(F.count(F.lit(1)).alias("_found"))
+    return (
+        p_n.crossJoin(e_n)
+        .crossJoin(f_n)
+        .select(
+            F.col("planted_pairs").cast("bigint").alias("planted_pairs"),
+            F.col("_elig").cast("bigint").alias("eligible_pairs"),
+            (F.col("_found") >= F.ceil(F.col("_elig") * 0.95)).alias(
+                "recall_ok"
+            ),
+        )
+    )
 
 
-@register("x_simhash_pairs", None, "X1", "X2")
+@register(
+    "x_simhash_pairs",
+    r"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS planted_pairs,
+           TRUE AS eligible_ratio_ok,
+           TRUE AS recall_ok
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents)
+    WHERE len(t) >= 2
+    """,
+    "X1",
+    "X2",
+)
 def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup pairs within Hamming distance 3 (pigeonhole
-    block join). Rows-only check; deterministic fingerprints.
-    Oracle-visible verification lives in x_simhash_verified_pairs
-    (wider radius + exact-Jaccard verify vs all-pairs ground truth)."""
-    from apache_spark_streaming_project_spark.operators.dedup import simhash_near_dups
+    """SimHash(64) pigeonhole-COMPLETENESS contract, hash-verified (was
+    rows-only through round 3): every document is paired with a planted
+    near-copy (one appended token, key + 10^6), the pair's EXACT Hamming
+    distance is measured on the fingerprints (O(N) key-join — never
+    all-pairs), and every pair within the design radius (<= 3) MUST appear
+    among the block-join candidates — recall 1.0 is a THEOREM for
+    pigeonhole blocking (4 blocks, <= 3 flipped bits: some block is
+    untouched), so ``recall_ok`` = FALSE can only mean the blocking is
+    implemented wrong. ``eligible_ratio_ok`` asserts >= 30% of planted
+    pairs land within the radius so the theorem check can't pass
+    vacuously (measured: one shingle changed out of ~50 puts 48% of
+    pairs at Hamming <= 3, median 4); ``planted_pairs`` is an
+    oracle-checked count (docs with
+    >= 2 tokens, the 2-gram fingerprint threshold). Fingerprints are
+    deterministic (SipHash, fixed key) and computed ONCE, shared by the
+    measurement and candidate paths (operators/dedup.py simhash_df,
+    simhash_near_dups)."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        simhash_df,
+        simhash_near_dups,
+    )
 
-    d = _t(spark, sf_dir, "documents")
-    return simhash_near_dups(d, "doc_id", "text").orderBy("key_a", "key_b")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
+    )
+    corpus = d.unionByName(pert)
+    fp = simhash_df(corpus, "doc_id", "text", 2).cache()
+    fa = fp.filter(F.col("_key") < 1_000_000).select(
+        F.col("_key").alias("key_a"), F.col("_fp").alias("_fa")
+    )
+    fb = fp.filter(F.col("_key") >= 1_000_000).select(
+        (F.col("_key") - 1_000_000).alias("key_a"),
+        F.col("_key").alias("key_b"),
+        F.col("_fp").alias("_fb"),
+    )
+    planted = fa.join(fb, "key_a").select(
+        "key_a",
+        "key_b",
+        F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).alias("_ham"),
+    )
+    eligible = planted.filter(F.col("_ham") <= 3).select("key_a", "key_b")
+    cand = simhash_near_dups(
+        corpus, "doc_id", "text", max_hamming=3, fingerprints=fp
+    ).select("key_a", "key_b")
+    found = eligible.join(cand, ["key_a", "key_b"], "left_semi")
+    p_n = planted.agg(F.count(F.lit(1)).alias("planted_pairs"))
+    e_n = eligible.agg(F.count(F.lit(1)).alias("_elig"))
+    f_n = found.agg(F.count(F.lit(1)).alias("_found"))
+    return (
+        p_n.crossJoin(e_n)
+        .crossJoin(f_n)
+        .select(
+            F.col("planted_pairs").cast("bigint").alias("planted_pairs"),
+            (
+                F.col("_elig")
+                >= F.ceil(F.col("planted_pairs") * 0.3)
+            ).alias("eligible_ratio_ok"),
+            (F.col("_found") == F.col("_elig")).alias("recall_ok"),
+        )
+    )
 
 
 @register(
@@ -5048,7 +5200,15 @@ def m6_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev.unionByName(dups).repartition(2).write.mode("overwrite").parquet(in_dir)
 
-    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    # oracle parity REQUIRES every file in one micro-batch: if the source
+    # split batches, the watermark advancing between them could drop a
+    # late-arriving original/duplicate and diverge from the batch DISTINCT
+    # — pin the assumption instead of relying on availableNow defaults
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1_000_000)
+        .parquet(in_dir)
+    )
     dd = streaming_dedup_within_watermark(
         stream, ["event_id"], "ts", "10 minutes"
     )
@@ -5524,7 +5684,7 @@ def x2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_start, session_end, count
     FROM sessions, (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
-    WHERE session_end < w
+    WHERE session_end <= w
     ORDER BY user_id, session_start
     """,
     "M4",
@@ -5660,7 +5820,7 @@ def x6_best_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT window_start, window_end, event_type, count
     FROM agg, (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
-    WHERE window_end < w
+    WHERE window_end <= w
     ORDER BY window_start, event_type
     """,
     "M4",

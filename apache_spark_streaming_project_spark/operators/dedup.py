@@ -130,6 +130,7 @@ def merge_upsert(
     base: DataFrame,
     updates: DataFrame,
     key_col: str = "doc_id",
+    strict: bool = False,
 ) -> DataFrame:
     """X1 ingest path — MERGE/upsert semantics without a table format:
     every ``updates`` row wins over the ``base`` row with the same key;
@@ -145,7 +146,28 @@ def merge_upsert(
     broadcasts it whenever the update batch is small relative to the
     corpus, which is the common refresh shape. Precondition: ``updates``
     itself has unique keys (run it through exact/latest-version dedup
-    first otherwise; duplicate update keys would both survive)."""
+    first otherwise; duplicate update keys would both survive).
+
+    ``strict=True`` enforces that precondition IN-PLAN, matching real
+    MERGE INTO semantics (Delta/Iceberg raise on multiple matches): a
+    ranking window counts rows per update key and ``assert_true`` fails
+    the job at execution time if any key repeats — violations fail
+    loudly instead of duplicating keys downstream. Costs one extra
+    window shuffle of the (small) updates side only."""
+    if strict:
+        w = Window.partitionBy(key_col)
+        guard = F.assert_true(
+            F.count(F.lit(1)).over(w) == 1,
+            F.concat(
+                F.lit("merge_upsert: duplicate update key "),
+                F.col(key_col).cast("string"),
+            ),
+        )
+        updates = (
+            updates.withColumn("_dup_guard", guard)
+            .filter(F.col("_dup_guard").isNull())
+            .drop("_dup_guard")
+        )
     upd_keys = updates.select(key_col)
     survivors = base.join(upd_keys, key_col, "left_anti")
     return updates.unionByName(survivors)
@@ -226,6 +248,7 @@ def minhash_signatures_df(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Scalable MinHash: explode distinct shingles to (key, shingle) rows,
     then ``groupBy(key).agg(min(xxhash64(shingle, s)) per seed)``.
@@ -233,11 +256,36 @@ def minhash_signatures_df(
     The hash evaluations run inside WholeStageCodegen over exploded rows;
     partial aggregation means the shuffle carries one (key, num_hashes x
     long) row per key per map partition. Returns (_key, _sig array<long>).
+
+    ``max_shingle_df`` drops shingles whose DOCUMENT FREQUENCY exceeds the
+    cap before signatures are computed — the standard boilerplate guard
+    for web-scale corpora: near-ubiquitous template shingles (nav bars,
+    cookie banners, licence footers) otherwise dominate every document's
+    min-hashes, so sub-threshold pairs that share only boilerplate flood
+    the LSH buckets quadratically. Dropping high-df grams both bounds the
+    buckets AND improves dedup quality (similarity is then measured on
+    the content that distinguishes documents). Two-pass corpus-stats
+    shape: the df table aggregates on the 8-byte xxhash64 of the shingle
+    (map-side combine; shuffle carries hash+count), and only the
+    over-cap hashes — the boilerplate vocabulary, small by construction —
+    come back as an anti-join build side AQE broadcasts. Documents whose
+    every shingle is over-cap (pure-template pages) produce no signature
+    and drop out of near-dup detection, like empty documents.
     """
     exploded = df.select(
         F.col(key_col).alias("_key"),
         F.explode(word_shingles(text_col, shingle_n)).alias("_sh"),
     )
+    if max_shingle_df is not None:
+        hot = (
+            exploded.groupBy(F.xxhash64("_sh").alias("_shh"))
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("_shh")
+        )
+        exploded = exploded.join(
+            hot, F.xxhash64(exploded["_sh"]) == hot["_shh"], "left_anti"
+        )
     mins = exploded.groupBy("_key").agg(
         *[
             F.min(F.xxhash64(F.col("_sh"), F.lit(s))).alias(f"_m{s}")
@@ -256,21 +304,28 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs: shingle -> minhash signature ->
     band rows (explode) -> self-join within (band, band_hash) buckets.
 
     Scale story: the only shuffle key is (band_id, band_hash) — docs land in
     tiny buckets; the quadratic self-join happens per-bucket, never globally.
-    Skewed buckets (boilerplate-heavy corpora) are handled by AQE skew-join
-    splitting. Returns (key_a, key_b, est_jaccard) with key_a < key_b;
+    Skewed buckets from boilerplate-heavy corpora are the one structural
+    hazard: template shingles shared corpus-wide dominate the min-hashes and
+    collapse sub-threshold pairs into mega-buckets — pass ``max_shingle_df``
+    to drop over-cap shingles before signature computation (see
+    :func:`minhash_signatures_df`; residual runtime skew is further split by
+    AQE skew-join). Returns (key_a, key_b, est_jaccard) with key_a < key_b;
     est_jaccard = fraction of matching signature components.
     """
     rows_per_band = num_hashes // bands
     # the signature table feeds BOTH sides of the self-join — persist it so
     # the shingle+hash+shuffle pipeline runs once, not twice (at cluster
     # scale this is a materialized signature table)
-    sig = minhash_signatures_df(df, key_col, text_col, num_hashes, shingle_n).cache()
+    sig = minhash_signatures_df(
+        df, key_col, text_col, num_hashes, shingle_n, max_shingle_df
+    ).cache()
     banded = sig.select(
         "_key",
         "_sig",
@@ -403,6 +458,7 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     shingle_n: int = 2,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance ``max_hamming``.
 
@@ -410,12 +466,21 @@ def simhash_near_dups(
     fingerprint into ``max_hamming + 1`` blocks; any pair within the distance
     budget must agree exactly on >= 1 block, so the self-join key is
     (block_id, block_value) — same bucketed-join scale story as LSH.
+
+    Pass ``fingerprints`` (a ``simhash_df`` result, schema (_key, _fp)) to
+    reuse an already-computed — typically cached or persisted — fingerprint
+    table instead of recomputing it from ``df``; at corpus scale the
+    fingerprint table is a materialized artifact shared by every consumer.
     """
     blocks = max_hamming + 1
     bits_per = 64 // blocks
     # both self-join sides read the fingerprint table — persist (see
     # minhash_lsh_candidates)
-    fp = simhash_df(df, key_col, text_col, shingle_n).cache()
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else simhash_df(df, key_col, text_col, shingle_n).cache()
+    )
     banded = fp.select(
         "_key",
         "_fp",

@@ -298,3 +298,85 @@ def test_keep_best_prefers_quality_over_min_key(spark):
     }
     assert best == {2, 9}
     assert minkey == {1, 9}
+
+
+def test_merge_upsert_strict_rejects_duplicate_update_keys(spark):
+    """strict=True fails loudly (real MERGE INTO semantics) when the
+    updates batch itself repeats a key, instead of letting both rows
+    survive; unique-key batches pass unchanged."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    dup_updates = spark.createDataFrame(
+        [(2, "B2"), (2, "B2-again"), (9, "new")], ["doc_id", "text"]
+    )
+    with pytest.raises(SparkRuntimeException, match="duplicate update key"):
+        dd.merge_upsert(base, dup_updates, "doc_id", strict=True).collect()
+
+    ok_updates = spark.createDataFrame([(2, "B2"), (9, "new")], ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.text)
+        for r in dd.merge_upsert(base, ok_updates, "doc_id", strict=True).collect()
+    }
+    assert got == {(1, "a"), (2, "B2"), (9, "new")}
+
+
+@pytest.fixture(scope="module")
+def boilerplate_corpus(spark):
+    """400 docs sharing a 30-token template paragraph (the web-corpus
+    boilerplate shape: ~60% of each doc's shingles are template, so
+    cross-doc TRUE Jaccard ~ f/(2-f) ~ 0.4 — BELOW the 0.5 near-dup
+    threshold) plus 10 planted exact duplicates (the true near-dup
+    pairs detection must keep)."""
+    template = " ".join(f"tmpl{j}" for j in range(30))
+    rows = []
+    for i in range(400):
+        unique = " ".join(f"u{i}t{j}" for j in range(20))
+        rows.append((i, unique + " " + template))
+    for j in range(10):
+        unique = " ".join(f"u{j}t{k}" for k in range(20))
+        rows.append((5000 + j, unique + " " + template))  # exact dup of doc j
+    return spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(4)
+
+
+def test_minhash_df_cap_bounds_boilerplate_buckets(spark, boilerplate_corpus):
+    """The shingle document-frequency cap kills the boilerplate mega-bucket
+    hazard: without it, template-dominated min-hashes flood the LSH buckets
+    with sub-threshold pairs (quadratic in corpus size); with it, the
+    candidate volume collapses to ~the true pairs while every planted
+    near-dup is still found and the VERIFIED (Jaccard >= 0.5) pair set is
+    unchanged."""
+    planted = {(j, 5000 + j) for j in range(10)}
+
+    uncapped = dd.minhash_lsh_candidates(boilerplate_corpus, "doc_id", "text")
+    capped = dd.minhash_lsh_candidates(
+        boilerplate_corpus, "doc_id", "text", max_shingle_df=100
+    )
+    n_uncapped = uncapped.count()
+    capped_pairs = {(r.key_a, r.key_b) for r in capped.collect()}
+
+    # mega-bucket blowup without the cap; bounded candidates with it
+    assert n_uncapped > 5000, n_uncapped
+    assert len(capped_pairs) < 100, len(capped_pairs)
+    # every true near-dup pair survives the cap
+    assert planted <= capped_pairs
+    # verified (exact Jaccard >= 0.5) pairs are IDENTICAL with and without
+    # the cap — the cap trims sub-threshold candidates only
+    def verified(cand):
+        j = dd.ngram_jaccard_pairs(
+            boilerplate_corpus, cand.select("key_a", "key_b"), "doc_id", "text", 3
+        )
+        return {(r.key_a, r.key_b) for r in j.filter(F.col("jaccard") >= 0.5).collect()}
+
+    assert verified(capped) == verified(uncapped) == planted
+
+
+def test_minhash_df_cap_drops_pure_template_docs(spark):
+    """Documents whose EVERY shingle is over-cap (pure-template pages)
+    produce no signature — documented drop-out semantics."""
+    template = " ".join(f"w{j}" for j in range(10))
+    rows = [(i, template) for i in range(20)] + [(99, "unique content entirely here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = dd.minhash_signatures_df(df, "doc_id", "text", max_shingle_df=5)
+    keys = {r._key for r in sigs.collect()}
+    assert keys == {99}
