@@ -5253,6 +5253,67 @@ def x3_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x3_ivfpq_incremental",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 = 0)
+                AS BIGINT) AS appended_rows,
+           CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS index_rows,
+           TRUE AS append_equals_rebuild
+    """,
+    "X3",
+    "X8",
+)
+def x3_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 maintenance path — INCREMENTAL IVF-PQ: the index is built on 90%
+    of the corpus, the held-out 10% is appended via map-only assignment
+    against the FROZEN coarse centroids + residual codebooks
+    (operators/similarity.py ivfpq_append — the corpus-refresh shape
+    x1_incremental_dedup models for text, now for vectors), and the
+    contract asserts append-then-query returns EXACTLY what a full
+    re-encode with the same codebooks returns: the two top-10 tables
+    (keys AND ADC distances) must match row-for-row
+    (``append_equals_rebuild``), with the appended/total row counts
+    value-hash-checked against the oracle. Deterministic: per-row argmin
+    over frozen codebooks, seeded training sample. Scale shape: the
+    append encodes O(batch) rows, never touches the existing code table,
+    and at cluster scale lands in the centroid_id-partitioned layout the
+    queries prune."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        ivfpq_append,
+        ivfpq_assign,
+        ivfpq_index,
+        ivfpq_top_k,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    new = e.filter(F.col("vec_id") % 10 == 0)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    indexed, coarse, books = ivfpq_index(base, n_centroids=16, m=4, pq_centroids=32)
+    appended = ivfpq_append(indexed, new, coarse, books)
+    rebuilt = ivfpq_assign(e, coarse, books)
+    ta = ivfpq_top_k(appended, coarse, books, qvec, k=10).select(
+        "vec_id", "adc_dist"
+    )
+    tr = ivfpq_top_k(rebuilt, coarse, books, qvec, k=10).select(
+        "vec_id", "adc_dist"
+    )
+    diff = ta.exceptAll(tr).unionAll(tr.exceptAll(ta))
+    n_new = new.agg(F.count(F.lit(1)).alias("appended_rows"))
+    n_idx = appended.agg(F.count(F.lit(1)).alias("index_rows"))
+    n_diff = diff.agg(F.count(F.lit(1)).alias("_d"))
+    return (
+        n_new.crossJoin(n_idx)
+        .crossJoin(n_diff)
+        .select(
+            F.col("appended_rows").cast("bigint").alias("appended_rows"),
+            F.col("index_rows").cast("bigint").alias("index_rows"),
+            (F.col("_d") == 0).alias("append_equals_rebuild"),
+        )
+    )
+
+
+@register(
     "x1_merge_upsert",
     """
     WITH updates AS (

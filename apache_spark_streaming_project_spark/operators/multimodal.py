@@ -5,12 +5,15 @@ metadata struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas functions over ``mapInPandas`` (the only operators in
 the engine with a Python row path — everything around them stays JVM-side).
 
-The actual media decode is STUBBED: the image/audio libraries are not in
-this container, so ``decode_image``-style kernels either raise
-``NotImplementedError`` (real mode) or produce a deterministic fake
-(test mode). The Spark-side plumbing — schema, batch iteration, partition
-layout, UDF signatures — is real and tested; swapping in a real decoder is a
-one-function change.
+Decode modes: ``fake_decode=True`` (default, the ORACLE path) derives
+deterministic SQL-reproducible features from the raw payload bytes so the
+whole Arrow pipeline is hash-verifiable; ``fake_decode=False`` (real mode)
+decodes actual media — WAV audio via the stdlib ``wave`` module (always
+available), images via PIL and video via PyAV WHEN IMPORTABLE
+(import-guarded: environments without the libraries raise
+``NotImplementedError`` with a clear message, and the corresponding tests
+skip). The Spark-side plumbing — schema, batch iteration, partition layout,
+UDF signatures — is identical in both modes.
 
 Scale notes: media payloads dominate row size, so the pre-UDF plan must
 column-prune down to (key, payload) before the Python exchange
@@ -59,18 +62,48 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+# Optional real-decode backends, import-guarded: the engine uses them when
+# the environment has them and otherwise raises a clear NotImplementedError
+# from the real-mode kernels (fake mode — the oracle path — never needs them).
+try:  # pragma: no cover - presence depends on environment
+    from PIL import Image as _PILImage
+
+    _HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    _HAS_PIL = False
+
+try:  # pragma: no cover - presence depends on environment
+    import av as _av
+
+    _HAS_AV = True
+except ImportError:
+    _av = None
+    _HAS_AV = False
+
+
 def _decode_image_bytes(payload: bytes, fake: bool) -> list[int]:
-    """STUB decode kernel. Real mode requires an image library not present in
-    this container; test mode derives a deterministic 8-bin byte histogram
-    from the raw payload (exact integer counts — SQL-reproducible, so the
-    oracle gate can hash-verify the whole Arrow pipeline; the normalized
-    float 'feature' is derived from it)."""
+    """Image decode kernel. Fake mode (the ORACLE path) derives a
+    deterministic 8-bin byte histogram from the raw payload (exact integer
+    counts — SQL-reproducible, so the oracle gate can hash-verify the whole
+    Arrow pipeline; the normalized float 'feature' is derived from it).
+    Real mode decodes via PIL when importable — grayscale pixel-intensity
+    histogram in the same 8 bins — and raises otherwise."""
     if not fake:
-        raise NotImplementedError(
-            "image decode requires an image library (PIL/cv2) not installed "
-            "in this environment; run with fake_decode=True for the "
-            "deterministic test kernel"
-        )
+        if not _HAS_PIL:
+            raise NotImplementedError(
+                "real image decode requires PIL (pillow), not installed in "
+                "this environment; run with fake_decode=True for the "
+                "deterministic oracle kernel"
+            )
+        import io
+
+        with _PILImage.open(io.BytesIO(payload)) as img:
+            pixels = img.convert("L").tobytes()
+        hist = [0] * 8
+        for p in pixels:
+            hist[p >> 5] += 1
+        return hist
     hist = [0] * 8
     for b in payload:
         hist[b >> 5] += 1
@@ -127,26 +160,47 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_audio_bytes(payload: bytes, fake: bool) -> tuple[int, int, float, int]:
-    """STUB audio decode kernel. Real mode needs an audio library (librosa/
-    soundfile) not in this container; test mode treats the raw bytes as a
-    centered int8 waveform and computes (n_samples, sum of squared
-    amplitudes, rms, zero-crossing count). The integer outputs are exact
-    and SQL-reproducible (oracle hash parity); rms is derived from them."""
-    if not fake:
-        raise NotImplementedError(
-            "audio decode requires an audio library (librosa/soundfile) not "
-            "installed in this environment; run with fake_decode=True for "
-            "the deterministic test kernel"
-        )
-    samples = [b - 128 for b in payload]
+def _audio_features_from_samples(samples) -> tuple[int, int, float, int]:
+    """(n_samples, sum of squared amplitudes, rms, zero-crossing count)
+    over an integer sample sequence — shared by the fake and real paths so
+    both modes report the same feature definitions."""
     n = max(len(samples), 1)
-    sum_sq = sum(s * s for s in samples)
+    sum_sq = sum(int(s) * int(s) for s in samples)
     rms = (sum_sq / n) ** 0.5
-    zc = sum(
-        1 for a, b in zip(samples, samples[1:]) if (a >= 0) != (b >= 0)
-    )
+    zc = sum(1 for a, b in zip(samples, samples[1:]) if (a >= 0) != (b >= 0))
     return len(samples), sum_sq, rms, zc
+
+
+def _decode_audio_bytes(payload: bytes, fake: bool) -> tuple[int, int, float, int]:
+    """Audio decode kernel. Fake mode (the ORACLE path) treats the raw
+    bytes as a centered int8 waveform — integer outputs are exact and
+    SQL-reproducible (oracle hash parity); rms is derived from them. Real
+    mode parses the payload as a WAV container via the stdlib ``wave``
+    module (no third-party dependency): PCM-16 or PCM-8 frames become the
+    integer sample stream (channels interleaved — features are over the
+    flat stream), then the same feature arithmetic applies. Malformed
+    payloads raise ``wave.Error`` — real mode is for real audio bytes."""
+    if not fake:
+        import array
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if sw == 2:
+            arr = array.array("h")
+            arr.frombytes(raw)
+            samples = arr.tolist()
+        elif sw == 1:
+            samples = [b - 128 for b in raw]  # WAV 8-bit PCM is unsigned
+        else:
+            raise NotImplementedError(
+                f"real audio decode supports PCM-8/PCM-16 WAV; got "
+                f"sample width {sw}"
+            )
+        return _audio_features_from_samples(samples)
+    return _audio_features_from_samples([b - 128 for b in payload])
 
 
 def extract_audio_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
@@ -192,9 +246,10 @@ def extract_audio_features(df: DataFrame, fake_decode: bool = True) -> DataFrame
 
 
 def resize_images(df: DataFrame, width: int, height: int, fake_decode: bool = True) -> DataFrame:
-    """X5 — resize stub: returns (media_id, payload) with the payload passed
-    through (fake mode) or NotImplementedError (real mode). Demonstrates the
-    binary->binary mapInPandas shape used by any re-encode transform."""
+    """X5 — image resize: binary->binary mapInPandas (the shape of any
+    re-encode transform). Fake mode passes the payload through (the
+    deterministic oracle path); real mode decodes with PIL when importable,
+    resizes to (width, height) and re-encodes as PNG."""
     pruned = df.select("media_id", "payload")
     out_schema = T.StructType(
         [
@@ -205,14 +260,32 @@ def resize_images(df: DataFrame, width: int, height: int, fake_decode: bool = Tr
         ]
     )
 
+    def _resize_real(payload):
+        import io
+
+        if payload is None:
+            return None
+        with _PILImage.open(io.BytesIO(bytes(payload))) as img:
+            out = io.BytesIO()
+            img.resize((width, height)).save(out, format="PNG")
+            return out.getvalue()
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake_decode:
-                raise NotImplementedError("real image resize requires PIL/cv2")
+                if not _HAS_PIL:
+                    raise NotImplementedError(
+                        "real image resize requires PIL (pillow), not "
+                        "installed in this environment; run with "
+                        "fake_decode=True for the pass-through kernel"
+                    )
+                payloads = [_resize_real(p) for p in pdf["payload"]]
+            else:
+                payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": pdf["payload"],
+                    "payload": payloads,
                     "width": width,
                     "height": height,
                 }
@@ -224,10 +297,12 @@ def resize_images(df: DataFrame, width: int, height: int, fake_decode: bool = Tr
 def sample_video_frames(
     df: DataFrame, every_ms: int = 1000, fake_decode: bool = True
 ) -> DataFrame:
-    """X5 — frame sampling stub: one output row per sampled frame (row
-    EXPLOSION inside mapInPandas — output rows != input rows, the shape
-    built-in UDFs can't express). Fake mode emits one 'frame' per
-    ``every_ms`` of meta.duration_ms."""
+    """X5 — frame sampling: one output row per sampled frame (row EXPLOSION
+    inside mapInPandas — output rows != input rows, the shape built-in UDFs
+    can't express). Fake mode emits one 'frame' per ``every_ms`` of
+    meta.duration_ms (deterministic oracle path); real mode decodes the
+    container with PyAV when importable, grabbing the first frame at or
+    after each ``every_ms`` boundary and re-encoding it as PNG."""
     pruned = df.select("media_id", "payload", F.col("meta.duration_ms").alias("duration_ms"))
     out_schema = T.StructType(
         [
@@ -238,11 +313,43 @@ def sample_video_frames(
         ]
     )
 
+    def _frames_real(payload):
+        """[(ts_ms, png_bytes)] for the first frame at/after each boundary."""
+        import io
+
+        out = []
+        with _av.open(io.BytesIO(bytes(payload))) as container:
+            stream = container.streams.video[0]
+            next_boundary = 0
+            for frame in container.decode(stream):
+                ts_ms = int((frame.time or 0.0) * 1000)
+                if ts_ms >= next_boundary:
+                    buf = io.BytesIO()
+                    frame.to_image().save(buf, format="PNG")
+                    out.append((ts_ms, buf.getvalue()))
+                    next_boundary += every_ms
+        return out
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake_decode:
-                raise NotImplementedError("real frame extraction requires an av library")
             out: dict[str, list] = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame_payload": []}
+            if not fake_decode:
+                if not _HAS_AV:
+                    raise NotImplementedError(
+                        "real frame extraction requires PyAV, not installed "
+                        "in this environment; run with fake_decode=True for "
+                        "the deterministic oracle kernel"
+                    )
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    if payload is None:
+                        continue
+                    for i, (ts_ms, png) in enumerate(_frames_real(payload)):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(i)
+                        out["ts_ms"].append(ts_ms)
+                        out["frame_payload"].append(png)
+                yield pd.DataFrame(out)
+                continue
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):

@@ -808,6 +808,30 @@ def ivfpq_index(
         for j in range(m)
     ]
     coarse_list = [list(map(float, c)) for c in coarse]
+    indexed = ivfpq_assign(df, coarse_list, codebooks, key_col, vec_col)
+    return indexed, coarse_list, codebooks
+
+
+def ivfpq_assign(
+    df: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against EXISTING coarse centroids + residual codebooks:
+    coarse-assign then residual-PQ-encode, one Arrow ``mapInPandas`` kernel,
+    map-only — zero shuffles at any scale. This is both the full-build
+    encode pass of :func:`ivfpq_index` and the maintenance path for newly
+    ingested vectors (:func:`ivfpq_append`): assignment is a pure per-row
+    function of the frozen codebooks (kilobytes, shipped in the closure),
+    so append-then-query is EXACTLY rebuild-then-query for the same
+    codebooks — the x3_ivfpq_incremental contract asserts that equality."""
+    import numpy as np
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    coarse_np = np.asarray(coarse, dtype=np.float64)
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
     key_type = df.schema[key_col].dataType.simpleString()
 
@@ -822,11 +846,11 @@ def ivfpq_index(
             )
             dd = (
                 (vecs**2).sum(1)[:, None]
-                - 2.0 * vecs @ coarse.T
-                + (coarse**2).sum(1)[None, :]
+                - 2.0 * vecs @ coarse_np.T
+                + (coarse_np**2).sum(1)[None, :]
             )
             cells = dd.argmin(1)
-            res = vecs - coarse[cells]
+            res = vecs - coarse_np[cells]
             codes = np.empty((len(pdf), m), dtype=np.int32)
             for j in range(m):
                 sub = res[:, j * d_sub : (j + 1) * d_sub]
@@ -845,11 +869,36 @@ def ivfpq_index(
                 }
             )
 
-    indexed = df.select(key_col, vec_col).mapInPandas(
+    return df.select(key_col, vec_col).mapInPandas(
         kernel,
         schema=f"{key_col} {key_type}, centroid_id int, pq_code array<int>",
     )
-    return indexed, coarse_list, codebooks
+
+
+def ivfpq_append(
+    indexed: DataFrame,
+    new_vectors: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF-PQ maintenance — the corpus-refresh path the static
+    index lacked (mirrors x1_incremental_dedup's ingest shape for text):
+    newly ingested vectors are coarse-assigned + residual-encoded with the
+    EXISTING frozen codebooks (map-only, O(batch) work, no retraining, no
+    touch of the existing code table) and unioned onto the index. At
+    cluster scale the encoded batch is appended to the ``centroid_id``-
+    partitioned code table, so queries keep pruning to nprobe cells.
+    Deterministic: append-then-query returns exactly what a full re-encode
+    with the same codebooks returns (tested as a registered contract).
+    Codebook DRIFT (enough appended data that frozen centroids stop
+    fitting) is a policy decision — retrain via :func:`ivfpq_index` and
+    re-encode when recall SLOs degrade; the contract here is the cheap
+    steady-state path between retrains."""
+    return indexed.unionByName(
+        ivfpq_assign(new_vectors, coarse, codebooks, key_col, vec_col)
+    )
 
 
 def ivfpq_top_k(

@@ -279,3 +279,38 @@ def test_pq_codes_layout_independent(spark):
     codes_a = {r.vec_id: r.pq_code for r in pq_encode(a, books_a).collect()}
     codes_b = {r.vec_id: r.pq_code for r in pq_encode(b, books_b).collect()}
     assert codes_a == codes_b
+
+
+def test_ivfpq_append_matches_full_reencode(spark):
+    """Appending new vectors with frozen codebooks must yield exactly the
+    rows a full re-encode with the same codebooks produces — same cells,
+    same codes — and queries over the appended index must retrieve the
+    appended vectors."""
+    import random
+
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        ivfpq_append,
+        ivfpq_assign,
+        ivfpq_index,
+        ivfpq_top_k,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    full = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    base = full.filter("vec_id % 4 != 0")
+    new = full.filter("vec_id % 4 = 0")
+
+    indexed, coarse, books = ivfpq_index(base, n_centroids=4, m=4, pq_centroids=8)
+    appended = ivfpq_append(indexed, new, coarse, books)
+    rebuilt = ivfpq_assign(full, coarse, books)
+
+    got = {r.vec_id: (r.centroid_id, tuple(r.pq_code)) for r in appended.collect()}
+    want = {r.vec_id: (r.centroid_id, tuple(r.pq_code)) for r in rebuilt.collect()}
+    assert got == want and len(got) == 60
+
+    # an appended vector is retrievable: query its own (slightly perturbed)
+    # vector, expect it in the top-k of the appended index
+    qvec = [x + 1e-4 for x in rows[8][1]]  # vec_id 8 is in `new`
+    top = ivfpq_top_k(appended, coarse, books, qvec, k=3, nprobe=4)
+    assert 8 in [r.vec_id for r in top.collect()]
