@@ -4135,8 +4135,9 @@ def j2_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (band) join: orders against a small interval table on
     lo <= o_totalprice < hi. Physical plan is BroadcastNestedLoopJoin — the
     right strategy for a huge stream side x O(10) intervals: zero shuffle of
-    the fact table (see operators/asof.py range_join_small for the bucketed
-    rewrite once the interval side grows)."""
+    the fact table (see j2b_bucketed_range_join / operators/asof.py
+    range_join_bucketed for the grid rewrite once the interval side
+    grows)."""
     from apache_spark_streaming_project_spark.operators.asof import (
         range_join_small,
     )
@@ -4152,6 +4153,54 @@ def j2_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             sum_money("o_totalprice", out_alias="sum_totalprice"),
         )
+    )
+
+
+@register(
+    "j2b_bucketed_range_join",
+    """
+    WITH tiers AS (
+      SELECT i AS tier_id, CAST(i * 50 AS DOUBLE) AS lo,
+             CAST((i + 1) * 50 AS DOUBLE) AS hi
+      FROM range(10000) t(i)
+    )
+    SELECT tier_id, COUNT(*) AS n_orders, {sum_price} AS sum_totalprice
+    FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY tier_id ORDER BY tier_id
+    """.format(sum_price=sum_money_sql("o_totalprice")),
+    "D2",
+    "X2",
+)
+def j2b_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join at the 10,000-INTERVAL tier — the scale j2's
+    BroadcastNestedLoopJoin must not be used at (10k predicate
+    evaluations per fact row): operators/asof.py range_join_bucketed
+    rewrites the range condition into an equi-join on a coarse value
+    grid (intervals explode into their grid cells, each fact row
+    computes one cell), so the physical plan is a BroadcastHashJoin on
+    the cell id with a residual range filter — per-row work is O(cell
+    occupancy), the fact side still never shuffles, and past broadcast
+    size the same plan becomes a shuffled hash join (the right strategy
+    there). Oracle: DuckDB evaluates the raw range join over the same
+    generated tiers."""
+    from apache_spark_streaming_project_spark.operators.asof import (
+        range_join_bucketed,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    tiers = spark.range(10_000).select(
+        F.col("id").alias("tier_id"),
+        (F.col("id") * 50).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 50).cast("double").alias("hi"),
+    )
+    return (
+        range_join_bucketed(o, tiers, "o_totalprice", "lo", "hi", 50.0)
+        .groupBy("tier_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_money("o_totalprice", out_alias="sum_totalprice"),
+        )
+        .orderBy("tier_id")
     )
 
 

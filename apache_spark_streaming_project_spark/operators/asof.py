@@ -109,12 +109,66 @@ def range_join_small(
     huge and the interval side is O(10..1000) rows: no shuffle of the fact
     table, predicate evaluated in-generated-code per (row x interval).
 
-    For interval tables too large to broadcast, the scalable rewrite is
-    bucketing both sides by a coarse grid of the value domain and
-    equi-joining on the bucket id first — not needed at this tier count.
+    For interval tables too large for per-row predicate evaluation, use
+    :func:`range_join_bucketed` — the grid rewrite that turns the range
+    condition into an equi-join.
     """
     return fact.join(
         F.broadcast(intervals),
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)),
         "inner",
+    )
+
+
+def range_join_bucketed(
+    fact: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Range join via GRID BUCKETING — the scalable rewrite of
+    :func:`range_join_small` for interval tables beyond the
+    nested-loop-predicate tier (10k+ intervals): each interval explodes
+    into the coarse grid cells it overlaps (``floor(lo/w) ..
+    floor(hi/w)``), the fact side computes its single cell
+    (``floor(value/w)``), and the join becomes an EQUI-join on the cell
+    id plus the residual range predicate. A BNLJ evaluates every
+    (row x interval) pair — O(|fact| * |intervals|) predicate work that
+    scales linearly with the interval count; here each fact row meets
+    only the intervals overlapping its cell.
+
+    No duplicates by construction: a (row, interval) match can only
+    surface in the row's own cell, whichever cells the interval spans.
+
+    Plan shape: the exploded interval side carries NO explicit hint — at
+    10k..1M intervals it is still megabytes, so Spark broadcasts it and
+    the fact side keeps ZERO shuffles (BroadcastHashJoin on the cell id,
+    test-asserted); beyond broadcast size the same plan degrades
+    gracefully to a shuffled hash join on the cell id, which is the
+    correct strategy there. Pick ``bucket_width`` near the median
+    interval width: much smaller multiplies exploded rows
+    (interval-side rows ~ sum(width_i)/w), much larger multiplies the
+    intervals each fact row must residual-check."""
+    cell = F.floor(F.col(value_col) / F.lit(float(bucket_width)))
+    iv = intervals.select(
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(float(bucket_width))),
+                F.floor(F.col(hi_col) / F.lit(float(bucket_width))),
+            )
+        ).alias("_cell"),
+        "*",
+    )
+    tagged = fact.withColumn("_cell", cell)
+    return (
+        tagged.join(
+            iv,
+            (tagged["_cell"] == iv["_cell"])
+            & (F.col(value_col) >= F.col(lo_col))
+            & (F.col(value_col) < F.col(hi_col)),
+            "inner",
+        )
+        .drop("_cell")
     )

@@ -7,13 +7,21 @@ Each query is executed to completion with the "noop" sink (full plan runs,
 nothing is collected to the driver — measures engine throughput, not driver
 serialization). A warm-up query first touches the session + parquet footers
 so JVM startup isn't attributed to the first query.
+
+``--runs N`` (or $SPARK_GRAFT_BENCH_RUNS) repeats the whole registry N
+times and reports the PER-QUERY MEDIAN — the quiet-bench protocol for a
+co-tenant-noisy box: a single-sample outlier (one query 6x slow under
+external load) cannot masquerade as a regression in the medians. Compare
+two bench JSON files with tools/bench_compare.py.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import re
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -25,6 +33,15 @@ sys.path.insert(0, str(REPO))
 def main() -> None:
     from apache_spark_streaming_project_spark import get_spark
     from apache_spark_streaming_project_spark.entry_queries import QUERIES
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--runs",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")),
+        help="full-registry passes; reported per-query time is the median",
+    )
+    args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -43,28 +60,31 @@ def main() -> None:
     warm.write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
-    for name, spec in QUERIES.items():
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # operator-internal caches (LSH signature tables etc.) must not
-        # leak memory pressure or warm-data advantages into later queries
-        spark.catalog.clearCache()
+    samples: dict[str, list[float]] = {name: [] for name in QUERIES}
+    for _ in range(max(args.runs, 1)):
+        for name, spec in QUERIES.items():
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+            # operator-internal caches (LSH signature tables etc.) must not
+            # leak memory pressure or warm-data advantages into later queries
+            spark.catalog.clearCache()
 
+    timings = {
+        name: round(statistics.median(ts), 4) for name, ts in samples.items()
+    }
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if args.runs > 1:
+        out["runs"] = args.runs
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

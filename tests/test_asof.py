@@ -95,3 +95,61 @@ def test_audio_features_deterministic(spark):
     assert len(a) == 4  # every 3rd row is audio
     assert all(r["rms"] is not None and r["zero_crossings"] >= 0 for r in a)
     assert all(r["sample_rate"] == 16000 for r in a)
+
+
+def test_range_join_bucketed_matches_small_on_overlapping_intervals(spark):
+    """The grid rewrite is semantics-preserving, including OVERLAPPING and
+    multi-cell-spanning intervals (a value matching k intervals appears k
+    times, each exactly once)."""
+    import random
+
+    from apache_spark_streaming_project_spark.operators.asof import (
+        range_join_bucketed,
+        range_join_small,
+    )
+
+    rng = random.Random(7)
+    ivs = []
+    for i in range(200):
+        lo = rng.uniform(0, 950)
+        ivs.append((i, lo, lo + rng.uniform(0.5, 120)))  # overlaps + wide spans
+    intervals = spark.createDataFrame(ivs, ["iv_id", "lo", "hi"])
+    fact = spark.createDataFrame(
+        [(i, rng.uniform(-5, 1010)) for i in range(3000)], ["row_id", "v"]
+    )
+    a = {
+        (r.row_id, r.iv_id)
+        for r in range_join_small(fact, intervals, "v", "lo", "hi").collect()
+    }
+    b = {
+        (r.row_id, r.iv_id)
+        for r in range_join_bucketed(
+            fact, intervals, "v", "lo", "hi", bucket_width=25.0
+        ).collect()
+    }
+    assert a == b and len(a) > 3000  # non-trivial overlap volume
+
+
+def test_range_join_bucketed_plan_is_hash_join_no_fact_shuffle(spark):
+    """At the 10k-interval tier the physical plan must be a (broadcast)
+    HASH join on the grid cell — never a nested-loop over all intervals —
+    with zero Exchange on the fact side."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_streaming_project_spark.operators.asof import (
+        range_join_bucketed,
+    )
+
+    fact = spark.range(200_000).select((F.col("id") % 500_000).cast("double").alias("v"))
+    intervals = spark.range(10_000).select(
+        F.col("id").alias("iv_id"),
+        (F.col("id") * 50).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 50).cast("double").alias("hi"),
+    )
+    out = range_join_bucketed(fact, intervals, "v", "lo", "hi", 50.0)
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # broadcast exchange only — the fact side must not hash-shuffle
+    assert "Exchange hashpartitioning" not in plan

@@ -59,3 +59,59 @@ def test_salt_spreads_hot_key(spark):
     )
     assert len(per_salt) == 16  # every salt bucket used
     assert max(r["count"] for r in per_salt) < 5000 * 0.2  # no bucket hogs
+
+
+def test_aqe_skew_join_split_activates(spark):
+    """AQE skew-join EVIDENCE (not just a claim): a planted hot key holding
+    20% of the fact rows joins a uniform dim; with sort-merge forced and
+    the skew thresholds scaled to fixture bytes, the final adaptive plan
+    must carry the `skew=true` SortMergeJoin marker — Spark split the hot
+    partition into parallel subtasks — and the join result must be exactly
+    what the unskewed semantics demand. This is the runtime mechanism the
+    LSH/dedup scale notes lean on for residual bucket skew."""
+    conf = spark.conf
+    overrides = {
+        # force SMJ (skew split does not apply to broadcast joins)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # scale skew detection down to fixture size (defaults: 256MB)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        # enough partitions that the hot key dominates its partition
+        # (with very few partitions the skew hides inside the median)
+        "spark.sql.shuffle.partitions": "32",
+    }
+    saved = {k: conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            conf.set(k, v)
+        n = 200_000
+        fact = spark.range(n).select(
+            F.when(F.col("id") % 5 == 0, 0)
+            .otherwise(F.col("id"))
+            .alias("k"),  # key 0 = 20% of all rows
+            F.rpad(F.concat(F.lit("payload-"), F.col("id")), 100, "x").alias(
+                "pad"
+            ),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("d")
+        )
+        joined = fact.join(dim, "k")
+        # collect() executes THIS DataFrame's queryExecution, so the
+        # adaptive plan below is the finalized one (count() would build a
+        # separate aggregate query and leave this plan unexecuted)
+        got = len(joined.collect())
+        # expected: hot key 0 -> n/5 rows; cold keys 1..999 not divisible
+        # by 5 -> one row each
+        cold = sum(1 for i in range(1, 1000) if i % 5 != 0)
+        assert got == n // 5 + cold
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
