@@ -6087,6 +6087,43 @@ def s_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_orc_roundtrip",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {sum_price} AS sum_totalprice
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """.format(sum_price=sum_money_sql("o_totalprice")),
+    "S1",
+    "S2",
+)
+def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format breadth: the engine is FORMAT-AGNOSTIC past the scan —
+    orders round-trip through ORC (Spark-native columnar writer/reader, no
+    extra packages) and the aggregate over the ORC copy must value-hash
+    equal the oracle's aggregate over the original parquet: the write
+    preserved values exactly, and the ORC scan supports the same pushdown
+    surface (the audit row shows pushed filters on the ORC relation like
+    any parquet scan). The projection is pruned BEFORE the write, so the
+    roundtrip ships only the two aggregated columns."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="s_orc_")
+    path = os.path.join(base, "orders_orc")
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    o.write.mode("overwrite").orc(path)
+    return (
+        spark.read.orc(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_money("o_totalprice", out_alias="sum_totalprice"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "d21_retention_cohorts",
     """
     WITH first_seen AS (

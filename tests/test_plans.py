@@ -499,3 +499,48 @@ def test_curation_pipeline_two_window_exchanges(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert count_shuffles(df) <= 3
+
+
+def test_runtime_bloom_filter_injected_for_selective_join(spark, sf_dir):
+    """Runtime-filter injection — the 100 TB join pruner: when a selective
+    dimension filter feeds a shuffle join, Spark can build a bloom filter
+    from the dim side at runtime and apply it to the fact scan, skipping
+    most fact rows BEFORE the shuffle. With the size thresholds scaled to
+    fixture bytes (defaults assume a 10 GB application side), the
+    optimized plan must carry bloom_filter_might_contain on the fact
+    side — evidence the engine's plans admit runtime filtering, not just
+    static pushdown."""
+    conf = spark.conf
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # application side must look "big" relative to this (default 10GB)
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # creation side must look "small" relative to this
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # keep the join a shuffle join so the filter has a shuffle to save
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        # injected shape: Filter might_contain(<bloom_filter_agg over the
+        # filtered dim keys>, xxhash64(fact key)) directly above the fact
+        # relation — the fact scan is pre-filtered before the join shuffle
+        assert "might_contain" in optimized, optimized[:1500]
+        assert "bloom_filter_agg" in optimized, optimized[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
