@@ -383,11 +383,51 @@ def minhash_lsh_candidates(
 # ---------------------------------------------------------------------------
 
 
+def hot_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 2,
+    max_shingle_df: int = 1000,
+    max_hot: int = 100_000,
+) -> frozenset[str]:
+    """The over-cap BOILERPLATE VOCABULARY: distinct word n-gram shingles
+    whose document frequency exceeds ``max_shingle_df``. Returned as a
+    driver-side frozenset for closure-shipping into Arrow kernels
+    (:func:`simhash_df`); the MinHash path keeps its all-plan anti-join
+    formulation (:func:`minhash_signatures_df`) because its consumer is
+    already a DataFrame pipeline.
+
+    The collect is BOUNDED BY CONSTRUCTION: near-ubiquitous shingles are a
+    vocabulary (nav bars, banners, licence footers), not a corpus — a df
+    threshold at fractions of the corpus admits at most
+    |corpus|*|avg shingles|/threshold entries, tiny for any real cap. The
+    ``max_hot`` hard cap + assertion makes that contract explicit (same
+    pattern as the capped k-means training collect,
+    operators/similarity.py): a violation means the cap is set far too
+    low for the corpus, and failing beats silently shipping a giant set.
+    """
+    hot = (
+        df.select(F.explode(word_shingles(text_col, shingle_n)).alias("_sh"))
+        .groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_shingle_df)
+        .select("_sh")
+    )
+    rows = hot.limit(max_hot + 1).collect()
+    assert len(rows) <= max_hot, (
+        f"hot-shingle set exceeded {max_hot} entries — max_shingle_df="
+        f"{max_shingle_df} is far below this corpus's vocabulary knee; "
+        "raise the cap (or the threshold) instead of shipping a giant set"
+    )
+    return frozenset(r._sh for r in rows)
+
+
 def simhash_df(
     df: DataFrame,
     key_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 2,
+    drop_shingles: frozenset[str] | None = None,
 ) -> DataFrame:
     """SimHash fingerprints as (key, fp), computed MAP-ONLY: a document's
     shingles live in its own row, so unlike MinHash-LSH there is no shuffle
@@ -404,6 +444,14 @@ def simhash_df(
     a signed long. Documents with no shingles produce no fingerprint. The
     kernel runs as ``mapInPandas`` (its own Arrow exec node) rather than a
     scalar pandas_udf so it can never be inlined into a projection.
+
+    ``drop_shingles`` (see :func:`hot_shingles`) excludes the boilerplate
+    vocabulary from the fingerprint: template-heavy corpora otherwise get
+    fingerprints dominated by shared template votes, so documents with
+    DIFFERENT content land within small Hamming distance and flood the
+    block join — the SimHash twin of the MinHash ``max_shingle_df`` guard.
+    Documents whose every shingle is dropped produce no fingerprint (same
+    drop-out semantics as pure-template pages under the MinHash cap).
     """
     from collections.abc import Iterator
 
@@ -411,6 +459,7 @@ def simhash_df(
 
     key_field = df.schema[key_col].dataType.simpleString()
     n = shingle_n
+    drop = drop_shingles or frozenset()
 
     def _fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         shifts = np.arange(64, dtype=np.uint64)
@@ -423,7 +472,9 @@ def simhash_df(
                 if len(toks) >= n:
                     # dict.fromkeys: distinct, order-preserving
                     sh = dict.fromkeys(
-                        " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+                        g
+                        for j in range(len(toks) - n + 1)
+                        if (g := " ".join(toks[j : j + n])) not in drop
                     )
                     if sh:
                         keep.append(i)
@@ -459,6 +510,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     shingle_n: int = 2,
     fingerprints: DataFrame | None = None,
+    drop_shingles: frozenset[str] | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance ``max_hamming``.
 
@@ -471,6 +523,8 @@ def simhash_near_dups(
     reuse an already-computed — typically cached or persisted — fingerprint
     table instead of recomputing it from ``df``; at corpus scale the
     fingerprint table is a materialized artifact shared by every consumer.
+    ``drop_shingles`` forwards the boilerplate vocabulary to
+    :func:`simhash_df` (ignored when ``fingerprints`` is supplied).
     """
     blocks = max_hamming + 1
     bits_per = 64 // blocks
@@ -479,7 +533,7 @@ def simhash_near_dups(
     fp = (
         fingerprints
         if fingerprints is not None
-        else simhash_df(df, key_col, text_col, shingle_n).cache()
+        else simhash_df(df, key_col, text_col, shingle_n, drop_shingles).cache()
     )
     banded = fp.select(
         "_key",

@@ -380,3 +380,39 @@ def test_minhash_df_cap_drops_pure_template_docs(spark):
     sigs = dd.minhash_signatures_df(df, "doc_id", "text", max_shingle_df=5)
     keys = {r._key for r in sigs.collect()}
     assert keys == {99}
+
+
+def test_simhash_drop_shingles_bounds_boilerplate_pairs(spark):
+    """The SimHash twin of the MinHash df cap. SimHash's majority vote is
+    more boilerplate-robust than MinHash minima (the 60%-template corpus
+    above does NOT flood it), but once the template dominates the shingle
+    set (~90% here: 60 template tokens, 6 unique — the
+    article-on-a-site-template shape) the shared votes decide nearly
+    every bit, documents with DIFFERENT content land within Hamming 3,
+    and the block join floods with pairs that are dups of the CHROME,
+    not the content. Dropping the hot-shingle vocabulary
+    (hot_shingles -> simhash_df drop_shingles) fingerprints the content
+    only: the pair set collapses to the planted true duplicates."""
+    template = " ".join(f"tmpl{j}" for j in range(60))
+    rows = []
+    for i in range(200):
+        unique = " ".join(f"u{i}t{j}" for j in range(6))
+        rows.append((i, unique + " " + template))
+    for j in range(10):
+        unique = " ".join(f"u{j}t{k}" for k in range(6))
+        rows.append((5000 + j, unique + " " + template))  # exact dup of doc j
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(4)
+    planted = {(j, 5000 + j) for j in range(10)}
+
+    n_uncapped = dd.simhash_near_dups(corpus, "doc_id", "text").count()
+
+    hot = dd.hot_shingles(corpus, "text", 2, max_shingle_df=100)
+    assert hot and all("tmpl" in t for t in hot)
+    capped = dd.simhash_near_dups(
+        corpus, "doc_id", "text", drop_shingles=hot
+    )
+    capped_pairs = {(r.key_a, r.key_b) for r in capped.collect()}
+
+    assert n_uncapped > 1000, n_uncapped  # chrome-dup flood without guard
+    assert planted <= capped_pairs
+    assert len(capped_pairs) < 100, len(capped_pairs)
