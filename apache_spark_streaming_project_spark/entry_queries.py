@@ -6087,6 +6087,93 @@ def s_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m9_streaming_upsert",
+    """
+    WITH changes AS (
+      SELECT doc_id, 1 AS version, text FROM documents
+      UNION ALL
+      SELECT doc_id, 2 AS version, 'U2: ' || text AS text
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id, 3 AS version, 'U3: ' || text AS text
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, version, text FROM (
+      SELECT doc_id, version, text,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY version DESC) AS rn
+      FROM changes
+    ) WHERE rn = 1 ORDER BY doc_id
+    """,
+    "S2",
+    "S6",
+    "X1",
+)
+def m9_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MERGE/upsert sink, oracle-checked end to end: three
+    change-sets (full snapshot v1, then two partial update waves v2/v3)
+    arrive as separate files, maxFilesPerTrigger=1 forces one micro-batch
+    per wave, and a foreachBatch sink upserts each batch into a parquet
+    table keeping the NEWEST version per key (streaming/upsert.py —
+    keep-max-version, so the result is file-order-independent and
+    idempotent under batch replay, the exactly-once recipe for
+    foreachBatch). The drained table must equal the batch
+    newest-version-per-key over the union of all change sets — the
+    continuously-maintained corpus table an incremental ingest pipeline
+    ends in (streaming face of x1_merge_upsert/x1_incremental_dedup)."""
+    import os
+    import tempfile
+
+    from apache_spark_streaming_project_spark.streaming.upsert import (
+        streaming_merge_upsert,
+    )
+
+    base = tempfile.mkdtemp(prefix="m9_upsert_")
+    in_dir = os.path.join(base, "in")
+    table = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(in_dir)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    waves = [
+        d.select("doc_id", F.lit(1).alias("version"), "text"),
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            "doc_id",
+            F.lit(2).alias("version"),
+            F.concat(F.lit("U2: "), F.col("text")).alias("text"),
+        ),
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id",
+            F.lit(3).alias("version"),
+            F.concat(F.lit("U3: "), F.col("text")).alias("text"),
+        ),
+    ]
+    for i, w in enumerate(waves):
+        w.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(in_dir, f"wave{i}")
+        )
+
+    schema = waves[0].schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "wave*"))
+    )
+    with _stream_shuffle_partitions(spark):
+        q = (
+            streaming_merge_upsert(stream, table, ["doc_id"], "version", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(table)
+        .select("doc_id", "version", "text")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "s_orc_roundtrip",
     """
     SELECT o_orderpriority, COUNT(*) AS n_orders,

@@ -441,3 +441,40 @@ def test_pipeline_reports_observed_metrics(spark, tmp_path):
     assert observed, "no batch reported the census_in observation"
     assert sum(m["rows"] for m in observed) == n
     assert all(m["total_hours"] > 0 for m in observed)
+
+
+def test_streaming_upsert_replay_idempotent(spark, tmp_path):
+    """The foreachBatch MERGE sink's exactly-once story rests on two
+    properties, both asserted here: replaying an already-applied batch
+    reproduces the IDENTICAL table (foreachBatch is at-least-once, so the
+    merge must be idempotent), and merge order cannot change the outcome
+    (file sources order by mtime, which is not a contract)."""
+    from apache_spark_streaming_project_spark.streaming.upsert import (
+        merge_batch_into_table,
+    )
+
+    table = str(tmp_path / "table")
+    b1 = spark.createDataFrame(
+        [(1, 1, "a1"), (2, 1, "b1")], ["k", "version", "payload"]
+    )
+    b2 = spark.createDataFrame(
+        [(2, 2, "b2"), (3, 2, "c2")], ["k", "version", "payload"]
+    )
+
+    def snapshot():
+        return {
+            (r.k, r.version, r.payload)
+            for r in spark.read.parquet(table).collect()
+        }
+
+    merge_batch_into_table(b1, table, ["k"], "version")
+    merge_batch_into_table(b2, table, ["k"], "version")
+    want = {(1, 1, "a1"), (2, 2, "b2"), (3, 2, "c2")}
+    assert snapshot() == want
+
+    # replay b2 (foreachBatch redelivery): table must be unchanged
+    merge_batch_into_table(b2, table, ["k"], "version")
+    assert snapshot() == want
+    # out-of-order late replay of b1: newest-version semantics hold
+    merge_batch_into_table(b1, table, ["k"], "version")
+    assert snapshot() == want
