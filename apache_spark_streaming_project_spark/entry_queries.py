@@ -6087,6 +6087,148 @@ def s_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x1_cdc_apply",
+    """
+    WITH changes AS (
+      SELECT doc_id, 1 AS version, text, 'U' AS op FROM documents
+      UNION ALL
+      SELECT doc_id, 2 AS version, 'U2: ' || text AS text, 'U' AS op
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id, 3 AS version, NULL AS text, 'D' AS op
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 4 AS version,
+             'NEW: ' || text AS text, 'U' AS op
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT doc_id, version, text FROM (
+      SELECT doc_id, version, text, op,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY version DESC) AS rn
+      FROM changes
+    ) WHERE rn = 1 AND op <> 'D' ORDER BY doc_id
+    """,
+    "X1",
+    "S2",
+)
+def x1_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log apply — upserts AND DELETES (operators/dedup.py
+    apply_changelog): a v1 snapshot takes a v2 update wave, a v3
+    tombstone wave (every fifth doc — takedown/opt-out semantics) and a
+    v4 insert wave; per key the highest version decides and tombstoned
+    keys DISAPPEAR (so v3 deletes beat v2 updates on doc_id % 35).
+    Keep-max-version makes the apply order-independent and idempotent —
+    the same exactly-once recipe as m9_streaming_upsert, now with the
+    operation a compliant corpus pipeline cannot skip. One ranking-window
+    shuffle + tombstone filter; the oracle replays the identical window
+    over the unioned change sets."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        apply_changelog,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select("doc_id", F.lit(1).alias("version"), "text")
+    changes = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.lit(2).alias("version"),
+            F.concat(F.lit("U2: "), F.col("text")).alias("text"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 5 == 0).select(
+                "doc_id",
+                F.lit(3).alias("version"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit("D").alias("op"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.lit(4).alias("version"),
+                F.concat(F.lit("NEW: "), F.col("text")).alias("text"),
+                F.lit("U").alias("op"),
+            )
+        )
+    )
+    return (
+        apply_changelog(base, changes, ["doc_id"], "version")
+        .select("doc_id", "version", "text")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x_hll_mergeable_cardinality",
+    """
+    SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT '__ALL__' AS source, CAST(COUNT(DISTINCT text) AS BIGINT)
+             AS n_exact,
+           TRUE AS within_5pct
+    FROM documents
+    ORDER BY source
+    """,
+    "X11",
+    "X9",
+)
+def x_hll_mergeable_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-SKETCH cardinality (X11's philosophy with DataSketches
+    HLL): per-source distinct-text counts are computed exactly AND as
+    persistable HLL sketches, and the GLOBAL cardinality is estimated by
+    UNIONING the per-source sketches — no second scan of the corpus, the
+    exact shape multi-cluster / incremental rollups need (per-partition
+    sketches merge associatively; compare x_mergeable_stats for exact
+    moments). The contract hash-checks the exact counts and gates the
+    sketch path in-plan: every per-source estimate AND the
+    merged-estimate must land within 5% of exact (HLL's design error at
+    lgK=12 is ~1.6%, so the bar has margin; sketch updates are
+    commutative, hence deterministic for a given set). Scale: the exact
+    path is one distinct-agg; the sketch path re-aggregates
+    kilobyte-sized sketch bytes only."""
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    per_source = d.groupBy("source").agg(
+        F.count_distinct("text").alias("_exact"),
+        F.hll_sketch_agg("text").alias("_sk"),
+    )
+    src_rows = per_source.select(
+        "source",
+        F.col("_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(
+                F.hll_sketch_estimate("_sk").cast("double")
+                - F.col("_exact").cast("double")
+            )
+            <= 0.05 * F.col("_exact").cast("double")
+        ).alias("within_5pct"),
+    )
+    total_exact = d.agg(F.count_distinct("text").alias("_exact_all"))
+    merged = per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est_all")
+    )
+    all_row = (
+        total_exact.crossJoin(merged)  # two 1-row aggregates
+        .select(
+            F.lit("__ALL__").alias("source"),
+            F.col("_exact_all").cast("bigint").alias("n_exact"),
+            (
+                F.abs(
+                    F.col("_est_all").cast("double")
+                    - F.col("_exact_all").cast("double")
+                )
+                <= 0.05 * F.col("_exact_all").cast("double")
+            ).alias("within_5pct"),
+        )
+    )
+    return src_rows.unionByName(all_row).orderBy("source")
+
+
+@register(
     "m9_streaming_upsert",
     """
     WITH changes AS (

@@ -173,6 +173,43 @@ def merge_upsert(
     return updates.unionByName(survivors)
 
 
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """X1 ingest path — apply a CDC CHANGE LOG (upserts + DELETES) to a
+    snapshot: the missing third of the incremental-corpus trio
+    (``incremental_dedup`` skips re-deliveries, ``merge_upsert`` upserts;
+    this adds tombstones — takedowns, robots.txt revocations, opt-outs —
+    the operation a compliant corpus pipeline cannot live without).
+
+    Semantics: per key, the HIGHEST-version row across (base UNION
+    changes) decides; if it is a ``delete_op`` tombstone the key
+    disappears, otherwise the row survives. Keep-max-version makes the
+    apply order-independent and idempotent (same guarantees as the
+    streaming upsert sink — replaying or reordering change batches cannot
+    change the result). Preconditions: ``base`` carries ``version_col``
+    (it is the product of prior applies; a fresh snapshot is version 0)
+    and versions strictly increase per key across changes — equal-version
+    conflicts have no defined winner anywhere in CDC.
+
+    Plan: one ranking-window shuffle on the key over the union, then a
+    tombstone filter — identical cost to ``latest_version_dedup``; the
+    tombstone rows themselves never reach the output, so a mostly-delete
+    batch SHRINKS the table in the same single pass."""
+    tagged_base = base.withColumn(op_col, F.lit("U"))
+    newest = latest_version_dedup(
+        tagged_base.unionByName(changes),
+        key_cols,
+        [F.col(version_col).desc()],
+    )
+    return newest.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+
+
 # ---------------------------------------------------------------------------
 # X2 — latest-version dedup (ranking window — same shape as D8)
 # ---------------------------------------------------------------------------

@@ -416,3 +416,34 @@ def test_simhash_drop_shingles_bounds_boilerplate_pairs(spark):
     assert n_uncapped > 1000, n_uncapped  # chrome-dup flood without guard
     assert planted <= capped_pairs
     assert len(capped_pairs) < 100, len(capped_pairs)
+
+
+def test_apply_changelog_deletes_and_reinserts(spark):
+    """Tombstones remove keys; a HIGHER-version re-insert after a delete
+    brings the key back; replaying the same change set is a no-op
+    (idempotent, order-independent apply)."""
+    base = spark.createDataFrame(
+        [(1, 0, "a0"), (2, 0, "b0"), (3, 0, "c0")],
+        ["k", "version", "payload"],
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, 1, None, "D"),        # delete key 2
+            (3, 1, None, "D"),        # delete key 3 ...
+            (3, 2, "c2", "U"),        # ... then re-insert at higher version
+            (9, 1, "new", "U"),       # plain insert
+        ],
+        ["k", "version", "payload", "op"],
+    )
+
+    def snap(df):
+        return {(r.k, r.version, r.payload) for r in df.collect()}
+
+    once = dd.apply_changelog(base, changes, ["k"], "version")
+    want = {(1, 0, "a0"), (3, 2, "c2"), (9, 1, "new")}
+    assert snap(once) == want
+    # replay the same log on the applied result: unchanged
+    again = dd.apply_changelog(
+        once.select("k", "version", "payload"), changes, ["k"], "version"
+    )
+    assert snap(again) == want
