@@ -544,3 +544,30 @@ def test_runtime_bloom_filter_injected_for_selective_join(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning — the partition-layout twin of the bloom
+    filter: when the fact table is PARTITIONED on the join key and the dim
+    side carries a selective filter, the fact scan must receive a runtime
+    dynamicpruning subquery so only the surviving partitions are read at
+    all (at 100 TB this is the difference between scanning one event type
+    and scanning the corpus)."""
+    fact_dir = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(fact_dir)
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 5.0)],
+        ["event_type", "weight"],
+    ).filter(F.col("weight") >= 5.0)  # selective: one surviving type
+
+    fact = spark.read.parquet(fact_dir)
+    j = fact.join(dim, "event_type")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+    # and the result only contains the surviving partition
+    types = {r.event_type for r in j.select("event_type").distinct().collect()}
+    assert types == {"purchase"}

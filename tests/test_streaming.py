@@ -478,3 +478,61 @@ def test_streaming_upsert_replay_idempotent(spark, tmp_path):
     # out-of-order late replay of b1: newest-version semantics hold
     merge_batch_into_table(b1, table, ["k"], "version")
     assert snapshot() == want
+
+
+def test_rocksdb_state_store_backend(spark, sf_dir, tmp_path):
+    """State-backend portability — the 100 TB state answer: the default
+    HDFS-backed store keeps every key in executor heap, which caps
+    streaming state at memory size; RocksDB spills to local disk and is
+    the production backend for large watermark windows. The engine's
+    stateful operators must produce IDENTICAL results under both
+    providers (state layout is an implementation detail, not semantics)."""
+    import os
+
+    from apache_spark_streaming_project_spark.schemas import load_table
+    from apache_spark_streaming_project_spark.streaming.windows import (
+        windowed_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    in_dir = str(tmp_path / "in")
+    ev.repartition(2).write.mode("overwrite").parquet(in_dir)
+
+    def drain(tag: str):
+        out = str(tmp_path / f"out_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+        agg = windowed_counts(stream, "ts", ["event_type"], "1 day",
+                              watermark="1 hour")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.window_start, r.window_end, r.event_type, r["count"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    conf = spark.conf
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = conf.get(key, None)
+    try:
+        default_res = drain("default")
+        conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        rocks_res = drain("rocksdb")
+    finally:
+        if saved is None:
+            conf.unset(key)
+        else:
+            conf.set(key, saved)
+    assert rocks_res == default_res and rocks_res
