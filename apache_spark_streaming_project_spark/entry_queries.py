@@ -2767,6 +2767,114 @@ def s_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_python_datasource",
+    """
+    WITH rows AS (
+      SELECT i AS doc_id, ['en','de','fr'][CAST(i % 3 AS INT) + 1] AS lang,
+             5 + i % 7 AS n_tokens
+      FROM range(1000) t(i)
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM rows GROUP BY lang ORDER BY lang
+    """,
+    "S1",
+)
+def s_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom CONNECTOR via the Python Data Source API (Spark 4, §2.1
+    extension): a registered Python data source plans its own input
+    partitions (4 id-range slices, each read by an executor-side worker —
+    the shard/offset contract a real vendor connector implements) and the
+    engine queries it like any table. The source is a pure function of
+    doc_id, so DuckDB reconstructs the identical rows from range()
+    arithmetic — the custom-connector path is value-hash-verified, not
+    just smoke-tested (sources/pydatasource.py)."""
+    from apache_spark_streaming_project_spark.sources.pydatasource import (
+        SyntheticCorpusDataSource,
+    )
+
+    try:  # idempotent across repeated query runs in one session
+        spark.dataSource.register(SyntheticCorpusDataSource)
+    except Exception:
+        pass
+    return (
+        spark.read.format("synthetic_corpus")
+        .option("rows", 1000)
+        .load()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "s_variant_shred",
+    """
+    WITH j AS (
+      SELECT '{"meta":{"type":"' || event_type || '","uid":' ||
+             CAST(user_id AS VARCHAR) || '},"vals":[' ||
+             CAST(event_id % 10 AS VARCHAR) || ',' ||
+             CAST(event_id % 7 AS VARCHAR) || ']}' AS doc
+      FROM events
+    )
+    SELECT json_extract_string(doc, '$.meta.type') AS etype,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(doc, '$.meta.uid') AS BIGINT))
+                AS BIGINT) AS sum_uid,
+           CAST(SUM(CAST(json_extract(doc, '$.vals[0]') AS BIGINT)
+                    + CAST(json_extract(doc, '$.vals[1]') AS BIGINT))
+                AS BIGINT) AS sum_vals
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+    "§2.8",
+    "S18",
+)
+def s_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT ingestion (Spark 4's binary semi-structured
+    type — the open-table-format answer to schemaless JSON columns at
+    scale: parse ONCE into a typed binary encoding, then every downstream
+    path extraction is a cheap binary probe instead of a string re-parse).
+    A nested JSON document is built in-plan (deterministic, so DuckDB
+    reconstructs it exactly), parsed via ``parse_json`` into a VARIANT
+    column, shredded with typed ``variant_get`` paths (nested object
+    fields + array positions), and aggregated. All extracted values are
+    integers/strings, so the hash check is exact. Extends the §2.8
+    scalar-function surface next to the JsonPath query
+    (s_json_extract)."""
+    ev = _t(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('","uid":'),
+        F.col("user_id").cast("string"),
+        F.lit('},"vals":['),
+        (F.col("event_id") % 10).cast("string"),
+        F.lit(","),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit("]}"),
+    )
+    v = F.parse_json(doc)
+    return (
+        ev.select(
+            F.variant_get(v, "$.meta.type", "string").alias("etype"),
+            F.variant_get(v, "$.meta.uid", "bigint").alias("_uid"),
+            F.variant_get(v, "$.vals[0]", "bigint").alias("_v0"),
+            F.variant_get(v, "$.vals[1]", "bigint").alias("_v1"),
+        )
+        .groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_uid").cast("bigint").alias("sum_uid"),
+            F.sum(F.col("_v0") + F.col("_v1")).cast("bigint").alias("sum_vals"),
+        )
+        .orderBy("etype")
+    )
+
+
+@register(
     "s_set_ops",
     """
     SELECT 'intersect' AS op, COUNT(*) AS n FROM (
