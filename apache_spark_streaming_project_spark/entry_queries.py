@@ -2767,6 +2767,84 @@ def s_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m10_python_stream_source",
+    """
+    WITH rows AS (
+      SELECT i AS doc_id, ['en','de','fr'][CAST(i % 3 AS INT) + 1] AS lang,
+             5 + i % 7 AS n_tokens
+      FROM range(500) t(i)
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM rows GROUP BY lang ORDER BY lang
+    """,
+    "S1",
+    "S6",
+)
+def m10_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING connector (Python Data Source API): the synthetic
+    corpus served as a stream whose offsets are plain dicts committed to
+    the query checkpoint (the offset/commit contract a queue or CDC
+    connector implements). Python sources don't support
+    Trigger.AvailableNow (Spark falls back to single-batch execution), so
+    the drain deliberately runs as SEVERAL SEPARATE QUERY RESTARTS
+    against one checkpoint — each restart must resume from the last
+    COMMITTED offset, which is exactly the recovery semantics a
+    production restart relies on. The fully-drained sink must contain
+    every row exactly once (no loss at restart boundaries, no replay
+    duplicates), hash-checked against the DuckDB range() reconstruction
+    (sources/pydatasource.py SyntheticCorpusStreamReader)."""
+    import os
+    import tempfile
+
+    from apache_spark_streaming_project_spark.sources.pydatasource import (
+        SyntheticCorpusDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticCorpusDataSource)
+    except Exception:
+        pass
+    base = tempfile.mkdtemp(prefix="m10_pysrc_")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    rows, batch = 500, 250  # 2 data restarts + 1 empty confirm batch
+
+    with _stream_shuffle_partitions(spark):
+        drained = 0
+        for _ in range(rows // batch + 3):  # bounded restart loop
+            q = (
+                spark.readStream.format("synthetic_corpus")
+                .option("rows", rows)
+                .option("batchsize", batch)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)  # single-batch fallback
+                .start()
+            )
+            q.awaitTermination()
+            n = spark.read.parquet(out).count()
+            if n == drained == rows:
+                break
+            drained = n
+        else:
+            raise RuntimeError(
+                f"stream did not drain: {drained}/{rows} rows after restarts"
+            )
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "s_python_datasource",
     """
     WITH rows AS (

@@ -20,7 +20,12 @@ residual filters after the scan).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 LANGS = ["en", "de", "fr"]
 
@@ -56,8 +61,40 @@ class SyntheticCorpusReader(DataSourceReader):
             yield synthetic_row(doc_id)
 
 
+class SyntheticCorpusStreamReader(SimpleDataSourceStreamReader):
+    """STREAMING face of the same corpus: offsets are plain dicts persisted
+    in the query checkpoint — ``read`` serves the next id slice and
+    advances the offset, ``readBetweenOffsets`` replays a committed slice
+    for recovery. This is the offset/commit contract a real queue or CDC
+    connector implements; determinism of the row function makes replay
+    byte-identical, so checkpointed restarts resume EXACTLY where the
+    last commit left off (exercised by m10_python_stream_source, which
+    drains the stream across several separate query restarts)."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.batch = int(options.get("batchsize", 300))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        cur = int(start["offset"])
+        end = min(cur + self.batch, self.rows)
+        return (
+            iter([synthetic_row(i) for i in range(cur, end)]),
+            {"offset": end},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [synthetic_row(i) for i in range(int(start["offset"]), int(end["offset"]))]
+        )
+
+
 class SyntheticCorpusDataSource(DataSource):
     """``spark.read.format("synthetic_corpus").option("rows", N).load()``
+    (batch) or ``spark.readStream.format("synthetic_corpus")...`` (stream)
     after ``spark.dataSource.register(SyntheticCorpusDataSource)``."""
 
     @classmethod
@@ -69,3 +106,6 @@ class SyntheticCorpusDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticCorpusReader:
         return SyntheticCorpusReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticCorpusStreamReader:
+        return SyntheticCorpusStreamReader(self.options)
