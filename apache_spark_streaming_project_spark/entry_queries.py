@@ -1522,6 +1522,140 @@ def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed classifier weights, shared verbatim by the Spark plan and the
+# DuckDB oracle (both parse the same shortest-round-trip decimal literals
+# to the same doubles, and both fold token scores in array order).
+_CLF_WEIGHTS = [((i * 37) % 21 - 10) / 20 for i in range(64)]
+
+
+@register(
+    "x4_linear_quality_classifier",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN list_reduce(list_transform(toks,
+                       tk -> ({w})[(ascii(tk[1:1]) * 31 + ascii(tk[2:2])
+                                    + length(tk)) % 64 + 1]),
+                     (a, b) -> a + b) / len(toks)
+                ELSE 0.0 END AS score
+    FROM t ORDER BY doc_id
+    """.format(
+        w="[" + ", ".join(f"{w!r}::DOUBLE" for w in _CLF_WEIGHTS) + "]"
+    ),
+    "X4",
+)
+def x4_linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED quality filtering, fastText-linear shape: each token
+    maps to a feature bucket via a hashing trick (character/length
+    arithmetic — chosen over xxhash64 so the ORACLE can reproduce the
+    index exactly), the fixed weight vector ships as a plan literal
+    (a real classifier's weights broadcast the same way — kilobytes to
+    megabytes of floats), and the document score is the mean bucket
+    weight — entirely map-only higher-order array functions, zero Python,
+    zero shuffles before the final sort. This is the plumbing of
+    classifier-based corpus filtering (quality/toxicity/language
+    models distilled to linear heads run exactly like this at 100 TB:
+    score in the scan pass, filter on the threshold); the learned-weights
+    part is deliberately a fixed vector — training is out of engine
+    scope. Score doubles hash-match because both engines fold identical
+    literals in identical token order."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    W = F.array(*[F.lit(w) for w in _CLF_WEIGHTS])
+    bucket = (
+        lambda t: (
+            F.ascii(t.substr(1, 1)) * 31 + F.ascii(t.substr(2, 1)) + F.length(t)
+        )
+        % 64
+    )
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.element_at(W, bucket(t) + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(toks)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_tokens"),
+            F.when(n > 0, total / n).otherwise(F.lit(0.0)).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x_semantic_dedup",
+    """
+    SELECT vec_id FROM embeddings ORDER BY vec_id
+    """,
+    "X1",
+    "X3",
+    "X6",
+)
+def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup (SemDeDup shape — the embedding-space analogue of
+    near-dup text dedup): coarse k-means cells route each vector
+    (map-only Arrow assignment, operators/similarity.ivf_index), exact
+    cosine pairs are scored WITHIN cells only (never all-pairs), the pair
+    graph collapses via connected components, and the min-key
+    representative survives. The corpus is the embeddings table plus one
+    planted near-copy per vector (tiny in-plan perturbation, cosine
+    ~0.9999, key + 10^6): the dedup must remove EXACTLY the planted
+    copies — recall 1.0 via SOFT ASSIGNMENT (n_assign=2: each vector
+    joins its two nearest cells, so a pair straddling a Voronoi face
+    still shares a cell; with hard assignment exactly the boundary pairs
+    are missed — observed 2/500 on this data) and precision 1.0 (the
+    isotropic originals' max non-self cosine ~0.5, far under the 0.95
+    threshold) — so the surviving key set equals the original table,
+    which is what the oracle asserts. Scale shape: cells bound the
+    quadratic term (per-cell pairs; soft assignment doubles rows — the
+    price of boundary recall), everything before the pair graph is
+    map-only."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        dedup_keep_representatives,
+    )
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        blocked_cosine_join,
+        ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x + 0.003 * F.sin(F.col("vec_id") * 13 + i)).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+    )
+    corpus = e.unionByName(planted)
+    assigned, _ = ivf_index(corpus, n_centroids=16, n_assign=2)
+    pairs = blocked_cosine_join(
+        assigned,
+        key_col="vec_id",
+        vec_col="embedding",
+        block_col="centroid_id",
+        threshold=0.95,
+    ).select("id_a", "id_b")
+    return (
+        dedup_keep_representatives(
+            corpus, pairs, "vec_id", key_a="id_a", key_b="id_b"
+        )
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 @register(
     "x_embedding_near_dups",
     """

@@ -184,6 +184,7 @@ def ivf_index(
     vec_col: str = "embedding",
     max_train_rows: int = 10_000,
     iterations: int = 3,
+    n_assign: int = 1,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: Lloyd's k-means on a BOUNDED driver-side sample
     (the centroid table is tiny — k x dim floats), then assign every vector
@@ -215,8 +216,16 @@ def ivf_index(
     # aggregates are codegen-hostile — the expression build/compile cost
     # alone dominated this query's wall time at fixture scale (the same
     # lesson pq_encode's docstring records; measured ~3 s -> ~0.3 s here).
-    # Ties break by lowest centroid id (np.argmin), deterministic and
+    # Ties break by lowest centroid id (stable argsort), deterministic and
     # independent of batch boundaries.
+    #
+    # ``n_assign > 1`` emits one row per (vector, cell) for the vector's
+    # top-n nearest cells — the soft-assignment dedup/blocking needs:
+    # cell-BOUNDARY pairs (a vector and its near-copy falling on opposite
+    # sides of a Voronoi face) then co-occur in at least one shared cell.
+    # Query-path consumers keep the default n_assign=1 (probing widens on
+    # the query side via nprobe instead — duplicating the index is the
+    # wrong trade there).
     coarse_np = np.asarray(cent, dtype=np.float64)
     key_t = df.schema[key_col].dataType.simpleString()
     vec_t = df.schema[vec_col].dataType.simpleString()
@@ -235,13 +244,14 @@ def ivf_index(
                 - 2.0 * vecs @ coarse_np.T
                 + (coarse_np**2).sum(1)[None, :]
             )
-            yield pd.DataFrame(
-                {
-                    key_col: pdf[key_col],
-                    vec_col: pdf[vec_col],
-                    "centroid_id": [int(c) for c in d2.argmin(1)],
-                }
-            )
+            top = np.argsort(d2, axis=1, kind="stable")[:, :n_assign]
+            out = {key_col: [], vec_col: [], "centroid_id": []}
+            for r in range(len(pdf)):
+                for c in top[r]:
+                    out[key_col].append(pdf[key_col].iloc[r])
+                    out[vec_col].append(pdf[vec_col].iloc[r])
+                    out["centroid_id"].append(int(c))
+            yield pd.DataFrame(out)
 
     assigned = df.select(key_col, vec_col).mapInPandas(
         kernel,
