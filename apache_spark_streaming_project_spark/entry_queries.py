@@ -1522,6 +1522,65 @@ def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x7_mixture_resample",
+    r"""
+    WITH w AS (
+      SELECT source, 1 + CAST(substr(source, 4) AS INT) % 4 AS wt
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    tot AS (SELECT SUM(wt) AS sw FROM w),
+    quota AS (
+      SELECT source, CAST(FLOOR(200.0 * wt / sw) AS BIGINT) AS q
+      FROM w, tot
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix')) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN quota USING (source)
+    WHERE r.rn <= quota.q
+    ORDER BY r.doc_id
+    """,
+    "X7",
+)
+def x7_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-MIXTURE resampling (operators/sampling.py mixture_resample):
+    target per-source weights (derived here from the source id, cycling
+    1..4) become exact floor quotas over a 200-row budget, and each
+    source contributes its top-quota rows under a deterministic
+    md5-of-key draw — the corpus-assembly op that hits "50% web / 30%
+    books / 20% code" mixtures exactly. The SAMPLED ROW SET itself is
+    hash-verified (the oracle replays the identical quota arithmetic and
+    md5 ranking), not just the per-domain counts. Strata-sized quota
+    table broadcasts; ranking runs with map-side WindowGroupLimit."""
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    weights = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                1 + F.substring("source", 4, 10).cast("int") % 4
+            ).cast("double").alias("weight"),
+        )
+    )
+    order = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
+    return (
+        mixture_resample(d, "source", weights, 200, order)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 # Fixed classifier weights, shared verbatim by the Spark plan and the
 # DuckDB oracle (both parse the same shortest-round-trip decimal literals
 # to the same doubles, and both fold token scores in array order).

@@ -43,6 +43,44 @@ def stratified_sample(
     )
 
 
+def mixture_resample(
+    df: DataFrame,
+    stratum_col: str,
+    weights: DataFrame,
+    total_rows: int,
+    order_col: Column,
+) -> DataFrame:
+    """Domain-MIXTURE resampling: draw ~``total_rows`` rows whose stratum
+    proportions match a target weight table (``weights``: (stratum_col,
+    weight)) — the corpus-assembly op that turns "we want 50% web, 30%
+    books, 20% code" into an exact per-domain quota plan. Quotas are
+    ``floor(total_rows * w / sum(w))``; a stratum with fewer rows than
+    its quota contributes everything it has (under-supplied domains are
+    a REPORTING problem, not a silent re-normalization — callers can
+    diff achieved vs target counts).
+
+    Deterministic: rows rank within their stratum by ``order_col`` (pass
+    a hash expression for an unbiased draw; md5-of-key keeps the draw
+    oracle-reproducible). Scale shape: the quota table is
+    strata-sized (broadcast), ranking executes with map-side
+    WindowGroupLimit... bounded by quota per stratum per task, and the
+    corpus never shuffles beyond the ranked survivors."""
+    sw = weights.agg(F.sum("weight").alias("_sw"))
+    quota = weights.crossJoin(F.broadcast(sw)).select(
+        stratum_col,
+        F.floor(F.lit(total_rows) * F.col("weight") / F.col("_sw"))
+        .cast("int")
+        .alias("_quota"),
+    )
+    w = Window.partitionBy(stratum_col).orderBy(order_col.asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(quota), stratum_col)
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,
