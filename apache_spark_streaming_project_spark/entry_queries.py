@@ -5969,6 +5969,48 @@ def x8_pq_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x8_ivfpq_batch_retrieval",
+    """
+    SELECT vec_id AS query_id, vec_id AS found_vec_id
+    FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+    """,
+    "X8",
+    "X3",
+)
+def x8_ivfpq_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-ANN retrieval check for the IVF-PQ index — completes the
+    batch matrix (LSH/IVF/PQ/IVF-PQ x single/batch): the same ten
+    perturbed planted queries, where each query picks its nprobe nearest
+    cells and builds a PER-CELL residual ADC table entirely in-plan
+    (higher-order functions over the codebook literals on the tiny query
+    side), the exploded (query, cell, adc) rows broadcast-join the code
+    table, and candidates cost m array lookups — float vectors never
+    read. Every query must return its original vector as top-1
+    (residual quantization error is far below the isotropic inter-point
+    distances; operators/similarity.py ivfpq_batch_top_k)."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        ivfpq_batch_top_k,
+        ivfpq_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x + 0.005 * F.sin(F.col("vec_id") * 31 + i)).cast(
+                "double"
+            ),
+        ).alias("qvec"),
+    )
+    indexed, coarse, books = ivfpq_index(e, n_centroids=16, m=4, pq_centroids=32)
+    top1 = ivfpq_batch_top_k(indexed, coarse, books, queries, k=1, nprobe=4)
+    return top1.select(
+        "query_id", F.col("vec_id").alias("found_vec_id")
+    ).orderBy("query_id")
+
+
+@register(
     "x_curation_pipeline",
     f"""
     WITH deduped AS (

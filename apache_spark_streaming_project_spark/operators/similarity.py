@@ -412,6 +412,117 @@ def ivf_batch_top_k(
     )
 
 
+def ivfpq_batch_top_k(
+    indexed: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    key_col: str = "vec_id",
+    query_key_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batch ANN over the IVF-PQ index (X8 x X3) — completes the batch
+    matrix next to ``lsh_batch_top_k``/``ivf_batch_top_k``/
+    ``pq_batch_top_k``: each query scores the coarse centroids IN-PLAN,
+    keeps its ``nprobe`` nearest cells, and computes a PER-CELL ADC table
+    on the RESIDUAL query (q minus that cell's centroid) — all with
+    higher-order functions over the codebook literals, evaluated only on
+    the tiny query table (the literal arrays bind once; the per-row
+    expression fold that was codegen-hostile on the MILLION-row side is
+    fine on tens of query rows). The exploded (query, cell, adc) table
+    broadcast-joins the code table on ``centroid_id`` — partition
+    pruning when the codes are stored by cell — and each candidate costs
+    m array lookups; per-query top-k via the map-side WindowGroupLimit
+    window. The float vectors are never read at query time."""
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    coarse_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in coarse]
+    )
+    books_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in cent])
+                    for cent in codebooks[j]
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+    q = F.col(query_vec_col)
+
+    def _sq_dist(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = F.transform(
+        coarse_lit,
+        lambda c, i: F.struct(_sq_dist(q, c).alias("dist"), i.alias("cid")),
+    )
+    probes_arr = F.slice(F.array_sort(scored), 1, nprobe)
+
+    def adc_for(cid: Column) -> Column:
+        resid = F.zip_with(
+            q,
+            F.element_at(coarse_lit, cid + 1),
+            lambda a, b: a.cast("double") - b,
+        )
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.transform(
+                F.element_at(books_lit, j + 1),
+                lambda cent: _sq_dist(
+                    F.slice(resid, j * F.lit(d_sub) + 1, F.lit(d_sub)), cent
+                ),
+            ),
+        )
+
+    probes = queries.select(
+        query_key_col,
+        F.explode(
+            F.transform(
+                probes_arr,
+                lambda s: F.struct(
+                    s["cid"].alias("centroid_id"),
+                    adc_for(s["cid"]).alias("_adc"),
+                ),
+            )
+        ).alias("_p"),
+    ).select(query_key_col, "_p.centroid_id", "_p._adc")
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    cand = indexed.join(probes, "centroid_id")
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("_adc"), j),
+            F.element_at(F.col("pq_code"), j) + 1,
+        ),
+    )
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.col("adc_dist").asc(), F.col(key_col).asc()
+    )
+    return (
+        cand.select(F.col(query_key_col), F.col(key_col), dist.alias("adc_dist"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def blocked_cosine_join(
     df: DataFrame,
     key_col: str = "vec_id",

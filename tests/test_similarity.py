@@ -314,3 +314,35 @@ def test_ivfpq_append_matches_full_reencode(spark):
     qvec = [x + 1e-4 for x in rows[8][1]]  # vec_id 8 is in `new`
     top = ivfpq_top_k(appended, coarse, books, qvec, k=3, nprobe=4)
     assert 8 in [r.vec_id for r in top.collect()]
+
+
+def test_ivfpq_batch_top_k_retrieves_planted(spark):
+    """Batch IVF-PQ: each planted (perturbed) query must retrieve its
+    original vector as top-1 via per-cell residual ADC tables computed
+    in-plan on the query side; the plan broadcasts the exploded probe
+    rows and never reads float vectors on the candidate side."""
+    import random
+
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        ivfpq_batch_top_k,
+        ivfpq_index,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    indexed, coarse, books = ivfpq_index(df, n_centroids=8, m=4, pq_centroids=16)
+    queries = spark.createDataFrame(
+        [(i, [x + 1e-4 for x in rows[i][1]]) for i in range(6)],
+        "query_id long, qvec array<double>",
+    )
+    top1 = ivfpq_batch_top_k(indexed, coarse, books, queries, k=1, nprobe=3)
+    got = {r.query_id: r.vec_id for r in top1.collect()}
+    assert sum(got.get(i) == i for i in range(6)) >= 5
+
+    from apache_spark_streaming_project_spark.plans.inspect import (
+        has_broadcast_join,
+    )
+
+    assert has_broadcast_join(top1)
