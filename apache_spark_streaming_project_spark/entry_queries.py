@@ -6821,3 +6821,260 @@ def d21_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct(F.col("user_id")).alias("n_active"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# X3 — sparse lexical retrieval: BM25 top-k over an inverted-index plan
+# (extension operator, SURVEY §2.11 X3; no reference counterpart)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x3_bm25_top10",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    post AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY doc_id),
+    dft AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+    st AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT SUM(tf) FROM post) AS total
+    ),
+    qt AS (
+      SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3
+    ),
+    contrib AS (
+      SELECT q.query_id, p.doc_id, p.term,
+             CAST((2*st.n_docs - 2*dft.df + 1) * 22 * p.tf * st.total
+                  AS DOUBLE)
+             / CAST((2*dft.df + 1)
+                    * (10*p.tf*st.total + 3*st.total + 9*dl.dl*st.n_docs)
+                    AS DOUBLE) AS c
+      FROM qt q
+      JOIN post p USING (term)
+      JOIN dft USING (term)
+      JOIN dl ON p.doc_id = dl.doc_id
+      CROSS JOIN st
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             list_reduce(list(c ORDER BY term), (acc, x) -> acc + x)
+                 AS score
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, rank, doc_id, score FROM (
+      SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    "X3",
+)
+def x3_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — BM25 sparse lexical retrieval, top-10 per query: the inverted-
+    index complement to the dense ANN queries. Query terms derive in-plan
+    (distinct tokens of docs 0-2, query_id = doc_id) so the whole thing is
+    oracle-checkable. Exactness: log-free odds-form IDF + integer-rewritten
+    tf saturation (k1=1.2, b=0.75) -> BIGINT products, ONE double division,
+    per-doc sum as a sorted-term left fold — bit-identical doubles in both
+    engines (operators/lexical.py module docstring has the derivation).
+    Scale shape: postings/df/dl are corpus-sized partial aggs; the query
+    side broadcasts; df is looked up for query terms only; per-query top-k
+    is a rank window (map-side WindowGroupLimit)."""
+    from apache_spark_streaming_project_spark.operators import lexical
+    from apache_spark_streaming_project_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    queries = (
+        d.filter(F.col("doc_id") < 3)
+        .select(F.col("doc_id").alias("query_id"), F.explode(tokens("text")).alias("term"))
+        .distinct()
+    )
+    return (
+        lexical.bm25_top_k(d, queries, k=10)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1 — snapshot diff (corpus-refresh audit view)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x1_snapshot_diff",
+    """
+    WITH old_v AS (SELECT doc_id, text FROM documents),
+    new_v AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END
+                 AS text
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             'new doc ' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents WHERE doc_id < 20
+    ),
+    diff AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM old_v o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id
+    )
+    SELECT change_type, COUNT(*) AS n, MIN(doc_id) AS min_key,
+           MAX(doc_id) AS max_key, SUM(doc_id) AS key_sum
+    FROM diff GROUP BY change_type ORDER BY change_type
+    """,
+    "X1",
+)
+def x1_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — snapshot diff between two corpus versions (added / removed /
+    changed / unchanged per key), rolled up per class with min/max/sum key
+    checksums so every row of the full-outer join is hash-covered. The
+    versions derive in-plan from ``documents`` (every 11th doc removed,
+    every 7th revised, 20 added) so DuckDB reconstructs them exactly.
+    Plan: one full-outer shuffle join on the 8-byte key + one 4-group
+    rollup (operators/dedup.snapshot_diff; scale notes there)."""
+    from apache_spark_streaming_project_spark.operators.dedup import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    old_v = d.select("doc_id", "text")
+    new_v = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    return (
+        snapshot_diff(old_v, new_v, ["doc_id"], ["text"])
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_key"),
+            F.max("doc_id").alias("max_key"),
+            F.sum("doc_id").alias("key_sum"),
+        )
+        .orderBy("change_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X10 — bloom-prefiltered decontamination (identical result, pruned shuffle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x10_bloom_prefilter",
+    QUERIES["x_decontamination"].sql,  # bloom is semantics-transparent
+    "X10",
+)
+def x10_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 at scale — decontamination with a bloom-filter pre-filter on
+    the held-out gram stream (operators/dedup.bloom_prefilter_
+    contamination). The oracle is LITERALLY x_decontamination's SQL: a
+    bloom filter has no false negatives and the exact gram join removes
+    its false positives, so the result must be row-for-row identical to
+    the exact operator — the hash check proves the transparency theorem
+    on real data. The plan difference is the point: the bloom builds as
+    one partial-aggregatable blob over the train grams, broadcasts as a
+    1-row aggregate, and ``might_contain`` prunes the held-out grams
+    map-side before the gram-keyed exchange (~100x shuffle cut on a
+    mostly-clean eval split at 1% fp)."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        bloom_prefilter_contamination,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bloom_prefilter_contamination(
+        d, F.col("doc_id") % 10 < 8, "doc_id", "text", n=8
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X4/X2 — duplicate-span coverage (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x4_span_coverage",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(i AS INT) AS s,
+             array_to_string(toks[i:i+7], ' ') AS gram
+      FROM t, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)
+    ),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    iv AS (
+      SELECT doc_id, s, s + 8 AS e FROM g JOIN dup USING (gram)
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS island
+      FROM (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pme
+        FROM iv
+      )
+    ),
+    cov AS (
+      SELECT doc_id, SUM(mx - mn) AS covered FROM (
+        SELECT doc_id, island, MIN(s) AS mn, MAX(e) AS mx
+        FROM isl GROUP BY doc_id, island
+      ) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens
+    FROM t LEFT JOIN cov USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    "X2",
+    "X4",
+)
+def x4_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X4 — duplicate-SPAN coverage: per document, the token positions
+    covered by any word 8-gram occurring in >= 2 documents, overlapping
+    spans merged (operators/text.duplicate_span_coverage — the exact-
+    substring dedup signal from suffix-array corpus dedup, done
+    relationally: positional shingles -> cross-doc gram df -> island-
+    merge windows). Catches partial copies whole-doc MinHash misses."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        duplicate_span_coverage,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_span_coverage(d, "doc_id", "text", n=8).orderBy("doc_id")

@@ -210,6 +210,53 @@ def apply_changelog(
     return newest.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """X1 ingest path — diff two corpus SNAPSHOTS into a change summary:
+    per key, ``added`` (key only in new), ``removed`` (key only in old),
+    ``changed`` (key in both, any ``compare_cols`` value differs, null-
+    safely) or ``unchanged``. The audit view of a corpus refresh — what
+    ``apply_changelog`` writes forward, this reads back (diff(old,
+    apply_changelog(old, log)) recovers the log's net effect), and it is
+    the regression gate a pipeline runs between two crawl versions before
+    retraining.
+
+    Plan: ONE full-outer shuffle join on the key — both sides partial-agg
+    nothing and project only key + compare columns, so the exchange
+    carries the minimum payload. At corpus scale compare_cols should be a
+    fingerprint column (e.g. ``exact_dedup_by_fingerprint``'s xxhash64)
+    rather than raw text; the comparison here is column-generic so both
+    work."""
+    o = old.select(
+        *[F.col(k).alias(k) for k in key_cols],
+        *[F.col(c).alias(f"_old_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in key_cols],
+        *[F.col(c).alias(f"_new_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, on=key_cols, how="full_outer")
+        .select(*key_cols, change.alias("change_type"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # X2 — latest-version dedup (ranking window — same shape as D8)
 # ---------------------------------------------------------------------------
@@ -754,6 +801,65 @@ def cross_split_contamination(
             .cast("bigint")
             .alias("n_contaminated"),
         )
+    )
+
+
+def bloom_prefilter_contamination(
+    df: DataFrame,
+    is_train: Column,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    num_bits: int = 1 << 23,
+) -> DataFrame:
+    """X10 at scale — ``cross_split_contamination`` with a BLOOM-FILTER
+    pre-filter on the held-out gram stream: build one SPARSE bloom
+    bitmap over the train split's grams (``functions/bloom.py`` —
+    ``bit_or`` partial aggregation into (word, bits) rows, map-side
+    build + one word-keyed reduce; Spark's own ``bloom_filter_agg`` is
+    optimizer-internal, not a registered function), broadcast the word
+    table, and drop every held-out gram the bloom rejects BEFORE the
+    gram-keyed exchange (k broadcast hash-join probes + bit-AND).
+
+    Result-identical to the exact operator by construction: a bloom
+    filter has NO false negatives, so every truly-contaminated gram
+    survives the pre-filter, and the exact string join afterwards
+    removes the false positives. What changes is the plan: at corpus
+    scale the held-out gram stream is the dominant shuffle, and the
+    map-side probe cuts it to (true hits + fp-rate * misses) — with
+    ~1.5% fp that is a ~60x exchange reduction on a mostly-clean eval
+    set. ``n_grams`` still counts ALL held-out grams (a join-free
+    partial agg before the filter); only the membership join is pruned.
+    Size ``num_bits ~= 16 * expected distinct train grams`` (k=2).
+    """
+    from apache_spark_streaming_project_spark.functions.bloom import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    gram = F.explode_outer(word_shingles(text_col, n)).alias("gram")
+    grams = df.select(F.col(key_col), is_train.alias("_train"), gram)
+    train_grams = (
+        grams.filter(F.col("_train")).filter(F.col("gram").isNotNull()).select("gram")
+    )
+    bloom = bloom_build(train_grams, "gram", m_bits=num_bits)
+    held_out = grams.filter(~F.col("_train")).drop("_train")
+    totals = held_out.groupBy(key_col).agg(F.count("gram").alias("n_grams"))
+    candidates = bloom_prefilter(
+        held_out.filter(F.col("gram").isNotNull()), bloom, "gram", m_bits=num_bits
+    )
+    train_set = train_grams.distinct().withColumn("_hit", F.lit(1))
+    hits = (
+        candidates.join(train_set, "gram")
+        .groupBy(key_col)
+        .agg(F.count("*").cast("bigint").alias("n_contaminated"))
+    )
+    return totals.join(hits, key_col, "left").select(
+        key_col,
+        "n_grams",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("bigint").alias(
+            "n_contaminated"
+        ),
     )
 
 

@@ -1,0 +1,150 @@
+"""Sparse lexical retrieval (BM25) — the inverted-index complement to the
+dense ANN surface in ``operators/similarity.py`` (SURVEY §2.11 X3; no
+reference counterpart — extension operator for the LLM-data-pipeline
+surface).
+
+Shape (the classic search-engine plan, expressed relationally):
+
+  1. postings list: explode tokens -> (doc_id, term, tf) partial-agg
+     (one shuffle keyed on (doc_id, term); map-side combine collapses
+     repeated terms before the exchange);
+  2. document lengths + corpus totals: reuses the same exploded pass;
+  3. document frequency per term: partial-agg over the postings;
+  4. query terms broadcast-join the postings (the query set is always
+     tiny — it's the *vocabulary* that is huge, and only query terms'
+     df rows survive the semi-join, so the df lookup is broadcastable
+     by construction no matter the corpus size);
+  5. per-(query, doc) score = ordered fold over per-term contributions;
+  6. per-query top-k via rank window (map-side WindowGroupLimit).
+
+Exactness contract (why the scoring looks unusual):
+
+  * The IDF is the *odds form* without the logarithm:
+    ``idf = (N - df + 0.5) / (df + 0.5) = (2N - 2df + 1) / (2df + 1)``
+    — an exact integer ratio. ``ln``/``log2`` are libm calls whose last
+    ulp differs across engines, which would break the driver's
+    bit-identical value-hash contract; the odds form is strictly
+    monotone in the standard BM25 IDF, so per-term ordering is
+    preserved. (Documented variant, not an approximation bug.)
+  * With k1 = 1.2 and b = 0.75, the term-frequency saturation
+    ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` multiplies through
+    by ``10 * total_tokens`` (avgdl = total/N) into an exact integer
+    ratio: ``22*tf*total / (10*tf*total + 3*total + 9*dl*N)``.
+  * Numerator and denominator are built as BIGINTs and cast to DOUBLE
+    *before* one division — int64->double conversion and IEEE division
+    are bit-identical everywhere.
+  * The per-document sum folds the contributions in sorted-term order
+    (``array_sort`` + ``aggregate`` left fold), because IEEE addition
+    is not associative: both engines add the same doubles in the same
+    order and produce the same bits.
+
+Scale: the corpus-side magnitudes (``idf_num * 22 * tf * total``) stay
+within int64 up to ~10^13-token corpora; beyond that, pre-divide total
+by a corpus-constant scale factor (ranking is invariant under scaling
+total, which cancels in the limit) — noted here rather than coded
+because the driver fixtures sit ~6 orders of magnitude below the bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from apache_spark_streaming_project_spark.operators.text import tokens
+
+# k1 = 1.2 and b = 0.75 (the textbook defaults) are baked into the exact
+# integer rewrite: 22 = 10*tf*(k1+1), 3 = 10*k1*(1-b), 9 = 10*k1*b.
+_TF_NUM = 22
+_TF_CONST = 3
+_TF_DL = 9
+
+
+def postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, term, tf) postings list from whitespace tokens.
+
+    One explode + one partial-aggregated shuffle on (doc_id, term)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def _contribution(n_docs: Column, total: Column) -> Column:
+    """Exact-double BM25 contribution for one (query term, document) row.
+
+    Expects columns tf, df, dl in scope; n_docs/total are 1-row-join
+    columns. BIGINT products, one double division — see module
+    docstring for the derivation."""
+    idf_num = 2 * n_docs - 2 * F.col("df") + 1
+    idf_den = 2 * F.col("df") + 1
+    tf_num = F.lit(_TF_NUM) * F.col("tf") * total
+    tf_den = (
+        F.lit(10) * F.col("tf") * total
+        + F.lit(_TF_CONST) * total
+        + F.lit(_TF_DL) * F.col("dl") * n_docs
+    )
+    return (idf_num * tf_num).cast("double") / (idf_den * tf_den).cast("double")
+
+
+def bm25_top_k(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_term_col: str = "term",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query BM25 top-k over the corpus.
+
+    ``queries`` is (query_id, term) — one row per distinct query term.
+    Returns (query_id, rank, doc_id, score), rank 1..k, ties broken on
+    doc_id so the result is deterministic and hashable.
+
+    Plan: postings/df/dl are corpus-sized partial aggs; the query-term
+    side broadcasts (hinted — it is small by definition); the df lookup
+    joins the *query terms*, never the full vocabulary; per-query top-k
+    is a rank window that AQE executes as map-side WindowGroupLimit.
+    """
+    post = postings(docs, id_col, text_col)
+    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_t = post.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        post.agg(F.sum("tf").alias("total"))
+    )
+
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_term_col).alias("term")
+    ).distinct()
+    # df of the query terms only: broadcast the tiny query side INTO the
+    # vocabulary-sized df table, keeping the survivors broadcastable.
+    qt_df = df_t.join(F.broadcast(qt), "term")
+
+    contrib = (
+        post.join(F.broadcast(qt_df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            "term",
+            _contribution(F.col("n_docs"), F.col("total")).alias("c"),
+        )
+    )
+
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("score")
+    )
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

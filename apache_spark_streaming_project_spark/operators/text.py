@@ -457,3 +457,107 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def positional_shingles(c: Column | str, n: int = 8) -> Column:
+    """Word n-gram shingles WITH their 1-based token positions:
+    ``array<struct<pos int, gram string>>``. The positional twin of
+    ``dedup.word_shingles`` (which dedups and drops positions) — needed
+    by span-level dedup signals, where *where* a duplicated gram sits
+    decides how much of the document it covers. Same tokenizer
+    (lower/trim/split), same single-binding trick so the token array is
+    computed once per row, not once per shingle."""
+    c = F.col(c) if isinstance(c, str) else c
+    toks_expr = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+
+    def windows(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                (i + 1).alias("pos"),
+                F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("gram"),
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(toks_expr), windows), 1)
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication signal (the "dedup spans, not docs"
+    shape from suffix-array corpus dedup, re-expressed relationally):
+    per document, how many token positions are covered by SOME word
+    ``n``-gram that occurs in >= ``min_docs`` distinct documents.
+    Returns ``(key, n_tokens, covered_tokens)`` — a 50%-covered doc is a
+    strong near-copy candidate even when whole-doc MinHash misses it, and
+    the covered/total ratio is the span-level companion to
+    ``gram_boilerplate_signal``'s distinct-gram stats.
+
+    Plan: positional shingling is map-only; cross-doc gram df is one
+    gram-keyed partial agg (single COUNT DISTINCT -> no Expand);
+    duplicated grams join back to their positions (gram-keyed shuffle,
+    8-byte ``xxhash64`` keys would apply at corpus scale exactly as in
+    decontamination); covered spans merge per doc with the classic
+    island trick — running MAX(end) window -> new-island flag -> running
+    SUM -> per-island MIN/MAX — two doc-keyed window passes over rows
+    that are already shuffled by doc, then one rollup. All JVM-side."""
+    doc = F.col(key_col)
+    toks_count = F.size(
+        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
+    )
+    base = df.select(doc.alias("_doc"), toks_count.alias("n_tokens"),
+                     positional_shingles(text_col, n).alias("_sh"))
+    grams = base.select(
+        "_doc", F.explode("_sh").alias("_g")
+    ).select("_doc", F.col("_g.pos").alias("_s"), F.col("_g.gram").alias("_gram"))
+
+    dup_grams = (
+        grams.groupBy("_gram")
+        .agg(F.count_distinct(F.col("_doc")).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_gram")
+    )
+
+    iv = grams.join(dup_grams, "_gram").select(
+        "_doc", F.col("_s"), (F.col("_s") + n).alias("_e")
+    )
+    w_order = Window.partitionBy("_doc").orderBy("_s", "_e")
+    prev_max_end = F.max("_e").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "_new_island",
+        F.when(prev_max_end.isNull() | (F.col("_s") > prev_max_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "_island",
+        F.sum("_new_island").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    covered = (
+        islands.groupBy("_doc", "_island")
+        .agg(F.min("_s").alias("_mn"), F.max("_e").alias("_mx"))
+        .groupBy("_doc")
+        .agg(F.sum(F.col("_mx") - F.col("_mn")).alias("covered_tokens"))
+    )
+    return (
+        base.select("_doc", "n_tokens")
+        .join(covered, "_doc", "left")
+        .select(
+            F.col("_doc").alias(key_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+        )
+    )
