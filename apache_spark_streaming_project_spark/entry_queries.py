@@ -6998,10 +6998,10 @@ def x10_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     its false positives, so the result must be row-for-row identical to
     the exact operator — the hash check proves the transparency theorem
     on real data. The plan difference is the point: the bloom builds as
-    one partial-aggregatable blob over the train grams, broadcasts as a
-    1-row aggregate, and ``might_contain`` prunes the held-out grams
-    map-side before the gram-keyed exchange (~100x shuffle cut on a
-    mostly-clean eval split at 1% fp)."""
+    a sparse bit_or-aggregated (word, bits) table over the train grams,
+    broadcasts, and k hash-join probes + bit-ANDs prune the held-out
+    grams map-side before the gram-keyed exchange (~60x shuffle cut on
+    a mostly-clean eval split at ~1.5% fp)."""
     from apache_spark_streaming_project_spark.operators.dedup import (
         bloom_prefilter_contamination,
     )
@@ -7078,3 +7078,198 @@ def x4_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return duplicate_span_coverage(d, "doc_id", "text", n=8).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X3 — MMR diversity re-rank (greedy, recursive-CTE oracle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x3_mmr_rerank",
+    """
+    WITH RECURSIVE q AS (
+      SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    cand AS (
+      SELECT vec_id,
+             CASE WHEN na * nq > 0 THEN d / (na * nq) ELSE NULL END AS rel
+      FROM (
+        SELECT vec_id, list_reduce(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x,y) -> x + y) AS d, sqrt(list_reduce(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x + y)) AS na, sqrt(list_reduce(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x,y) -> x + y)) AS nq
+        FROM embeddings, q WHERE vec_id <> 0
+      )
+      ORDER BY rel DESC, vec_id ASC LIMIT 20
+    ),
+    ce AS (
+      SELECT c.vec_id, c.rel, e.embedding
+      FROM cand c JOIN embeddings e USING (vec_id)
+    ),
+    pairs AS (
+      SELECT a, b,
+             CASE WHEN nx * ny > 0 THEN dxy / (nx * ny) ELSE NULL END AS sim
+      FROM (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               list_reduce(list_transform(range(1, len(x.embedding)+1), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)), (x,y) -> x + y) AS dxy, sqrt(list_reduce(list_transform(range(1, len(x.embedding)+1), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)), (x,y) -> x + y)) AS nx, sqrt(list_reduce(list_transform(range(1, len(y.embedding)+1), i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)), (x,y) -> x + y)) AS ny
+        FROM ce x JOIN ce y ON x.vec_id <> y.vec_id
+      )
+    ),
+    sel AS (
+      SELECT 1 AS it,
+             [(SELECT vec_id FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1)]
+                 AS ids
+      UNION ALL
+      SELECT it + 1,
+             list_append(ids,
+               (SELECT d.vec_id FROM cand d
+                WHERE NOT list_contains(sel.ids, d.vec_id)
+                ORDER BY 0.5 * d.rel - 0.5 * COALESCE(
+                           (SELECT MAX(p.sim) FROM pairs p
+                            WHERE p.a = d.vec_id
+                              AND list_contains(sel.ids, p.b)), 0.0) DESC,
+                         d.vec_id ASC
+                LIMIT 1))
+      FROM sel WHERE it < 5
+    ),
+    fin AS (SELECT ids FROM sel WHERE it = 5),
+    outp AS (
+      SELECT CAST(list_position(f.ids, u.v) AS INT) AS order_idx,
+             u.v AS vec_id, f.ids AS ids
+      FROM fin f, unnest(f.ids) AS u(v)
+    )
+    SELECT CAST(0 AS BIGINT) AS query_id, o.order_idx,
+           CAST(o.vec_id AS BIGINT) AS vec_id,
+           0.5 * (SELECT rel FROM cand c WHERE c.vec_id = o.vec_id)
+           - 0.5 * COALESCE((SELECT MAX(p.sim) FROM pairs p
+                             WHERE p.a = o.vec_id
+                               AND list_contains(o.ids[1:o.order_idx - 1],
+                                                 p.b)),
+                            0.0) AS mmr_score
+    FROM outp o ORDER BY o.order_idx
+    """,
+    "X3",
+)
+def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — Maximal Marginal Relevance diversity re-rank: top-20 exact-
+    cosine candidates for the vec_id=0 query (query excluded — with it
+    in the set every later MMR score degenerates to exactly 0, since
+    sim(d, query) IS rel(d)), greedily re-ranked to 5 picks at
+    lambda=0.5 (operators/similarity.mmr_rerank). The oracle replays
+    the SAME greedy recursion as a DuckDB recursive CTE over the same
+    fold-exact cosines — an iterative algorithm value-hash-verified
+    end to end, not rows-only. Plan: bounded NxN pairwise sims per
+    query + one Arrow applyInPandas group per query; queries
+    parallelize, the corpus is only touched by the upstream retrieval."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        brute_force_top_k,
+        mmr_rerank,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cands = (
+        brute_force_top_k(e.filter(F.col("vec_id") != 0), qvec, k=20)
+        .withColumnRenamed("cosine", "rel")
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .withColumn("query_id", F.lit(0).cast("long"))
+    )
+    return mmr_rerank(cands, k=5, lam=0.5).orderBy("order_idx")
+
+
+# ---------------------------------------------------------------------------
+# X7 — deterministic source interleave (training-order mixing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x7_interleave",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+                 AS epoch
+      FROM documents
+    ),
+    lim AS (SELECT * FROM r ORDER BY epoch, source, doc_id LIMIT 40)
+    SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch,
+           CAST(row_number() OVER (ORDER BY epoch, source, doc_id)
+                AS BIGINT) AS interleave_pos
+    FROM lim ORDER BY interleave_pos
+    """,
+    "X7",
+)
+def x7_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — deterministic round-robin interleave across the 20 document
+    sources (operators/sampling.interleave_sources): training-order
+    mixing as a pure sort-key definition — row i of every source before
+    row i+1 of any source. First 40 positions emitted with an explicit
+    interleave_pos (the position window runs post-limit on 40 rows; at
+    corpus scale consumers range-partition on the sort keys instead)."""
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return interleave_sources(d, "source", "doc_id", prefix=40)
+
+
+# ---------------------------------------------------------------------------
+# X9 — embedding-space correlation diagnostic (ordered-fold exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x9_embedding_correlations",
+    """
+    WITH ex AS (
+      SELECT vec_id, t.i AS i, t.j AS j,
+             CAST(embedding[t.i + 1] AS DOUBLE)
+               * CAST(embedding[t.j + 1] AS DOUBLE) AS v
+      FROM embeddings,
+           unnest(flatten(list_transform(range(0, 16),
+                    i -> list_transform(range(i, 16),
+                           j -> {'i': i, 'j': j})))) AS u(t)
+    ),
+    s2 AS (
+      SELECT i, j,
+             list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b) AS sxy
+      FROM ex GROUP BY i, j
+    ),
+    dx AS (
+      SELECT vec_id, CAST(i AS INT) AS i,
+             CAST(embedding[i + 1] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(0, 16)) AS u(i)
+    ),
+    sx AS (
+      SELECT i, list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) AS sx
+      FROM dx GROUP BY i
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+    diag AS (SELECT i AS di, sxy AS sxx FROM s2 WHERE i = j)
+    SELECT s.i, s.j,
+           (nn.n * s.sxy - a.sx * b.sx)
+           / (sqrt(nn.n * da.sxx - a.sx * a.sx)
+              * sqrt(nn.n * db.sxx - b.sx * b.sx)) AS corr
+    FROM s2 s
+    JOIN sx a ON s.i = a.i
+    JOIN sx b ON s.j = b.i
+    JOIN diag da ON s.i = da.di
+    JOIN diag db ON s.j = db.di
+    CROSS JOIN nn
+    WHERE s.i < s.j
+    ORDER BY abs(corr) DESC, s.i, s.j LIMIT 10
+    """,
+    "X9",
+)
+def x9_embedding_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — embedding-space health diagnostic: top-10 most-correlated
+    coordinate pairs over the first 16 dims
+    (operators/profile.embedding_correlations). Exactness via the
+    ordered-fold idiom: every sum folds in ascending vec_id order, so
+    both engines accumulate identical IEEE doubles in identical
+    sequence and the correlations hash bit-for-bit."""
+    from apache_spark_streaming_project_spark.operators.profile import (
+        embedding_correlations,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_correlations(e, "vec_id", "embedding", n_dims=16, top_k=10)

@@ -109,10 +109,15 @@ def bm25_top_k(
     is a rank window that AQE executes as map-side WindowGroupLimit.
     """
     post = postings(docs, id_col, text_col)
-    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # dl == SUM(tf) per doc == the token count — computable map-only from
+    # the corpus scan, no second explode+agg pass over the postings
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(text_col)).cast("bigint").alias("dl"),
+    )
     df_t = post.groupBy("term").agg(F.count("*").alias("df"))
     stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
-        post.agg(F.sum("tf").alias("total"))
+        dl.agg(F.sum("dl").alias("total"))
     )
 
     qt = queries.select(

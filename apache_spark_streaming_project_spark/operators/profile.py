@@ -182,3 +182,102 @@ def expect(
         (F.col("n_nulls") > F.col("n_rows") * F.lit(max_null_rate))
         | (F.col("n_distinct") < F.lit(min_distinct))
     )
+
+
+def embedding_correlations(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_dims: int = 16,
+    top_k: int = 10,
+) -> DataFrame:
+    """X9 — embedding-space health diagnostic: Pearson correlation
+    between coordinate dimensions, top-k most-correlated pairs. Healthy
+    (whitened, isotropic) embedding spaces show near-zero off-diagonal
+    correlation; strong dim-dim correlation flags a collapsed or
+    un-whitened encoder — the kind of regression a corpus pipeline
+    wants to catch before building ANN indexes on the vectors.
+
+    Exactness contract: every sum folds in ascending-``key_col`` order
+    (``array_sort(collect_list(struct(key, v)))`` + left fold), so both
+    engines accumulate the same IEEE doubles in the same sequence;
+    products of float32 coordinates are exact in double; the final
+    correlation arithmetic is a fixed left-assoc expression over those
+    reproducible sums. No decimal casts anywhere — pure ordered-fold
+    determinism (the third exactness idiom in this repo, next to
+    exact-decimal aggregation and integer rewrites).
+
+    Scale: the fold forces one ordered array per (i, j) pair —
+    O(n_dims^2 / 2) groups of corpus-length lists, fine for a
+    diagnostic on a profiling sample but NOT the full-corpus shape; at
+    100 TB run the same query with plain SUMs (order-free, hash-
+    tolerant to last-ulp wobble) on the full data and keep the fold
+    form for the oracle-audited sample."""
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_dims - 1)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(n_dims - 1)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (
+                        F.element_at(F.col(vec_col), i.cast("int") + 1).cast("double")
+                        * F.element_at(F.col(vec_col), j.cast("int") + 1).cast("double")
+                    ).alias("v"),
+                ),
+            ),
+        )
+    )
+    ex = df.select(F.col(key_col).alias("_k"), F.explode(pair_structs).alias("_p")).select(
+        "_k", F.col("_p.i").alias("i"), F.col("_p.j").alias("j"), F.col("_p.v").alias("v")
+    )
+
+    def _fold(col: str) -> Column:
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("_k"), F.col(col).alias("_v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_v"],
+        )
+
+    s2 = ex.groupBy("i", "j").agg(_fold("v").alias("sxy"))
+
+    dim_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_dims - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("i"),
+            F.element_at(F.col(vec_col), i.cast("int") + 1)
+            .cast("double")
+            .alias("x"),
+        ),
+    )
+    dx = df.select(F.col(key_col).alias("_k"), F.explode(dim_structs).alias("_d")).select(
+        "_k", F.col("_d.i").alias("i"), F.col("_d.x").alias("v")
+    )
+    sx = dx.groupBy("i").agg(_fold("v").alias("sx"))
+
+    n = df.agg(F.count("*").cast("double").alias("n"))
+    diag = s2.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("di"), F.col("sxy").alias("sxx")
+    )
+
+    sa = sx.select(F.col("i").alias("ai"), F.col("sx").alias("sxa"))
+    sb = sx.select(F.col("i").alias("bi"), F.col("sx").alias("sxb"))
+    da = diag.select(F.col("di").alias("dai"), F.col("sxx").alias("sxxa"))
+    db = diag.select(F.col("di").alias("dbi"), F.col("sxx").alias("sxxb"))
+
+    corr = (F.col("n") * F.col("sxy") - F.col("sxa") * F.col("sxb")) / (
+        F.sqrt(F.col("n") * F.col("sxxa") - F.col("sxa") * F.col("sxa"))
+        * F.sqrt(F.col("n") * F.col("sxxb") - F.col("sxb") * F.col("sxb"))
+    )
+    return (
+        s2.filter(F.col("i") < F.col("j"))
+        .join(F.broadcast(sa), F.col("i") == F.col("ai"))
+        .join(F.broadcast(sb), F.col("j") == F.col("bi"))
+        .join(F.broadcast(da), F.col("i") == F.col("dai"))
+        .join(F.broadcast(db), F.col("j") == F.col("dbi"))
+        .crossJoin(F.broadcast(n))
+        .select("i", "j", corr.alias("corr"))
+        .orderBy(F.abs(F.col("corr")).desc(), "i", "j")
+        .limit(top_k)
+    )

@@ -174,3 +174,41 @@ def time_split(
         "split",
         F.when(t < lo, "train").when(t >= hi, "test").otherwise("purged"),
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str = "source",
+    order_col: str = "doc_id",
+    prefix: int | None = None,
+) -> DataFrame:
+    """X7 — deterministic round-robin interleave across sources for
+    training-order mixing: within each source rows order by
+    ``order_col`` (epoch = 0-based per-source position), and the global
+    training order is the lexicographic sort on (epoch, source, key) —
+    row i of every source appears before row i+1 of any source, sources
+    rotate alphabetically within an epoch. The standard "interleave
+    datasets" op, as a pure sort-key definition: deterministic,
+    append-stable per source, and resumable from any (epoch, source)
+    cursor.
+
+    Scale: the per-source epoch is one source-keyed window; the global
+    order is DEFINED by the sort keys — consumers range-partition on
+    them without ever materializing a global row number (a global
+    ``row_number`` would be a single-partition window). The explicit
+    ``interleave_pos`` column is emitted only for a bounded ``prefix``
+    (TakeOrderedAndProject keeps the limit scale-safe; the post-limit
+    position window runs on ``prefix`` rows, not the corpus)."""
+    w = Window.partitionBy(source_col).orderBy(order_col)
+    epoch = (F.row_number().over(w) - 1).alias("epoch")
+    r = df.select(F.col(order_col), F.col(source_col), epoch)
+    if prefix is None:
+        return r.orderBy("epoch", source_col, order_col)
+    lim = r.orderBy("epoch", source_col, order_col).limit(prefix)
+    wpos = Window.orderBy("epoch", source_col, order_col)
+    return lim.select(
+        order_col,
+        source_col,
+        F.col("epoch").cast("bigint").alias("epoch"),
+        F.row_number().over(wpos).cast("bigint").alias("interleave_pos"),
+    )

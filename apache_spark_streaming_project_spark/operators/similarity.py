@@ -1093,3 +1093,118 @@ def ivfpq_top_k(
         .orderBy(F.col("adc_dist").asc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    key_col: str = "vec_id",
+    rel_col: str = "rel",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 — Maximal Marginal Relevance diversity re-rank: from each
+    query's candidate set (already scored with relevance ``rel_col``),
+    greedily pick ``k`` items maximizing
+    ``lam * rel(d) - (1 - lam) * max_{s in selected} sim(d, s)``
+    (max over the empty set = 0, so the first pick is the relevance
+    argmax; ties break on ascending key). The re-rank stage every
+    retrieval pipeline runs between ANN top-N and the consumer —
+    diverse few-shot selection, dedup-aware context packing.
+
+    Exactness: candidate pairwise cosines compute IN-PLAN with the
+    deterministic left-to-right fold (same contract as
+    ``brute_force_top_k``); the Python kernel only compares and combines
+    already-computed doubles with one multiply/subtract each — with
+    ``lam`` an exactly representable double (0.5 here), every
+    intermediate is IEEE-reproducible, so a SQL engine replaying the
+    same greedy recursion produces bit-identical scores.
+
+    Plan shape: the N x N pairwise-sim self-join happens per query
+    (bounded: N is the re-rank window, never the corpus), then ONE
+    Arrow ``applyInPandas`` group per query runs the O(k*N) greedy loop
+    — queries parallelize across the cluster, per-query state never
+    leaves its task, the corpus is touched only by the upstream
+    retrieval that produced the candidates."""
+    import pandas as pd
+
+    # per-query candidate array (ONE shuffle on the query key, bounded
+    # N x dim payload), then the N x N pairwise-cosine table builds as a
+    # nested array transform INSIDE the row — no self-join, so a single-
+    # query plan cannot degenerate into a CartesianProduct, and the
+    # cosines still use the deterministic fold built-ins
+    cs = candidates.groupBy(F.col(query_col).alias("_q")).agg(
+        F.collect_list(
+            F.struct(
+                F.col(key_col).cast("long").alias("k"),
+                F.col(rel_col).cast("double").alias("r"),
+                F.col(vec_col).alias("v"),
+            )
+        ).alias("_cs")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("_cs"),
+            lambda a: F.transform(
+                F.col("_cs"),
+                lambda b: F.struct(
+                    a["k"].alias("_a"),
+                    a["r"].alias("_rel"),
+                    b["k"].alias("_b"),
+                    cosine_similarity(a["v"], b["v"]).alias("_sim"),
+                ),
+            ),
+        )
+    )
+    # (a, a) self-rows double as the singleton carrier; the kernel skips
+    # them when building the sim table
+    full = cs.select("_q", F.explode(pair_arr).alias("_p")).select(
+        "_q",
+        F.col("_p._a").alias("_a"),
+        F.col("_p._rel").alias("_rel"),
+        F.col("_p._b").alias("_b"),
+        F.col("_p._sim").alias("_sim"),
+    )
+
+    out_schema = (
+        f"{query_col} long, order_idx int, {key_col} long, mmr_score double"
+    )
+
+    def greedy(pdf: pd.DataFrame):
+        qid = pdf["_q"].iloc[0]
+        rel = {}
+        sims = {}
+        # column-array access — itertuples mangles leading-underscore names
+        for a_, r_, b_, s_ in zip(
+            pdf["_a"], pdf["_rel"], pdf["_b"], pdf["_sim"]
+        ):
+            rel[a_] = r_
+            if a_ != b_ and not pd.isna(b_) and not pd.isna(s_):
+                sims[(a_, int(b_))] = s_
+        remaining = sorted(rel)
+        selected: list[int] = []
+        rows = []
+        for t in range(min(k, len(remaining) + len(selected))):
+            best_id, best_score = None, None
+            for d in remaining:
+                # TRUE max over selected (can be negative on anti-correlated
+                # vectors — no clamping at 0, matching SQL MAX semantics);
+                # empty selected set -> 0.0 by definition
+                vals = [
+                    sims[(d, s)] for s in selected if (d, s) in sims
+                ]
+                ms = max(vals) if vals else 0.0
+                score = lam * rel[d] - (1.0 - lam) * ms
+                if best_id is None or score > best_score or (
+                    score == best_score and d < best_id
+                ):
+                    best_id, best_score = d, score
+            selected.append(best_id)
+            remaining.remove(best_id)
+            rows.append((qid, t + 1, best_id, best_score))
+        return pd.DataFrame(
+            rows, columns=[query_col, "order_idx", key_col, "mmr_score"]
+        )
+
+    return full.groupBy("_q").applyInPandas(greedy, schema=out_schema)

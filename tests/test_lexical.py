@@ -165,3 +165,131 @@ class TestSpanCoverage:
         }
         assert out[0].covered_tokens == 10
         assert out[1].covered_tokens == 10
+
+
+class TestMMR:
+    def _cands(self, spark):
+        import math
+
+        rows = []
+        vecs = {
+            10: [1.0, 0.0, 0.0, 0.0],
+            11: [0.995, 0.0999, 0.0, 0.0],
+            12: [0.6, 0.8, 0.0, 0.0],
+            13: [0.0, 0.0, 1.0, 0.0],
+        }
+        q = [1.0, 0.0, 0.0, 0.0]
+        for vid, v in vecs.items():
+            nv = math.sqrt(sum(x * x for x in v))
+            rel = sum(a * b for a, b in zip(v, q)) / nv
+            rows.append((0, vid, rel, v))
+        return spark.createDataFrame(
+            rows, "query_id long, vec_id long, rel double, embedding array<double>"
+        )
+
+    def test_first_pick_is_relevance_argmax_and_all_distinct(self, spark):
+        from apache_spark_streaming_project_spark.operators.similarity import (
+            mmr_rerank,
+        )
+
+        out = mmr_rerank(self._cands(spark), k=4, lam=0.5).orderBy("order_idx").collect()
+        assert out[0].vec_id == 10  # exact match to the query direction
+        assert len({r.vec_id for r in out}) == 4
+        assert [r.order_idx for r in out] == [1, 2, 3, 4]
+
+    def test_orthogonal_item_beats_near_duplicate(self, spark):
+        from apache_spark_streaming_project_spark.operators.similarity import (
+            mmr_rerank,
+        )
+
+        # after picking 10, the near-copy 11 has sim~=rel (score ~0 at
+        # lam=0.5) while the orthogonal 13 scores 0.5*0 - 0.5*0 = 0 with
+        # rel 0... use lam favoring diversity: at lam=0.3 the orthogonal
+        # vector (sim 0 to everything selected) must enter before the
+        # near-duplicate of the first pick
+        out = (
+            mmr_rerank(self._cands(spark), k=3, lam=0.3)
+            .orderBy("order_idx")
+            .collect()
+        )
+        picked = [r.vec_id for r in out]
+        # 3 picks: the near-duplicate 11 (score ~ -0.4*rel) must be the one
+        # left out, and the orthogonal 13 must be pick #2
+        assert picked[1] == 13
+        assert 11 not in picked
+
+    def test_scores_match_reference_greedy(self, spark):
+        from apache_spark_streaming_project_spark.operators.similarity import (
+            mmr_rerank,
+        )
+
+        cands = self._cands(spark)
+        out = mmr_rerank(cands, k=4, lam=0.5).orderBy("order_idx").collect()
+
+        # reference greedy on the same exact cosines, pure python
+        import math
+
+        rows = cands.collect()
+        vec = {r.vec_id: r.embedding for r in rows}
+        rel = {r.vec_id: r.rel for r in rows}
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(vec[a], vec[b]))
+            na = math.sqrt(sum(x * x for x in vec[a]))
+            nb = math.sqrt(sum(x * x for x in vec[b]))
+            return d / (na * nb)
+
+        remaining, selected, expect = sorted(vec), [], []
+        for _ in range(4):
+            best = None
+            for d in remaining:
+                vals = [cos(d, s) for s in selected]
+                ms = max(vals) if vals else 0.0
+                sc = 0.5 * rel[d] - 0.5 * ms
+                if best is None or sc > best[1] or (sc == best[1] and d < best[0]):
+                    best = (d, sc)
+            selected.append(best[0])
+            remaining.remove(best[0])
+            expect.append(best)
+        got = [(r.vec_id, r.mmr_score) for r in out]
+        # same picks; scores equal up to the fold-vs-pairwise float path
+        assert [g[0] for g in got] == [e[0] for e in expect]
+        for g, e in zip(got, expect):
+            assert abs(g[1] - e[1]) < 1e-12
+
+
+class TestInterleave:
+    def test_round_robin_order(self, spark):
+        from apache_spark_streaming_project_spark.operators.sampling import (
+            interleave_sources,
+        )
+
+        rows = [(i, "a") for i in [1, 2, 3]] + [(i, "b") for i in [4, 5]]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = interleave_sources(df, "source", "doc_id", prefix=10).collect()
+        assert [(r.doc_id, r.source) for r in out] == [
+            (1, "a"), (4, "b"),   # epoch 0
+            (2, "a"), (5, "b"),   # epoch 1
+            (3, "a"),             # epoch 2 — source b exhausted
+        ]
+        assert [r.interleave_pos for r in out] == [1, 2, 3, 4, 5]
+
+
+class TestEmbeddingCorrelations:
+    def test_planted_perfect_correlation(self, spark):
+        from apache_spark_streaming_project_spark.operators.profile import (
+            embedding_correlations,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for vid in range(40):
+            v = [rng.uniform(-1, 1) for _ in range(4)]
+            v[1] = 2.0 * v[0]          # dims 0,1 perfectly correlated
+            rows.append((vid, v))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        top = embedding_correlations(df, n_dims=4, top_k=1).collect()[0]
+        assert (top.i, top.j) == (0, 1)
+        assert abs(top.corr - 1.0) < 1e-9
