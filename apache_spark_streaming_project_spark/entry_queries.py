@@ -7273,3 +7273,265 @@ def x9_embedding_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return embedding_correlations(e, "vec_id", "embedding", n_dims=16, top_k=10)
+
+
+# ---------------------------------------------------------------------------
+# X4 — URL canonicalization (web-corpus dedup key)
+# ---------------------------------------------------------------------------
+
+_RAW_URL_SQL = (
+    "'HTTPS://WWW.src' || CAST((doc_id // 2) % 20 AS VARCHAR) "
+    "|| '.Example.COM/Item/' || "
+    "CAST(doc_id // 2 AS VARCHAR) || "
+    "CASE WHEN doc_id % 2 = 0 THEN '/?utm_source=feed&utm_id=' "
+    "          || CAST(doc_id AS VARCHAR) "
+    "     WHEN doc_id % 4 = 1 THEN '?b=2&a=1' "
+    "     ELSE '?utm_campaign=x' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END"
+)
+
+
+@register(
+    "x4_url_canonicalize",
+    rf"""
+    WITH raw AS (
+      SELECT doc_id, {_RAW_URL_SQL} AS url FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+             || regexp_replace(
+                  lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                  '^www\.', '')
+             || regexp_replace(
+                  regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                  '/$', '')
+             || CASE WHEN len(ps) > 0
+                     THEN '?' || array_to_string(ps, '&') ELSE '' END
+                 AS canonical_url
+      FROM (
+        SELECT doc_id, url,
+               list_sort(list_filter(
+                 string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                 p -> p <> '' AND NOT regexp_matches(p,
+                        '^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)='))) AS ps
+        FROM raw
+      )
+    )
+    SELECT doc_id, canonical_url,
+           MIN(doc_id) OVER (PARTITION BY canonical_url) AS canonical_min
+    FROM canon ORDER BY doc_id
+    """,
+    "X4",
+    "X1",
+)
+def x4_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X1 — URL canonicalization as a dedup key
+    (operators/text.canonical_url): scheme/host lowercased, www and
+    fragment stripped, tracking params dropped, surviving params sorted,
+    trailing slash removed. Raw URLs derive in-plan from (source,
+    doc_id) with PLANTED collision pairs — consecutive doc ids share a
+    path and differ only by tracking params/casing/slash, so canonical
+    equality groups them (canonical_min = the group's dedup survivor
+    key, exactly the exact_dedup input at corpus scale). Map-only regex
+    + array built-ins; the window is the only exchange."""
+    from apache_spark_streaming_project_spark.operators.text import canonical_url
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.src"),
+            F.expr("CAST((doc_id div 2) % 20 AS STRING)"),
+            F.lit(".Example.COM/Item/"),
+            F.expr("CAST(doc_id div 2 AS STRING)"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("/?utm_source=feed&utm_id="),
+                    F.col("doc_id").cast("string"),
+                ),
+            )
+            .when(F.col("doc_id") % 4 == 1, F.lit("?b=2&a=1"))
+            .otherwise(F.lit("?utm_campaign=x")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return (
+        raw.select("doc_id", canonical_url("url").alias("canonical_url"))
+        .withColumn(
+            "canonical_min",
+            F.min("doc_id").over(W.partitionBy("canonical_url")),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4/X7 — per-source quality calibration (percentile rank within source)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x4_quality_calibration",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source, text, {_TOKS_SQL} AS toks FROM documents
+    ), sig AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS DOUBLE) AS n_tok,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(text) - length({_PUNCT_REMOVED}) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS p,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_reduce(list_transform(toks,
+                              x -> CAST(length(x) AS BIGINT)),
+                            (a,b) -> a + b) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS mtl
+      FROM base
+    ), q AS (
+      SELECT doc_id, source,
+             least(n_tok / 20.0, 1.0) * 0.4
+               + (CASE WHEN p < 0.2 THEN 1.0 - p ELSE 0.5 END) * 0.3
+               + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0
+                       THEN 1.0 ELSE 0.6 END) * 0.3 AS quality
+      FROM sig
+    )
+    SELECT doc_id, source, quality,
+           percent_rank() OVER (PARTITION BY source
+                                ORDER BY quality, doc_id) AS source_pr,
+           percent_rank() OVER (PARTITION BY source
+                                ORDER BY quality, doc_id) >= 0.5 AS kept
+    FROM q ORDER BY doc_id
+    """,
+    "X4",
+    "X7",
+)
+def x4_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X7 — per-SOURCE quality calibration: each document's quality
+    score is converted to its percentile rank WITHIN its source, and the
+    keep decision applies to the calibrated rank, not the raw score.
+    This is how mixed-corpus filtering avoids nuking whole sources whose
+    scorer distribution sits lower (different language, different
+    register) — a global threshold on raw quality would; a per-source
+    median keeps the top half of every source by construction.
+    Exactness: percent_rank = (rank-1)/(n-1) on integer ranks made
+    unique by the (quality, doc_id) tie-break — exact doubles in both
+    engines. One source-keyed window over the map-only score expression."""
+    from apache_spark_streaming_project_spark.operators import text as tx
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    m = tx.token_metrics("text")
+    p = tx.punct_ratio("text")
+    n_tok = m["n_tokens"].cast("double")
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    punct_score = F.when(p < 0.2, 1.0 - p).otherwise(F.lit(0.5))
+    mtl = m["mean_token_len"]
+    mtl_score = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.6))
+    q = d.select(
+        "doc_id",
+        "source",
+        (len_score * 0.4 + punct_score * 0.3 + mtl_score * 0.3).alias("quality"),
+    )
+    w = W.partitionBy("source").orderBy("quality", "doc_id")
+    pr = F.percent_rank().over(w)
+    return q.select(
+        "doc_id", "source", "quality",
+        pr.alias("source_pr"), (pr >= 0.5).alias("kept"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# J6 — interval-overlap join (shipments in transit during supplier windows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j6_interval_overlap",
+    """
+    WITH ship AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qty,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                 AS a_lo,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               + 1 + (l_orderkey * 3 + l_linenumber) % 28 AS a_hi
+      FROM lineitem
+    ),
+    win AS (
+      SELECT s_suppkey,
+             9100 + (s_suppkey * 37) % 2500 AS b_lo,
+             9100 + (s_suppkey * 37) % 2500 + 10 + s_suppkey % 20 AS b_hi
+      FROM supplier
+    )
+    SELECT w.s_suppkey, w.b_lo AS win_start, w.b_hi AS win_end,
+           COUNT(s.l_orderkey) AS n_shipments,
+           CAST(COALESCE(SUM(s.qty), 0) AS BIGINT) AS sum_qty
+    FROM win w LEFT JOIN ship s
+      ON s.a_lo <= w.b_hi AND w.b_lo <= s.a_hi
+    GROUP BY w.s_suppkey, w.b_lo, w.b_hi
+    ORDER BY w.s_suppkey
+    """,
+    "D1",
+    "D8a",
+)
+def j6_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — interval x interval OVERLAP join via grid bucketing
+    (operators/asof.interval_overlap_join): shipments' in-transit windows
+    [shipdate, shipdate + transit] against per-supplier maintenance
+    windows; output = per-window shipment count + quantity. The oracle
+    is the PLAIN overlap predicate join (quadratic, fine at fixture
+    scale) — equality proves the grid rewrite (equi-join on cell id +
+    residual + start-cell dedup anchor, no post-join DISTINCT) is exact,
+    including multi-cell intervals and boundary touches. The left join
+    back onto the window table keeps zero-shipment windows. Bucket width
+    32 ~ the max transit window (cost-model guidance in the operator)."""
+    from apache_spark_streaming_project_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    ship = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date")).alias(
+            "a_lo"
+        ),
+        (
+            F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date"))
+            + 1
+            + (F.col("l_orderkey") * 3 + F.col("l_linenumber")) % 28
+        ).alias("a_hi"),
+    )
+    win = sup.select(
+        "s_suppkey",
+        (F.lit(9100) + (F.col("s_suppkey") * 37) % 2500).alias("b_lo"),
+        (
+            F.lit(9100)
+            + (F.col("s_suppkey") * 37) % 2500
+            + 10
+            + F.col("s_suppkey") % 20
+        ).alias("b_hi"),
+    )
+    pairs = interval_overlap_join(
+        ship, win, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=32
+    )
+    matched = pairs.groupBy("s_suppkey", "b_lo", "b_hi").agg(
+        F.count("l_orderkey").alias("n_shipments"),
+        F.sum("qty").alias("sum_qty"),
+    )
+    return (
+        win.join(matched, ["s_suppkey", "b_lo", "b_hi"], "left")
+        .select(
+            "s_suppkey",
+            F.col("b_lo").alias("win_start"),
+            F.col("b_hi").alias("win_end"),
+            F.coalesce(F.col("n_shipments"), F.lit(0)).alias("n_shipments"),
+            F.coalesce(F.col("sum_qty"), F.lit(0)).cast("bigint").alias("sum_qty"),
+        )
+        .orderBy("s_suppkey")
+    )

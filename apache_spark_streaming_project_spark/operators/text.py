@@ -561,3 +561,43 @@ def duplicate_span_coverage(
             .alias("covered_tokens"),
         )
     )
+
+
+def canonical_url(url: Column | str) -> Column:
+    """X4 — URL canonicalization, the dedup key for web corpora (the
+    same crawl URL arrives with rotating tracking params, casing and
+    slashes; exact-dedup on the RAW url misses all of it):
+
+      1. scheme + host lowercase, ``www.`` prefix stripped;
+      2. fragment dropped;
+      3. query params split, tracking params (``utm_*``, ``ref``,
+         ``fbclid``, ``gclid``) dropped, survivors SORTED (param order
+         never carries meaning) and rejoined;
+      4. trailing slash stripped from the path.
+
+    Built from regexp_extract + array built-ins (split/filter/sort/
+    join) — deliberately NOT ``parse_url``, so the oracle mirrors the
+    exact same simple regexes and the canonical string compares
+    byte-for-byte across engines. Map-only, codegen-friendly."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]+)", 1)),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/$", ""
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.rlike(r"^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)="),
+        )
+    )
+    qpart = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qpart)

@@ -153,3 +153,58 @@ def test_range_join_bucketed_plan_is_hash_join_no_fact_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # broadcast exchange only — the fact side must not hash-shuffle
     assert "Exchange hashpartitioning" not in plan
+
+
+class TestIntervalOverlapJoin:
+    def _mk(self, spark, rows, cols):
+        return spark.createDataFrame(rows, cols)
+
+    def test_closed_boundary_touch_matches(self, spark):
+        from apache_spark_streaming_project_spark.operators.asof import (
+            interval_overlap_join,
+        )
+
+        a = self._mk(spark, [(1, 0, 10)], "aid int, a_lo long, a_hi long")
+        b = self._mk(spark, [(7, 10, 20)], "bid int, b_lo long, b_hi long")
+        out = interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 8).collect()
+        assert len(out) == 1  # closed intervals: touching endpoints overlap
+
+    def test_multi_cell_interval_emits_exactly_once(self, spark):
+        from apache_spark_streaming_project_spark.operators.asof import (
+            interval_overlap_join,
+        )
+
+        # a spans 13 cells at w=8; b sits in the middle -> the dedup anchor
+        # must emit the pair exactly once, not once per shared cell
+        a = self._mk(spark, [(1, 0, 100)], "aid int, a_lo long, a_hi long")
+        b = self._mk(spark, [(7, 50, 55)], "bid int, b_lo long, b_hi long")
+        out = interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 8).collect()
+        assert len(out) == 1
+
+    def test_same_cell_disjoint_rejected(self, spark):
+        from apache_spark_streaming_project_spark.operators.asof import (
+            interval_overlap_join,
+        )
+
+        a = self._mk(spark, [(1, 0, 5)], "aid int, a_lo long, a_hi long")
+        b = self._mk(spark, [(7, 6, 7)], "bid int, b_lo long, b_hi long")
+        out = interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 64).collect()
+        assert out == []
+
+    def test_equi_join_on_cell_not_cartesian(self, spark):
+        from apache_spark_streaming_project_spark.operators.asof import (
+            interval_overlap_join,
+        )
+
+        a = self._mk(spark, [(i, i * 10, i * 10 + 5) for i in range(50)],
+                     "aid int, a_lo long, a_hi long")
+        b = self._mk(spark, [(i, i * 9, i * 9 + 7) for i in range(50)],
+                     "bid int, b_lo long, b_hi long")
+        plan = (
+            interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 16)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # equi-join on the cell id (SMJ or hash per size stats) — never a
+        # cartesian / nested-loop over the interval pairs
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
+        assert "SortMergeJoin" in plan or "HashJoin" in plan
