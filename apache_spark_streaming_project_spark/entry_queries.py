@@ -7535,3 +7535,125 @@ def j6_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# M11 — stream-static enrichment join (stateless broadcast dimension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m11_stream_static_join",
+    """
+    SELECT e.event_type,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "S6",
+    "D8a",
+)
+def m11_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 — STREAM-STATIC enrichment: a streaming event feed LEFT-joins
+    a static customer dimension per micro-batch (the one streaming join
+    shape the registry lacked — stream-stream with state is m5, this is
+    the STATELESS broadcast-dimension enrichment every streaming
+    pipeline front-ends with). The static side re-plans per micro-batch
+    as an ordinary broadcast hash join; no watermark, no state store —
+    append mode is exact by construction, so the drained sink equals the
+    batch join row-for-row and the oracle is the plain batch SQL.
+    value_cents uses floor(value*100) so the money rollup is exact
+    integers in both engines."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="m11_enrich_")
+    in_dir = os.path.join(base, "in")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.repartition(2).write.mode("overwrite").parquet(in_dir)
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    enriched = (
+        stream.join(F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    with _stream_shuffle_partitions(spark):
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type", "segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("value_cents"),
+        )
+        .orderBy("event_type", "segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X7 — deterministic negative sampling (contrastive-training pairs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x7_negative_sampling",
+    """
+    WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    probes AS (
+      SELECT e.vec_id AS anchor, e.label AS agrp, CAST(i AS INT) AS i,
+             CAST(('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || ':'
+                                      || CAST(i AS VARCHAR) || ':neg'),
+                                  1, 15)) AS BIGINT) % nn.n AS cand
+      FROM embeddings e, unnest(range(0, 8)) AS u(i), nn
+    ),
+    resolved AS (
+      SELECT p.anchor, p.i, p.cand
+      FROM probes p JOIN embeddings c ON p.cand = c.vec_id
+      WHERE c.label <> p.agrp AND p.cand <> p.anchor
+    )
+    SELECT anchor AS vec_id, CAST(rn AS INT) AS neg_rank,
+           cand AS neg_id
+    FROM (
+      SELECT anchor, cand,
+             row_number() OVER (PARTITION BY anchor ORDER BY i) AS rn
+      FROM resolved
+    ) WHERE rn <= 3
+    ORDER BY vec_id, neg_rank
+    """,
+    "X7",
+)
+def x7_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — deterministic hash-probe negative sampling over the
+    embeddings table (operators/sampling.negative_sample): 3 negatives
+    per anchor with a DIFFERENT label, nominated by md5 probes
+    (reproducible across runs/engines/partitionings — no RNG state) and
+    resolved by one key join. The contrastive-pair generator a training
+    pipeline wants to be able to re-materialize bit-identically."""
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        negative_sample,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return negative_sample(e, "vec_id", "label", k=3, probes=8).orderBy(
+        "vec_id", "neg_rank"
+    )

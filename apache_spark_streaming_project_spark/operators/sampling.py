@@ -212,3 +212,88 @@ def interleave_sources(
         F.col("epoch").cast("bigint").alias("epoch"),
         F.row_number().over(wpos).cast("bigint").alias("interleave_pos"),
     )
+
+
+def negative_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 3,
+    probes: int = 8,
+    salt: str = "neg",
+) -> DataFrame:
+    """X7 — deterministic hash-probe NEGATIVE sampling for contrastive
+    training: for each anchor row, pick ``k`` rows whose ``group_col``
+    differs (different label / different source / different cluster),
+    chosen by deterministic hash probes rather than RNG state — the
+    sample is identical across runs, engines and partitionings, so
+    training data built from it is reproducible and the op is
+    oracle-checkable.
+
+    Mechanism: probe ``i`` of an anchor nominates candidate id
+    ``md5(key:i:salt) % n`` (keys assumed dense 0..n-1 — the standard
+    contiguous-id layout after ``exact_dedup`` + zip-style reindexing;
+    a sparse key space would first build one). Candidates resolve
+    against the corpus by ONE key-equi join, same-group and self hits
+    drop, and the first ``k`` survivors IN PROBE ORDER win (ranking
+    window -> map-side WindowGroupLimit). With ``probes`` ~ 2-3x ``k``
+    and balanced groups, the miss probability is negligible; anchors
+    with rarer groups may yield fewer than ``k`` — deterministically.
+
+    Scale: probe generation is a map-only m-row explode per anchor; the
+    resolve join shuffles on the 8-byte key; no per-anchor corpus scan,
+    no RNG coordination."""
+    n = df.agg(F.count("*").alias("_n"))
+    anchors = df.select(
+        F.col(key_col).alias("_anchor"), F.col(group_col).alias("_agrp")
+    )
+    probes_df = (
+        anchors.crossJoin(F.broadcast(n))
+        .select(
+            "_anchor",
+            "_agrp",
+            F.explode(F.sequence(F.lit(0), F.lit(probes - 1))).alias("_i"),
+            F.col("_n"),
+        )
+        .select(
+            "_anchor",
+            "_agrp",
+            "_i",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("_anchor").cast("string"),
+                                F.lit(":"),
+                                F.col("_i").cast("string"),
+                                F.lit(":" + salt),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("_n"),
+            ).alias("_cand"),
+        )
+    )
+    cand = df.select(
+        F.col(key_col).alias("_cand"), F.col(group_col).alias("_cgrp")
+    )
+    resolved = (
+        probes_df.join(cand, "_cand")
+        .filter((F.col("_cgrp") != F.col("_agrp")) & (F.col("_cand") != F.col("_anchor")))
+    )
+    w = Window.partitionBy("_anchor").orderBy("_i")
+    return (
+        resolved.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_anchor").alias(key_col),
+            F.col("_rn").alias("neg_rank"),
+            F.col("_cand").alias("neg_id"),
+        )
+    )

@@ -90,3 +90,25 @@ def test_weighted_sample_favors_heavy_and_is_partition_independent(spark):
     # determinism: same selection regardless of physical partitioning
     again = weighted_sample(df.repartition(7), "w", 100, "doc_id").collect()
     assert sorted(r.doc_id for r in picked) == sorted(r.doc_id for r in again)
+
+
+class TestNegativeSampling:
+    def test_negatives_differ_in_group_and_are_deterministic(self, spark):
+        from apache_spark_streaming_project_spark.operators.sampling import (
+            negative_sample,
+        )
+
+        rows = [(i, i % 4) for i in range(100)]  # dense keys, 4 groups
+        df = spark.createDataFrame(rows, "vec_id long, label int")
+        out1 = negative_sample(df, "vec_id", "label", k=3, probes=8).collect()
+        out2 = negative_sample(df, "vec_id", "label", k=3, probes=8).collect()
+        assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+        label = {i: i % 4 for i in range(100)}
+        for r in out1:
+            assert label[r.neg_id] != label[r.vec_id]
+            assert r.neg_id != r.vec_id
+        # 8 probes vs 1/4 same-group odds: every anchor should fill its 3
+        per_anchor = {}
+        for r in out1:
+            per_anchor.setdefault(r.vec_id, []).append(r.neg_rank)
+        assert all(sorted(v) == [1, 2, 3] for v in per_anchor.values())
