@@ -7657,3 +7657,67 @@ def x7_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_sample(e, "vec_id", "label", k=3, probes=8).orderBy(
         "vec_id", "neg_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# S — schema evolution across parquet generations (mergeSchema read)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s_schema_evolution",
+    """
+    WITH v1 AS (
+      SELECT doc_id, lang, CAST(NULL AS BIGINT) AS quality_tier
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    v2 AS (
+      SELECT doc_id, lang, doc_id % 5 AS quality_tier
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(quality_tier) AS n_with_tier,
+           CAST(COALESCE(SUM(quality_tier), 0) AS BIGINT) AS tier_sum
+    FROM unioned GROUP BY lang ORDER BY lang
+    """,
+    "S1",
+    "S2",
+)
+def s_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S — SCHEMA EVOLUTION across dataset generations: generation 1
+    parquet files carry (doc_id, lang); generation 2 adds a
+    quality_tier column. A ``mergeSchema`` read unifies both — old rows
+    surface NULL for the new column — which is exactly how a corpus
+    directory accretes columns across refreshes without rewriting
+    history. The rollup counts per-lang docs, tier coverage and tier
+    sum, so the hash proves both the union and the null-padding. The
+    oracle reconstructs the two generations relationally (NULL-padded
+    UNION ALL — what mergeSchema semantically is)."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="s_schemaevo_")
+    d = _t(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "gen=1"))
+    d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", (F.col("doc_id") % 5).alias("quality_tier")
+    ).write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("quality_tier").alias("n_with_tier"),
+            F.coalesce(F.sum("quality_tier"), F.lit(0))
+            .cast("bigint")
+            .alias("tier_sum"),
+        )
+        .orderBy("lang")
+    )
