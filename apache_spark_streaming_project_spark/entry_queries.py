@@ -7721,3 +7721,339 @@ def s_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q2/q9/q11/q16/q20 — the five partsupp-dependent shapes, against a
+# DERIVED partsupp (deterministic integer arithmetic over part x supplier,
+# reconstructed identically by the oracle; costs in integer cents so every
+# aggregate is exact). Completes the TPC-H shape surface: 19/19 runnable
+# forms registered (q15's view/q17-q22 variants were already present).
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey * 7 + i * 13) % (SELECT COUNT(*) FROM supplier)
+                 AS ps_suppkey,
+             CAST((p_partkey * 11 + i * 97) % 9999 + 1 AS BIGINT)
+                 AS ps_availqty,
+             CAST((p_partkey * 31 + i * 17) % 100000 + 1 AS BIGINT)
+                 AS ps_cost_cents
+      FROM part, unnest(range(0, 4)) AS u(i)
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic partsupp relation: 4 supplier slots per part, all
+    columns from integer arithmetic on (p_partkey, slot) so DuckDB
+    reconstructs the exact rows. Supply costs are integer CENTS —
+    downstream aggregates stay in exact bigint space."""
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    nsup = _t(spark, sf_dir, "supplier").agg(F.count("*").alias("_nsup"))
+    return (
+        p.crossJoin(F.broadcast(nsup))
+        .select(
+            "p_partkey",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("_i"),
+            "_nsup",
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 7 + F.col("_i") * 13) % F.col("_nsup")).alias(
+                "ps_suppkey"
+            ),
+            ((F.col("p_partkey") * 11 + F.col("_i") * 97) % 9999 + 1)
+            .cast("bigint")
+            .alias("ps_availqty"),
+            ((F.col("p_partkey") * 31 + F.col("_i") * 17) % 100000 + 1)
+            .cast("bigint")
+            .alias("ps_cost_cents"),
+        )
+    )
+
+
+@register(
+    "sql_tpch_q2",
+    f"""
+    WITH ps AS ({_PARTSUPP_SQL}),
+    eu_sup AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT p.p_partkey, e.s_name, e.s_acctbal, e.n_name, ps.ps_cost_cents,
+             MIN(ps.ps_cost_cents) OVER (PARTITION BY p.p_partkey) AS mc
+      FROM part p
+      JOIN ps ON p.p_partkey = ps.ps_partkey
+      JOIN eu_sup e ON ps.ps_suppkey = e.s_suppkey
+      WHERE p.p_size = 11
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           ps_cost_cents AS min_cost_cents
+    FROM cand WHERE ps_cost_cents = mc
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20
+    """,
+    "D8a",
+    "D6",
+)
+def sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped minimum-cost-supplier lookup (derived partsupp):
+    region-scoped supplier dimension, per-part MIN over supply cost as a
+    window (the idiomatic rewrite of Q2's correlated subquery — one pass,
+    no re-join), equality filter keeps ALL tied minimum rows. Exact: cost
+    is integer cents; acctbal passes through unmodified."""
+    ps = _derived_partsupp(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 11).select("p_partkey")
+    from pyspark.sql.window import Window as W
+
+    cand = (
+        part.join(ps, part.p_partkey == ps.ps_partkey)
+        .join(eu, ps.ps_suppkey == eu.s_suppkey)
+        .withColumn(
+            "mc", F.min("ps_cost_cents").over(W.partitionBy("p_partkey"))
+        )
+    )
+    return (
+        cand.filter(F.col("ps_cost_cents") == F.col("mc"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("ps_cost_cents").alias("min_cost_cents"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "sql_tpch_q9",
+    f"""
+    WITH ps AS ({_PARTSUPP_SQL})
+    SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS o_year,
+           CAST(SUM(CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+                    - ps.ps_cost_cents * CAST(l.l_quantity AS BIGINT))
+                AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN ps ON l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE '%ring%'
+    GROUP BY 1, 2 ORDER BY 1 ASC, 2 DESC
+    """,
+    "D8a",
+    "S19",
+)
+def sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped product-profit rollup (derived partsupp): the
+    5-relation join tree grouped by supplier nation x ship year. Profit
+    stays in exact integer cents (floor(extendedprice*100) — identical
+    doubles-to-floor in both engines — minus cost*qty). The two-key
+    partsupp join (partkey, suppkey) matches only the part's 4 derived
+    slots, preserving Q9's fact-degrading join selectivity."""
+    ps = _derived_partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%ring%"))
+        .select("p_partkey")
+    )
+    profit = F.floor(F.col("l_extendedprice") * 100).cast("bigint") - F.col(
+        "ps_cost_cents"
+    ) * F.col("l_quantity").cast("bigint")
+    return (
+        li.join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("bigint").alias("profit_cents"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+@register(
+    "sql_tpch_q11",
+    f"""
+    WITH ps AS ({_PARTSUPP_SQL}),
+    scoped AS (
+      SELECT ps.ps_partkey, ps.ps_cost_cents * ps.ps_availqty AS v
+      FROM ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+    ),
+    tot AS (SELECT SUM(v) AS t FROM scoped)
+    SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
+    FROM scoped, tot GROUP BY ps_partkey, tot.t
+    HAVING SUM(v) * 1000 > tot.t
+    ORDER BY value_cents DESC, ps_partkey LIMIT 50
+    """,
+    "D6",
+    "D9",
+)
+def sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped inventory-concentration scan (derived partsupp):
+    per-part stock value within one nation, kept when above 1/1000 of
+    the national total. The threshold compare is INTEGER (value*1000 >
+    total) — no floating fraction anywhere, so the HAVING boundary is
+    exact in both engines. 1-row total joins back via broadcast."""
+    ps = _derived_partsupp(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    scoped = (
+        ps.join(sup, ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    tot = scoped.agg(F.sum("v").alias("t"))
+    return (
+        scoped.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("_sv"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("_sv") * 1000 > F.col("t"))
+        .select("ps_partkey", F.col("_sv").cast("bigint").alias("value_cents"))
+        .orderBy(F.col("value_cents").desc(), "ps_partkey")
+        .limit(50)
+    )
+
+
+@register(
+    "sql_tpch_q16",
+    f"""
+    WITH ps AS ({_PARTSUPP_SQL})
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#2'
+      AND p.p_size IN (3, 9, 11, 14, 19, 23, 36, 45)
+      AND ps.ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 30
+    """,
+    "S22",
+    "D2",
+)
+def sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped supplier-diversity count (derived partsupp):
+    brand/type/size rollup of DISTINCT suppliers, excluding a
+    blocklisted supplier set (negative balance standing in for Q16's
+    complaints predicate) via LEFT ANTI join — the NOT IN rewrite that
+    scales (broadcast the small blocklist, no null-semantics trap since
+    keys are non-null)."""
+    ps = _derived_partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & F.col("p_size").isin(3, 9, 11, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("ps_suppkey"))
+    )
+    return (
+        ps.join(F.broadcast(bad), "ps_suppkey", "left_anti")
+        .join(part, ps.ps_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(30)
+    )
+
+
+@register(
+    "sql_tpch_q20",
+    f"""
+    WITH ps AS ({_PARTSUPP_SQL}),
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    excess AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey
+                 AND p.p_name LIKE '%small%'
+      JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                     AND sh.l_suppkey = ps.ps_suppkey
+      WHERE ps.ps_availqty * 2 > sh.qty
+    )
+    SELECT s.s_suppkey, s.s_name FROM supplier s
+    JOIN excess e ON s.s_suppkey = e.ps_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_regionkey = 2
+    ORDER BY s.s_suppkey
+    """,
+    "D2",
+    "D1",
+)
+def sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped excess-inventory supplier hunt (derived
+    partsupp): the semijoin chain — parts by name pattern, one year of
+    shipments rolled up per (part, supplier), availability compared at
+    2x shipped quantity (integer compare), DISTINCT suppliers resolved
+    against a region-scoped supplier dimension. All joins equi, all
+    quantities exact bigints."""
+    ps = _derived_partsupp(spark, sf_dir)
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%small%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty")
+    )
+    excess = (
+        ps.join(part, ps.ps_partkey == part.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    return (
+        sup.join(excess, sup.s_suppkey == excess.ps_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
