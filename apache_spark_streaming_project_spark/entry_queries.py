@@ -8057,3 +8057,281 @@ def sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# D22 — batch sessionization (gap-based islands per user)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d22_sessionization",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """,
+    "D8",
+    "D5",
+)
+def d22_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D22 — BATCH sessionization: per-user gap-based islands (new
+    session when > 30 min of inactivity), the batch twin of the
+    streaming session windows (m7). Classic two-window shape on one
+    user-keyed shuffle: lag -> gap flag -> running sum = session index
+    (gap compared in exact MICROSECONDS — second-granularity date_diff
+    counts boundary crossings in DuckDB but truncates in Spark, which
+    disagrees on sub-second gap fractions),
+    then a per-(user, session) rollup that reuses the same partitioning
+    under AQE. Tie-break (ts, event_id) makes lag deterministic on
+    equal timestamps."""
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr("timestampdiff(MICROSECOND, _prev, ts)")
+    flagged = ev.withColumn("_prev", F.lag("ts").over(w)).withColumn(
+        "_new",
+        F.when(F.col("_prev").isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X — curation pipeline v2: the continuation operators fused in ONE plan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_curation_pipeline_v2",
+    rf"""
+    WITH raw AS (
+      SELECT doc_id, {_RAW_URL_SQL} AS url FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+             || regexp_replace(
+                  lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                  '^www\.', '')
+             || regexp_replace(
+                  regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                  '/$', '')
+             || CASE WHEN len(ps) > 0
+                     THEN '?' || array_to_string(ps, '&') ELSE '' END
+                 AS cu
+      FROM (
+        SELECT doc_id, url,
+               list_sort(list_filter(
+                 string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                 p -> p <> '' AND NOT regexp_matches(p,
+                        '^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)='))) AS ps
+        FROM raw
+      )
+    ),
+    url_kept AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY cu) AS mn FROM canon
+      ) WHERE doc_id = mn
+    ),
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(i AS INT) AS s,
+             array_to_string(toks[i:i+7], ' ') AS gram
+      FROM t, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)
+    ),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    iv AS (SELECT doc_id, s, s + 8 AS e FROM g JOIN dup USING (gram)),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS island
+      FROM (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pme
+        FROM iv
+      )
+    ),
+    cov AS (
+      SELECT doc_id, SUM(mx - mn) AS covered FROM (
+        SELECT doc_id, island, MIN(s) AS mn, MAX(e) AS mx
+        FROM isl GROUP BY doc_id, island
+      ) GROUP BY doc_id
+    ),
+    span_kept AS (
+      SELECT t.doc_id FROM t LEFT JOIN cov USING (doc_id)
+      WHERE COALESCE(cov.covered, 0) * 2 <= len(t.toks)
+    ),
+    sig AS (
+      SELECT d.doc_id, d.source,
+             CAST(len({_TOKS_SQL}) AS DOUBLE) AS n_tok,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(text) - length({_PUNCT_REMOVED}) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS p,
+             CASE WHEN len({_TOKS_SQL}) > 0
+                  THEN CAST(list_reduce(list_transform({_TOKS_SQL},
+                              x -> CAST(length(x) AS BIGINT)),
+                            (a,b) -> a + b) AS DOUBLE)
+                       / CAST(len({_TOKS_SQL}) AS DOUBLE)
+                  ELSE 0.0 END AS mtl
+      FROM documents d
+      JOIN url_kept USING (doc_id)
+      JOIN span_kept USING (doc_id)
+    ),
+    q AS (
+      SELECT doc_id, source,
+             least(n_tok / 20.0, 1.0) * 0.4
+               + (CASE WHEN p < 0.2 THEN 1.0 - p ELSE 0.5 END) * 0.3
+               + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0
+                       THEN 1.0 ELSE 0.6 END) * 0.3 AS quality
+      FROM sig
+    ),
+    kept AS (
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY quality, doc_id) AS pr
+        FROM q
+      ) WHERE pr >= 0.25
+    ),
+    r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+                 AS epoch
+      FROM kept
+    ),
+    lim AS (SELECT * FROM r ORDER BY epoch, source, doc_id LIMIT 50)
+    SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch,
+           CAST(row_number() OVER (ORDER BY epoch, source, doc_id)
+                AS BIGINT) AS interleave_pos
+    FROM lim ORDER BY interleave_pos
+    """,
+    "X1",
+    "X2",
+    "X4",
+    "X7",
+)
+def x_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone — the continuation operators FUSED into one declarative
+    plan (no intermediate materialization; Catalyst sees the whole
+    thing): (1) canonical-URL dedup keeps each collision group's min-key
+    survivor; (2) duplicate-span filter drops documents whose tokens are
+    majority-covered by cross-document 8-gram spans; (3) quality is
+    percentile-calibrated WITHIN source over the surviving pool and the
+    bottom quartile per source drops; (4) survivors interleave
+    round-robin across sources, first 50 positions emitted. Mirrors a
+    real corpus-curation DAG: dedup -> near-dup span hygiene ->
+    calibrated quality gate -> training-order mixing."""
+    from pyspark.sql.window import Window as W
+
+    from apache_spark_streaming_project_spark.operators import text as tx
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        interleave_sources,
+    )
+    from apache_spark_streaming_project_spark.operators.text import (
+        canonical_url,
+        duplicate_span_coverage,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.src"),
+            F.expr("CAST((doc_id div 2) % 20 AS STRING)"),
+            F.lit(".Example.COM/Item/"),
+            F.expr("CAST(doc_id div 2 AS STRING)"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("/?utm_source=feed&utm_id="),
+                    F.col("doc_id").cast("string"),
+                ),
+            )
+            .when(F.col("doc_id") % 4 == 1, F.lit("?b=2&a=1"))
+            .otherwise(F.lit("?utm_campaign=x")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    url_kept = (
+        raw.select("doc_id", canonical_url("url").alias("cu"))
+        .withColumn("_mn", F.min("doc_id").over(W.partitionBy("cu")))
+        .filter(F.col("doc_id") == F.col("_mn"))
+        .select("doc_id")
+    )
+    span_kept = (
+        duplicate_span_coverage(d, "doc_id", "text", n=8)
+        .filter(F.col("covered_tokens") * 2 <= F.col("n_tokens"))
+        .select("doc_id")
+    )
+    m = tx.token_metrics("text")
+    p = tx.punct_ratio("text")
+    n_tok = m["n_tokens"].cast("double")
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    punct_score = F.when(p < 0.2, 1.0 - p).otherwise(F.lit(0.5))
+    mtl = m["mean_token_len"]
+    mtl_score = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.6)
+    )
+    pool = (
+        d.join(url_kept, "doc_id")
+        .join(span_kept, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            (len_score * 0.4 + punct_score * 0.3 + mtl_score * 0.3).alias(
+                "quality"
+            ),
+        )
+    )
+    pr = F.percent_rank().over(W.partitionBy("source").orderBy("quality", "doc_id"))
+    kept = (
+        pool.withColumn("_pr", pr)
+        .filter(F.col("_pr") >= 0.25)
+        .select("doc_id", "source")
+    )
+    return interleave_sources(kept, "source", "doc_id", prefix=50)
