@@ -516,16 +516,31 @@ def duplicate_span_coverage(
     )
     base = df.select(doc.alias("_doc"), toks_count.alias("n_tokens"),
                      positional_shingles(text_col, n).alias("_sh"))
+    # gram identity travels as its xxhash64 — the output never exposes
+    # gram text, so 8-byte shuffle keys are free (collision odds 2^-64
+    # per pair; same trade cross_split_contamination documents)
     grams = base.select(
         "_doc", F.explode("_sh").alias("_g")
-    ).select("_doc", F.col("_g.pos").alias("_s"), F.col("_g.gram").alias("_gram"))
-
-    dup_grams = (
-        grams.groupBy("_gram")
-        .agg(F.count_distinct(F.col("_doc")).alias("_df"))
-        .filter(F.col("_df") >= min_docs)
-        .select("_gram")
+    ).select(
+        "_doc", F.col("_g.pos").alias("_s"), F.xxhash64("_g.gram").alias("_gram")
     )
+
+    if min_docs == 2:
+        # "in >= 2 docs" needs no distinct aggregation: min(doc) != max(doc)
+        # — plain partial-aggregatable min/max, no per-group dedup state
+        dup_grams = (
+            grams.groupBy("_gram")
+            .agg(F.min("_doc").alias("_mn"), F.max("_doc").alias("_mx"))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .select("_gram")
+        )
+    else:
+        dup_grams = (
+            grams.groupBy("_gram")
+            .agg(F.count_distinct(F.col("_doc")).alias("_df"))
+            .filter(F.col("_df") >= min_docs)
+            .select("_gram")
+        )
 
     iv = grams.join(dup_grams, "_gram").select(
         "_doc", F.col("_s"), (F.col("_s") + n).alias("_e")
