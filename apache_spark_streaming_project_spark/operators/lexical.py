@@ -8,7 +8,9 @@ Shape (the classic search-engine plan, expressed relationally):
   1. postings list: explode tokens -> (doc_id, term, tf) partial-agg
      (one shuffle keyed on (doc_id, term); map-side combine collapses
      repeated terms before the exchange);
-  2. document lengths + corpus totals: reuses the same exploded pass;
+  2. document lengths + corpus totals: map-only ``size(tokens())`` on
+     the corpus scan (dl == sum of tfs by construction — no second
+     explode+aggregate pass over the postings);
   3. document frequency per term: partial-agg over the postings;
   4. query terms broadcast-join the postings (the query set is always
      tiny — it's the *vocabulary* that is huge, and only query terms'

@@ -258,3 +258,92 @@ def test_gram_boilerplate_matches_python_reference(spark, texts):
         for r in gram_boilerplate_signal(d, common_df=2).collect()
     }
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 30)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 30)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.sampled_from([4, 8, 16, 64]),
+)
+def test_interval_overlap_join_matches_quadratic_reference(spark, aa, bb, w):
+    """Grid-bucketed overlap join == brute-force closed-interval overlap
+    on random intervals, for any bucket width — including widths far
+    from the tuning guidance (correctness never depends on w)."""
+    from apache_spark_streaming_project_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    a_rows = [(i, lo, lo + ln) for i, (lo, ln) in enumerate(aa)]
+    b_rows = [(j, lo, lo + ln) for j, (lo, ln) in enumerate(bb)]
+    a = spark.createDataFrame(a_rows, "aid int, a_lo long, a_hi long")
+    b = spark.createDataFrame(b_rows, "bid int, b_lo long, b_hi long")
+    got = sorted(
+        (r.aid, r.bid)
+        for r in interval_overlap_join(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", w
+        ).collect()
+    )
+    expect = sorted(
+        (i, j)
+        for i, alo, ahi in a_rows
+        for j, blo, bhi in b_rows
+        if alo <= bhi and blo <= ahi
+    )
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="abcXYZ09._-&=/", min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_canonical_url_is_idempotent(spark, parts):
+    """canonical(canonical(url)) == canonical(url): re-canonicalizing an
+    already-canonical URL must be the identity (randomized hosts/paths/
+    params, including tracking params and fragments)."""
+    from apache_spark_streaming_project_spark.operators.text import canonical_url
+
+    url = (
+        "HTTPS://WWW.Ex" + (parts[0] or "a").replace("/", "").replace("&", "")
+        .replace("=", "") + ".COM/" + "/".join(parts[1:3])
+        + "?" + "&".join(
+            p for p in ["utm_source=x", "b=2", "a=1", *parts[3:5]] if p
+        )
+        + "#frag"
+    )
+    df = spark.createDataFrame([(url,)], "u string")
+    once = df.select(canonical_url("u").alias("c"))
+    twice = once.select(F.col("c").alias("u")).select(
+        canonical_url("u").alias("c")
+    )
+    assert once.first()["c"] == twice.first()["c"]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=60, unique=True))
+def test_bloom_never_drops_inserted_keys(spark, keys):
+    """No false negatives: every inserted key survives its own bloom,
+    for arbitrary unicode keys and a small bitmap (high fp pressure —
+    fp does not matter here, fn would be a correctness bug)."""
+    from apache_spark_streaming_project_spark.functions.bloom import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    bloom = bloom_build(df, "k", m_bits=1 << 10)
+    assert bloom_prefilter(df, bloom, "k", m_bits=1 << 10).count() == len(keys)
