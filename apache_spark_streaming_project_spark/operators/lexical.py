@@ -98,6 +98,7 @@ def bm25_top_k(
     query_id_col: str = "query_id",
     query_term_col: str = "term",
     k: int = 10,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """Per-query BM25 top-k over the corpus.
 
@@ -109,6 +110,14 @@ def bm25_top_k(
     side broadcasts (hinted — it is small by definition); the df lookup
     joins the *query terms*, never the full vocabulary; per-query top-k
     is a rank window that AQE executes as map-side WindowGroupLimit.
+
+    ``max_df_ratio`` is the STOPWORD-FLOOD guard for corpus scale: a
+    query term present in (say) half the documents joins a posting list
+    of n/2 rows for a near-zero odds-IDF contribution — quadratic cost,
+    epsilon signal. Setting e.g. 0.3 drops query terms with
+    df > 0.3 * N before the posting join (the lexical twin of the
+    MinHash shingle document-frequency cap; standard practice in search
+    engines). None keeps every term — the oracle-exact default.
     """
     post = postings(docs, id_col, text_col)
     # dl == SUM(tf) per doc == the token count — computable map-only from
@@ -128,6 +137,12 @@ def bm25_top_k(
     # df of the query terms only: broadcast the tiny query side INTO the
     # vocabulary-sized df table, keeping the survivors broadcastable.
     qt_df = df_t.join(F.broadcast(qt), "term")
+    if max_df_ratio is not None:
+        qt_df = qt_df.crossJoin(
+            F.broadcast(docs.agg(F.count("*").alias("_nd")))
+        ).filter(
+            F.col("df") <= F.lit(max_df_ratio) * F.col("_nd")
+        ).drop("_nd")
 
     contrib = (
         post.join(F.broadcast(qt_df), "term")

@@ -293,3 +293,22 @@ class TestEmbeddingCorrelations:
         top = embedding_correlations(df, n_dims=4, top_k=1).collect()[0]
         assert (top.i, top.j) == (0, 1)
         assert abs(top.corr - 1.0) < 1e-9
+
+
+class TestBM25StopwordGuard:
+    def test_max_df_ratio_drops_ubiquitous_term_only(self, spark):
+        # 'the' is planted in EVERY doc; 'zebra' in one. With the guard,
+        # the stopword contributes nothing (rankings driven by 'zebra'
+        # alone) and the posting join never touches its n-row list.
+        rows = [(i, "the filler%d zebra" % i if i == 7 else "the filler%d word" % i)
+                for i in range(50)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        queries = spark.createDataFrame(
+            [(0, "the"), (0, "zebra")], "query_id long, term string"
+        )
+        guarded = bm25_top_k(docs, queries, k=3, max_df_ratio=0.3).collect()
+        # only doc 7 matches any surviving query term
+        assert [r.doc_id for r in guarded] == [7]
+        # without the guard every doc matches 'the' -> full top-3
+        unguarded = bm25_top_k(docs, queries, k=3).collect()
+        assert len(unguarded) == 3
