@@ -8335,3 +8335,44 @@ def x_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
     )
     return interleave_sources(kept, "source", "doc_id", prefix=50)
+
+
+# ---------------------------------------------------------------------------
+# X9 — k-anonymity release gate (suppress small groups before publishing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x9_kanonymity_gate",
+    """
+    WITH g AS (
+      SELECT lang, source, COUNT(*) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n, total_chars,
+           n >= 5 AS releasable
+    FROM g ORDER BY lang, source
+    """,
+    "X9",
+)
+def x9_kanonymity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — k-anonymity release gate: per-(lang, source) statistics are
+    flagged releasable only when the group holds >= k members (k=5) —
+    the suppression rule for publishing corpus statistics without
+    exposing rare-combination individuals. The gate is a column, not a
+    filter, so the caller decides between suppressing rows and
+    generalizing the quasi-identifier (the two standard remedies); one
+    partial+final aggregation either way."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            "lang", "source", "n", "total_chars", (F.col("n") >= 5).alias("releasable")
+        )
+        .orderBy("lang", "source")
+    )
