@@ -2994,10 +2994,10 @@ def m10_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         SyntheticCorpusDataSource,
     )
 
-    try:
-        spark.dataSource.register(SyntheticCorpusDataSource)
-    except Exception:
-        pass
+    # Registration is idempotent by design in Spark 4 (re-register replaces
+    # with a WARN, never raises) — no except guard, so a genuine failure
+    # surfaces here instead of cascading into a confusing read-time error.
+    spark.dataSource.register(SyntheticCorpusDataSource)
     base = tempfile.mkdtemp(prefix="m10_pysrc_")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -3064,10 +3064,10 @@ def s_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         SyntheticCorpusDataSource,
     )
 
-    try:  # idempotent across repeated query runs in one session
-        spark.dataSource.register(SyntheticCorpusDataSource)
-    except Exception:
-        pass
+    # Idempotent across repeated query runs in one session: Spark 4
+    # re-registration replaces the source (WARN, no error), so a raise here
+    # is always a genuine failure worth surfacing at registration time.
+    spark.dataSource.register(SyntheticCorpusDataSource)
     return (
         spark.read.format("synthetic_corpus")
         .option("rows", 1000)
@@ -6680,10 +6680,14 @@ def m9_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     table keeping the NEWEST version per key (streaming/upsert.py —
     keep-max-version, so the result is file-order-independent and
     idempotent under batch replay, the exactly-once recipe for
-    foreachBatch). The drained table must equal the batch
-    newest-version-per-key over the union of all change sets — the
-    continuously-maintained corpus table an incremental ingest pipeline
-    ends in (streaming face of x1_merge_upsert/x1_incremental_dedup)."""
+    foreachBatch). The table is maintained HASH-BUCKETED
+    (n_buckets=16): each micro-batch merge reads and rewrites only the
+    ``pbucket=k`` partitions its keys hash into — the partition-pruned
+    production seam, not the flat full-table rewrite. The drained table
+    must equal the batch newest-version-per-key over the union of all
+    change sets — the continuously-maintained corpus table an
+    incremental ingest pipeline ends in (streaming face of
+    x1_merge_upsert/x1_incremental_dedup)."""
     import os
     import tempfile
 
@@ -6724,7 +6728,9 @@ def m9_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with _stream_shuffle_partitions(spark):
         q = (
-            streaming_merge_upsert(stream, table, ["doc_id"], "version", ckpt)
+            streaming_merge_upsert(
+                stream, table, ["doc_id"], "version", ckpt, n_buckets=16
+            )
             .trigger(availableNow=True)
             .start()
         )
@@ -6901,6 +6907,179 @@ def x3_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         lexical.bm25_top_k(d, queries, k=10)
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "x3_hybrid_rrf",
+    f"""
+    WITH d0 AS (SELECT text FROM documents WHERE doc_id = 0),
+    planted_docs AS (
+      SELECT 2000000 + i AS doc_id, d0.text
+      FROM unnest(range(1, 11)) AS u(i), d0
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM planted_docs
+    ),
+    toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM corpus
+    ),
+    post AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY doc_id),
+    dft AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+    st AS (
+      SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+             (SELECT SUM(tf) FROM post) AS total
+    ),
+    qt AS (
+      SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3
+    ),
+    contrib AS (
+      SELECT q.query_id, p.doc_id, p.term,
+             CAST((2*st.n_docs - 2*dft.df + 1) * 22 * p.tf * st.total
+                  AS DOUBLE)
+             / CAST((2*dft.df + 1)
+                    * (10*p.tf*st.total + 3*st.total + 9*dl.dl*st.n_docs)
+                    AS DOUBLE) AS c
+      FROM qt q
+      JOIN post p USING (term)
+      JOIN dft USING (term)
+      JOIN dl ON p.doc_id = dl.doc_id
+      CROSS JOIN st
+    ),
+    lex_scored AS (
+      SELECT query_id, doc_id,
+             list_reduce(list(c ORDER BY term), (acc, x) -> acc + x)
+                 AS score
+      FROM contrib GROUP BY query_id, doc_id
+    ),
+    lex AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id ASC) AS rank
+      FROM lex_scored QUALIFY rank <= 20
+    ),
+    e0 AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    planted_e AS (
+      SELECT 2000000 + i AS vec_id, e0.embedding
+      FROM unnest(range(1, 11)) AS u(i), e0
+    ),
+    ecorp AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL SELECT vec_id, embedding FROM planted_e
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < 3
+    ),
+    dscored AS (
+      SELECT q.query_id, e.vec_id AS doc_id,
+             {{dot}} AS dd, sqrt({{na}}) AS na, sqrt({{nq}}) AS nq
+      FROM ecorp e, q
+    ),
+    dense AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY (CASE WHEN na * nq > 0 THEN dd / (na * nq)
+                                ELSE NULL END) DESC, doc_id ASC) AS rank
+      FROM dscored QUALIFY rank <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, de.query_id) AS query_id,
+             COALESCE(l.doc_id, de.doc_id) AS doc_id,
+             CAST((CASE WHEN l.rank IS NOT NULL AND de.rank IS NOT NULL
+                        THEN 120 + l.rank + de.rank ELSE 1 END) AS DOUBLE)
+             / CAST((CASE WHEN l.rank IS NOT NULL AND de.rank IS NOT NULL
+                          THEN (60 + l.rank) * (60 + de.rank)
+                          WHEN l.rank IS NOT NULL THEN 60 + l.rank
+                          ELSE 60 + de.rank END) AS DOUBLE) AS rrf_score
+      FROM lex l FULL OUTER JOIN dense de
+        ON l.query_id = de.query_id AND l.doc_id = de.doc_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_score FROM (
+      SELECT query_id, doc_id, rrf_score,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_score DESC, doc_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= 10 ORDER BY query_id, rank
+    """.format(
+        dot=_DOT_FOLD.format(a="e.embedding", b="q.qe"),
+        na=_DOT_FOLD.format(a="e.embedding", b="e.embedding"),
+        nq=_DOT_FOLD.format(a="q.qe", b="q.qe"),
+    ),
+    "X3",
+)
+def x3_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — HYBRID retrieval: BM25 sparse top-20 + exact dense cosine
+    top-20 fused with reciprocal-rank fusion (operators/lexical.rrf_fuse,
+    rrf_k=60), top-10 per query — the standard two-tower retrieval stack
+    shape (sparse recall + dense recall -> rank fusion). Planted-relevance
+    fixture: 10 ids (2000001..2000010) carry doc 0's EXACT text and EXACT
+    embedding, so for query 0 they rank at the top of BOTH systems and
+    must dominate the fused list — copies (not perturbed vectors) keep
+    every score an exact fold/ratio, so the whole fused ranking is
+    value-hash-verified, not just a recall contract. Exactness: the two
+    reciprocal terms are summed symbolically as ONE integer ratio
+    (BIGINT num/den, one double division) — bit-identical across engines.
+    Scale shape: retrievers do the corpus-sized work (inverted index /
+    batch cosine with broadcast queries); fusion is a full-outer join of
+    two k-row-per-query lists + a rank window — corpus-independent."""
+    from apache_spark_streaming_project_spark.operators import lexical
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        brute_force_batch_top_k,
+    )
+    from apache_spark_streaming_project_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted_docs = (
+        d.filter(F.col("doc_id") == 0)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("i"), "text"
+        )
+        .select(
+            (F.lit(2_000_000) + F.col("i")).cast("bigint").alias("doc_id"),
+            "text",
+        )
+    )
+    corpus_docs = d.unionByName(planted_docs)
+    qterms = (
+        d.filter(F.col("doc_id") < 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(tokens("text")).alias("term"),
+        )
+        .distinct()
+    )
+    lex = lexical.bm25_top_k(corpus_docs, qterms, k=20)
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted_e = (
+        e.filter(F.col("vec_id") == 0)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("i"),
+            "embedding",
+        )
+        .select(
+            (F.lit(2_000_000) + F.col("i")).cast("bigint").alias("vec_id"),
+            "embedding",
+        )
+    )
+    ecorp = e.unionByName(planted_e)
+    qvecs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    dense = brute_force_batch_top_k(ecorp, qvecs, k=20).select(
+        "query_id", "rank", F.col("vec_id").alias("doc_id")
+    )
+    fused = lexical.rrf_fuse(
+        lex.select("query_id", "doc_id", "rank"),
+        dense.select("query_id", "doc_id", "rank"),
+        k=10,
+        rrf_k=60,
+    )
+    return fused.orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -7304,8 +7483,10 @@ _RAW_URL_SQL = (
                   lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
                   '^www\.', '')
              || regexp_replace(
-                  regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
-                  '/$', '')
+                  regexp_replace(
+                    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                    '/{2,}', '/', 'g'),
+                  '/+$', '')
              || CASE WHEN len(ps) > 0
                      THEN '?' || array_to_string(ps, '&') ELSE '' END
                  AS canonical_url
@@ -7627,9 +7808,10 @@ def m11_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings e, unnest(range(0, 8)) AS u(i), nn
     ),
     resolved AS (
-      SELECT p.anchor, p.i, p.cand
+      SELECT p.anchor, MIN(p.i) AS i, p.cand
       FROM probes p JOIN embeddings c ON p.cand = c.vec_id
       WHERE c.label <> p.agrp AND p.cand <> p.anchor
+      GROUP BY p.anchor, p.cand
     )
     SELECT anchor AS vec_id, CAST(rn AS INT) AS neg_rank,
            cand AS neg_id
@@ -7747,7 +7929,14 @@ def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic partsupp relation: 4 supplier slots per part, all
     columns from integer arithmetic on (p_partkey, slot) so DuckDB
     reconstructs the exact rows. Supply costs are integer CENTS —
-    downstream aggregates stay in exact bigint space."""
+    downstream aggregates stay in exact bigint space.
+
+    ``ps_suppkey = (...) % nsup`` lands on [0, nsup) WITHOUT a +1: the
+    driver testdata's supplier keys are 0-based (min(s_suppkey)=0,
+    max=nsup-1 at every SF — unlike spec TPC-H's 1-based keys), so the
+    bare modulo already maps every derived row onto a real supplier
+    (verified: 8000/8000 rows join supplier at sf0.01; a +1 would leave
+    key nsup dangling)."""
     p = _t(spark, sf_dir, "part").select("p_partkey")
     nsup = _t(spark, sf_dir, "supplier").agg(F.count("*").alias("_nsup"))
     return (
@@ -8149,8 +8338,10 @@ def d22_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                   lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
                   '^www\.', '')
              || regexp_replace(
-                  regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
-                  '/$', '')
+                  regexp_replace(
+                    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                    '/{2,}', '/', 'g'),
+                  '/+$', '')
              || CASE WHEN len(ps) > 0
                      THEN '?' || array_to_string(ps, '&') ELSE '' END
                  AS cu

@@ -203,18 +203,35 @@ def interval_overlap_join(
     Pick ``w`` near the median interval width (same guidance as
     range_join_bucketed:151). A plain BNLJ is O(|a| x |b|) predicate
     evaluations; this is O(co-located cell pairs) — the only shape that
-    survives two large interval tables."""
+    survives two large interval tables.
+
+    ``how`` must be ``'inner'``: both sides are exploded one-row-per-cell
+    before the join, so outer semantics would null-extend an unmatched
+    interval once PER CELL it spans (duplicates), violating the
+    match-exactly-once contract. For outer results, left-join the
+    original un-exploded side back onto this inner result on its key."""
+    if how != "inner":
+        raise ValueError(
+            "interval_overlap_join supports how='inner' only (exploded "
+            "inputs make outer joins emit one null-extended row per grid "
+            "cell an unmatched interval spans); join the un-exploded side "
+            f"back onto the inner result for outer semantics, got {how!r}"
+        )
     w = int(bucket_width)
-    ac = a.withColumn(
+    # _alc/_blc: each side's lo-cell, computed WITHIN its own DataFrame so
+    # the dedup anchor below never name-resolves across sides (a and b may
+    # legitimately share lo/hi column names). div is monotone, so
+    # greatest(a_lo, b_lo) div w == greatest(a_lo div w, b_lo div w).
+    ac = a.withColumn("_alc", F.expr(f"{a_lo} div {w}")).withColumn(
         "_cell", F.explode(F.expr(f"sequence({a_lo} div {w}, {a_hi} div {w})"))
     )
-    bc = b.withColumn(
+    bc = b.withColumn("_blc", F.expr(f"{b_lo} div {w}")).withColumn(
         "_cellb", F.explode(F.expr(f"sequence({b_lo} div {w}, {b_hi} div {w})"))
     )
     cond = (
         (ac["_cell"] == bc["_cellb"])
         & (ac[a_lo] <= bc[b_hi])
         & (bc[b_lo] <= ac[a_hi])
-        & (ac["_cell"] == F.expr(f"greatest({a_lo}, {b_lo}) div {w}"))
+        & (ac["_cell"] == F.greatest(ac["_alc"], bc["_blc"]))
     )
-    return ac.join(bc, cond, how).drop("_cell", "_cellb")
+    return ac.join(bc, cond, "inner").drop("_cell", "_cellb", "_alc", "_blc")

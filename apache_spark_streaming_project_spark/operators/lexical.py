@@ -26,8 +26,14 @@ Exactness contract (why the scoring looks unusual):
     — an exact integer ratio. ``ln``/``log2`` are libm calls whose last
     ulp differs across engines, which would break the driver's
     bit-identical value-hash contract; the odds form is strictly
-    monotone in the standard BM25 IDF, so per-term ordering is
-    preserved. (Documented variant, not an approximation bug.)
+    monotone in the standard BM25 IDF, so PER-TERM ordering is
+    preserved. Caveat: monotonicity per term does NOT extend to the
+    SUM over a multi-term query — rare terms weigh more relative to
+    common ones than under log-idf, so multi-term rankings can differ
+    from textbook BM25 (single-term queries are rank-identical). This
+    is a documented, deliberate variant; if rank fidelity to log-idf
+    BM25 matters, substitute a fixed-precision integer log table for
+    the idf ratio (same exactness contract, textbook weighting).
   * With k1 = 1.2 and b = 0.75, the term-frequency saturation
     ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` multiplies through
     by ``10 * total_tokens`` (avgdl = total/N) into an exact integer
@@ -169,4 +175,75 @@ def bm25_top_k(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval systems' ranked lists —
+    the standard hybrid-retrieval combiner (sparse BM25 + dense ANN):
+
+        rrf(d) = sum over systems s of 1 / (rrf_k + rank_s(d))
+
+    over the UNION of both candidate sets; a document missing from one
+    list simply contributes nothing for it (classic RRF). rrf_k=60 is
+    the published default.
+
+    Exactness contract (same discipline as BM25's integer rewrite): the
+    two reciprocal terms are summed SYMBOLICALLY as one integer ratio —
+
+        both lists:  (2*rrf_k + ra + rb) / ((rrf_k + ra) * (rrf_k + rb))
+        one list:     1 / (rrf_k + r)
+
+    — numerator and denominator built in BIGINT, ONE double division at
+    the end, so both engines produce bit-identical scores (adding two
+    separately-divided doubles would be order/rounding-sensitive).
+
+    Plan shape: one full-outer equi-join on (query, doc) between two
+    k-sized-per-query lists (tiny by construction — inputs are already
+    top-k), then a rank window per query. Fusion cost is independent of
+    corpus size; the expensive work happened in the upstream retrievers.
+    Ties break on id for a deterministic, hashable result."""
+    fa = a.select(
+        F.col(query_col),
+        F.col(id_col),
+        F.col(rank_col).cast("long").alias("_ra"),
+    )
+    fb = b.select(
+        F.col(query_col),
+        F.col(id_col),
+        F.col(rank_col).cast("long").alias("_rb"),
+    )
+    j = fa.join(fb, [query_col, id_col], "full")
+    ra, rb = F.col("_ra"), F.col("_rb")
+    num = (
+        F.when(ra.isNotNull() & rb.isNotNull(), 2 * rrf_k + ra + rb)
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+    den = (
+        F.when(ra.isNotNull() & rb.isNotNull(), (rrf_k + ra) * (rrf_k + rb))
+        .when(ra.isNotNull(), rrf_k + ra)
+        .otherwise(rrf_k + rb)
+        .cast("long")
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        j.select(
+            F.col(query_col),
+            F.col(id_col),
+            (num.cast("double") / den.cast("double")).alias("rrf_score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_col, "rank", id_col, "rrf_score")
     )

@@ -283,9 +283,16 @@ def negative_sample(
     cand = df.select(
         F.col(key_col).alias("_cand"), F.col(group_col).alias("_cgrp")
     )
+    # Two probes i<j can hash to the SAME candidate id; keep one row per
+    # (_anchor, _cand) at the smallest probe index so the k negatives are
+    # DISTINCT (repeats are useless for contrastive training). min(_i) per
+    # candidate is unique within an anchor (each probe nominates exactly
+    # one candidate), so the rank order below stays deterministic.
     resolved = (
         probes_df.join(cand, "_cand")
         .filter((F.col("_cgrp") != F.col("_agrp")) & (F.col("_cand") != F.col("_anchor")))
+        .groupBy("_anchor", "_cand")
+        .agg(F.min("_i").alias("_i"))
     )
     w = Window.partitionBy("_anchor").orderBy("_i")
     return (

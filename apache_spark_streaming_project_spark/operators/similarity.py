@@ -50,6 +50,44 @@ def brute_force_top_k(
     )
 
 
+def brute_force_batch_top_k(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Exact cosine top-k for MANY query vectors in one plan — the batch
+    form of :func:`brute_force_top_k` and the exact baseline under the
+    approximate batch retrievers (lsh/ivf/pq_batch_top_k).
+
+    The query table broadcasts (it is the small side by definition); every
+    (query, corpus) pair scores map-side with the deterministic
+    left-to-right fold cosine (oracle-comparable bits), and per-query
+    top-k is a rank window on query_id — AQE runs it as map-side
+    WindowGroupLimit, so only ~k rows per query per partition reach the
+    exchange. Cost is the honest O(|corpus| x |queries|) of exact
+    retrieval: use it for small query batches / recall baselines, the ANN
+    indexes for the sublinear path."""
+    from pyspark.sql import Window
+
+    pairs = df.crossJoin(F.broadcast(queries))
+    sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias(
+        "cosine"
+    )
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.col("cosine").desc(), F.col(key_col).asc()
+    )
+    return (
+        pairs.select(F.col(query_key_col), F.col(key_col), sim)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_key_col, "rank", key_col, "cosine")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     import random
 

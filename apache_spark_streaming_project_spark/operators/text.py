@@ -588,7 +588,9 @@ def canonical_url(url: Column | str) -> Column:
       3. query params split, tracking params (``utm_*``, ``ref``,
          ``fbclid``, ``gclid``) dropped, survivors SORTED (param order
          never carries meaning) and rejoined;
-      4. trailing slash stripped from the path.
+      4. duplicate slashes in the path collapsed, trailing slashes
+         stripped (``/+$`` — ALL of them, so the canonical string is a
+         true fixed point: canonical(canonical(u)) == canonical(u)).
 
     Built from regexp_extract + array built-ins (split/filter/sort/
     join) — deliberately NOT ``parse_url``, so the oracle mirrors the
@@ -602,7 +604,13 @@ def canonical_url(url: Column | str) -> Column:
         "",
     )
     path = F.regexp_replace(
-        F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/$", ""
+        F.regexp_replace(
+            F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+            r"/{2,}",
+            "/",
+        ),
+        r"/+$",
+        "",
     )
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
     params = F.array_sort(

@@ -208,3 +208,28 @@ class TestIntervalOverlapJoin:
         # cartesian / nested-loop over the interval pairs
         assert "Cartesian" not in plan and "NestedLoop" not in plan
         assert "SortMergeJoin" in plan or "HashJoin" in plan
+
+    def test_outer_how_rejected(self, spark):
+        import pytest
+
+        from apache_spark_streaming_project_spark.operators.asof import (
+            interval_overlap_join,
+        )
+
+        a = self._mk(spark, [(1, 0, 10)], "aid int, a_lo long, a_hi long")
+        b = self._mk(spark, [(7, 5, 8)], "bid int, b_lo long, b_hi long")
+        with pytest.raises(ValueError, match="inner"):
+            interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 8, how="left")
+
+    def test_shared_column_names_resolve_per_side(self, spark):
+        """a and b both call their bounds (lo, hi): the dedup anchor must
+        bind each side's lo to ITS OWN DataFrame, not raise an ambiguous
+        reference or silently mis-bind (the pre-fix F.expr anchor did)."""
+        from apache_spark_streaming_project_spark.operators.asof import (
+            interval_overlap_join,
+        )
+
+        a = self._mk(spark, [(1, 0, 100), (2, 200, 210)], "aid int, lo long, hi long")
+        b = self._mk(spark, [(7, 50, 55), (8, 205, 300)], "bid int, lo long, hi long")
+        out = interval_overlap_join(a, b, "lo", "hi", "lo", "hi", 8).collect()
+        assert sorted((r.aid, r.bid) for r in out) == [(1, 7), (2, 8)]

@@ -312,3 +312,53 @@ class TestBM25StopwordGuard:
         # without the guard every doc matches 'the' -> full top-3
         unguarded = bm25_top_k(docs, queries, k=3).collect()
         assert len(unguarded) == 3
+
+
+class TestRRFFuse:
+    def test_rrf_matches_python_reference_and_handles_singletons(self, spark):
+        """Fused scores equal 1/(60+ra) + 1/(60+rb) computed exactly (the
+        symbolic one-ratio form), docs present in only one list score
+        1/(60+r), and the output is top-k by fused score with doc-id
+        tie-break."""
+        from fractions import Fraction
+
+        from apache_spark_streaming_project_spark.operators.lexical import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            "query_id int, doc_id int, rank int",
+        )
+        b = spark.createDataFrame(
+            [(1, 12, 1), (1, 13, 2), (1, 10, 3)],
+            "query_id int, doc_id int, rank int",
+        )
+        out = {r.doc_id: (r.rank, r.rrf_score)
+               for r in rrf_fuse(a, b, k=10).collect()}
+        ra = {10: 1, 11: 2, 12: 3}
+        rb = {12: 1, 13: 2, 10: 3}
+        for doc in {10, 11, 12, 13}:
+            want = Fraction(0)
+            if doc in ra:
+                want += Fraction(1, 60 + ra[doc])
+            if doc in rb:
+                want += Fraction(1, 60 + rb[doc])
+            # engine computes num/den as bigints then ONE double division:
+            # same value as the exact Fraction rendered to double
+            assert out[doc][1] == want.numerator / want.denominator
+        # ranking: 12 and 10 tie exactly (1/61+1/63 vs 1/63+1/61) -> doc
+        # id tie-break; then 11 (1/62) vs 13 (1/62) tie -> id order
+        assert [d for d, (rk, _) in sorted(out.items(), key=lambda kv: kv[1][0])] == [10, 12, 11, 13]
+
+    def test_rrf_k_limits_output(self, spark):
+        from apache_spark_streaming_project_spark.operators.lexical import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, d, d) for d in range(1, 8)], "query_id int, doc_id int, rank int"
+        )
+        b = spark.createDataFrame(
+            [(1, d + 100, d) for d in range(1, 8)],
+            "query_id int, doc_id int, rank int",
+        )
+        out = rrf_fuse(a, b, k=5).collect()
+        assert len(out) == 5
+        assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]

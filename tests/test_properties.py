@@ -18,7 +18,7 @@ MONEY = st.decimals(
 )
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10, deadline=None, derandomize=True)
 @given(st.lists(MONEY, min_size=1, max_size=50))
 def test_exact_sum_matches_decimal_reference(spark, values):
     """sum_money must equal exact Decimal addition (no FP drift), for any
@@ -31,7 +31,7 @@ def test_exact_sum_matches_decimal_reference(spark, values):
     assert got == expect  # bit-identical, not approx
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10, deadline=None, derandomize=True)
 @given(
     st.lists(
         st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=40
@@ -62,7 +62,7 @@ def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
     assert got == expect
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10, deadline=None, derandomize=True)
 @given(st.lists(st.text(alphabet="abc ", min_size=0, max_size=30),
                 min_size=1, max_size=30))
 def test_exact_dedup_properties(spark, texts):
@@ -79,7 +79,7 @@ def test_exact_dedup_properties(spark, texts):
     assert sorted(r["text"] for r in again.collect()) == sorted(got)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(st.lists(st.sampled_from([
     "the cat and the dog", "der hund ist nicht da", "le chat est dans la maison",
     "el perro es un animal", "zzz qqq xxx", "",
@@ -106,7 +106,7 @@ def test_language_id_matches_python_reference(spark, texts):
     assert got == {i: ref(t) for i, t in enumerate(texts)}
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(
     st.lists(
         st.tuples(st.integers(0, 2), st.integers(0, 5), MONEY),
@@ -147,7 +147,7 @@ def test_mergeable_stats_merge_equals_direct(spark, rows):
         )
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(
     st.lists(
         st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8),
@@ -187,7 +187,7 @@ def test_contamination_matches_python_reference(spark, token_lists):
     assert got == expect
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(
     st.lists(st.text(alphabet="ab ", min_size=0, max_size=12),
              min_size=1, max_size=12),
@@ -222,7 +222,7 @@ def test_incremental_dedup_properties(spark, base_texts, inc_texts):
     assert again.count() == 0
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=20),
                 min_size=1, max_size=10))
 def test_gram_boilerplate_matches_python_reference(spark, texts):
@@ -260,7 +260,7 @@ def test_gram_boilerplate_matches_python_reference(spark, texts):
     assert got == expect
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10, deadline=None, derandomize=True)
 @given(
     st.lists(
         st.tuples(st.integers(0, 200), st.integers(0, 30)),
@@ -301,7 +301,7 @@ def test_interval_overlap_join_matches_quadratic_reference(spark, aa, bb, w):
     assert got == expect
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10, deadline=None, derandomize=True)
 @given(
     st.lists(
         st.text(
@@ -333,7 +333,7 @@ def test_canonical_url_is_idempotent(spark, parts):
     assert once.first()["c"] == twice.first()["c"]
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5, deadline=None, derandomize=True)
 @given(st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=60, unique=True))
 def test_bloom_never_drops_inserted_keys(spark, keys):
     """No false negatives: every inserted key survives its own bloom,
@@ -347,3 +347,85 @@ def test_bloom_never_drops_inserted_keys(spark, keys):
     df = spark.createDataFrame([(k,) for k in keys], "k string")
     bloom = bloom_build(df, "k", m_bits=1 << 10)
     assert bloom_prefilter(df, bloom, "k", m_bits=1 << 10).count() == len(keys)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "a@b.cc", "555-1234", "xy", "1", "@", ".", "-", " ",
+                "a@b.cc@d.ee", "12a@b.cc-4567", "123", "4567",
+                "x@y.cc555-1234", "%+_",
+            ]
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_pii_redaction_is_idempotent(spark, frags):
+    """redact(redact(t)) == redact(t): placeholders ([EMAIL]/[PHONE]) use
+    brackets, which sit outside every pattern's character class, so a
+    redacted corpus re-scrubbed against a fresh pipeline run must come
+    back byte-identical — the same fixed-point contract as canonical_url
+    (redaction output is stored and re-processed in real pipelines)."""
+    from apache_spark_streaming_project_spark.operators.text import redact_patterns
+
+    text = "".join(frags)
+    df = spark.createDataFrame([(text,)], "text string")
+    once = redact_patterns(df, "text").select(
+        F.col("text_redacted").alias("text")
+    )
+    twice = redact_patterns(once, "text")
+    row = twice.first()
+    assert row["text_redacted"] == row["text"]
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=60))
+def test_rolling_fingerprint_matches_python_reference(spark, text):
+    """rolling_fingerprint == the pure-Python polynomial hash it documents
+    (h = h*31 + code mod 2^31-1, left fold over char codes): the dedup KEY
+    must be bit-stable across engines/partitionings, so we pin it to an
+    independent reference, not just to itself."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        rolling_fingerprint,
+    )
+
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(rolling_fingerprint("t").alias("f")).first()["f"]
+    mod = 2**31 - 1
+    h = 0
+    for ch in text:
+        h = (h * 31 + ord(ch)) % mod
+    assert got == h
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    st.text(alphabet="abc XYZ.", min_size=0, max_size=80),
+    st.integers(min_value=2, max_value=20),
+    st.integers(min_value=0, max_value=19),
+)
+def test_chunking_reconstructs_original_text(spark, text, chunk_chars, overlap):
+    """Chunk boundaries are lossless: chunk 0 + each later chunk minus its
+    `overlap`-char prefix re-concatenates to EXACTLY the original text,
+    for any (chunk_chars, overlap) with overlap < chunk_chars. Catches
+    off-by-one boundary bugs (dropped tail, double-counted overlap) that
+    silently corrupt a retrieval corpus."""
+    from apache_spark_streaming_project_spark.operators.text import chunk_documents
+
+    overlap = overlap % chunk_chars  # enforce the documented precondition
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = (
+        chunk_documents(df, "doc_id", "text", chunk_chars, overlap)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert len(rows) >= 1
+    stride = chunk_chars - overlap
+    rebuilt = rows[0]["chunk_text"]
+    for r in rows[1:]:
+        assert r["char_start"] == r["chunk_idx"] * stride
+        rebuilt += r["chunk_text"][overlap:]
+    assert rebuilt == text

@@ -109,6 +109,13 @@ class TestNegativeSampling:
             assert r.neg_id != r.vec_id
         # 8 probes vs 1/4 same-group odds: every anchor should fill its 3
         per_anchor = {}
+        negs = {}
         for r in out1:
             per_anchor.setdefault(r.vec_id, []).append(r.neg_rank)
+            negs.setdefault(r.vec_id, []).append(r.neg_id)
         assert all(sorted(v) == [1, 2, 3] for v in per_anchor.values())
+        # the k negatives per anchor are DISTINCT: probe hash collisions
+        # (two probes nominating the same id) must be deduped, not ranked
+        # twice — repeats are semantically degraded for contrastive pairs
+        for v in negs.values():
+            assert len(set(v)) == len(v)

@@ -480,6 +480,111 @@ def test_streaming_upsert_replay_idempotent(spark, tmp_path):
     assert snapshot() == want
 
 
+def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """The production merge seam (partition-pruned rewrite): after a
+    merge whose batch keys hash into a subset of buckets, every UNTOUCHED
+    ``pbucket=k`` directory is byte-identical (same file names, same
+    bytes — never listed for rewrite), the merged table equals the flat
+    full-rewrite reference, and replay stays idempotent."""
+    import hashlib
+    import os
+
+    from apache_spark_streaming_project_spark.streaming.upsert import (
+        merge_batch_into_partitioned_table,
+        merge_batch_into_table,
+    )
+
+    nb = 8
+    table = str(tmp_path / "ptable")
+    flat = str(tmp_path / "flat")
+    base = spark.createDataFrame(
+        [(i, 1, f"v1-{i}") for i in range(200)], ["k", "version", "payload"]
+    )
+    touched0 = merge_batch_into_partitioned_table(
+        base, table, ["k"], "version", n_buckets=nb
+    )
+    assert sorted(os.listdir(table)) == sorted(
+        f"pbucket={b}" for b in touched0
+    )
+    merge_batch_into_table(base, flat, ["k"], "version")
+
+    def dir_bytes(bucket_dir):
+        out = {}
+        for root, _, files in os.walk(bucket_dir):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, bucket_dir)] = hashlib.md5(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    before = {
+        d: dir_bytes(os.path.join(table, d)) for d in os.listdir(table)
+    }
+
+    batch = spark.createDataFrame(
+        [(3, 2, "v2-3"), (17, 2, "v2-17"), (1000, 2, "new-1000")],
+        ["k", "version", "payload"],
+    )
+    touched = merge_batch_into_partitioned_table(
+        batch, table, ["k"], "version", n_buckets=nb
+    )
+    assert 1 <= len(touched) <= 3  # 3 keys hash into <= 3 of 8 buckets
+    merge_batch_into_table(batch, flat, ["k"], "version")
+
+    untouched = [d for d in before if int(d.split("=")[1]) not in touched]
+    assert untouched, "fixture must leave at least one bucket untouched"
+    for d in untouched:
+        assert dir_bytes(os.path.join(table, d)) == before[d]
+    for b in touched:
+        d = f"pbucket={b}"
+        if d in before:
+            assert dir_bytes(os.path.join(table, d)) != before[d]
+
+    def snap(path, drop_bucket=False):
+        df = spark.read.parquet(path)
+        return {
+            (r.k, r.version, r.payload)
+            for r in df.select("k", "version", "payload").collect()
+        }
+
+    assert snap(table) == snap(flat)  # pruned merge == full-rewrite merge
+
+    # replay the same batch: idempotent, and still only those buckets move
+    mid = {d: dir_bytes(os.path.join(table, d)) for d in os.listdir(table)}
+    touched_again = merge_batch_into_partitioned_table(
+        batch, table, ["k"], "version", n_buckets=nb
+    )
+    assert touched_again == touched
+    assert snap(table) == snap(flat)
+    for d in untouched:
+        assert dir_bytes(os.path.join(table, d)) == mid[d]
+
+
+def test_partitioned_upsert_scan_prunes_partitions(spark, tmp_path):
+    """The current-table read inside the pruned merge must show
+    PartitionFilters on the bucket column — pruning at file-listing time
+    is the mechanism that makes untouched partitions cost zero I/O."""
+    from apache_spark_streaming_project_spark.streaming.upsert import (
+        merge_batch_into_partitioned_table,
+    )
+
+    table = str(tmp_path / "ptable")
+    base = spark.createDataFrame(
+        [(i, 1, f"v-{i}") for i in range(100)], ["k", "version", "payload"]
+    )
+    merge_batch_into_partitioned_table(base, table, ["k"], "version", n_buckets=8)
+    scan = (
+        spark.read.parquet(table)
+        .filter(F.col("pbucket").isin([1, 2]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in scan and "pbucket" in scan
+
+
 def test_rocksdb_state_store_backend(spark, sf_dir, tmp_path):
     """State-backend portability — the 100 TB state answer: the default
     HDFS-backed store keeps every key in executor heap, which caps
