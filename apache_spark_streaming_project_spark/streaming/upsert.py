@@ -30,8 +30,11 @@ Per-merge cost drops to O(touched partitions + batch), the same
 touched-files-only contract a Delta/Iceberg MERGE INTO provides, and
 this sink remains the drop-in seam for one. Swaps are write-to-staging
 + directory rename, so readers never observe a half-written partition;
-a crash between renames is healed by the next replayed batch
-(idempotence above).
+a crash between renames leaves the pre-merge state in a ``.retired``
+directory, which the next merge RESTORES before reading (see
+``_recover_interrupted_swap`` — replay alone is not enough: without the
+restore, the replayed batch would see no current data and drop every
+non-batch row) and then heals by idempotent re-merge.
 """
 
 from __future__ import annotations
@@ -59,6 +62,7 @@ def merge_batch_into_table(
     key -> atomic swap into ``table_dir``. Exposed separately from the
     streaming writer so batch backfills use the identical code path."""
     spark = batch_df.sparkSession
+    _recover_interrupted_swap(table_dir)
     if os.path.exists(table_dir):
         current = spark.read.parquet(table_dir)
         candidates = current.unionByName(batch_df)
@@ -75,6 +79,29 @@ def merge_batch_into_table(
         os.rename(table_dir, retired)
     os.rename(staging, table_dir)
     shutil.rmtree(retired, ignore_errors=True)
+
+
+def _recover_interrupted_swap(live_path: str) -> None:
+    """Heal a crash that landed BETWEEN the two swap renames: the live
+    path was moved to ``<live>.retired`` but the staging rename never
+    happened. Without recovery, the replayed batch would see no current
+    data and the merge would silently DROP every non-batch row — "replay
+    heals it" only holds if the pre-merge state is first restored. Two
+    crash states, both resolved here before any read:
+
+      * live missing + retired present  -> crash mid-swap: the retired
+        dir IS the pre-merge state; restore it (the replay then redoes
+        the merge, which is idempotent);
+      * live present + retired present  -> crash after the swap, before
+        cleanup: the live dir already holds the merged result; drop the
+        stale retired copy.
+    """
+    retired = live_path + ".retired"
+    if os.path.exists(retired):
+        if not os.path.exists(live_path):
+            os.rename(retired, live_path)
+        else:
+            shutil.rmtree(retired)
 
 
 def merge_batch_into_partitioned_table(
@@ -123,6 +150,14 @@ def merge_batch_into_partitioned_table(
     )
     if not affected:  # empty micro-batch: nothing to merge
         return affected
+    # heal any bucket directory a previous crash left mid-swap BEFORE
+    # reading the current table (see _recover_interrupted_swap)
+    if os.path.isdir(table_dir):
+        for entry in os.listdir(table_dir):
+            if entry.endswith(".retired"):
+                _recover_interrupted_swap(
+                    os.path.join(table_dir, entry[: -len(".retired")])
+                )
     # "table exists" = has at least one bucket directory: a crash between
     # makedirs and the first rename may leave an EMPTY table_dir, which a
     # replayed batch must treat as no-table (read.parquet on an empty dir

@@ -346,3 +346,34 @@ def test_ivfpq_batch_top_k_retrieves_planted(spark):
     )
 
     assert has_broadcast_join(top1)
+
+
+def test_batch_brute_force_matches_single_query(spark, sf_dir):
+    """brute_force_batch_top_k (broadcast query table + rank window) must
+    return exactly the per-query results of single-query brute_force_top_k
+    — same ids, same cosine bits, same rank order."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        brute_force_batch_top_k,
+        brute_force_top_k,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    batch = brute_force_batch_top_k(e, queries, k=7).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+    for qid in (0, 1, 2):
+        qvec = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        single = brute_force_top_k(e, qvec, k=7).collect()
+        want = [(i + 1, r.vec_id, r.cosine) for i, r in enumerate(single)]
+        assert sorted(got[qid]) == want

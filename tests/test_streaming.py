@@ -641,3 +641,68 @@ def test_rocksdb_state_store_backend(spark, sf_dir, tmp_path):
         else:
             conf.set(key, saved)
     assert rocks_res == default_res and rocks_res
+
+
+def test_upsert_crash_between_renames_is_recovered(spark, tmp_path):
+    """Crash-window correctness: if a merge died AFTER moving the live
+    data to `.retired` but BEFORE moving staging in, the replayed batch
+    must first RESTORE the pre-merge state — otherwise it would see no
+    current table and silently drop every non-batch row. Both crash
+    states (mid-swap and post-swap-pre-cleanup) for both the flat and
+    the partitioned path."""
+    import os
+    import shutil
+
+    from apache_spark_streaming_project_spark.streaming.upsert import (
+        merge_batch_into_partitioned_table,
+        merge_batch_into_table,
+    )
+
+    b1 = spark.createDataFrame(
+        [(i, 1, f"v1-{i}") for i in range(40)], ["k", "version", "payload"]
+    )
+    b2 = spark.createDataFrame(
+        [(3, 2, "v2-3"), (999, 2, "new")], ["k", "version", "payload"]
+    )
+
+    def snap(path):
+        return {
+            (r.k, r.version, r.payload)
+            for r in spark.read.parquet(path)
+            .select("k", "version", "payload")
+            .collect()
+        }
+
+    want = {(i, 1, f"v1-{i}") for i in range(40) if i != 3} | {
+        (3, 2, "v2-3"),
+        (999, 2, "new"),
+    }
+
+    # flat path, crash state A: live moved to .retired, staging never landed
+    flat = str(tmp_path / "flat")
+    merge_batch_into_table(b1, flat, ["k"], "version")
+    os.rename(flat, flat + ".retired")  # simulate dying mid-swap
+    merge_batch_into_table(b2, flat, ["k"], "version")  # replay
+    assert snap(flat) == want
+
+    # flat path, crash state B: swap done, stale .retired left behind
+    flat2 = str(tmp_path / "flat2")
+    merge_batch_into_table(b1, flat2, ["k"], "version")
+    shutil.copytree(flat2, flat2 + ".retired")  # stale pre-merge copy
+    merge_batch_into_table(b2, flat2, ["k"], "version")
+    assert snap(flat2) == want
+    assert not os.path.exists(flat2 + ".retired")
+
+    # partitioned path: crash one AFFECTED bucket mid-swap, leave a stale
+    # .retired on another
+    ptab = str(tmp_path / "ptab")
+    merge_batch_into_partitioned_table(b1, ptab, ["k"], "version", n_buckets=8)
+    touched = merge_batch_into_partitioned_table(
+        b2, ptab, ["k"], "version", n_buckets=8
+    )
+    # simulate mid-swap crash on the first touched bucket
+    victim = os.path.join(ptab, f"pbucket={touched[0]}")
+    os.rename(victim, victim + ".retired")
+    merge_batch_into_partitioned_table(b2, ptab, ["k"], "version", n_buckets=8)
+    assert snap(ptab) == want
+    assert not any(e.endswith(".retired") for e in os.listdir(ptab))
