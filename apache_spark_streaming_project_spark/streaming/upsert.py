@@ -45,6 +45,7 @@ import shutil
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
+from pyspark.sql.window import Window
 
 from apache_spark_streaming_project_spark.operators.dedup import (
     latest_version_dedup,
@@ -133,10 +134,18 @@ def merge_batch_into_partitioned_table(
          directory keeps its exact bytes.
 
     At 100 TB this is the difference between rewriting the corpus per
-    micro-batch and rewriting ~batch-sized slices of it; pick
-    ``n_buckets`` so one bucket (~table/n_buckets) is a few executor
-    tasks' worth of data. Returns the affected bucket ids (for tests /
-    observability)."""
+    micro-batch and rewriting ~batch-sized slices of it. Sizing (the
+    measured law — tools/probe_upsert_scale.py, BASELINE.md): a batch of
+    B uniformly-hashed distinct keys touches ~min(B, n_buckets) buckets,
+    so per-merge cost is O(min(B, n_buckets)/n_buckets x table + batch)
+    — the pruning wins exactly when B is small relative to ``n_buckets``
+    (hundreds of keys per micro-batch into a 256-4096-bucket table) and
+    converges to the flat rewrite as B approaches n_buckets. Pick
+    ``n_buckets`` large relative to per-batch key counts while keeping
+    one bucket a few executor tasks' worth of data; for time-clustered
+    keys prefer RANGE bucketing over hash so a batch's updates land in
+    few buckets (hash destroys update locality). Returns the affected
+    bucket ids (for tests / observability)."""
     spark = batch_df.sparkSession
     data_cols = list(batch_df.columns)
     if bucket_col in data_cols:
@@ -174,16 +183,27 @@ def merge_batch_into_partitioned_table(
         candidates = current.unionByName(batch)
     else:
         candidates = batch
-    merged = latest_version_dedup(
-        candidates, key_cols, [F.col(version_col).desc()]
+    # ONE shuffle total: repartition by bucket FIRST, then rank the
+    # window over (bucket, keys) — HashPartitioning(bucket) satisfies
+    # ClusteredDistribution(bucket, keys) because bucket is a function of
+    # the keys, so Catalyst inserts no second exchange for the window
+    # (plan-asserted in tests). The naive latest_version_dedup-then-
+    # repartition shape shuffles the touched data twice, which the scale
+    # probe (tools/probe_upsert_scale.py) measured as the dominant cost.
+    w = Window.partitionBy(bucket_col, *key_cols).orderBy(
+        F.col(version_col).desc()
+    )
+    merged = (
+        candidates.repartition(F.col(bucket_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
     staging = table_dir + staging_suffix
     shutil.rmtree(staging, ignore_errors=True)
-    # repartition-by-bucket before partitionBy: one task per directory,
-    # no small-files explosion (sources/partitioned.py rationale)
-    merged.repartition(F.col(bucket_col)).write.partitionBy(
-        bucket_col
-    ).mode("overwrite").parquet(staging)
+    # already partitioned by bucket: one writing task per directory, no
+    # small-files explosion (sources/partitioned.py rationale)
+    merged.write.partitionBy(bucket_col).mode("overwrite").parquet(staging)
     os.makedirs(table_dir, exist_ok=True)
     for b in affected:
         src = os.path.join(staging, f"{bucket_col}={b}")

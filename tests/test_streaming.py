@@ -706,3 +706,49 @@ def test_upsert_crash_between_renames_is_recovered(spark, tmp_path):
     merge_batch_into_partitioned_table(b2, ptab, ["k"], "version", n_buckets=8)
     assert snap(ptab) == want
     assert not any(e.endswith(".retired") for e in os.listdir(ptab))
+
+
+def test_partitioned_merge_plan_is_single_shuffle(spark, tmp_path):
+    """The merge's rank-then-write pipeline must carry exactly ONE
+    exchange: repartition by bucket satisfies the (bucket, keys) window's
+    clustering requirement (bucket is a function of the keys), so
+    Catalyst must not insert a second shuffle for the window."""
+    import os
+
+    from pyspark.sql.window import Window as W
+
+    from apache_spark_streaming_project_spark.streaming.upsert import (
+        merge_batch_into_partitioned_table,
+    )
+
+    # replicate the merge's internal plan shape on a plain DataFrame
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit(1).alias("version")
+    )
+    bucket = F.pmod(F.xxhash64("k"), F.lit(16)).cast("int")
+    w = W.partitionBy("pbucket", "k").orderBy(F.col("version").desc())
+    plan = (
+        df.withColumn("pbucket", bucket)
+        .repartition(F.col("pbucket"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+    # and the real merge still produces correct results with the fused plan
+    table = str(tmp_path / "t")
+    b = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (2, 1, "c")], ["k", "version", "payload"]
+    )
+    merge_batch_into_partitioned_table(b, table, ["k"], "version", n_buckets=4)
+    got = {
+        (r.k, r.version, r.payload)
+        for r in spark.read.parquet(table)
+        .select("k", "version", "payload")
+        .collect()
+    }
+    assert got == {(1, 2, "b"), (2, 1, "c")}
+    assert os.path.isdir(table)
