@@ -42,7 +42,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 from pyspark.sql.window import Window
@@ -113,6 +113,7 @@ def merge_batch_into_partitioned_table(
     n_buckets: int = 64,
     bucket_col: str = "pbucket",
     staging_suffix: str = ".staging",
+    bucket_expr: Column | None = None,
 ) -> list[int]:
     """Partition-PRUNED merge step: the table is hive-partitioned by
     ``pbucket = pmod(xxhash64(keys), n_buckets)`` and a merge touches only
@@ -144,19 +145,37 @@ def merge_batch_into_partitioned_table(
     ``n_buckets`` large relative to per-batch key counts while keeping
     one bucket a few executor tasks' worth of data; for time-clustered
     keys prefer RANGE bucketing over hash so a batch's updates land in
-    few buckets (hash destroys update locality). Returns the affected
-    bucket ids (for tests / observability)."""
+    few buckets (hash destroys update locality) — pass ``bucket_expr``
+    with any deterministic integer function of the key columns (e.g.
+    ``F.col("event_day") // 30`` for monthly range buckets; a clustered
+    batch then touches ~1 bucket where the hash layout touches
+    min(B, n_buckets), test-demonstrated). The bucket expression is part
+    of the table layout: use the SAME expr for every merge into a table.
+    Returns the affected bucket ids (for tests / observability)."""
     spark = batch_df.sparkSession
     data_cols = list(batch_df.columns)
     if bucket_col in data_cols:
         raise ValueError(f"batch already has a {bucket_col!r} column")
-    bucket = F.pmod(
-        F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)
-    ).cast("int")
-    batch = batch_df.withColumn(bucket_col, bucket)
-    affected = sorted(
-        r[0] for r in batch.select(bucket_col).distinct().collect()
+    if bucket_expr is None:
+        bucket_expr = F.pmod(
+            F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)
+        )
+    batch = batch_df.withColumn(bucket_col, bucket_expr.cast("int"))
+    # bounded driver collect: the hash layout caps this at n_buckets by
+    # construction; a caller-supplied bucket_expr must stay layout-sized
+    # too — fail loudly if it degenerates into a per-key partition scheme
+    # (which would mean one directory per key: listing death at scale)
+    _cap = max(int(n_buckets), 4096)
+    affected_rows = (
+        batch.select(bucket_col).distinct().limit(_cap + 1).collect()
     )
+    if len(affected_rows) > _cap:
+        raise ValueError(
+            f"bucket_expr produced more than {_cap} distinct buckets in one "
+            "batch — the bucket function must be layout-sized (coarse), "
+            "not key-sized"
+        )
+    affected = sorted(r[0] for r in affected_rows)
     if not affected:  # empty micro-batch: nothing to merge
         return affected
     # heal any bucket directory a previous crash left mid-swap BEFORE

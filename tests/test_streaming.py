@@ -752,3 +752,70 @@ def test_partitioned_merge_plan_is_single_shuffle(spark, tmp_path):
     }
     assert got == {(1, 2, "b"), (2, 1, "c")}
     assert os.path.isdir(table)
+
+
+def test_range_bucket_expr_preserves_update_locality(spark, tmp_path):
+    """Time-clustered keys + a RANGE bucket expr: a batch whose keys fall
+    in one range touches exactly ONE bucket, where the default hash
+    layout scatters the same batch across ~min(B, n_buckets) buckets —
+    the locality argument in the docstring, demonstrated."""
+    from apache_spark_streaming_project_spark.streaming.upsert import (
+        merge_batch_into_partitioned_table,
+    )
+
+    base = spark.createDataFrame(
+        [(i, 1, f"v1-{i}") for i in range(800)], ["k", "version", "payload"]
+    )
+    range_expr = F.col("k") / 100  # 8 range buckets of 100 keys
+    rtab = str(tmp_path / "range")
+    htab = str(tmp_path / "hash")
+    merge_batch_into_partitioned_table(
+        base, rtab, ["k"], "version", bucket_expr=range_expr
+    )
+    merge_batch_into_partitioned_table(base, htab, ["k"], "version", n_buckets=8)
+
+    # a "recent window" batch: 20 clustered keys, all in [700, 720)
+    batch = spark.createDataFrame(
+        [(700 + i, 2, f"v2-{i}") for i in range(20)],
+        ["k", "version", "payload"],
+    )
+    touched_range = merge_batch_into_partitioned_table(
+        batch, rtab, ["k"], "version", bucket_expr=range_expr
+    )
+    touched_hash = merge_batch_into_partitioned_table(
+        batch, htab, ["k"], "version", n_buckets=8
+    )
+    assert touched_range == [7]  # one bucket: the 700..799 range
+    assert len(touched_hash) > 3  # hash scatters the clustered batch
+    # both layouts converge to the same logical table
+    rs = {
+        (r.k, r.version, r.payload)
+        for r in spark.read.parquet(rtab).select("k", "version", "payload").collect()
+    }
+    hs = {
+        (r.k, r.version, r.payload)
+        for r in spark.read.parquet(htab).select("k", "version", "payload").collect()
+    }
+    assert rs == hs
+
+
+def test_degenerate_bucket_expr_rejected(spark, tmp_path):
+    """A per-key bucket expression (one directory per key) must fail
+    loudly instead of building a listing-hostile layout."""
+    import pytest
+
+    from apache_spark_streaming_project_spark.streaming.upsert import (
+        merge_batch_into_partitioned_table,
+    )
+
+    batch = spark.createDataFrame(
+        [(i, 1, "x") for i in range(5000)], ["k", "version", "payload"]
+    )
+    with pytest.raises(ValueError, match="layout-sized"):
+        merge_batch_into_partitioned_table(
+            batch,
+            str(tmp_path / "t"),
+            ["k"],
+            "version",
+            bucket_expr=F.col("k"),  # key-sized: 5000 distinct buckets
+        )
