@@ -923,24 +923,25 @@ def near_dup_clusters(
             .agg(F.min("cluster_id").alias("_nlabel"))
             .withColumnRenamed("_src", "_key")
         )
-        new_labels = (
+        # the change probe rides INSIDE the propagation row: min-label
+        # propagation only ever DECREASES a label, so `new < old` is the
+        # change flag — no separate new-vs-old labels join per round (that
+        # join was one extra shuffle per round, measured as a fixed-cost
+        # tax on every clustering query at fixture scale)
+        new = F.least(
+            F.col("cluster_id"), F.coalesce("_nlabel", F.col("cluster_id"))
+        )
+        stepped = (
             labels.join(neigh, "_key", "left")
             .select(
                 "_key",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce("_nlabel", F.col("cluster_id")),
-                ).alias("cluster_id"),
+                new.alias("_new"),
+                (new < F.col("cluster_id")).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "_key")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("_chg")).count()  # scan, no join
+        labels = stepped.select("_key", F.col("_new").alias("cluster_id"))
         if changed == 0:
             break
     else:
