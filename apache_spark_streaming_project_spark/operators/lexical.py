@@ -67,6 +67,11 @@ _TF_NUM = 22
 _TF_CONST = 3
 _TF_DL = 9
 
+# int64-safety margin for the BIGINT products (2^62, one bit of headroom
+# for the double-space guard arithmetic below). Tests shrink this to
+# exercise the failure path.
+_INT64_SAFE = float(2**62)
+
 
 def postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, term, tf) postings list from whitespace tokens.
@@ -93,7 +98,38 @@ def _contribution(n_docs: Column, total: Column) -> Column:
         + F.lit(_TF_CONST) * total
         + F.lit(_TF_DL) * F.col("dl") * n_docs
     )
-    return (idf_num * tf_num).cast("double") / (idf_den * tf_den).cast("double")
+    # The docstring's ~10^13-token bound, ENFORCED: overflow in the BIGINT
+    # products would silently corrupt every score, so the guard rides on
+    # each contribution row. It checks the OPERANDS in double space
+    # (sufficient upper bounds computed in doubles can't themselves
+    # overflow; _INT64_SAFE keeps a bit of headroom for their rounding),
+    # because testing the products after the multiply would be too late.
+    nd, tot = n_docs.cast("double"), total.cast("double")
+    tfd, dld, dfd = (
+        F.col("tf").cast("double"),
+        F.col("dl").cast("double"),
+        F.col("df").cast("double"),
+    )
+    num_bound = F.lit(2.0 * _TF_NUM) * nd * tfd * tot
+    den_bound = (F.lit(2.0) * dfd + 1.0) * (
+        F.lit(10.0) * tfd * tot + F.lit(3.0) * tot + F.lit(9.0) * dld * nd
+    )
+    guard = F.assert_true(
+        (num_bound < F.lit(_INT64_SAFE)) & (den_bound < F.lit(_INT64_SAFE)),
+        F.lit(
+            "bm25 integer rewrite exceeds int64-safe magnitudes for this "
+            "corpus; pre-scale `total` by a corpus constant (ranking-"
+            "invariant, see module docstring)"
+        ),
+    )
+    score = (idf_num * tf_num).cast("double") / (idf_den * tf_den).cast(
+        "double"
+    )
+    # no .otherwise(): If(guard-is-null, score, score) would be folded to
+    # plain `score` by SimplifyConditionals, silently deleting the guard;
+    # with branches (score, null) the conditional — and the assert inside
+    # its predicate — must be evaluated per row
+    return F.when(guard.isNull(), score)
 
 
 def bm25_top_k(

@@ -362,3 +362,26 @@ class TestRRFFuse:
         out = rrf_fuse(a, b, k=5).collect()
         assert len(out) == 5
         assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+
+
+def test_bm25_int64_guard_fails_loudly(spark, monkeypatch):
+    """The int64-magnitude bound is ENFORCED in-plan, not just documented:
+    with the safety threshold shrunk below fixture magnitudes, scoring
+    must raise instead of silently overflowing the BIGINT products."""
+    import pytest
+
+    from apache_spark_streaming_project_spark.operators import lexical
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "alpha"), (0, "beta")], "query_id long, term string"
+    )
+    # normal threshold: runs fine
+    assert lexical.bm25_top_k(docs, queries, k=5).count() == 5
+    # shrunk threshold: the guard must trip
+    monkeypatch.setattr(lexical, "_INT64_SAFE", 10.0)
+    with pytest.raises(Exception, match="int64-safe"):
+        lexical.bm25_top_k(docs, queries, k=5).collect()
