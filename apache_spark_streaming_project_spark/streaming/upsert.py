@@ -147,8 +147,8 @@ def merge_batch_into_partitioned_table(
     keys prefer RANGE bucketing over hash so a batch's updates land in
     few buckets (hash destroys update locality) — pass ``bucket_expr``
     with any deterministic integer function of the key columns (e.g.
-    ``F.col("event_day") // 30`` for monthly range buckets; a clustered
-    batch then touches ~1 bucket where the hash layout touches
+    ``F.floor(F.col("event_day") / 30)`` for monthly range buckets; a
+    clustered batch then touches ~1 bucket where the hash layout touches
     min(B, n_buckets), test-demonstrated). The bucket expression is part
     of the table layout: use the SAME expr for every merge into a table.
     Returns the affected bucket ids (for tests / observability)."""
