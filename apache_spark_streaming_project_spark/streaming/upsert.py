@@ -35,10 +35,19 @@ directory, which the next merge RESTORES before reading (see
 ``_recover_interrupted_swap`` — replay alone is not enough: without the
 restore, the replayed batch would see no current data and drop every
 non-batch row) and then heals by idempotent re-merge.
+
+SINGLE WRITER: one merge at a time per table. Structured Streaming's
+``foreachBatch`` serializes batches within a query, which is the
+intended deployment; two concurrent queries (or a backfill racing the
+stream) merging the same ``table_dir`` would interleave swap renames
+with no coordination — point them at separate tables or serialize
+externally. Readers are safe at any time (directory renames are atomic;
+a reader sees each partition either pre- or post-swap, never half).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -160,6 +169,24 @@ def merge_batch_into_partitioned_table(
         bucket_expr = F.pmod(
             F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)
         )
+    # The bucket function IS the table layout: merging with a different
+    # one silently splits each key's history across directories (old rows
+    # under the old bucket, new rows under the new — the newest-version
+    # window then never sees both). A `_layout.json` sidecar (underscore
+    # prefix: invisible to Spark's reader, like _SUCCESS) pins the layout
+    # at first merge and every later merge must match it.
+    layout = {"bucket_col": bucket_col, "bucket_fn": str(bucket_expr)}
+    layout_path = os.path.join(table_dir, "_layout.json")
+    if os.path.exists(layout_path):
+        with open(layout_path) as fh:
+            existing = json.load(fh)
+        if existing != layout:
+            raise ValueError(
+                "bucket layout mismatch: table was built with "
+                f"{existing}, this merge supplies {layout} — merging "
+                "across layouts would split key histories across "
+                "directories; rebuild the table to change its layout"
+            )
     batch = batch_df.withColumn(bucket_col, bucket_expr.cast("int"))
     # bounded driver collect: the hash layout caps this at n_buckets by
     # construction; a caller-supplied bucket_expr must stay layout-sized
@@ -235,6 +262,9 @@ def merge_batch_into_partitioned_table(
             os.rename(src, dst)
         shutil.rmtree(retired, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
+    if not os.path.exists(layout_path):
+        with open(layout_path, "w") as fh:
+            json.dump(layout, fh)
     return affected
 
 

@@ -429,3 +429,87 @@ def test_chunking_reconstructs_original_text(spark, text, chunk_chars, overlap):
         assert r["char_start"] == r["chunk_idx"] * stride
         rebuilt += r["chunk_text"][overlap:]
     assert rebuilt == text
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.dictionaries(
+        st.integers(0, 15),
+        st.lists(
+            st.tuples(st.sampled_from(["U", "D"]), st.text("ab", max_size=3)),
+            min_size=0,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sets(st.integers(0, 15), min_size=0, max_size=10),
+)
+def test_apply_changelog_matches_python_reference(spark, change_map, base_keys):
+    """CDC apply == per-key highest-version-wins with tombstone removal,
+    for ANY mix of upserts/deletes over ANY base/changes key overlap
+    (versions strictly increase per key, the documented precondition)."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        apply_changelog,
+    )
+
+    base_rows = [(k, 0, f"base-{k}") for k in base_keys]
+    change_rows = [
+        (k, v + 1, payload, op)
+        for k, ops in change_map.items()
+        for v, (op, payload) in enumerate(ops)
+    ]
+    base = spark.createDataFrame(
+        base_rows or [(999_999, 0, "sentinel")],
+        "k long, version long, payload string",
+    )
+    changes = spark.createDataFrame(
+        change_rows or [(999_999, 1, "sentinel2", "U")],
+        "k long, version long, payload string, op string",
+    )
+    got = {
+        r.k: (r.version, r.payload)
+        for r in apply_changelog(base, changes, ["k"], "version").collect()
+    }
+
+    # independent reference: highest version decides; D-tombstone removes
+    state = {}
+    for k, v, p in base_rows or [(999_999, 0, "sentinel")]:
+        state.setdefault(k, []).append((v, p, "U"))
+    for k, v, p, op in change_rows or [(999_999, 1, "sentinel2", "U")]:
+        state.setdefault(k, []).append((v, p, op))
+    want = {}
+    for k, rows in state.items():
+        v, p, op = max(rows)  # versions unique per key by construction
+        if op != "D":
+            want[k] = (v, p)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    st.integers(5, 50),
+)
+def test_pack_documents_matches_python_reference(spark, token_counts, budget):
+    """Sequence packing == the documented cumulative-fill formula
+    (pack_id = floor((running_total - 1) / budget) in doc order), for any
+    document lengths incl. zero-token and over-budget docs."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        pack_documents,
+    )
+
+    rows = [(i, n) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r.doc_id: r.pack_id
+        for r in pack_documents(df, "n_tok", budget).collect()
+    }
+    cum = 0
+    want = {}
+    for i, n in rows:
+        cum += n
+        # Python // floors like SQL floor(), including the zero-token
+        # prefix case: cum=0 -> (0-1)//budget == -1, same as the engine
+        want[i] = (cum - 1) // budget
+    assert got == want

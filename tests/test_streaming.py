@@ -503,9 +503,9 @@ def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     touched0 = merge_batch_into_partitioned_table(
         base, table, ["k"], "version", n_buckets=nb
     )
-    assert sorted(os.listdir(table)) == sorted(
-        f"pbucket={b}" for b in touched0
-    )
+    assert sorted(
+        e for e in os.listdir(table) if e.startswith("pbucket=")
+    ) == sorted(f"pbucket={b}" for b in touched0)
     merge_batch_into_table(base, flat, ["k"], "version")
 
     def dir_bytes(bucket_dir):
@@ -520,7 +520,9 @@ def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
         return out
 
     before = {
-        d: dir_bytes(os.path.join(table, d)) for d in os.listdir(table)
+        d: dir_bytes(os.path.join(table, d))
+        for d in os.listdir(table)
+        if d.startswith("pbucket=")
     }
 
     batch = spark.createDataFrame(
@@ -552,7 +554,11 @@ def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     assert snap(table) == snap(flat)  # pruned merge == full-rewrite merge
 
     # replay the same batch: idempotent, and still only those buckets move
-    mid = {d: dir_bytes(os.path.join(table, d)) for d in os.listdir(table)}
+    mid = {
+        d: dir_bytes(os.path.join(table, d))
+        for d in os.listdir(table)
+        if d.startswith("pbucket=")
+    }
     touched_again = merge_batch_into_partitioned_table(
         batch, table, ["k"], "version", n_buckets=nb
     )
@@ -818,4 +824,32 @@ def test_degenerate_bucket_expr_rejected(spark, tmp_path):
             ["k"],
             "version",
             bucket_expr=F.col("k"),  # key-sized: 5000 distinct buckets
+        )
+
+
+def test_layout_mismatch_rejected(spark, tmp_path):
+    """The bucket function is part of the table layout: merging with a
+    different n_buckets (or bucket_expr) than the table was built with
+    must raise — a silent mismatch splits each key's history across
+    directories and the newest-version window never sees both."""
+    import pytest
+
+    from apache_spark_streaming_project_spark.streaming.upsert import (
+        merge_batch_into_partitioned_table,
+    )
+
+    table = str(tmp_path / "t")
+    b = spark.createDataFrame(
+        [(i, 1, "x") for i in range(50)], ["k", "version", "payload"]
+    )
+    merge_batch_into_partitioned_table(b, table, ["k"], "version", n_buckets=8)
+    # same layout: fine (idempotent replay)
+    merge_batch_into_partitioned_table(b, table, ["k"], "version", n_buckets=8)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        merge_batch_into_partitioned_table(
+            b, table, ["k"], "version", n_buckets=16
+        )
+    with pytest.raises(ValueError, match="layout mismatch"):
+        merge_batch_into_partitioned_table(
+            b, table, ["k"], "version", bucket_expr=F.col("k") / 10
         )
