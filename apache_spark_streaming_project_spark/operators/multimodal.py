@@ -9,11 +9,13 @@ Decode modes: ``fake_decode=True`` (default, the ORACLE path) derives
 deterministic SQL-reproducible features from the raw payload bytes so the
 whole Arrow pipeline is hash-verifiable; ``fake_decode=False`` (real mode)
 decodes actual media — WAV audio via the stdlib ``wave`` module (always
-available), images via PIL and video via PyAV WHEN IMPORTABLE
-(import-guarded: environments without the libraries raise
-``NotImplementedError`` with a clear message, and the corresponding tests
-skip). The Spark-side plumbing — schema, batch iteration, partition layout,
-UDF signatures — is identical in both modes.
+available), PNG images via a stdlib ``zlib`` decoder (always available:
+chunk walk + inflate + the five scanline filters, 8-bit gray/RGB/RGBA
+non-interlaced — see ``_decode_png_stdlib``), other image formats via PIL
+and video via PyAV WHEN IMPORTABLE (import-guarded: environments without
+the libraries raise ``NotImplementedError`` with a clear message, and the
+corresponding tests skip). The Spark-side plumbing — schema, batch
+iteration, partition layout, UDF signatures — is identical in all modes.
 
 Scale notes: media payloads dominate row size, so the pre-UDF plan must
 column-prune down to (key, payload) before the Python exchange
@@ -82,24 +84,120 @@ except ImportError:
     _HAS_AV = False
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png_stdlib(payload: bytes) -> bytes:
+    """REAL PNG decode with the standard library alone (struct + zlib):
+    chunk walk (IHDR/IDAT/IEND), inflate, then per-scanline de-filtering
+    (the five PNG filters: None/Sub/Up/Average/Paeth). Supports the
+    dominant storage shape — 8-bit grayscale/RGB/RGBA, non-interlaced —
+    and raises ``NotImplementedError`` for the rest (16-bit, palette,
+    Adam7), where PIL remains the path. RGB(A) converts to grayscale with
+    the ITU-R 601-2 integer luma (299R + 587G + 114B) / 1000 — PIL's
+    documented "L" formula, so both decode paths bin identically.
+
+    Per-pixel Python loops are fine HERE because this runs inside the
+    Arrow kernel of a clearly-bounded real-decode path; a production
+    deployment would vectorize the Up/Average rows with numpy and keep
+    the (inherently sequential) Sub/Paeth recurrences in a compiled
+    kernel — the plumbing around it does not change."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc32
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+        raise NotImplementedError(
+            f"stdlib PNG decoder handles 8-bit gray/RGB/RGBA non-interlaced "
+            f"only (got depth={depth}, color={color}, interlace={interlace});"
+            " install PIL for the rest"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has unexpected length")
+    out = bytearray()
+    prev = bytearray(stride)
+    rp = 0
+    for _ in range(h):
+        f = raw[rp]
+        rp += 1
+        line = bytearray(raw[rp : rp + stride])
+        rp += stride
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter {f}")
+        prev = line
+        if ch == 1:
+            out += line
+        else:  # RGB(A) -> integer luma; alpha ignored like PIL RGB->L
+            for i in range(0, stride, ch):
+                out.append(
+                    (299 * line[i] + 587 * line[i + 1] + 114 * line[i + 2])
+                    // 1000
+                )
+    return bytes(out)
+
+
 def _decode_image_bytes(payload: bytes, fake: bool) -> list[int]:
     """Image decode kernel. Fake mode (the ORACLE path) derives a
     deterministic 8-bin byte histogram from the raw payload (exact integer
     counts — SQL-reproducible, so the oracle gate can hash-verify the whole
     Arrow pipeline; the normalized float 'feature' is derived from it).
-    Real mode decodes via PIL when importable — grayscale pixel-intensity
-    histogram in the same 8 bins — and raises otherwise."""
+    Real mode: PIL when importable (any format); otherwise PNG payloads
+    decode via the stdlib decoder (``_decode_png_stdlib`` — real pixels,
+    zero third-party deps); otherwise raises. All real paths produce the
+    same grayscale pixel-intensity histogram in the same 8 bins."""
     if not fake:
-        if not _HAS_PIL:
+        if _HAS_PIL:
+            import io
+
+            with _PILImage.open(io.BytesIO(payload)) as img:
+                pixels = img.convert("L").tobytes()
+        elif payload[:8] == _PNG_SIG:
+            pixels = _decode_png_stdlib(payload)
+        else:
             raise NotImplementedError(
-                "real image decode requires PIL (pillow), not installed in "
-                "this environment; run with fake_decode=True for the "
+                "real image decode needs PIL for non-PNG formats (not "
+                "installed in this environment); PNG payloads decode via "
+                "the stdlib path, or run with fake_decode=True for the "
                 "deterministic oracle kernel"
             )
-        import io
-
-        with _PILImage.open(io.BytesIO(payload)) as img:
-            pixels = img.convert("L").tobytes()
         hist = [0] * 8
         for p in pixels:
             hist[p >> 5] += 1

@@ -68,11 +68,12 @@ def test_real_audio_pcm8_wav(spark):
 
 def test_real_image_mode_guarded(spark):
     """With PIL present, real mode decodes an actual PNG and histograms
-    pixel intensities; without it, the kernel raises the documented
-    NotImplementedError (wrapped by Spark)."""
+    pixel intensities; without it, NON-PNG payloads raise the documented
+    NotImplementedError (wrapped by Spark) while PNG payloads decode via
+    the stdlib path (tested separately in TestStdlibPNGDecode)."""
     if not mm._HAS_PIL:
-        df = _media_df(spark, [b"\x00" * 16], "image")
-        with pytest.raises(Exception, match="requires PIL"):
+        df = _media_df(spark, [b"\x00" * 16], "image")  # not a PNG
+        with pytest.raises(Exception, match="PIL"):
             mm.extract_image_features(df, fake_decode=False).collect()
         return
     from PIL import Image
@@ -105,3 +106,135 @@ def test_fake_mode_unchanged_by_real_path(spark):
     assert row.hist == [32] * 8 and row.n_bytes == 256
     arow = mm.extract_audio_features(df, fake_decode=True).collect()[0]
     assert arow.sum_sq == sum((b - 128) ** 2 for b in payload)
+
+
+# ---------------------------------------------------------------------------
+# Stdlib PNG decode (runs everywhere — no PIL required)
+# ---------------------------------------------------------------------------
+
+
+def _png_encode(rows, color_type, row_filters=None):
+    """Minimal PNG writer for tests: 8-bit, non-interlaced; `rows` is a
+    list of scanlines, each a flat list of channel bytes. `row_filters`
+    picks the stored filter per row (default all 0) and applies the
+    matching forward-filter so every de-filter branch can be exercised."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    w = len(rows[0]) // ch
+    h = len(rows)
+    row_filters = row_filters or [0] * h
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body)
+        )
+
+    raw = bytearray()
+    prev = [0] * (w * ch)
+    for y, line in enumerate(rows):
+        f = row_filters[y]
+        raw.append(f)
+        for i, v in enumerate(line):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                stored = v
+            elif f == 1:
+                stored = (v - a) & 0xFF
+            elif f == 2:
+                stored = (v - b) & 0xFF
+            elif f == 3:
+                stored = (v - ((a + b) >> 1)) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                stored = (v - pred) & 0xFF
+            raw.append(stored)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _luma(r, g, b):
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+class TestStdlibPNGDecode:
+    def test_rgb_all_filters_roundtrip(self):
+        """Every PNG filter type (None/Sub/Up/Average/Paeth) de-filters
+        back to the original pixels: decoded grayscale equals the luma of
+        the encoded RGB image regardless of which filter stored each row."""
+        import random
+
+        rng = random.Random(7)
+        w, h = 5, 5
+        rows = [[rng.randrange(256) for _ in range(w * 3)] for _ in range(h)]
+        want = bytes(
+            _luma(line[i], line[i + 1], line[i + 2])
+            for line in rows
+            for i in range(0, w * 3, 3)
+        )
+        for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h,
+                        [0, 1, 2, 3, 4]):
+            png = _png_encode(rows, color_type=2, row_filters=filters)
+            assert mm._decode_png_stdlib(png) == want, f"filters={filters}"
+
+    def test_grayscale_and_rgba(self):
+        gray_rows = [[10, 200, 37], [255, 0, 128]]
+        png = _png_encode(gray_rows, color_type=0, row_filters=[4, 2])
+        assert mm._decode_png_stdlib(png) == bytes(
+            v for line in gray_rows for v in line
+        )
+        # RGBA: alpha ignored in the luma (PIL RGB->L parity)
+        rgba_rows = [[200, 100, 50, 255, 0, 0, 0, 0]]
+        png = _png_encode(rgba_rows, color_type=6)
+        assert mm._decode_png_stdlib(png) == bytes(
+            [_luma(200, 100, 50), _luma(0, 0, 0)]
+        )
+
+    def test_unsupported_shapes_raise(self):
+        import struct
+        import zlib
+
+        def png16():
+            ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+
+            def chunk(ctype, data):
+                body = ctype + data
+                return struct.pack(">I", len(data)) + body + struct.pack(
+                    ">I", zlib.crc32(body)
+                )
+
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+                + chunk(b"IEND", b"")
+            )
+
+        with pytest.raises(NotImplementedError, match="16|depth"):
+            mm._decode_png_stdlib(png16())
+        with pytest.raises(ValueError, match="PNG"):
+            mm._decode_png_stdlib(b"not a png at all")
+
+    def test_real_image_features_via_stdlib_png(self, spark):
+        """extract_image_features(fake_decode=False) works WITHOUT PIL for
+        PNG payloads — the real-pixel histogram, end to end through the
+        Arrow kernel."""
+        rows = [[0, 0, 0, 255, 255, 255, 32, 32, 32]]  # black, white, dark
+        png = _png_encode(rows, color_type=2)
+        df = _media_df(spark, [png], media_type="image")
+        out = mm.extract_image_features(df, fake_decode=False).collect()[0]
+        # luma pixels: 0 (bin 0), 255 (bin 7), 32 (bin 1)
+        assert out.hist == [1, 1, 0, 0, 0, 0, 0, 1]
+        assert out.n_bytes == len(png)
