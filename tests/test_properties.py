@@ -513,3 +513,50 @@ def test_pack_documents_matches_python_reference(spark, token_counts, budget):
         # prefix case: cum=0 -> (0-1)//budget == -1, same as the engine
         want[i] = (cum - 1) // budget
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.text(alphabet="abcXYZ09._-&=/", min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_canonical_url_matches_urllib_reference(spark, parts):
+    """canonical_url == an INDEPENDENT Python reimplementation built on
+    urllib.parse (different parser, same spec: lowercase scheme/host,
+    strip one leading www., drop fragment, drop tracking params + sort
+    the rest, collapse duplicate slashes, strip trailing slashes). The
+    idempotence property pins a fixed point; this pins the VALUE."""
+    import re
+    from urllib.parse import urlsplit
+
+    from apache_spark_streaming_project_spark.operators.text import canonical_url
+
+    url = (
+        "HTTPS://WWW.Ex" + (parts[0] or "a").replace("/", "").replace("&", "")
+        .replace("=", "") + ".COM/" + "/".join(parts[1:3])
+        + "?" + "&".join(
+            p for p in ["utm_source=x", "b=2", "a=1", *parts[3:5]] if p
+        )
+        + "#frag"
+    )
+
+    def ref(u: str) -> str:
+        s = urlsplit(u)
+        scheme = s.scheme.lower()
+        host = re.sub(r"^www\.", "", s.netloc.lower())
+        path = re.sub(r"/+$", "", re.sub(r"/{2,}", "/", s.path))
+        params = sorted(
+            p
+            for p in s.query.split("&")
+            if p
+            and not re.match(r"^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)=", p)
+        )
+        q = "?" + "&".join(params) if params else ""
+        return f"{scheme}://{host}{path}{q}"
+
+    df = spark.createDataFrame([(url,)], "u string")
+    got = df.select(canonical_url("u").alias("c")).first()["c"]
+    assert got == ref(url)
