@@ -560,3 +560,114 @@ def test_canonical_url_matches_urllib_reference(spark, parts):
     df = spark.createDataFrame([(url,)], "u string")
     got = df.select(canonical_url("u").alias("c")).first()["c"]
     assert got == ref(url)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.dictionaries(st.integers(0, 12), st.text("ab", max_size=2),
+                    min_size=0, max_size=10),
+    st.dictionaries(st.integers(0, 12), st.text("ab", max_size=2),
+                    min_size=0, max_size=10),
+)
+def test_snapshot_diff_matches_python_reference(spark, old_map, new_map):
+    """snapshot_diff classifies every key exactly like the obvious Python
+    set/dict reference (added/removed/changed/unchanged, null-safe), for
+    any overlap between the two snapshots."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        list(old_map.items()) or [(999, "s")], "k long, payload string"
+    )
+    new = spark.createDataFrame(
+        list(new_map.items()) or [(998, "s")], "k long, payload string"
+    )
+    om = old_map or {999: "s"}
+    nm = new_map or {998: "s"}
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, ["k"], ["payload"]).collect()
+    }
+    want = {}
+    for k in set(om) | set(nm):
+        if k not in om:
+            want[k] = "added"
+        elif k not in nm:
+            want[k] = "removed"
+        elif om[k] != nm[k]:
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_span_coverage_matches_python_reference(spark, token_lists):
+    """duplicate_span_coverage == the brute-force reference: per doc, the
+    number of token positions covered by some word n-gram occurring in
+    >= 2 distinct documents (n=3 for tractable fixtures)."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        duplicate_span_coverage,
+    )
+
+    n = 3
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.covered_tokens)
+        for r in duplicate_span_coverage(df, "doc_id", "text", n=n).collect()
+    }
+
+    gram_docs = {}
+    for i, toks in enumerate(token_lists):
+        for s in range(len(toks) - n + 1):
+            gram_docs.setdefault(tuple(toks[s : s + n]), set()).add(i)
+    want = {}
+    for i, toks in enumerate(token_lists):
+        covered = set()
+        for s in range(len(toks) - n + 1):
+            if len(gram_docs[tuple(toks[s : s + n])]) >= 2:
+                covered |= set(range(s, s + n))
+        want[i] = (len(toks), len(covered))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000)),
+             min_size=1, max_size=40),
+    st.integers(1, 5),
+)
+def test_stratified_sample_quota_and_determinism(spark, rows, quota):
+    """stratified_sample keeps EXACTLY min(quota, stratum size) rows per
+    stratum — the lowest order_col values, deterministically — and is
+    invariant to physical partitioning."""
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    data = [(i, f"s{g}", v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, stratum string, v long")
+    picked = stratified_sample(
+        df, ["stratum"], quota, F.struct("v", "doc_id")
+    ).collect()
+    by_stratum = {}
+    for r in picked:
+        by_stratum.setdefault(r.stratum, []).append((r.v, r.doc_id))
+    ref = {}
+    for i, (g, v) in enumerate(rows):
+        ref.setdefault(f"s{g}", []).append((v, i))
+    for s, members in ref.items():
+        assert sorted(by_stratum.get(s, [])) == sorted(members)[:quota]
+    again = stratified_sample(
+        df.repartition(7), ["stratum"], quota, F.struct("v", "doc_id")
+    ).collect()
+    assert sorted(map(tuple, picked)) == sorted(map(tuple, again))
