@@ -174,6 +174,38 @@ def _decode_png_stdlib(payload: bytes) -> bytes:
     return bytes(out)
 
 
+def _decode_bmp_stdlib(payload: bytes) -> bytes:
+    """REAL BMP decode, stdlib only: the uncompressed 24-bit BI_RGB
+    shape (the overwhelmingly common one). Pixel rows are bottom-up,
+    BGR, padded to 4-byte multiples; converts to grayscale with the same
+    ITU-R 601-2 integer luma as the PNG path. Raises
+    ``NotImplementedError`` for compressed / other-depth BMPs."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    hdr_size, w, h, _planes, depth, compression = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if depth != 24 or compression != 0:
+        raise NotImplementedError(
+            f"stdlib BMP decoder handles uncompressed 24-bit only "
+            f"(got depth={depth}, compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte multiples
+    out = bytearray(w * h)
+    for row in range(h):
+        src = data_off + row * stride
+        dst_row = (h - 1 - row) if bottom_up else row
+        for x in range(w):
+            b, g, r = payload[src + 3 * x : src + 3 * x + 3]
+            out[dst_row * w + x] = (299 * r + 587 * g + 114 * b) // 1000
+    return bytes(out)
+
+
 def _decode_image_bytes(payload: bytes, fake: bool) -> list[int]:
     """Image decode kernel. Fake mode (the ORACLE path) derives a
     deterministic 8-bin byte histogram from the raw payload (exact integer
@@ -191,12 +223,14 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> list[int]:
                 pixels = img.convert("L").tobytes()
         elif payload[:8] == _PNG_SIG:
             pixels = _decode_png_stdlib(payload)
+        elif payload[:2] == b"BM":
+            pixels = _decode_bmp_stdlib(payload)
         else:
             raise NotImplementedError(
-                "real image decode needs PIL for non-PNG formats (not "
-                "installed in this environment); PNG payloads decode via "
-                "the stdlib path, or run with fake_decode=True for the "
-                "deterministic oracle kernel"
+                "real image decode needs PIL for formats other than "
+                "PNG/BMP (not installed in this environment); PNG and "
+                "24-bit BMP payloads decode via the stdlib paths, or run "
+                "with fake_decode=True for the deterministic oracle kernel"
             )
         hist = [0] * 8
         for p in pixels:

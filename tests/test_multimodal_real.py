@@ -238,3 +238,55 @@ class TestStdlibPNGDecode:
         # luma pixels: 0 (bin 0), 255 (bin 7), 32 (bin 1)
         assert out.hist == [1, 1, 0, 0, 0, 0, 0, 1]
         assert out.n_bytes == len(png)
+
+
+def _bmp_encode(rows_rgb):
+    """Minimal 24-bit BI_RGB BMP writer (bottom-up, padded rows)."""
+    import struct
+
+    h = len(rows_rgb)
+    w = len(rows_rgb[0])
+    stride = (w * 3 + 3) & ~3
+    pixel_bytes = bytearray()
+    for row in reversed(rows_rgb):  # bottom-up storage
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes([b, g, r])  # BGR order
+        line += b"\x00" * (stride - len(line))
+        pixel_bytes += line
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       len(pixel_bytes), 2835, 2835, 0, 0)
+    off = 14 + len(info)
+    header = b"BM" + struct.pack("<IHHI", off + len(pixel_bytes), 0, 0, off)
+    return header + info + bytes(pixel_bytes)
+
+
+class TestStdlibBMPDecode:
+    def test_bmp_roundtrip_with_padding(self):
+        """3-px-wide rows force 1 byte of padding per row; decode must
+        skip it, un-reverse the bottom-up order, and swap BGR->RGB before
+        the luma."""
+        rows = [
+            [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+            [(10, 20, 30), (0, 0, 0), (255, 255, 255)],
+        ]
+        want = bytes(
+            _luma(r, g, b) for row in rows for (r, g, b) in row
+        )
+        assert mm._decode_bmp_stdlib(_bmp_encode(rows)) == want
+
+    def test_bmp_unsupported_raises(self):
+        import struct
+
+        bad = bytearray(_bmp_encode([[(1, 2, 3)]]))
+        bad[28:30] = struct.pack("<H", 8)  # depth 8: unsupported
+        with pytest.raises(NotImplementedError, match="24-bit"):
+            mm._decode_bmp_stdlib(bytes(bad))
+        with pytest.raises(ValueError, match="BMP"):
+            mm._decode_bmp_stdlib(b"nope")
+
+    def test_real_image_features_via_stdlib_bmp(self, spark):
+        rows = [[(0, 0, 0), (255, 255, 255)]]
+        df = _media_df(spark, [_bmp_encode(rows)], media_type="image")
+        out = mm.extract_image_features(df, fake_decode=False).collect()[0]
+        assert out.hist == [1, 0, 0, 0, 0, 0, 0, 1]
