@@ -61,6 +61,25 @@ from apache_spark_streaming_project_spark.operators.dedup import (
 )
 
 
+def _sweep_stale_staging(table_dir: str) -> None:
+    """Delete orphaned staging directories from crashed merges. Staging
+    dirs are per-batch (``<table>.staging-<batch_id>``); a crash orphans
+    that batch's dir, and because recovery otherwise only heals dirs for
+    the batch_id being REPLAYED, stale siblings from other batch ids
+    would accumulate on disk forever. Safe under the single-writer
+    contract (module docstring): no concurrent merge can own a staging
+    dir while this merge runs, so anything matching the prefix is
+    garbage by definition. Runs alongside the ``.retired`` healing pass
+    at the start of every merge."""
+    parent = os.path.dirname(os.path.abspath(table_dir)) or "."
+    base = os.path.basename(os.path.abspath(table_dir))
+    if not os.path.isdir(parent):
+        return
+    for entry in os.listdir(parent):
+        if entry.startswith(base + ".staging"):
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+
+
 def merge_batch_into_table(
     batch_df: DataFrame,
     table_dir: str,
@@ -73,6 +92,7 @@ def merge_batch_into_table(
     streaming writer so batch backfills use the identical code path."""
     spark = batch_df.sparkSession
     _recover_interrupted_swap(table_dir)
+    _sweep_stale_staging(table_dir)
     if os.path.exists(table_dir):
         current = spark.read.parquet(table_dir)
         candidates = current.unionByName(batch_df)
@@ -123,6 +143,7 @@ def merge_batch_into_partitioned_table(
     bucket_col: str = "pbucket",
     staging_suffix: str = ".staging",
     bucket_expr: Column | None = None,
+    bucket_expr_id: str | None = None,
 ) -> list[int]:
     """Partition-PRUNED merge step: the table is hive-partitioned by
     ``pbucket = pmod(xxhash64(keys), n_buckets)`` and a merge touches only
@@ -159,23 +180,59 @@ def merge_batch_into_partitioned_table(
     ``F.floor(F.col("event_day") / 30)`` for monthly range buckets; a
     clustered batch then touches ~1 bucket where the hash layout touches
     min(B, n_buckets), test-demonstrated). The bucket expression is part
-    of the table layout: use the SAME expr for every merge into a table.
+    of the table layout: use the SAME expr for every merge into a table,
+    and supply a stable ``bucket_expr_id`` string naming it — the id is
+    pinned in the ``_layout.json`` sidecar and checked on every merge.
+    The expression must also be TOTAL over the key domain: a NULL bucket
+    is rejected before any I/O (null rows would land in the hive default
+    partition, which the swap loop does not move).
     Returns the affected bucket ids (for tests / observability)."""
     spark = batch_df.sparkSession
     data_cols = list(batch_df.columns)
     if bucket_col in data_cols:
         raise ValueError(f"batch already has a {bucket_col!r} column")
-    if bucket_expr is None:
-        bucket_expr = F.pmod(
-            F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)
-        )
     # The bucket function IS the table layout: merging with a different
     # one silently splits each key's history across directories (old rows
     # under the old bucket, new rows under the new — the newest-version
     # window then never sees both). A `_layout.json` sidecar (underscore
     # prefix: invisible to Spark's reader, like _SUCCESS) pins the layout
-    # at first merge and every later merge must match it.
-    layout = {"bucket_col": bucket_col, "bucket_fn": str(bucket_expr)}
+    # at first merge and every later merge must match it. The sidecar
+    # stores STRUCTURAL parameters, never `str(Column)` — Column repr is
+    # not a stable serialization across Spark classic/Connect versions,
+    # and a repr change would make every existing table spuriously refuse
+    # merges. The default hash layout is fully described by
+    # (key_cols, n_buckets); a caller-supplied ``bucket_expr`` must come
+    # with an explicit, caller-owned ``bucket_expr_id`` string that the
+    # caller keeps stable across runs (it is the layout's identity).
+    if bucket_expr is None:
+        if bucket_expr_id is not None:
+            raise ValueError(
+                "bucket_expr_id is only meaningful with a custom "
+                "bucket_expr; the default hash layout is identified by "
+                "(key_cols, n_buckets)"
+            )
+        bucket_expr = F.pmod(
+            F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)
+        )
+        layout = {
+            "bucket_col": bucket_col,
+            "kind": "hash",
+            "key_cols": list(key_cols),
+            "n_buckets": int(n_buckets),
+        }
+    else:
+        if bucket_expr_id is None:
+            raise ValueError(
+                "a custom bucket_expr needs a stable bucket_expr_id "
+                "string (e.g. 'event_day div 30'): the expression is part "
+                "of the table layout and Column repr is not a stable "
+                "identity to pin it with"
+            )
+        layout = {
+            "bucket_col": bucket_col,
+            "kind": "expr",
+            "expr_id": str(bucket_expr_id),
+        }
     layout_path = os.path.join(table_dir, "_layout.json")
     if os.path.exists(layout_path):
         with open(layout_path) as fh:
@@ -202,17 +259,30 @@ def merge_batch_into_partitioned_table(
             "batch — the bucket function must be layout-sized (coarse), "
             "not key-sized"
         )
+    if any(r[0] is None for r in affected_rows):
+        # A nullable bucket expression (e.g. floor(event_day/30) over a
+        # null key) would write rows to __HIVE_DEFAULT_PARTITION__ in
+        # staging while the swap loop moves only pbucket=<int> dirs: the
+        # null rows would be SILENTLY DROPPED. Fail before any I/O.
+        raise ValueError(
+            "bucket_expr produced NULL for some batch rows — a bucket "
+            "function must be total over the key domain (coalesce null "
+            "keys to a sentinel before merging)"
+        )
     affected = sorted(r[0] for r in affected_rows)
     if not affected:  # empty micro-batch: nothing to merge
         return affected
     # heal any bucket directory a previous crash left mid-swap BEFORE
-    # reading the current table (see _recover_interrupted_swap)
+    # reading the current table (see _recover_interrupted_swap), and
+    # sweep staging dirs orphaned by crashes of OTHER batch ids (a replay
+    # only overwrites its own batch's staging dir)
     if os.path.isdir(table_dir):
         for entry in os.listdir(table_dir):
             if entry.endswith(".retired"):
                 _recover_interrupted_swap(
                     os.path.join(table_dir, entry[: -len(".retired")])
                 )
+    _sweep_stale_staging(table_dir)
     # "table exists" = has at least one bucket directory: a crash between
     # makedirs and the first rename may leave an EMPTY table_dir, which a
     # replayed batch must treat as no-table (read.parquet on an empty dir
@@ -250,7 +320,36 @@ def merge_batch_into_partitioned_table(
     # already partitioned by bucket: one writing task per directory, no
     # small-files explosion (sources/partitioned.py rationale)
     merged.write.partitionBy(bucket_col).mode("overwrite").parquet(staging)
+    # Every affected bucket MUST have a staging dir: `affected` came from
+    # the batch's own rows, each of which survives into `merged` (it is
+    # either the newest version of its key or superseded by another batch/
+    # table row in the SAME bucket). A missing dir is therefore a broken
+    # invariant — fail BEFORE touching the live table. The old shape
+    # (`if exists(src): rename`) inside the loop would, on a missing src,
+    # retire the live bucket and then delete the retired copy: permanent
+    # data loss for that bucket.
+    missing = [
+        b
+        for b in affected
+        if not os.path.isdir(os.path.join(staging, f"{bucket_col}={b}"))
+    ]
+    if missing:
+        raise RuntimeError(
+            f"staging write produced no directory for affected buckets "
+            f"{missing} — refusing to swap (live table untouched)"
+        )
     os.makedirs(table_dir, exist_ok=True)
+    # Pin the layout BEFORE the first swap: a crash after bucket k's
+    # rename but before a post-swap sidecar write would leave a populated
+    # bucketed table with no layout pin, letting a later merge with a
+    # different layout pass the missing-sidecar check and silently split
+    # key histories. Sidecar-first closes that window (a crash after this
+    # write but before any swap just leaves a pinned-but-empty table,
+    # which `has_table` already treats correctly). The sidecar is
+    # underscore-prefixed, so Spark's reader never sees it either way.
+    if not os.path.exists(layout_path):
+        with open(layout_path, "w") as fh:
+            json.dump(layout, fh)
     for b in affected:
         src = os.path.join(staging, f"{bucket_col}={b}")
         dst = os.path.join(table_dir, f"{bucket_col}={b}")
@@ -258,13 +357,9 @@ def merge_batch_into_partitioned_table(
         shutil.rmtree(retired, ignore_errors=True)
         if os.path.exists(dst):
             os.rename(dst, retired)
-        if os.path.exists(src):
-            os.rename(src, dst)
+        os.rename(src, dst)
         shutil.rmtree(retired, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
-    if not os.path.exists(layout_path):
-        with open(layout_path, "w") as fh:
-            json.dump(layout, fh)
     return affected
 
 

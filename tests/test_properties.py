@@ -671,3 +671,74 @@ def test_stratified_sample_quota_and_determinism(spark, rows, quota):
         df.repartition(7), ["stratum"], quota, F.struct("v", "doc_id")
     ).collect()
     assert sorted(map(tuple, picked)) == sorted(map(tuple, again))
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    st.lists(  # a sequence of micro-batches of (key, version) rows
+        st.lists(st.tuples(st.integers(0, 9), st.integers(0, 5)),
+                 min_size=0, max_size=8),
+        min_size=1, max_size=4,
+    ),
+    st.sampled_from([1, 2, 16]),
+    st.booleans(),  # replay the first batch again at the end?
+)
+def test_partitioned_merge_equals_flat_merge_and_reference(
+    spark, batches, n_buckets, replay_first
+):
+    """Differential property over the production MERGE seam: for ANY
+    sequence of micro-batches (overlapping keys, out-of-order versions,
+    duplicate (key, version) rows, empty batches, replayed batches) and
+    any bucket count (including the degenerate 1), the partitioned merge,
+    the flat merge, and a per-key max-version Python reference must agree
+    exactly. Payloads are a function of (key, version) so version ties
+    are value-identical and the property stays deterministic."""
+    import shutil
+    import tempfile
+
+    from apache_spark_streaming_project_spark.streaming.upsert import (
+        merge_batch_into_partitioned_table,
+        merge_batch_into_table,
+    )
+
+    root = tempfile.mkdtemp(prefix="merge-prop-")
+    try:
+        flat = f"{root}/flat"
+        ptab = f"{root}/ptab"
+        ref: dict[int, int] = {}
+        seq = list(enumerate(batches))
+        if replay_first:
+            seq.append((0, batches[0]))
+        for bid, rows in seq:
+            if not rows:
+                continue  # createDataFrame needs rows; empty merge is a no-op
+            batch = spark.createDataFrame(
+                [(k, v, f"p{k}-{v}") for k, v in rows],
+                ["k", "version", "payload"],
+            )
+            merge_batch_into_table(
+                batch, flat, ["k"], "version",
+                staging_suffix=f".staging-{bid}",
+            )
+            merge_batch_into_partitioned_table(
+                batch, ptab, ["k"], "version", n_buckets=n_buckets,
+                staging_suffix=f".staging-{bid}",
+            )
+            for k, v in rows:
+                ref[k] = max(ref.get(k, v), v)
+        if not ref:
+            return  # every batch was empty: no tables to compare
+        want = {(k, v, f"p{k}-{v}") for k, v in ref.items()}
+
+        def snap(path):
+            return {
+                (r.k, r.version, r.payload)
+                for r in spark.read.parquet(path)
+                .select("k", "version", "payload")
+                .collect()
+            }
+
+        assert snap(flat) == want
+        assert snap(ptab) == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

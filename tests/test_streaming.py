@@ -776,7 +776,8 @@ def test_range_bucket_expr_preserves_update_locality(spark, tmp_path):
     rtab = str(tmp_path / "range")
     htab = str(tmp_path / "hash")
     merge_batch_into_partitioned_table(
-        base, rtab, ["k"], "version", bucket_expr=range_expr
+        base, rtab, ["k"], "version",
+        bucket_expr=range_expr, bucket_expr_id="k div 100",
     )
     merge_batch_into_partitioned_table(base, htab, ["k"], "version", n_buckets=8)
 
@@ -786,7 +787,8 @@ def test_range_bucket_expr_preserves_update_locality(spark, tmp_path):
         ["k", "version", "payload"],
     )
     touched_range = merge_batch_into_partitioned_table(
-        batch, rtab, ["k"], "version", bucket_expr=range_expr
+        batch, rtab, ["k"], "version",
+        bucket_expr=range_expr, bucket_expr_id="k div 100",
     )
     touched_hash = merge_batch_into_partitioned_table(
         batch, htab, ["k"], "version", n_buckets=8
@@ -824,6 +826,7 @@ def test_degenerate_bucket_expr_rejected(spark, tmp_path):
             ["k"],
             "version",
             bucket_expr=F.col("k"),  # key-sized: 5000 distinct buckets
+            bucket_expr_id="identity",
         )
 
 
@@ -851,5 +854,24 @@ def test_layout_mismatch_rejected(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="layout mismatch"):
         merge_batch_into_partitioned_table(
+            b, table, ["k"], "version",
+            bucket_expr=F.col("k") / 10, bucket_expr_id="k div 10",
+        )
+    # a custom expr without a stable identity is itself rejected — the
+    # layout pin cannot rely on Column repr
+    with pytest.raises(ValueError, match="bucket_expr_id"):
+        merge_batch_into_partitioned_table(
             b, table, ["k"], "version", bucket_expr=F.col("k") / 10
         )
+    # the sidecar holds structural params, not a Column repr
+    import json
+    import os
+
+    with open(os.path.join(table, "_layout.json")) as fh:
+        layout = json.load(fh)
+    assert layout == {
+        "bucket_col": "pbucket",
+        "kind": "hash",
+        "key_cols": ["k"],
+        "n_buckets": 8,
+    }
