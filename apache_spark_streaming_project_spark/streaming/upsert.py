@@ -48,6 +48,7 @@ a reader sees each partition either pre- or post-swap, never half).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 
@@ -59,6 +60,17 @@ from pyspark.sql.window import Window
 from apache_spark_streaming_project_spark.operators.dedup import (
     latest_version_dedup,
 )
+
+_log = logging.getLogger(__name__)
+
+# The flat/partitioned crossover from the measured law (tools/
+# probe_upsert_scale.py, BASELINE.md round-5 section): below ~20M rows
+# of the probe schema the partitioned path's fixed per-directory costs
+# (bucket-set job, directory listing, per-bucket files + renames)
+# dominate and the flat O(table) rewrite wins. 256 MiB of parquet is
+# that point's on-disk footprint to the nearest power of two; it is a
+# heuristic default, overridable per table.
+AUTO_FLAT_MAX_BYTES = 256 * 1024 * 1024
 
 
 def _sweep_stale_staging(table_dir: str) -> None:
@@ -363,26 +375,182 @@ def merge_batch_into_partitioned_table(
     return affected
 
 
+def _read_layout(table_dir: str) -> dict | None:
+    """The pinned layout from the ``_layout.json`` sidecar, or None if
+    the table is flat / absent (no sidecar)."""
+    layout_path = os.path.join(table_dir, "_layout.json")
+    if not os.path.exists(layout_path):
+        return None
+    with open(layout_path) as fh:
+        return json.load(fh)
+
+
+def _table_data_bytes(table_dir: str) -> int:
+    """On-disk size of the table by FILE LISTING only — never a scan.
+    This is the probe the size-adaptive layout advisor keys off; at any
+    scale it costs one directory walk."""
+    total = 0
+    for root, _dirs, files in os.walk(table_dir):
+        for name in files:
+            try:
+                total += os.path.getsize(os.path.join(root, name))
+            except OSError:  # racing a swap: the file moved, not gone
+                continue
+    return total
+
+
+def convert_flat_table_to_partitioned(
+    spark,
+    table_dir: str,
+    key_cols: list[str],
+    n_buckets: int,
+    bucket_col: str = "pbucket",
+) -> None:
+    """One-time O(table) migration of a FLAT upsert table to the
+    hash-bucketed layout, after which every merge is partition-pruned.
+    Same two-rename swap protocol as the flat merge (write staging,
+    retire live, land staging), so a crash at any point is healed by
+    ``_recover_interrupted_swap`` + the staging sweep; the layout sidecar
+    is written INTO the staging dir before the swap, so the bucketed
+    table is never visible without its pin."""
+    _recover_interrupted_swap(table_dir)
+    current = spark.read.parquet(table_dir)
+    if bucket_col in current.columns:
+        raise ValueError(f"table already has a {bucket_col!r} column")
+    bucket_expr = F.pmod(
+        F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)
+    )
+    staging = table_dir + ".staging-convert"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        current.withColumn(bucket_col, bucket_expr.cast("int"))
+        .repartition(F.col(bucket_col))
+        .write.partitionBy(bucket_col)
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    layout = {
+        "bucket_col": bucket_col,
+        "kind": "hash",
+        "key_cols": list(key_cols),
+        "n_buckets": int(n_buckets),
+    }
+    with open(os.path.join(staging, "_layout.json"), "w") as fh:
+        json.dump(layout, fh)
+    retired = table_dir + ".retired"
+    shutil.rmtree(retired, ignore_errors=True)
+    os.rename(table_dir, retired)
+    os.rename(staging, table_dir)
+    shutil.rmtree(retired, ignore_errors=True)
+
+
+def merge_batch_adaptive(
+    batch_df: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    version_col: str,
+    staging_suffix: str = ".staging",
+    auto_flat_max_bytes: int = AUTO_FLAT_MAX_BYTES,
+    auto_n_buckets: int = 256,
+) -> None:
+    """Size-adaptive MERGE: pick the flat or the partition-pruned path
+    per the measured crossover law instead of making the caller guess.
+    Small tables never pay the partitioned path's per-directory fixed
+    costs; big tables never pay O(table) rewrites per micro-batch.
+
+      * table absent or flat and under ``auto_flat_max_bytes`` (file
+        listing, no scan) -> flat merge;
+      * flat and at/over the threshold -> one O(table) conversion to the
+        ``auto_n_buckets`` hash layout (amortized: it replaces the flat
+        rewrite that merge would have paid anyway), then partition-pruned
+        merges from there on;
+      * already partitioned -> partition-pruned merge under the PINNED
+        layout (the sidecar's n_buckets wins over ``auto_n_buckets``).
+
+    Only hash layouts are auto-managed: a table pinned to a custom
+    ``bucket_expr`` layout cannot have its expression reconstructed from
+    the sidecar — call :func:`merge_batch_into_partitioned_table` with
+    the expr directly for those."""
+    _recover_interrupted_swap(table_dir)
+    layout = _read_layout(table_dir)
+    if layout is not None:
+        if layout.get("kind") != "hash":
+            raise ValueError(
+                f"table is pinned to a non-hash layout {layout} — the "
+                "adaptive merge cannot reconstruct a custom bucket_expr; "
+                "call merge_batch_into_partitioned_table with the expr"
+            )
+        merge_batch_into_partitioned_table(
+            batch_df,
+            table_dir,
+            key_cols,
+            version_col,
+            n_buckets=int(layout["n_buckets"]),
+            bucket_col=layout["bucket_col"],
+            staging_suffix=staging_suffix,
+        )
+        return
+    if os.path.isdir(table_dir) and _table_data_bytes(table_dir) >= int(
+        auto_flat_max_bytes
+    ):
+        _sweep_stale_staging(table_dir)
+        _log.info(
+            "adaptive merge: flat table %s crossed %d bytes — converting "
+            "to %d hash buckets (one-time O(table) rewrite)",
+            table_dir,
+            auto_flat_max_bytes,
+            auto_n_buckets,
+        )
+        convert_flat_table_to_partitioned(
+            batch_df.sparkSession, table_dir, key_cols, n_buckets=auto_n_buckets
+        )
+        merge_batch_into_partitioned_table(
+            batch_df,
+            table_dir,
+            key_cols,
+            version_col,
+            n_buckets=auto_n_buckets,
+            staging_suffix=staging_suffix,
+        )
+        return
+    merge_batch_into_table(
+        batch_df, table_dir, key_cols, version_col, staging_suffix=staging_suffix
+    )
+
+
 def streaming_merge_upsert(
     stream_df: DataFrame,
     table_dir: str,
     key_cols: list[str],
     version_col: str,
     checkpoint_dir: str,
-    n_buckets: int | None = None,
+    n_buckets: int | str | None = None,
+    auto_flat_max_bytes: int = AUTO_FLAT_MAX_BYTES,
+    auto_n_buckets: int = 256,
 ) -> DataStreamWriter:
     """``foreachBatch`` writer that maintains ``table_dir`` as the
     newest-version-per-key table over the change stream. Caller starts it
     (typically ``.trigger(availableNow=True).start()``). With
-    ``n_buckets`` set, the table is maintained hash-bucketed and each
-    micro-batch merge rewrites only the partitions containing batch keys
-    (:func:`merge_batch_into_partitioned_table`) — the scale path."""
+    ``n_buckets`` set to an int, the table is maintained hash-bucketed
+    and each micro-batch merge rewrites only the partitions containing
+    batch keys (:func:`merge_batch_into_partitioned_table`) — the scale
+    path. With ``n_buckets="auto"``, the layout is chosen per the
+    measured crossover law (:func:`merge_batch_adaptive`): flat while the
+    table is small, converted once to ``auto_n_buckets`` hash buckets
+    when it crosses ``auto_flat_max_bytes``."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if n_buckets is not None:
+        if n_buckets == "auto":
+            merge_batch_adaptive(
+                batch_df, table_dir, key_cols, version_col,
+                staging_suffix=f".staging-{batch_id}",
+                auto_flat_max_bytes=auto_flat_max_bytes,
+                auto_n_buckets=auto_n_buckets,
+            )
+        elif n_buckets is not None:
             merge_batch_into_partitioned_table(
                 batch_df, table_dir, key_cols, version_col,
-                n_buckets=n_buckets,
+                n_buckets=int(n_buckets),
                 staging_suffix=f".staging-{batch_id}",
             )
         else:

@@ -328,3 +328,168 @@ def test_subprocess_sigkill_mid_swap_then_replay(spark, tmp_path):
     assert _snap(spark, table) == want
     assert not any(e.endswith(".retired") for e in os.listdir(table))
     assert not os.path.exists(table + ".staging-2")
+
+
+def test_adaptive_merge_small_table_stays_flat(spark, tmp_path):
+    """Under the crossover threshold the adaptive merge takes the flat
+    path: no bucket directories, no layout sidecar, correct results —
+    small tables never pay the partitioned path's per-directory fixed
+    costs (the m9 bench-flag lesson turned into engine behavior)."""
+    from apache_spark_streaming_project_spark.streaming.upsert import (
+        merge_batch_adaptive,
+    )
+
+    table = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [(i, 1, f"v1-{i}") for i in range(30)], ["k", "version", "payload"]
+    )
+    b2 = spark.createDataFrame([(3, 2, "v2-3")], ["k", "version", "payload"])
+    merge_batch_adaptive(b1, table, ["k"], "version", staging_suffix=".staging-0")
+    merge_batch_adaptive(b2, table, ["k"], "version", staging_suffix=".staging-1")
+    entries = os.listdir(table)
+    assert not any(e.startswith("pbucket=") for e in entries)
+    assert "_layout.json" not in entries
+    want = {(i, 1, f"v1-{i}") for i in range(30) if i != 3} | {(3, 2, "v2-3")}
+    assert _snap(spark, table) == want
+
+
+def test_adaptive_merge_converts_past_threshold_then_prunes(spark, tmp_path):
+    """Crossing the threshold triggers the one-time conversion to the
+    hash layout (sidecar pinned to auto_n_buckets), after which merges
+    are partition-pruned: an untouched bucket's files keep their exact
+    mtimes across a later merge."""
+    from apache_spark_streaming_project_spark.streaming.upsert import (
+        merge_batch_adaptive,
+    )
+
+    table = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [(i, 1, f"v1-{i}") for i in range(200)], ["k", "version", "payload"]
+    )
+    # first merge: table absent (0 bytes) -> flat
+    merge_batch_adaptive(
+        b1, table, ["k"], "version",
+        staging_suffix=".staging-0", auto_flat_max_bytes=1024, auto_n_buckets=8,
+    )
+    assert not any(e.startswith("pbucket=") for e in os.listdir(table))
+    # second merge: flat table is now >1 KiB -> convert + pruned merge
+    b2 = spark.createDataFrame([(7, 2, "v2-7")], ["k", "version", "payload"])
+    merge_batch_adaptive(
+        b2, table, ["k"], "version",
+        staging_suffix=".staging-1", auto_flat_max_bytes=1024, auto_n_buckets=8,
+    )
+    entries = os.listdir(table)
+    assert any(e.startswith("pbucket=") for e in entries)
+    with open(os.path.join(table, "_layout.json")) as fh:
+        layout = json.load(fh)
+    assert layout == {
+        "bucket_col": "pbucket",
+        "kind": "hash",
+        "key_cols": ["k"],
+        "n_buckets": 8,
+    }
+    want = {(i, 1, f"v1-{i}") for i in range(200) if i != 7} | {(7, 2, "v2-7")}
+    assert _snap(spark, table) == want
+
+    # third merge: pruned — untouched buckets' files keep their mtimes
+    def mtimes():
+        out = {}
+        for e in os.listdir(table):
+            if e.startswith("pbucket="):
+                d = os.path.join(table, e)
+                out[e] = {f: os.path.getmtime(os.path.join(d, f))
+                          for f in os.listdir(d)}
+        return out
+
+    before = mtimes()
+    b3 = spark.createDataFrame([(11, 2, "v2-11")], ["k", "version", "payload"])
+    merge_batch_adaptive(
+        b3, table, ["k"], "version",
+        staging_suffix=".staging-2", auto_flat_max_bytes=1024, auto_n_buckets=8,
+    )
+    after = mtimes()
+    touched = {e for e in before if before[e] != after.get(e)}
+    untouched = {e for e in before if before[e] == after.get(e)}
+    assert len(touched) == 1  # one key -> one bucket rewritten
+    assert len(untouched) == 7
+    want = {(i, 1, f"v1-{i}") for i in range(200) if i not in (7, 11)}
+    want |= {(7, 2, "v2-7"), (11, 2, "v2-11")}
+    assert _snap(spark, table) == want
+
+
+def test_adaptive_merge_respects_pinned_layout_and_rejects_expr(spark, tmp_path):
+    """An already-bucketed table keeps its PINNED n_buckets (auto_n_buckets
+    is ignored), and a table pinned to a custom expr layout is refused —
+    the adaptive path cannot reconstruct the expression."""
+    from apache_spark_streaming_project_spark.streaming.upsert import (
+        merge_batch_adaptive,
+    )
+
+    b = spark.createDataFrame(
+        [(i, 1, "x") for i in range(50)], ["k", "version", "payload"]
+    )
+    hashed = str(tmp_path / "hashed")
+    merge_batch_into_partitioned_table(b, hashed, ["k"], "version", n_buckets=4)
+    merge_batch_adaptive(
+        b, hashed, ["k"], "version", auto_n_buckets=64  # must NOT re-layout
+    )
+    with open(os.path.join(hashed, "_layout.json")) as fh:
+        assert json.load(fh)["n_buckets"] == 4
+    buckets = {e for e in os.listdir(hashed) if e.startswith("pbucket=")}
+    assert buckets <= {f"pbucket={i}" for i in range(4)}
+
+    expr_tab = str(tmp_path / "expr")
+    merge_batch_into_partitioned_table(
+        b, expr_tab, ["k"], "version",
+        bucket_expr=F.col("k") / 10, bucket_expr_id="k div 10",
+    )
+    with pytest.raises(ValueError, match="non-hash layout"):
+        merge_batch_adaptive(b, expr_tab, ["k"], "version")
+
+
+def test_adaptive_conversion_crash_is_healed(spark, tmp_path):
+    """Kill the flat->partitioned conversion between its two renames: the
+    next adaptive merge restores the flat table, re-converts, and lands
+    the batch — no data loss, no leftovers."""
+    from apache_spark_streaming_project_spark.streaming.upsert import (
+        merge_batch_adaptive,
+    )
+
+    table = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [(i, 1, f"v1-{i}") for i in range(100)], ["k", "version", "payload"]
+    )
+    merge_batch_adaptive(
+        b1, table, ["k"], "version",
+        staging_suffix=".staging-0", auto_flat_max_bytes=10**12,
+    )  # flat
+    b2 = spark.createDataFrame([(5, 2, "v2-5")], ["k", "version", "payload"])
+    real_rename = os.rename
+    n = {"c": 0}
+
+    def dying(src, dst):
+        if n["c"] == 1:  # after live->retired, before staging->live
+            raise RuntimeError("injected mid-conversion crash")
+        n["c"] += 1
+        return real_rename(src, dst)
+
+    os.rename = dying
+    try:
+        with pytest.raises(RuntimeError, match="mid-conversion"):
+            merge_batch_adaptive(
+                b2, table, ["k"], "version",
+                staging_suffix=".staging-1", auto_flat_max_bytes=1024,
+                auto_n_buckets=8,
+            )
+    finally:
+        os.rename = real_rename
+    # replay: heals the half-swap, re-converts, merges
+    merge_batch_adaptive(
+        b2, table, ["k"], "version",
+        staging_suffix=".staging-1", auto_flat_max_bytes=1024, auto_n_buckets=8,
+    )
+    want = {(i, 1, f"v1-{i}") for i in range(100) if i != 5} | {(5, 2, "v2-5")}
+    assert _snap(spark, table) == want
+    assert any(e.startswith("pbucket=") for e in os.listdir(table))
+    parent = os.path.dirname(table)
+    assert not any(".staging" in e or ".retired" in e for e in os.listdir(parent))
