@@ -87,23 +87,46 @@ except ImportError:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _decode_png_stdlib(payload: bytes) -> bytes:
-    """REAL PNG decode with the standard library alone (struct + zlib):
-    chunk walk (IHDR/IDAT/IEND), inflate, then per-scanline de-filtering
-    (the five PNG filters: None/Sub/Up/Average/Paeth). Supports the
-    dominant storage shape — 8-bit grayscale/RGB/RGBA, non-interlaced —
-    and raises ``NotImplementedError`` for the rest (16-bit, palette,
-    Adam7), where PIL remains the path. RGB(A) converts to grayscale with
-    the ITU-R 601-2 integer luma (299R + 587G + 114B) / 1000 — PIL's
-    documented "L" formula, so both decode paths bin identically.
+def _gray_from_rgb(px: "np.ndarray") -> "np.ndarray":
+    """PIL's EXACT RGB->L conversion, vectorized: the rounded fixed-point
+    ``(19595R + 38470G + 7471B + 0x8000) >> 16`` (ImageCms/convert("L")
+    in Pillow's C source). NOT the floor-division ``(299R+587G+114B)//
+    1000`` approximation — that form differs by +/-1 for many pixels, so
+    the same image could fall in different histogram bins depending on
+    whether PIL happens to be installed. ``px`` is (..., >=3) uint
+    channels; alpha (if present) is ignored, like PIL RGB->L."""
+    import numpy as np
 
-    Per-pixel Python loops are fine HERE because this runs inside the
-    Arrow kernel of a clearly-bounded real-decode path; a production
-    deployment would vectorize the Up/Average rows with numpy and keep
-    the (inherently sequential) Sub/Paeth recurrences in a compiled
-    kernel — the plumbing around it does not change."""
+    px = px.astype(np.uint32)
+    return (
+        (19595 * px[..., 0] + 38470 * px[..., 1] + 7471 * px[..., 2] + 0x8000)
+        >> 16
+    ).astype(np.uint8)
+
+
+def _decode_png_stdlib(payload: bytes) -> bytes:
+    """REAL PNG decode with the standard library + numpy: chunk walk
+    (IHDR/IDAT/IEND), inflate, then per-scanline de-filtering (the five
+    PNG filters: None/Sub/Up/Average/Paeth). Supports the dominant
+    storage shape — 8-bit grayscale/RGB/RGBA, non-interlaced — and
+    raises ``NotImplementedError`` for the rest (16-bit, palette, Adam7),
+    where PIL remains the path. RGB(A) converts to grayscale with PIL's
+    exact rounded fixed-point luma (:func:`_gray_from_rgb`), so both
+    decode paths produce bit-identical pixels.
+
+    De-filtering is vectorized wherever the recurrence allows: None and
+    Up are pure elementwise ops; Sub is a per-channel-lane cumulative
+    sum (mod-256 addition is a homomorphism, so a uint64 cumsum masked
+    to the low byte equals the sequential byte adds); Average and Paeth
+    read the CURRENT row's already-decoded left neighbor and are
+    inherently sequential — those two stay as tight bytearray loops (the
+    honest scalar tail; a compiled kernel is the only further step). The
+    luma conversion and histogramming downstream are whole-image numpy
+    ops either way."""
     import struct
     import zlib
+
+    import numpy as np
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
@@ -133,54 +156,62 @@ def _decode_png_stdlib(payload: bytes) -> bytes:
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline data has unexpected length")
-    out = bytearray()
-    prev = bytearray(stride)
-    rp = 0
-    for _ in range(h):
-        f = raw[rp]
-        rp += 1
-        line = bytearray(raw[rp : rp + stride])
-        rp += stride
-        if f == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif f == 2:  # Up
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = scan[:, 0]
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        d = scan[y, 1:]
+        if f == 0:  # None
+            line = d.copy()
+        elif f == 1:  # Sub: per-lane mod-256 cumulative sum
+            line = np.empty(stride, dtype=np.uint8)
+            for o in range(ch):
+                line[o::ch] = np.cumsum(
+                    d[o::ch], dtype=np.uint64
+                ) & 0xFF
+        elif f == 2:  # Up: elementwise, uint8 wraps mod 256
+            line = d + prev
+        elif f == 3:  # Average: sequential (reads decoded left neighbor)
+            buf = bytearray(d.tobytes())
+            pv = prev.tobytes()
             for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
+                a = buf[i - ch] if i >= ch else 0
+                buf[i] = (buf[i] + ((a + pv[i]) >> 1)) & 0xFF
+            line = np.frombuffer(bytes(buf), dtype=np.uint8)
+        elif f == 4:  # Paeth: sequential (same reason)
+            buf = bytearray(d.tobytes())
+            pv = prev.tobytes()
             for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
+                a = buf[i - ch] if i >= ch else 0
+                b = pv[i]
+                c = pv[i - ch] if i >= ch else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif f != 0:
+                buf[i] = (buf[i] + pred) & 0xFF
+            line = np.frombuffer(bytes(buf), dtype=np.uint8)
+        else:
             raise ValueError(f"unknown PNG filter {f}")
+        img[y] = line
         prev = line
-        if ch == 1:
-            out += line
-        else:  # RGB(A) -> integer luma; alpha ignored like PIL RGB->L
-            for i in range(0, stride, ch):
-                out.append(
-                    (299 * line[i] + 587 * line[i + 1] + 114 * line[i + 2])
-                    // 1000
-                )
-    return bytes(out)
+    if ch == 1:
+        return img.tobytes()
+    return _gray_from_rgb(img.reshape(-1, ch)).tobytes()
 
 
 def _decode_bmp_stdlib(payload: bytes) -> bytes:
-    """REAL BMP decode, stdlib only: the uncompressed 24-bit BI_RGB
+    """REAL BMP decode, stdlib + numpy: the uncompressed 24-bit BI_RGB
     shape (the overwhelmingly common one). Pixel rows are bottom-up,
-    BGR, padded to 4-byte multiples; converts to grayscale with the same
-    ITU-R 601-2 integer luma as the PNG path. Raises
-    ``NotImplementedError`` for compressed / other-depth BMPs."""
+    BGR, padded to 4-byte multiples; converts to grayscale with PIL's
+    exact rounded fixed-point luma (:func:`_gray_from_rgb`), same as the
+    PNG path. Fully vectorized (row un-padding, vertical flip, BGR->RGB
+    swizzle, luma) — no per-pixel Python. Raises ``NotImplementedError``
+    for compressed / other-depth BMPs."""
     import struct
+
+    import numpy as np
 
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
@@ -196,14 +227,14 @@ def _decode_bmp_stdlib(payload: bytes) -> bytes:
     bottom_up = h > 0
     h = abs(h)
     stride = (w * 3 + 3) & ~3  # rows pad to 4-byte multiples
-    out = bytearray(w * h)
-    for row in range(h):
-        src = data_off + row * stride
-        dst_row = (h - 1 - row) if bottom_up else row
-        for x in range(w):
-            b, g, r = payload[src + 3 * x : src + 3 * x + 3]
-            out[dst_row * w + x] = (299 * r + 587 * g + 114 * b) // 1000
-    return bytes(out)
+    data = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    )
+    px = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        px = px[::-1]
+    # stored BGR: reverse the channel axis to RGB before the luma
+    return _gray_from_rgb(px[..., ::-1]).tobytes()
 
 
 def _decode_image_bytes(payload: bytes, fake: bool) -> list[int]:
@@ -232,14 +263,15 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> list[int]:
                 "24-bit BMP payloads decode via the stdlib paths, or run "
                 "with fake_decode=True for the deterministic oracle kernel"
             )
-        hist = [0] * 8
-        for p in pixels:
-            hist[p >> 5] += 1
-        return hist
-    hist = [0] * 8
-    for b in payload:
-        hist[b >> 5] += 1
-    return hist
+        src = pixels
+    else:
+        src = payload
+    # vectorized 8-bin histogram (exact integer counts — identical to the
+    # former per-byte loop, minus the per-byte Python)
+    import numpy as np
+
+    arr = np.frombuffer(src, dtype=np.uint8)
+    return np.bincount(arr >> 5, minlength=8).tolist()
 
 
 def extract_image_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:

@@ -166,7 +166,11 @@ def _png_encode(rows, color_type, row_filters=None):
 
 
 def _luma(r, g, b):
-    return (299 * r + 587 * g + 114 * b) // 1000
+    # PIL's exact rounded fixed-point RGB->L, NOT (299r+587g+114b)//1000:
+    # the floor form differs by +/-1 for many pixels, which could put the
+    # same image in different histogram bins depending on whether PIL is
+    # installed. Both stdlib decoders must match PIL bit-for-bit.
+    return (19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16
 
 
 class TestStdlibPNGDecode:
@@ -201,6 +205,38 @@ class TestStdlibPNGDecode:
         assert mm._decode_png_stdlib(png) == bytes(
             [_luma(200, 100, 50), _luma(0, 0, 0)]
         )
+
+    def test_luma_matches_pil_exactly(self):
+        """PIL-vs-stdlib parity on RGB pixels covering the rounding edge
+        cases: the stdlib decode must equal PIL's convert('L') byte for
+        byte (gated on PIL being installed; the fixed-point formula
+        itself is additionally pinned against a scalar reference)."""
+        import random
+
+        rng = random.Random(11)
+        w, h = 16, 16
+        rows = [[rng.randrange(256) for _ in range(w * 3)] for _ in range(h)]
+        png = _png_encode(rows, color_type=2, row_filters=[4, 3, 2, 1, 0] * 3 + [4])
+        got = mm._decode_png_stdlib(png)
+        # scalar fixed-point reference (PIL's documented C conversion)
+        want = bytes(
+            (19595 * line[i] + 38470 * line[i + 1] + 7471 * line[i + 2]
+             + 0x8000) >> 16
+            for line in rows
+            for i in range(0, w * 3, 3)
+        )
+        assert got == want
+        if not mm._HAS_PIL:
+            pytest.skip("PIL absent: scalar-reference parity only")
+        from PIL import Image
+
+        img = Image.new("RGB", (w, h))
+        img.putdata([
+            (line[i], line[i + 1], line[i + 2])
+            for line in rows
+            for i in range(0, w * 3, 3)
+        ])
+        assert got == img.convert("L").tobytes()
 
     def test_unsupported_shapes_raise(self):
         import struct
