@@ -73,6 +73,21 @@ _log = logging.getLogger(__name__)
 AUTO_FLAT_MAX_BYTES = 256 * 1024 * 1024
 
 
+def _validate_staging_suffix(staging_suffix: str) -> None:
+    """The stale-staging sweep identifies orphans by the ``.staging``
+    name prefix; a caller-supplied suffix outside that namespace would
+    (a) never be swept — the cleanup contract would silently not apply —
+    and (b) risk the sweep deleting an unrelated sibling path that
+    happens to share the prefix. Enforce the namespace up front instead
+    of letting the contract quietly lapse."""
+    if not staging_suffix.startswith(".staging"):
+        raise ValueError(
+            f"staging_suffix must start with '.staging' (got "
+            f"{staging_suffix!r}): the crash-recovery sweep only reclaims "
+            "orphans inside that namespace"
+        )
+
+
 def _sweep_stale_staging(table_dir: str) -> None:
     """Delete orphaned staging directories from crashed merges. Staging
     dirs are per-batch (``<table>.staging-<batch_id>``); a crash orphans
@@ -81,8 +96,10 @@ def _sweep_stale_staging(table_dir: str) -> None:
     would accumulate on disk forever. Safe under the single-writer
     contract (module docstring): no concurrent merge can own a staging
     dir while this merge runs, so anything matching the prefix is
-    garbage by definition. Runs alongside the ``.retired`` healing pass
-    at the start of every merge."""
+    garbage by definition (every merge validates its suffix into the
+    ``.staging`` namespace via :func:`_validate_staging_suffix`). Runs
+    alongside the ``.retired`` healing pass at the start of every
+    merge."""
     parent = os.path.dirname(os.path.abspath(table_dir)) or "."
     base = os.path.basename(os.path.abspath(table_dir))
     if not os.path.isdir(parent):
@@ -103,6 +120,7 @@ def merge_batch_into_table(
     key -> atomic swap into ``table_dir``. Exposed separately from the
     streaming writer so batch backfills use the identical code path."""
     spark = batch_df.sparkSession
+    _validate_staging_suffix(staging_suffix)
     _recover_interrupted_swap(table_dir)
     _sweep_stale_staging(table_dir)
     if os.path.exists(table_dir):
@@ -200,6 +218,17 @@ def merge_batch_into_partitioned_table(
     partition, which the swap loop does not move).
     Returns the affected bucket ids (for tests / observability)."""
     spark = batch_df.sparkSession
+    _validate_staging_suffix(staging_suffix)
+    # Heal a sibling `<table>.retired` left by a crashed FLAT merge or by
+    # convert_flat_table_to_partitioned dying between its two renames —
+    # states the adaptive path makes routine. Without this, a caller
+    # invoking the partitioned merge directly (e.g. a backfill) would see
+    # table_dir absent, build a batch-only table, and a LATER
+    # _recover_interrupted_swap would see live+retired and delete the
+    # retired copy: silent loss of every pre-crash row. No-op when no
+    # sibling .retired exists (mirrors merge_batch_into_table /
+    # merge_batch_adaptive, which already start with this call).
+    _recover_interrupted_swap(table_dir)
     data_cols = list(batch_df.columns)
     if bucket_col in data_cols:
         raise ValueError(f"batch already has a {bucket_col!r} column")
@@ -294,6 +323,28 @@ def merge_batch_into_partitioned_table(
                 _recover_interrupted_swap(
                     os.path.join(table_dir, entry[: -len(".retired")])
                 )
+        # A table_dir holding FLAT parquet files (e.g. restored by the
+        # sibling heal above, or a caller pointing the partitioned merge
+        # at a flat table) must not be merged into bucketed: the swap
+        # would land `pbucket=k/` dirs NEXT TO the flat files and every
+        # later read would double-count. Fail before any I/O — the flat
+        # table is intact and the caller picks the right path (flat
+        # merge, or convert_flat_table_to_partitioned first).
+        stray = [
+            e
+            for e in os.listdir(table_dir)
+            if not e.startswith(f"{bucket_col}=")
+            and not e.startswith("_")
+            and not e.startswith(".")
+            and not e.endswith(".retired")
+        ]
+        if stray:
+            raise ValueError(
+                f"{table_dir} holds non-bucketed entries {stray[:3]} — it "
+                "is a FLAT table; convert it first "
+                "(convert_flat_table_to_partitioned) or use the flat/"
+                "adaptive merge"
+            )
     _sweep_stale_staging(table_dir)
     # "table exists" = has at least one bucket directory: a crash between
     # makedirs and the first rename may leave an EMPTY table_dir, which a
@@ -471,6 +522,7 @@ def merge_batch_adaptive(
     ``bucket_expr`` layout cannot have its expression reconstructed from
     the sidecar — call :func:`merge_batch_into_partitioned_table` with
     the expr directly for those."""
+    _validate_staging_suffix(staging_suffix)
     _recover_interrupted_swap(table_dir)
     layout = _read_layout(table_dir)
     if layout is not None:
@@ -493,6 +545,19 @@ def merge_batch_adaptive(
     if os.path.isdir(table_dir) and _table_data_bytes(table_dir) >= int(
         auto_flat_max_bytes
     ):
+        # Cheap batch preconditions BEFORE the irreversible O(table)
+        # layout conversion: a batch that would make the partitioned
+        # merge raise (a data column colliding with the bucket column)
+        # must fail HERE, while the table is still flat — otherwise the
+        # conversion lands first, the merge raises, and every replay of
+        # the same batch keeps failing against the now-converted table.
+        # (Null keys cannot produce a NULL bucket under the hash layout:
+        # xxhash64 is total — null inputs fold into the seed.)
+        if "pbucket" in batch_df.columns:
+            raise ValueError(
+                "batch already has a 'pbucket' column — it would collide "
+                "with the hash layout's bucket column"
+            )
         _sweep_stale_staging(table_dir)
         _log.info(
             "adaptive merge: flat table %s crossed %d bytes — converting "
@@ -538,6 +603,18 @@ def streaming_merge_upsert(
     measured crossover law (:func:`merge_batch_adaptive`): flat while the
     table is small, converted once to ``auto_n_buckets`` hash buckets
     when it crosses ``auto_flat_max_bytes``."""
+    # Validate n_buckets at WRITER CONSTRUCTION, not inside the
+    # foreachBatch closure: 'auto' is the only string form, and anything
+    # else ('Auto', a typo) would otherwise surface as an opaque
+    # int() ValueError at batch-0 runtime, after the stream started.
+    if isinstance(n_buckets, str):
+        if n_buckets != "auto":
+            raise ValueError(
+                f"n_buckets must be an int, None, or the exact string "
+                f"'auto' (got {n_buckets!r})"
+            )
+    elif n_buckets is not None:
+        n_buckets = int(n_buckets)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if n_buckets == "auto":

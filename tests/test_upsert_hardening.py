@@ -493,3 +493,130 @@ def test_adaptive_conversion_crash_is_healed(spark, tmp_path):
     assert any(e.startswith("pbucket=") for e in os.listdir(table))
     parent = os.path.dirname(table)
     assert not any(".staging" in e or ".retired" in e for e in os.listdir(parent))
+
+
+def test_partitioned_merge_heals_sibling_retired_from_crashed_flat_merge(
+    spark, tmp_path
+):
+    """Round-7 ADVICE (medium): a crashed FLAT merge (or a conversion
+    dying between its two renames) leaves `<table>.retired` with the only
+    copy of the data and `<table>` absent. Invoking the PARTITIONED merge
+    directly on that state used to build a batch-only table, after which
+    a later heal saw live+retired and deleted the retired copy — silent
+    loss of every pre-crash row. Now the partitioned merge heals the
+    sibling first, then refuses to bucket-merge into the restored FLAT
+    table — data intact, caller told to convert."""
+    table = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [(i, 1, f"v1-{i}") for i in range(20)], ["k", "version", "payload"]
+    )
+    merge_batch_into_table(b1, table, ["k"], "version")
+    # simulate the mid-swap crash state: live moved to .retired, staging
+    # rename never happened
+    os.rename(table, table + ".retired")
+    b2 = spark.createDataFrame([(3, 2, "v2-3")], ["k", "version", "payload"])
+    with pytest.raises(ValueError, match="FLAT table"):
+        merge_batch_into_partitioned_table(
+            b2, table, ["k"], "version", n_buckets=8
+        )
+    # the heal restored the pre-crash table; nothing was lost or mixed in
+    assert not os.path.exists(table + ".retired")
+    assert _snap(spark, table) == {(i, 1, f"v1-{i}") for i in range(20)}
+
+
+def test_partitioned_merge_refuses_flat_table_dir(spark, tmp_path):
+    """Pointing the partitioned merge at an existing FLAT table must fail
+    before any I/O: swapping `pbucket=k/` dirs next to flat parquet files
+    would make every later read double-count."""
+    table = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [(i, 1, f"v1-{i}") for i in range(20)], ["k", "version", "payload"]
+    )
+    merge_batch_into_table(b1, table, ["k"], "version")
+    b2 = spark.createDataFrame([(3, 2, "v2-3")], ["k", "version", "payload"])
+    with pytest.raises(ValueError, match="FLAT table"):
+        merge_batch_into_partitioned_table(
+            b2, table, ["k"], "version", n_buckets=8
+        )
+    assert _snap(spark, table) == {(i, 1, f"v1-{i}") for i in range(20)}
+
+
+def test_staging_suffix_outside_namespace_rejected(spark, tmp_path):
+    """Round-7 ADVICE (low): the stale-staging sweep reclaims orphans by
+    the '.staging' name prefix; a suffix outside that namespace would
+    silently escape the cleanup contract (and risk the sweep deleting an
+    unrelated sibling). All three merge entry points validate it."""
+    from apache_spark_streaming_project_spark.streaming.upsert import (
+        merge_batch_adaptive,
+    )
+
+    table = str(tmp_path / "t")
+    batch = spark.createDataFrame([(1, 1, "a")], ["k", "version", "payload"])
+    for call in (
+        lambda: merge_batch_into_table(
+            batch, table, ["k"], "version", staging_suffix="_tmp"
+        ),
+        lambda: merge_batch_into_partitioned_table(
+            batch, table, ["k"], "version", staging_suffix="_tmp"
+        ),
+        lambda: merge_batch_adaptive(
+            batch, table, ["k"], "version", staging_suffix="_tmp"
+        ),
+    ):
+        with pytest.raises(ValueError, match=r"\.staging"):
+            call()
+    assert not os.path.exists(table)  # nothing was created
+
+
+def test_adaptive_checks_batch_preconditions_before_conversion(
+    spark, tmp_path
+):
+    """Round-7 ADVICE (low): a batch that would make the partitioned
+    merge raise (here: a data column colliding with the bucket column)
+    must fail BEFORE the irreversible flat->partitioned conversion —
+    otherwise the layout flips first, the merge raises, and every replay
+    of the same batch keeps failing against the converted table."""
+    from apache_spark_streaming_project_spark.streaming.upsert import (
+        merge_batch_adaptive,
+    )
+
+    table = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [(i, 1, f"v1-{i}") for i in range(200)], ["k", "version", "payload"]
+    )
+    merge_batch_adaptive(
+        b1, table, ["k"], "version",
+        staging_suffix=".staging-0", auto_flat_max_bytes=1024,
+    )
+    bad = spark.createDataFrame(
+        [(1, 2, "x", 0)], ["k", "version", "payload", "pbucket"]
+    )
+    with pytest.raises(ValueError, match="pbucket"):
+        merge_batch_adaptive(
+            bad, table, ["k"], "version",
+            staging_suffix=".staging-1", auto_flat_max_bytes=1024,
+        )
+    # the table is STILL FLAT — the precondition fired before conversion
+    entries = os.listdir(table)
+    assert not any(e.startswith("pbucket=") for e in entries)
+    assert "_layout.json" not in entries
+    assert _snap(spark, table) == {(i, 1, f"v1-{i}") for i in range(200)}
+
+
+def test_streaming_writer_validates_n_buckets_eagerly(spark, tmp_path):
+    """Round-7 ADVICE (low): n_buckets accepts int | None | the exact
+    string 'auto'; any other string must fail at WRITER CONSTRUCTION,
+    not as an opaque int() ValueError inside batch 0's foreachBatch."""
+    from apache_spark_streaming_project_spark.streaming.upsert import (
+        streaming_merge_upsert,
+    )
+
+    # validation fires before the writer touches the DataFrame, so a
+    # batch frame stands in for the stream
+    df = spark.createDataFrame([(1, 1)], ["k", "version"])
+    for bad in ("Auto", "AUTO", "16", ""):
+        with pytest.raises(ValueError, match="auto"):
+            streaming_merge_upsert(
+                df, str(tmp_path / "t"), ["k"], "version",
+                checkpoint_dir=str(tmp_path / "cp"), n_buckets=bad,
+            )
