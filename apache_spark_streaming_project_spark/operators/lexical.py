@@ -31,9 +31,10 @@ Exactness contract (why the scoring looks unusual):
     SUM over a multi-term query — rare terms weigh more relative to
     common ones than under log-idf, so multi-term rankings can differ
     from textbook BM25 (single-term queries are rank-identical). This
-    is a documented, deliberate variant; if rank fidelity to log-idf
-    BM25 matters, substitute a fixed-precision integer log table for
-    the idf ratio (same exactness contract, textbook weighting).
+    is a documented, deliberate variant; ``bm25_top_k(idf="log")``
+    substitutes a fixed-precision integer log table for the idf ratio
+    (same exactness contract, textbook weighting) — see
+    :func:`_log_idf_table`.
   * With k1 = 1.2 and b = 0.75, the term-frequency saturation
     ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` multiplies through
     by ``10 * total_tokens`` (avgdl = total/N) into an exact integer
@@ -132,6 +133,76 @@ def _contribution(n_docs: Column, total: Column) -> Column:
     return F.when(guard.isNull(), score)
 
 
+# Fixed-point scale for the log-idf table: six decimal digits of the
+# natural log, far below any real score separation and small enough that
+# idf_scaled stays ~1e7 even for 10^12-document corpora.
+_LOG_IDF_SCALE = 10**6
+
+
+def _log_idf_table(term_dfs: list[tuple[str, int]], n_docs: int) -> dict[str, int]:
+    """Fixed-precision integer log-idf per query term, computed on the
+    driver with CORRECTLY-ROUNDED decimal arithmetic (``decimal.Decimal
+    .ln()`` is specified as correctly rounded, unlike libm ``log`` whose
+    last ulp differs across engines/platforms):
+
+        idf_scaled(term) = round( ln((2N - 2df + 1) / (2df + 1)) * 10^6 )
+
+    The table itself becomes a PLAN LITERAL (a broadcast lookup both
+    engines can read verbatim), so the exactness contract survives: no
+    in-plan transcendental is ever evaluated. Size is bounded by the
+    number of distinct query terms — tiny by definition — never by the
+    vocabulary."""
+    import decimal
+
+    ctx = decimal.Context(prec=40)
+    out = {}
+    for term, df in term_dfs:
+        num = decimal.Decimal(2 * n_docs - 2 * df + 1)
+        den = decimal.Decimal(2 * df + 1)
+        ln = ctx.divide(num, den).ln(ctx)
+        out[term] = int(
+            (ln * _LOG_IDF_SCALE).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_EVEN, context=ctx
+            )
+        )
+    return out
+
+
+def _tf_saturation(n_docs: Column, total: Column) -> Column:
+    """The BM25 term-frequency saturation factor alone (no idf), as one
+    exact double: ``22*tf*total / (10*tf*total + 3*total + 9*dl*N)`` —
+    BIGINT products, one division, same in-plan int64-overflow guard
+    discipline as :func:`_contribution`. Used by the ``idf="log"`` path,
+    where the idf arrives as a separate fixed-precision plan literal.
+    Deliberately NOT shared with ``_contribution``: the odds form fuses
+    idf and tf into a single division and the oracle hash pins those
+    exact bits — factoring it through this helper would change them."""
+    tf_num = F.lit(_TF_NUM) * F.col("tf") * total
+    tf_den = (
+        F.lit(10) * F.col("tf") * total
+        + F.lit(_TF_CONST) * total
+        + F.lit(_TF_DL) * F.col("dl") * n_docs
+    )
+    nd, tot = n_docs.cast("double"), total.cast("double")
+    tfd, dld = F.col("tf").cast("double"), F.col("dl").cast("double")
+    num_bound = F.lit(2.0 * _TF_NUM) * tfd * tot
+    den_bound = F.lit(2.0) * (
+        F.lit(10.0) * tfd * tot + F.lit(3.0) * tot + F.lit(9.0) * dld * nd
+    )
+    guard = F.assert_true(
+        (num_bound < F.lit(_INT64_SAFE)) & (den_bound < F.lit(_INT64_SAFE)),
+        F.lit(
+            "bm25 integer rewrite exceeds int64-safe magnitudes for this "
+            "corpus; pre-scale `total` by a corpus constant (ranking-"
+            "invariant, see module docstring)"
+        ),
+    )
+    ratio = tf_num.cast("double") / tf_den.cast("double")
+    # distinct branches (ratio, null) so SimplifyConditionals cannot fold
+    # the guard away — see _contribution
+    return F.when(guard.isNull(), ratio)
+
+
 def bm25_top_k(
     docs: DataFrame,
     queries: DataFrame,
@@ -141,6 +212,7 @@ def bm25_top_k(
     query_term_col: str = "term",
     k: int = 10,
     max_df_ratio: float | None = None,
+    idf: str = "odds",
 ) -> DataFrame:
     """Per-query BM25 top-k over the corpus.
 
@@ -160,7 +232,22 @@ def bm25_top_k(
     df > 0.3 * N before the posting join (the lexical twin of the
     MinHash shingle document-frequency cap; standard practice in search
     engines). None keeps every term — the oracle-exact default.
+
+    ``idf`` selects the weighting: ``"odds"`` (default) is the exact
+    integer-ratio odds form the module docstring derives — the form the
+    registered oracle hash contract pins. ``"log"`` is TEXTBOOK BM25
+    (Robertson-Sparck Jones log-idf): the per-term dfs are resolved
+    EAGERLY (two bounded jobs — a 1-row corpus count and a
+    query-term-sized df lookup), turned into a fixed-precision integer
+    log table on the driver (:func:`_log_idf_table`), and joined back as
+    a plan literal. Same determinism discipline — the only double ops
+    are int64 casts, one division per factor, one multiply — but
+    multi-term rankings now match the textbook weighting. Note the
+    eagerness: ``idf="log"`` runs those two jobs at CALL time, so build
+    the plan once and reuse it.
     """
+    if idf not in ("odds", "log"):
+        raise ValueError(f"idf must be 'odds' or 'log' (got {idf!r})")
     post = postings(docs, id_col, text_col)
     # dl == SUM(tf) per doc == the token count — computable map-only from
     # the corpus scan, no second explode+agg pass over the postings
@@ -186,17 +273,55 @@ def bm25_top_k(
             F.col("df") <= F.lit(max_df_ratio) * F.col("_nd")
         ).drop("_nd")
 
-    contrib = (
-        post.join(F.broadcast(qt_df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "query_id",
-            "doc_id",
-            "term",
-            _contribution(F.col("n_docs"), F.col("total")).alias("c"),
+    if idf == "log":
+        # Resolve query-term dfs eagerly (bounded: <= #query terms rows)
+        # and replace the in-plan odds ratio with the driver-computed
+        # fixed-precision log table, re-entering the plan as a literal
+        # DataFrame. n_docs is a second 1-row job.
+        spark = docs.sparkSession
+        n_docs_val = docs.count()
+        term_dfs = sorted(
+            {(r["term"], r["df"]) for r in qt_df.select("term", "df").collect()}
         )
-    )
+        table = _log_idf_table(term_dfs, n_docs_val)
+        # literal table keyed on term; the (query_id, term) side stays
+        # lazy (and keeps its caller-declared query_id type) — terms the
+        # max_df_ratio guard dropped are absent here, so the inner join
+        # drops them identically
+        idf_lit = spark.createDataFrame(
+            [(t, d, table[t]) for t, d in term_dfs],
+            "term string, df bigint, idf_scaled bigint",
+        )
+        qt_lit = qt.join(F.broadcast(idf_lit), "term")
+        idf_factor = F.col("idf_scaled").cast("double") / F.lit(
+            float(_LOG_IDF_SCALE)
+        )
+        contrib = (
+            post.join(F.broadcast(qt_lit), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "query_id",
+                "doc_id",
+                "term",
+                (
+                    idf_factor
+                    * _tf_saturation(F.col("n_docs"), F.col("total"))
+                ).alias("c"),
+            )
+        )
+    else:
+        contrib = (
+            post.join(F.broadcast(qt_df), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "query_id",
+                "doc_id",
+                "term",
+                _contribution(F.col("n_docs"), F.col("total")).alias("c"),
+            )
+        )
 
     scored = contrib.groupBy("query_id", "doc_id").agg(
         F.aggregate(

@@ -385,3 +385,108 @@ def test_bm25_int64_guard_fails_loudly(spark, monkeypatch):
     monkeypatch.setattr(lexical, "_INT64_SAFE", 10.0)
     with pytest.raises(Exception, match="int64-safe"):
         lexical.bm25_top_k(docs, queries, k=5).collect()
+
+
+class TestBM25LogIdf:
+    """Round-7 verdict item 3: the textbook log-idf option. The odds
+    form stays the oracle-pinned default; ``idf="log"`` must (a) agree
+    rank-for-rank with a pure-Python textbook BM25 reference on
+    multi-term queries, and (b) actually change the ranking on a fixture
+    where the two weightings disagree — proving the documented
+    odds-vs-log deviation is what the option fixes."""
+
+    @staticmethod
+    def _corpus():
+        # N=20 docs, all dl=4 (so with tf=1 the saturation factor is
+        # exactly 1 and scores are pure idf sums). Doc 0 matches the
+        # one rare term (df=1): odds idf = 39/3 = 13, log idf = ln 13.
+        # Docs 1..5 each match the three common terms (df=5):
+        # odds idf = 31/11 each (sum 8.45 < 13 -> doc 0 wins),
+        # log idf = ln(31/11) each (sum 3.11 > ln 13 = 2.56 -> flip).
+        rows = [(0, "rare f0a f0b f0c")]
+        for i in range(1, 6):
+            rows.append((i, f"c1 c2 c3 f{i}"))
+        for i in range(6, 20):
+            rows.append((i, f"g{i}a g{i}b g{i}c g{i}d"))
+        return rows
+
+    @staticmethod
+    def _reference_log_bm25(rows, query_terms, k1=1.2, b=0.75):
+        import math
+
+        toks = {d: t.split() for d, t in rows}
+        n = len(toks)
+        dl = {d: len(t) for d, t in toks.items()}
+        avgdl = sum(dl.values()) / n
+        df = {}
+        for t in set(query_terms):
+            df[t] = sum(1 for ts in toks.values() if t in ts)
+        scores = {}
+        for d, ts in toks.items():
+            s = 0.0
+            for t in set(query_terms):
+                tf = ts.count(t)
+                if tf == 0 or df[t] == 0:
+                    continue
+                idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dl[d] / avgdl)
+                )
+            if s != 0.0:
+                scores[d] = s
+        return [d for d, _ in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))]
+
+    def test_log_idf_matches_python_reference_and_diverges_from_odds(
+        self, spark
+    ):
+        rows = self._corpus()
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        qterms = ["rare", "c1", "c2", "c3"]
+        queries = spark.createDataFrame(
+            [Row(query_id=0, term=t) for t in qterms]
+        )
+        want = self._reference_log_bm25(rows, qterms)
+        got_log = [
+            r.doc_id
+            for r in bm25_top_k(docs, queries, k=20, idf="log")
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got_log == want
+        # the flip is real: doc 0 tops the odds ranking, the common-term
+        # docs top the textbook one
+        got_odds = [
+            r.doc_id
+            for r in bm25_top_k(docs, queries, k=20).orderBy("rank").collect()
+        ]
+        assert got_odds[0] == 0
+        assert got_log[0] != 0 and got_log != got_odds
+
+    def test_log_idf_second_multiterm_query_and_negative_idf(self, spark):
+        # a term in MORE than half the docs has NEGATIVE log idf
+        # (textbook artifact) — the fixed-point table must carry the sign
+        rows = [(i, "common x%d y%d" % (i, i)) for i in range(10)]
+        rows[0] = (0, "common needle y0")
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        qterms = ["common", "needle"]
+        queries = spark.createDataFrame(
+            [Row(query_id=0, term=t) for t in qterms]
+        )
+        want = self._reference_log_bm25(rows, qterms)
+        got = [
+            r.doc_id
+            for r in bm25_top_k(docs, queries, k=10, idf="log")
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == want
+        out = bm25_top_k(docs, queries, k=10, idf="log").collect()
+        assert any(r.score < 0 for r in out)  # pure-common docs go negative
+
+    def test_invalid_idf_rejected(self, spark):
+        import pytest
+
+        docs = _docs(spark)
+        queries = spark.createDataFrame([Row(query_id=0, term="apple")])
+        with pytest.raises(ValueError, match="odds"):
+            bm25_top_k(docs, queries, idf="LOG")
