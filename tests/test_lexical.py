@@ -490,3 +490,97 @@ class TestBM25LogIdf:
         queries = spark.createDataFrame([Row(query_id=0, term="apple")])
         with pytest.raises(ValueError, match="odds"):
             bm25_top_k(docs, queries, idf="LOG")
+
+
+class TestHybridRetrievalScalePath:
+    """Round-7 verdict item 4: fuse the SCALE-PATH retrievers — sparse
+    BM25 and dense IVF-PQ batch ANN — through the retrieval-agnostic
+    rrf_fuse, proving the hybrid composition works end-to-end without a
+    brute-force dense side. Fixture plants three candidate groups:
+    docs 0-4 relevant in BOTH modalities, 5-9 lexical-only, 10-14
+    dense-only; RRF must put the both-modality docs on top (they are the
+    only ones appearing in both k-sized lists)."""
+
+    def test_bm25_plus_ivfpq_rrf_planted_docs_dominate(self, spark):
+        import random
+
+        from apache_spark_streaming_project_spark.operators.lexical import (
+            rrf_fuse,
+        )
+        from apache_spark_streaming_project_spark.operators.similarity import (
+            ivfpq_batch_top_k,
+            ivfpq_index,
+        )
+        from pyspark.sql.window import Window
+
+        rng = random.Random(7)
+        dim = 16
+        qvec = [rng.gauss(0, 1) for _ in range(dim)]
+        rows = []
+        for i in range(100):
+            if i < 5:  # both modalities
+                text = f"needle pin filler{i}a filler{i}b"
+                vec = [x + rng.gauss(0, 0.01) for x in qvec]
+            elif i < 10:  # lexical-only
+                text = f"needle pin filler{i}a filler{i}b"
+                vec = [rng.gauss(0, 1) for _ in range(dim)]
+            elif i < 15:  # dense-only
+                text = f"hay stack filler{i}a filler{i}b"
+                vec = [x + rng.gauss(0, 0.01) for x in qvec]
+            else:  # noise
+                text = f"hay stack filler{i}a filler{i}b"
+                vec = [rng.gauss(0, 1) for _ in range(dim)]
+            rows.append((i, text, vec))
+
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, embedding array<double>"
+        )
+
+        sparse = bm25_top_k(
+            docs,
+            spark.createDataFrame(
+                [Row(query_id=0, term="needle"), Row(query_id=0, term="pin")]
+            ),
+            k=10,
+        )
+
+        indexed, coarse, books = ivfpq_index(
+            docs.select("doc_id", "embedding").withColumnRenamed(
+                "doc_id", "vec_id"
+            ),
+            n_centroids=8,
+            m=4,
+            pq_centroids=16,
+        )
+        queries = spark.createDataFrame(
+            [(0, qvec)], "query_id long, qvec array<double>"
+        )
+        dense_raw = ivfpq_batch_top_k(
+            indexed, coarse, books, queries, k=10, nprobe=6
+        )
+        # adapt (query_id, vec_id, adc_dist) to rrf_fuse's ranked-list
+        # contract — deterministic rank, ties on id
+        wd = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), F.col("vec_id").asc()
+        )
+        dense = dense_raw.select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.row_number().over(wd).alias("rank"),
+        )
+
+        # sanity on the inputs: the sparse list is the 10 needle/pin docs,
+        # the dense list is (at least mostly) the 10 near-qvec docs
+        sparse_ids = {r.doc_id for r in sparse.collect()}
+        dense_ids = {r.doc_id for r in dense.collect()}
+        assert sparse_ids == set(range(10))
+        assert len(dense_ids & set(range(5)) | dense_ids & set(range(10, 15))) >= 8
+
+        fused = rrf_fuse(sparse, dense, k=10).orderBy("rank").collect()
+        both = dense_ids & set(range(5))  # planted docs the ANN recalled
+        # every both-modality doc the ANN recalled must outrank every
+        # single-modality doc in the fused list
+        top = [r.doc_id for r in fused]
+        assert set(top[: len(both)]) == both
+        # and the fused list is drawn from the union of the two lists
+        assert set(top) <= sparse_ids | dense_ids

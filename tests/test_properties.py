@@ -742,3 +742,48 @@ def test_partitioned_merge_equals_flat_merge_and_reference(
         assert snap(ptab) == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["shard-a", "shard-b", "shard-c"]),
+                  st.integers(0, 40)),
+        min_size=2,
+        max_size=30,
+    ),
+    st.integers(5, 30),
+)
+def test_partitioned_pack_documents_matches_per_partition_reference(
+    spark, part_tokens, budget
+):
+    """Round-7 verdict item 5: the SCALE path of sequence packing
+    (``partition_col=...`` — per-shard windows, no global sort) must
+    equal the per-partition Python cumulative-fill reference: within
+    each partition, docs packed in order_col order exactly as the
+    unpartitioned formula would pack that partition alone. Randomized
+    over >=2 partitions; an over-budget document (token count > budget)
+    is force-planted so its own-bin-span behavior is always exercised."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        pack_documents,
+    )
+
+    rows = [(i, p, n) for i, (p, n) in enumerate(part_tokens)]
+    # plant a document longer than the budget in the first partition
+    rows.append((len(rows), rows[0][1], budget * 3 + 1))
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n_tok long")
+    got = {
+        (r.shard, r.doc_id): r.pack_id
+        for r in pack_documents(
+            df, "n_tok", budget, partition_col="shard"
+        ).collect()
+    }
+    want = {}
+    for shard in sorted({p for _i, p, _n in rows}):
+        cum = 0
+        for i, p, n in sorted(rows):  # order_col order within the shard
+            if p != shard:
+                continue
+            cum += n
+            want[(shard, i)] = (cum - 1) // budget
+    assert got == want
