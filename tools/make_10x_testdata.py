@@ -1,0 +1,135 @@
+"""Replicate an sf directory N-fold (default 10x) with SHIFTED KEYS and
+PER-COPY MARKER TOKENS — the round-3 copy-isolation methodology
+(BASELINE.md "Scale probe"), extended to EVERY table so the FULL query
+registry can run at 10x the data:
+
+  * fact/entity keys shift by copy * (max_key + 1), applied consistently
+    to every referencing column (l_orderkey shifts with o_orderkey,
+    o_custkey with c_custkey, ...), so each copy is a self-consistent
+    star schema and joins produce exactly 10x the rows;
+  * dimension tables (region, nation) stay FIXED — realistic corpus
+    growth multiplies facts, not countries — so nationkey/regionkey
+    references are left unshifted and every copy joins the same dims;
+  * document text gets a per-copy marker token injected between EVERY
+    pair of words (copy 0 keeps the original text), so shingles never
+    cross-match between copies: each copy reproduces the original
+    near-dup structure exactly — 10x nodes AND 10x edges, no spurious
+    10-cliques (the adversarial no-isolation variant was measured
+    separately in round 3);
+  * embeddings get a deterministic per-copy perturbation (+copy * 1e-5
+    per component) so the vector population is 10x the points, not the
+    same 2k points with 10 exact ties each;
+  * events shift BOTH event_id and user_id — the user population grows
+    with the corpus, keeping per-user row counts (and the top-k-user
+    query shapes) realistic.
+
+Usage:  python tools/make_10x_testdata.py [src_sf_dir] [out_dir] [copies]
+Default: /root/testdata/sf0.1 -> /tmp/sf1.0-10x, 10 copies. The out dir
+name deliberately contains "sf1.0" so bench.py's sf-from-path regex
+reports the effective scale factor.
+
+Then:   SPARK_GRAFT_SF_DIR=/tmp/sf1.0-10x python bench.py --runs 3
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, functions as F
+
+from apache_spark_streaming_project_spark import get_spark
+
+# key columns to shift, per table, grouped by the entity whose max key
+# defines the shared offset (referential integrity within each copy)
+ENTITY_KEYS = {
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "doc_id": [("documents", "doc_id")],
+    "vec_id": [("embeddings", "vec_id")],
+    "event_id": [("events", "event_id")],
+    "user_id": [("events", "user_id")],
+}
+FIXED_DIMS = ["region", "nation"]
+FACT_TABLES = [
+    "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+]
+# target file counts so the 10x copy's scan parallelism reflects its
+# size (sf0.1 ships one file per table, capping scans at 1 task)
+OUT_FILES = {"lineitem": 32, "events": 16, "orders": 16}
+
+
+def _copy_of(df: DataFrame, table: str, copy: int, offsets: dict[str, int]) -> DataFrame:
+    out = df
+    for entity, sites in ENTITY_KEYS.items():
+        for tab, col in sites:
+            if tab == table:
+                out = out.withColumn(
+                    col, (F.col(col) + F.lit(copy * offsets[entity])).cast("long")
+                )
+    if table == "documents" and copy > 0:
+        # marker between EVERY pair of words: no word n-gram (n >= 2)
+        # can span copies, and within a copy all docs share the same
+        # marker positions so the original near-dup structure survives
+        out = out.withColumn(
+            "text", F.regexp_replace(F.col("text"), r"\s+", f" mrk{copy}x ")
+        ).withColumn("n_chars", F.length("text").cast("long"))
+    if table == "embeddings" and copy > 0:
+        out = out.withColumn(
+            "embedding",
+            F.transform(
+                "embedding", lambda x: (x + F.lit(copy * 1e-5)).cast("float")
+            ),
+        )
+    return out
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1.0-10x")
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark("make-10x")
+
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+
+    offsets: dict[str, int] = {}
+    for entity, sites in ENTITY_KEYS.items():
+        tab, col = sites[0]  # the owning table defines the offset
+        mx = (
+            spark.read.parquet(f"{src}/{tab}.parquet")
+            .agg(F.max(col).alias("m"))
+            .collect()[0]["m"]
+        )
+        offsets[entity] = int(mx) + 1
+    print("key offsets:", offsets)
+
+    for table in FIXED_DIMS:
+        df = spark.read.parquet(f"{src}/{table}.parquet")
+        df.write.mode("overwrite").parquet(str(out / f"{table}.parquet"))
+
+    for table in FACT_TABLES:
+        base = spark.read.parquet(f"{src}/{table}.parquet")
+        parts = [_copy_of(base, table, c, offsets) for c in range(copies)]
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        nf = OUT_FILES.get(table, max(copies, 8))
+        union.repartition(nf).write.mode("overwrite").parquet(
+            str(out / f"{table}.parquet")
+        )
+        n = spark.read.parquet(str(out / f"{table}.parquet")).count()
+        print(f"{table}: {n} rows in {nf} files")
+
+    print(f"done -> {out}")
+
+
+if __name__ == "__main__":
+    main()
