@@ -10,15 +10,29 @@ registry can run at 10x the data:
   * dimension tables (region, nation) stay FIXED — realistic corpus
     growth multiplies facts, not countries — so nationkey/regionkey
     references are left unshifted and every copy joins the same dims;
-  * document text gets a per-copy marker token injected between EVERY
-    pair of words (copy 0 keeps the original text), so shingles never
-    cross-match between copies: each copy reproduces the original
-    near-dup structure exactly — 10x nodes AND 10x edges, no spurious
-    10-cliques (the adversarial no-isolation variant was measured
-    separately in round 3);
-  * embeddings get a deterministic per-copy perturbation (+copy * 1e-5
-    per component) so the vector population is 10x the points, not the
-    same 2k points with 10 exact ties each;
+  * document text gets a per-copy SUFFIX appended to every token
+    (copy 0 keeps the original text). This is an ISOMORPHIC transform:
+    within a copy, the token sequence (and so every word n-gram shingle
+    set, every Jaccard, every adjacency) is structurally identical to
+    the original, while across copies no token — hence no shingle of
+    any n — can ever match. The first cut of this tool inserted a
+    marker token BETWEEN words instead; that destroys 2-gram adjacency
+    (every 2-gram contains the marker, so SimHash shingle sets
+    degenerate to bags of words) and collapsed the 10x corpus's SimHash
+    candidate pairs from the expected ~2.5k to 23M — a measurement
+    artifact, not an engine behavior. Suffixing has no such failure
+    mode;
+  * embeddings get a per-copy DIAGONAL ISOMETRY (deterministic ±1 sign
+    per component, derived from xxhash64(copy, i)): within a copy every
+    pairwise cosine/distance is EXACTLY preserved (diag(±1) is
+    orthogonal), while cross-copy vectors decorrelate — the dense-space
+    analogue of token suffixing. A small additive perturbation would
+    instead leave all 10 copies of each vector mutual near-dups (a
+    ~100x spurious pair blowup in the near-dup queries). Labels shift
+    per copy too, so label-BLOCKED O(b^2) verification joins keep the
+    original block density (10x more blocks, not 10x bigger blocks —
+    corpus growth adds categories and shards, it does not densify
+    every existing block 10x);
   * events shift BOTH event_id and user_id — the user population grows
     with the corpus, keeping per-user row counts (and the top-k-user
     query shapes) realistic.
@@ -52,6 +66,7 @@ ENTITY_KEYS = {
     "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
     "doc_id": [("documents", "doc_id")],
     "vec_id": [("embeddings", "vec_id")],
+    "label": [("embeddings", "label")],
     "event_id": [("events", "event_id")],
     "user_id": [("events", "user_id")],
 }
@@ -67,24 +82,36 @@ OUT_FILES = {"lineitem": 32, "events": 16, "orders": 16}
 
 def _copy_of(df: DataFrame, table: str, copy: int, offsets: dict[str, int]) -> DataFrame:
     out = df
+    dtypes = dict(df.dtypes)
     for entity, sites in ENTITY_KEYS.items():
         for tab, col in sites:
             if tab == table:
                 out = out.withColumn(
-                    col, (F.col(col) + F.lit(copy * offsets[entity])).cast("long")
+                    col,
+                    (F.col(col) + F.lit(copy * offsets[entity])).cast(
+                        dtypes[col]
+                    ),
                 )
     if table == "documents" and copy > 0:
-        # marker between EVERY pair of words: no word n-gram (n >= 2)
-        # can span copies, and within a copy all docs share the same
-        # marker positions so the original near-dup structure survives
+        # per-copy suffix on every token: isomorphic within a copy
+        # (adjacency and shingle structure preserved), cross-copy
+        # shingle matches impossible at any n
         out = out.withColumn(
-            "text", F.regexp_replace(F.col("text"), r"\s+", f" mrk{copy}x ")
+            "text", F.regexp_replace(F.col("text"), r"(\S+)", f"$1q{copy}z")
         ).withColumn("n_chars", F.length("text").cast("long"))
     if table == "embeddings" and copy > 0:
+        # diagonal isometry: component i flips sign per xxhash64(copy, i)
+        # — exact within-copy geometry, decorrelated across copies
         out = out.withColumn(
             "embedding",
             F.transform(
-                "embedding", lambda x: (x + F.lit(copy * 1e-5)).cast("float")
+                "embedding",
+                lambda x, i: (
+                    x
+                    * (
+                        F.pmod(F.xxhash64(F.lit(copy), i), F.lit(2)) * 2 - 1
+                    ).cast("float")
+                ).cast("float"),
             ),
         )
     return out
