@@ -609,6 +609,17 @@ def simhash_near_dups(
     fingerprint table is a materialized artifact shared by every consumer.
     ``drop_shingles`` forwards the boilerplate vocabulary to
     :func:`simhash_df` (ignored when ``fingerprints`` is supplied).
+
+    Scale residue (measured, BASELINE.md round-7 two-decade probe): with
+    4 blocks of 16 bits, RANDOM-pair candidates are ~ blocks * N^2 / 2^17
+    — 0.0006% of all pairs, invisible at N=100k (~305k candidates) and
+    ~30M at N=1M fingerprints (~20 s of the probe's 100x row). Pigeonhole
+    completeness for radius r fixes the block count at r+1, so unlike the
+    LSH band width this term has no free knob at 64 bits; past N ~ 10^7
+    use a 128-bit fingerprint (8 blocks of 16 — same theorem, 2^16 bucket
+    space per block held, residue cut by the wider hash's collision rate)
+    or interpose a cheap prefilter (e.g. length or gram-count band) on
+    the candidate pairs before the exact Hamming check.
     """
     blocks = max_hamming + 1
     bits_per = 64 // blocks

@@ -242,7 +242,17 @@ def ivf_index(
     survive under any partitioning or file order, unlike seeded
     ``sample()`` whose per-partition RNG changes with the split), and the
     collected rows are sorted driver-side before seeding k-means so
-    arrival order can't influence the centroids."""
+    arrival order can't influence the centroids.
+
+    Scale law (measured, BASELINE.md round-7 two-decade probe): growing
+    ``n_centroids`` ∝ N keeps per-cell occupancy — and so any downstream
+    per-cell O(b^2) verification (SemDeDup) — constant, but makes the
+    ASSIGNMENT matmul O(N*k) the next quadratic term (the probe's 100x
+    row at k=1600 is ~8x its 10x row at k=160). Past that point the
+    standard remedy is a two-level coarse quantizer (IMI: two codebooks
+    of sqrt(k) centroids over vector halves — assignment cost
+    O(N*sqrt(k)), cell count k), which composes with this API by feeding
+    the product cell id in as ``centroid_id``."""
     import numpy as np
 
     sample = _train_sample(df, key_col, vec_col, max_train_rows, seed)

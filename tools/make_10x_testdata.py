@@ -38,9 +38,13 @@ registry can run at 10x the data:
     query shapes) realistic.
 
 Usage:  python tools/make_10x_testdata.py [src_sf_dir] [out_dir] [copies]
-Default: /root/testdata/sf0.1 -> /tmp/sf1.0-10x, 10 copies. The out dir
-name deliberately contains "sf1.0" so bench.py's sf-from-path regex
-reports the effective scale factor.
+            [tables]
+Default: /root/testdata/sf0.1 -> /tmp/sf1.0-10x, 10 copies, all tables.
+The out dir name deliberately contains "sf1.0" so bench.py's
+sf-from-path regex reports the effective scale factor. ``tables`` is an
+optional comma-separated fact-table subset (e.g. "documents,embeddings"
+for a deep-scale corpus replica that skips the star schema) — the
+fixed dims are still copied so the directory stays loadable.
 
 Then:   SPARK_GRAFT_SF_DIR=/tmp/sf1.0-10x python bench.py --runs 3
 """
@@ -84,6 +88,8 @@ def _copy_of(df: DataFrame, table: str, copy: int, offsets: dict[str, int]) -> D
     out = df
     dtypes = dict(df.dtypes)
     for entity, sites in ENTITY_KEYS.items():
+        if entity not in offsets:
+            continue  # owning table excluded by a table-subset run
         for tab, col in sites:
             if tab == table:
                 out = out.withColumn(
@@ -121,6 +127,14 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1.0-10x")
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    fact_tables = (
+        [t.strip() for t in sys.argv[4].split(",") if t.strip()]
+        if len(sys.argv) > 4
+        else FACT_TABLES
+    )
+    unknown = set(fact_tables) - set(FACT_TABLES)
+    if unknown:
+        raise SystemExit(f"unknown fact tables: {sorted(unknown)}")
     spark = get_spark("make-10x")
 
     if out.exists():
@@ -130,6 +144,8 @@ def main() -> None:
     offsets: dict[str, int] = {}
     for entity, sites in ENTITY_KEYS.items():
         tab, col = sites[0]  # the owning table defines the offset
+        if tab not in fact_tables:
+            continue
         mx = (
             spark.read.parquet(f"{src}/{tab}.parquet")
             .agg(F.max(col).alias("m"))
@@ -142,7 +158,7 @@ def main() -> None:
         df = spark.read.parquet(f"{src}/{table}.parquet")
         df.write.mode("overwrite").parquet(str(out / f"{table}.parquet"))
 
-    for table in FACT_TABLES:
+    for table in fact_tables:
         base = spark.read.parquet(f"{src}/{table}.parquet")
         parts = [_copy_of(base, table, c, offsets) for c in range(copies)]
         union = parts[0]
