@@ -308,6 +308,119 @@ def ivf_index(
     return assigned, centroids
 
 
+def imi_index(
+    df: DataFrame,
+    n_cells_per_half: int = 16,
+    seed: int = 42,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_rows: int = 10_000,
+    iterations: int = 3,
+    n_assign: int = 1,
+) -> tuple[DataFrame, tuple[list[list[float]], list[list[float]]]]:
+    """Two-level inverted multi-index (IMI) coarse quantizer — the
+    measured remedy for ``ivf_index``'s O(N*k) assignment term when the
+    cell count grows with the corpus (BASELINE.md round-7 two-decade
+    probe; the law note in ivf_index's docstring).
+
+    The vector splits into two halves; each half gets its own
+    ``n_cells_per_half``-centroid seeded Lloyd codebook (trained on the
+    same bounded, layout-independent driver sample as ``ivf_index``).
+    The cell id is the PRODUCT code ``i * k' + j`` of the halves'
+    nearest centroids, so k = k'^2 cells cost two k'-codebook scans:
+    assignment is O(N * sqrt(k) * d) instead of O(N * k * d) — at
+    k = 1600 that is a 40x flop cut for the same cell count. Squared
+    Euclidean decomposes over the split (``|v - c(i,j)|^2 =
+    |va - ca_i|^2 + |vb - cb_j|^2``), so product-cell distances are
+    EXACT sums of half-distances, never approximations.
+
+    ``n_assign`` ∈ {1, 2}. Soft top-2 (the SemDeDup boundary-recall
+    setting, see ivf_index) stays EXACT over all k'^2 product cells
+    without materializing them: with per-half distances sorted
+    (a1 <= a2 <= ..., b1 <= b2 <= ...), every cell with i >= 2 or
+    j >= 2 has distance >= min(a2 + b1, a1 + b2), so the true second-
+    best product cell is whichever of those two candidates is smaller
+    (ties break toward the lower cell id — deterministic, batch-
+    boundary-independent, like every kernel in this module).
+
+    Output schema matches ``ivf_index`` (``(key, vec, centroid_id)``),
+    so it drops into ``blocked_cosine_join``/SemDeDup unchanged; the
+    return also carries the two half-codebooks.
+    """
+    import numpy as np
+
+    if n_assign not in (1, 2):
+        raise ValueError("imi_index supports n_assign in {1, 2} only")
+    dim = len(df.select(vec_col).first()[0])
+    if dim < 2:
+        raise ValueError("imi_index needs vectors of dim >= 2 to split")
+    da = dim // 2
+
+    sample = _train_sample(df, key_col, vec_col, max_train_rows, seed)
+    cent_a = _lloyd(sample[:, :da], n_cells_per_half, iterations, seed)
+    cent_b = _lloyd(sample[:, da:], n_cells_per_half, iterations, seed + 1)
+    k_half = len(cent_a)  # = min(n_cells_per_half, sample size)
+    if len(cent_b) != k_half:
+        raise ValueError("half codebooks diverged in size")  # unreachable
+    A = np.asarray(cent_a, dtype=np.float64)
+    B = np.asarray(cent_b, dtype=np.float64)
+    key_t = df.schema[key_col].dataType.simpleString()
+    vec_t = df.schema[vec_col].dataType.simpleString()
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            va, vb = vecs[:, :da], vecs[:, da:]
+            d2a = (
+                (va**2).sum(1)[:, None]
+                - 2.0 * va @ A.T
+                + (A**2).sum(1)[None, :]
+            )
+            d2b = (
+                (vb**2).sum(1)[:, None]
+                - 2.0 * vb @ B.T
+                + (B**2).sum(1)[None, :]
+            )
+            # stable argsort = deterministic lowest-id tie-break per half
+            oa = np.argsort(d2a, axis=1, kind="stable")
+            ob = np.argsort(d2b, axis=1, kind="stable")
+            i1, j1 = oa[:, 0], ob[:, 0]
+            cells = [(i1 * k_half + j1)]
+            if n_assign == 2 and k_half >= 2:
+                i2, j2 = oa[:, 1], ob[:, 1]
+                rows = np.arange(len(vecs))
+                alt_a = d2a[rows, i2] + d2b[rows, j1]  # (a2, b1)
+                alt_b = d2a[rows, i1] + d2b[rows, j2]  # (a1, b2)
+                cell_a = i2 * k_half + j1
+                cell_b = i1 * k_half + j2
+                pick_a = (alt_a < alt_b) | (
+                    (alt_a == alt_b) & (cell_a < cell_b)
+                )
+                cells.append(np.where(pick_a, cell_a, cell_b))
+            out = {key_col: [], vec_col: [], "centroid_id": []}
+            for r in range(len(pdf)):
+                for arr in cells:
+                    out[key_col].append(pdf[key_col].iloc[r])
+                    out[vec_col].append(pdf[vec_col].iloc[r])
+                    out["centroid_id"].append(int(arr[r]))
+            yield pd.DataFrame(out)
+
+    assigned = df.select(key_col, vec_col).mapInPandas(
+        kernel,
+        schema=f"{key_col} {key_t}, {vec_col} {vec_t}, centroid_id int",
+    )
+    return assigned, (
+        [list(map(float, c)) for c in cent_a],
+        [list(map(float, c)) for c in cent_b],
+    )
+
+
 def ivf_top_k(
     assigned: DataFrame,
     centroids: list[list[float]],

@@ -377,3 +377,126 @@ def test_batch_brute_force_matches_single_query(spark, sf_dir):
         single = brute_force_top_k(e, qvec, k=7).collect()
         want = [(i + 1, r.vec_id, r.cosine) for i, r in enumerate(single)]
         assert sorted(got[qid]) == want
+
+
+def test_imi_product_cell_matches_numpy_reference(spark):
+    """imi_index's product cell must equal the numpy argmin over each
+    half codebook — the distance decomposition |v-c(i,j)|^2 =
+    |va-ca_i|^2 + |vb-cb_j|^2 computed independently of the kernel."""
+    import numpy as np
+
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        imi_index,
+    )
+
+    rows = [
+        (i, [float(((i * 37 + d * 11) % 19) - 9) / 9.0 for d in range(6)])
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, (ca, cb) = imi_index(df, n_cells_per_half=3, n_assign=1)
+    got = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    A, B = np.asarray(ca), np.asarray(cb)
+    k = len(ca)
+    for vid, vec in rows:
+        v = np.asarray(vec)
+        da = ((v[:3] - A) ** 2).sum(1)
+        db = ((v[3:] - B) ** 2).sum(1)
+        want = int(da.argmin() * k + db.argmin())
+        assert got[vid] == want, (vid, got[vid], want)
+
+
+def test_imi_soft_top2_is_exact_over_product_cells(spark):
+    """n_assign=2 must emit the TRUE two nearest of all k'^2 product
+    cells (the min(a2+b1, a1+b2) shortcut is exact — verified here by
+    brute-forcing the full product distance matrix in numpy)."""
+    import numpy as np
+
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        imi_index,
+    )
+
+    rows = [
+        (i, [float(((i * 53 + d * 29) % 23) - 11) / 11.0 for d in range(8)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, (ca, cb) = imi_index(df, n_cells_per_half=4, n_assign=2)
+    got: dict[int, list[int]] = {}
+    for r in assigned.collect():
+        got.setdefault(r.vec_id, []).append(r.centroid_id)
+    A, B = np.asarray(ca), np.asarray(cb)
+    k = len(ca)
+    for vid, vec in rows:
+        v = np.asarray(vec)
+        da = ((v[:4] - A) ** 2).sum(1)
+        db = ((v[4:] - B) ** 2).sum(1)
+        prod = da[:, None] + db[None, :]  # full k' x k' product distances
+        flat = prod.ravel()
+        # sort by (distance, cell id): deterministic like the kernel
+        order = np.lexsort((np.arange(k * k), flat))
+        want = {int(order[0]), int(order[1])}
+        assert set(got[vid]) == want, (vid, got[vid], want)
+
+
+def test_imi_semantic_dedup_recall_on_planted_copies(spark):
+    """The SemDeDup composition the ivf_index scale-law note promises:
+    imi_index(n_assign=2) feeding blocked_cosine_join + representative
+    dedup must remove EXACTLY the planted near-copies — same contract as
+    x_semantic_dedup, product cells instead of flat cells."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        dedup_keep_representatives,
+    )
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        blocked_cosine_join,
+        imi_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x + 0.003 * F.sin(F.col("vec_id") * 13 + i)).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+    )
+    corpus = e.unionByName(planted)
+    assigned, _ = imi_index(corpus, n_cells_per_half=4, n_assign=2)
+    pairs = blocked_cosine_join(
+        assigned,
+        key_col="vec_id",
+        vec_col="embedding",
+        block_col="centroid_id",
+        threshold=0.95,
+    ).select("id_a", "id_b")
+    surv = sorted(
+        r.vec_id
+        for r in dedup_keep_representatives(
+            corpus, pairs, "vec_id", key_a="id_a", key_b="id_b"
+        )
+        .select("vec_id")
+        .collect()
+    )
+    want = sorted(r.vec_id for r in e.select("vec_id").collect())
+    assert surv == want
+
+
+def test_imi_rejects_bad_n_assign_and_dim(spark):
+    import pytest as _pytest
+
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        imi_index,
+    )
+
+    df = spark.createDataFrame([(0, [1.0, 2.0])], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError, match="n_assign"):
+        imi_index(df, n_assign=3)
+    one_d = spark.createDataFrame([(0, [1.0])], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError, match="dim >= 2"):
+        imi_index(one_d)

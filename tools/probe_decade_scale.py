@@ -72,12 +72,18 @@ def registered_shape(spark, name: str, sf_dir: str, runs: int):
     return timed(run, runs)
 
 
-def semantic_shape(spark, sf_dir: str, n_centroids: int, runs: int):
+def semantic_shape(
+    spark, sf_dir: str, n_centroids: int, runs: int, quantizer: str = "ivf"
+):
+    """quantizer='ivf' is the flat coarse quantizer (assignment O(N*k));
+    'imi' is the two-level product quantizer (same cell count from
+    k' = sqrt(k) centroids per half, assignment O(N*sqrt(k)))."""
     from apache_spark_streaming_project_spark.operators.dedup import (
         dedup_keep_representatives,
     )
     from apache_spark_streaming_project_spark.operators.similarity import (
         blocked_cosine_join,
+        imi_index,
         ivf_index,
     )
 
@@ -95,12 +101,21 @@ def semantic_shape(spark, sf_dir: str, n_centroids: int, runs: int):
             ).alias("embedding"),
         )
         corpus = e.unionByName(planted)
-        assigned, _ = ivf_index(
-            corpus,
-            n_centroids=n_centroids,
-            n_assign=2,
-            max_train_rows=max(10_000, 25 * n_centroids),
-        )
+        if quantizer == "imi":
+            k_half = int(round(n_centroids**0.5))
+            assigned, _ = imi_index(
+                corpus,
+                n_cells_per_half=k_half,
+                n_assign=2,
+                max_train_rows=max(10_000, 25 * n_centroids),
+            )
+        else:
+            assigned, _ = ivf_index(
+                corpus,
+                n_centroids=n_centroids,
+                n_assign=2,
+                max_train_rows=max(10_000, 25 * n_centroids),
+            )
         pairs = blocked_cosine_join(
             assigned,
             key_col="vec_id",
@@ -170,6 +185,12 @@ def main() -> None:
     for (sf_dir, tag, runs), k in zip(scales, (16, 160, 1600)):
         med, surv = semantic_shape(spark, sf_dir, k, runs)
         print(f"{tag:>4} n_centroids={k:<4}: {med:7.2f} s  survivors={surv}")
+
+    # the O(N*k) assignment remedy: same 1600 cells at 100x from two
+    # 40-centroid half codebooks (similarity.imi_index)
+    print("== semantic dedup at 100x, IMI product cells (k' = 40) ==")
+    med, surv = semantic_shape(spark, d100, 1600, 1, quantizer="imi")
+    print(f"100x imi 40x40 cells : {med:7.2f} s  survivors={surv}")
 
     print("== embedding near-dups, band width ∝ log2 N ==")
     for (sf_dir, tag, runs), planes in zip(scales, (32, 32, 64)):
