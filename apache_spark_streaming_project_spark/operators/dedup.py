@@ -615,11 +615,18 @@ def simhash_near_dups(
     — 0.0006% of all pairs, invisible at N=100k (~305k candidates) and
     ~30M at N=1M fingerprints (~20 s of the probe's 100x row). Pigeonhole
     completeness for radius r fixes the block count at r+1, so unlike the
-    LSH band width this term has no free knob at 64 bits; past N ~ 10^7
-    use a 128-bit fingerprint (8 blocks of 16 — same theorem, 2^16 bucket
-    space per block held, residue cut by the wider hash's collision rate)
-    or interpose a cheap prefilter (e.g. length or gram-count band) on
-    the candidate pairs before the exact Hamming check.
+    LSH band width this term has no free knob at 64 bits — and WIDENING
+    the fingerprint alone does not help: for a fixed cosine threshold the
+    expected Hamming distance is bits * theta/pi, so the design radius
+    scales with the width and block width stays ~bits/(r+1). Past
+    N ~ 10^7 the remedies are (a) a cheap prefilter (length or
+    gram-count band) on candidate pairs before the exact Hamming check,
+    or (b) WIDER blocks with multi-probe lookups: 2 blocks of 32 bits
+    catch radius 3 when each block bucket is probed at its exact value
+    plus all 32 single-bit flips (<= 3 flips total means SOME block has
+    <= 1), cutting the random-pair residue to ~2 * 33 * N^2 / 2^33 —
+    three orders below the 16-bit-block term at the cost of 33x bucket
+    lookups, the classic candidates-vs-probes trade.
     """
     blocks = max_hamming + 1
     bits_per = 64 // blocks
