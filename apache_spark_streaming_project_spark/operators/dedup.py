@@ -595,6 +595,7 @@ def simhash_near_dups(
     shingle_n: int = 2,
     fingerprints: DataFrame | None = None,
     drop_shingles: frozenset[str] | None = None,
+    scheme: str = "pigeonhole",
 ) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance ``max_hamming``.
 
@@ -602,6 +603,27 @@ def simhash_near_dups(
     fingerprint into ``max_hamming + 1`` blocks; any pair within the distance
     budget must agree exactly on >= 1 block, so the self-join key is
     (block_id, block_value) — same bucketed-join scale story as LSH.
+
+    ``scheme="multiprobe"`` trades bucket lookups for candidate volume
+    (``max_hamming <= 3`` required): the fingerprint splits into 2
+    blocks of 32 bits; <= 3 total flips means SOME block carries <= 1,
+    so one join side emits each block's exact value while the other
+    emits the value PLUS its 32 single-bit flips (33 probe rows per
+    block). Completeness is the same theorem; the random-pair residue
+    drops from blocks * N^2 / 2^(64/blocks + 1) at 16-bit blocks to
+    ~2 * 33 * N^2 / 2^33. MEASURED CAVEAT (BASELINE.md round-7
+    multiprobe addendum): on this engine the pigeonhole candidate
+    stream is a codegen'd join + bit_count filter at ~10^8 rows/s/core
+    (~0.01 us/candidate), while the probe side is a 66x-row shuffle at
+    ~15x that per-row cost — so pigeonhole stays FASTER through at
+    least N = 4M fingerprints (40.9 s vs 4.9 s there), with the
+    wall-clock crossover extrapolating to N ~ 3*10^7 in a single
+    partition space. Prefer pigeonhole until profiling says otherwise;
+    multiprobe earns its inflation when the per-candidate verify is
+    much heavier than a bit_count (payload-carrying candidates) or when
+    the join's output volume, not time, is the binding constraint.
+    Both schemes share the exact Hamming verify and return identical
+    verified pair sets (property-tested).
 
     Pass ``fingerprints`` (a ``simhash_df`` result, schema (_key, _fp)) to
     reuse an already-computed — typically cached or persisted — fingerprint
@@ -628,7 +650,17 @@ def simhash_near_dups(
     three orders below the 16-bit-block term at the cost of 33x bucket
     lookups, the classic candidates-vs-probes trade.
     """
-    blocks = max_hamming + 1
+    if scheme not in ("pigeonhole", "multiprobe"):
+        raise ValueError(f"unknown scheme: {scheme!r}")
+    if scheme == "multiprobe":
+        if max_hamming > 3:
+            raise ValueError(
+                "multiprobe covers <= 1 flip per 32-bit block: 2 blocks "
+                "bound max_hamming at 3 (pigeonhole has no radius cap)"
+            )
+        blocks = 2
+    else:
+        blocks = max_hamming + 1
     bits_per = 64 // blocks
     # both self-join sides read the fingerprint table — persist (see
     # minhash_lsh_candidates)
@@ -654,7 +686,27 @@ def simhash_near_dups(
             )
         ).alias("_b"),
     ).select("_key", "_fp", "_b.block", "_b.block_val")
-    a, b = banded.alias("a"), banded.alias("b")
+    if scheme == "multiprobe":
+        # probe side: each block value plus its 32 single-bit flips. A
+        # pair with <= 1 flip in some block matches exact(a) x probes(b)
+        # whichever direction the flip went (x ^ bit = y <=> y ^ bit = x).
+        probes = banded.select(
+            "_key",
+            "_fp",
+            "block",
+            F.explode(
+                F.array(
+                    F.col("block_val"),
+                    *[
+                        F.col("block_val").bitwiseXOR(F.lit(1 << j))
+                        for j in range(bits_per)
+                    ],
+                )
+            ).alias("block_val"),
+        )
+        a, b = banded.alias("a"), probes.alias("b")
+    else:
+        a, b = banded.alias("a"), banded.alias("b")
     xor = F.col("a._fp").bitwiseXOR(F.col("b._fp"))
     hamming = F.bit_count(xor)
     return (
