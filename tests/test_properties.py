@@ -787,3 +787,60 @@ def test_partitioned_pack_documents_matches_per_partition_reference(
             cum += n
             want[(shard, i)] = (cum - 1) // budget
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    bases=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    ),
+    flips=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=63),
+            min_size=0,
+            max_size=5,
+            unique=True,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_simhash_schemes_match_quadratic_reference(spark, bases, flips):
+    """Both candidate schemes (4x16-bit pigeonhole and 2x32-bit
+    multiprobe) must return EXACTLY the brute-force all-pairs
+    Hamming <= 3 set — including planted neighbors at distances
+    0..5 straddling the radius, where an off-by-one in blocking or
+    probing would show."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        simhash_near_dups,
+    )
+
+    mask = (1 << 64) - 1
+    fps = list(bases)
+    for i, bits in enumerate(flips):  # neighbors of base 0 at distance len(bits)
+        derived = fps[0]
+        for b in bits:
+            derived ^= 1 << b
+        fps.append(derived)
+    rows = [
+        (k, v if v < 2**63 else v - 2**64)
+        for k, v in enumerate(dict.fromkeys(f & mask for f in fps))
+    ]
+    want = sorted(
+        (a, b)
+        for ai, (a, af) in enumerate(rows)
+        for b, bf in rows[ai + 1 :]
+        if bin((af ^ bf) & mask).count("1") <= 3
+    )
+    fp_df = spark.createDataFrame(rows, "_key long, _fp long")
+    for scheme in ("pigeonhole", "multiprobe"):
+        got = sorted(
+            (r.key_a, r.key_b)
+            for r in simhash_near_dups(
+                None, fingerprints=fp_df, max_hamming=3, scheme=scheme
+            ).collect()
+        )
+        assert got == want, (scheme, got, want)
