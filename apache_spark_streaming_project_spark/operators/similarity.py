@@ -446,6 +446,48 @@ def ivf_top_k(
     )
 
 
+def imi_top_k(
+    assigned: DataFrame,
+    codebooks: tuple[list[list[float]], list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query path over an ``imi_index``: probe the ``nprobe`` product
+    cells nearest the query, exact cosine within — the IMI analogue of
+    ``ivf_top_k``. Cell distance decomposes over the halves
+    (``|q - c(i,j)|^2 = |qa - ca_i|^2 + |qb - cb_j|^2``), so ranking
+    the k'^2 product cells is two k'-codebook scans plus a sum — all
+    driver-side on the tiny codebooks (the multi-sequence heap of the
+    IMI paper buys asymptotics only when k'^2 sums themselves are big;
+    at coarse-quantizer sizes the flat argsort is exact and simpler).
+    Ties rank by lowest cell id — deterministic like ``ivf_top_k``.
+    Query over an ``n_assign=1`` index (the ivf_index note applies:
+    probing widens on the query side via ``nprobe``; a soft-assigned
+    index duplicates rows across cells and is for dedup blocking)."""
+    cent_a, cent_b = codebooks
+    k_half = len(cent_a)
+    da = len(cent_a[0])
+    qa, qb = query_vec[:da], query_vec[da:]
+    d_a = [sum((q - c) ** 2 for q, c in zip(qa, ca)) for ca in cent_a]
+    d_b = [sum((q - c) ** 2 for q, c in zip(qb, cb)) for cb in cent_b]
+    cells = sorted(
+        range(k_half * k_half),
+        key=lambda cell: (d_a[cell // k_half] + d_b[cell % k_half], cell),
+    )
+    probe = cells[:nprobe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity(F.col(vec_col), q).alias("cosine")
+    return (
+        assigned.filter(F.col("centroid_id").isin(probe))
+        .select(F.col(key_col), sim)
+        .orderBy(F.col("cosine").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
 def lsh_batch_top_k(
     indexed: DataFrame,
     queries: DataFrame,

@@ -500,3 +500,33 @@ def test_imi_rejects_bad_n_assign_and_dim(spark):
     one_d = spark.createDataFrame([(0, [1.0])], ["vec_id", "embedding"])
     with _pytest.raises(ValueError, match="dim >= 2"):
         imi_index(one_d)
+
+
+def test_imi_top_k_retrieves_planted_and_orders_cells_correctly(spark):
+    """imi_top_k must (a) return the query vector itself first at
+    nprobe=1 (its own product cell is ranked nearest), and (b) at full
+    probe width equal the brute-force top-k exactly."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        brute_force_top_k,
+        imi_index,
+        imi_top_k,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    assigned, books = imi_index(e, n_cells_per_half=3)
+    assigned = assigned.cache()
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    top1 = imi_top_k(assigned, books, qvec, k=1, nprobe=1).collect()
+    assert top1[0].vec_id == 0
+    assert top1[0].cosine == pytest.approx(1.0)
+
+    full = imi_top_k(assigned, books, qvec, k=5, nprobe=9).collect()
+    exact = brute_force_top_k(e, qvec, k=5).collect()
+    assert [(r.vec_id, r.cosine) for r in full] == [
+        (r.vec_id, r.cosine) for r in exact
+    ]
