@@ -523,6 +523,18 @@ def merge_batch_adaptive(
     the sidecar — call :func:`merge_batch_into_partitioned_table` with
     the expr directly for those."""
     _validate_staging_suffix(staging_suffix)
+    # The adaptive path PROMISES an eventual hash layout, so its bucket
+    # column is reserved from batch 0: accepting 'pbucket' data while the
+    # table is still flat would poison the later conversion (the
+    # threshold-crossing batch — and every replay of it — would fail
+    # forever against a flat table that already contains the column, and
+    # convert_flat_table_to_partitioned would refuse the table itself).
+    if "pbucket" in batch_df.columns:
+        raise ValueError(
+            "batch has a 'pbucket' column — reserved by the adaptive "
+            "merge's hash layout; rename it or use the flat/explicit "
+            "merge entry points"
+        )
     _recover_interrupted_swap(table_dir)
     layout = _read_layout(table_dir)
     if layout is not None:
@@ -545,19 +557,12 @@ def merge_batch_adaptive(
     if os.path.isdir(table_dir) and _table_data_bytes(table_dir) >= int(
         auto_flat_max_bytes
     ):
-        # Cheap batch preconditions BEFORE the irreversible O(table)
-        # layout conversion: a batch that would make the partitioned
-        # merge raise (a data column colliding with the bucket column)
-        # must fail HERE, while the table is still flat — otherwise the
-        # conversion lands first, the merge raises, and every replay of
-        # the same batch keeps failing against the now-converted table.
-        # (Null keys cannot produce a NULL bucket under the hash layout:
+        # (The 'pbucket' collision precondition is enforced at the TOP of
+        # this function — for every regime, not just the threshold-
+        # crossing batch — so the irreversible conversion below can never
+        # be reached by a batch the partitioned merge would then refuse.
+        # Null keys cannot produce a NULL bucket under the hash layout:
         # xxhash64 is total — null inputs fold into the seed.)
-        if "pbucket" in batch_df.columns:
-            raise ValueError(
-                "batch already has a 'pbucket' column — it would collide "
-                "with the hash layout's bucket column"
-            )
         _sweep_stale_staging(table_dir)
         _log.info(
             "adaptive merge: flat table %s crossed %d bytes — converting "

@@ -620,3 +620,29 @@ def test_streaming_writer_validates_n_buckets_eagerly(spark, tmp_path):
                 df, str(tmp_path / "t"), ["k"], "version",
                 checkpoint_dir=str(tmp_path / "cp"), n_buckets=bad,
             )
+
+
+def test_adaptive_merge_reserves_pbucket_in_every_regime(spark, tmp_path):
+    """Round-7 self-review: the 'pbucket' precondition must fire on EVERY
+    adaptive merge, not just the threshold-crossing one — flat merges
+    that accepted the column would poison the promised conversion days
+    later (the crossing batch and all its replays fail forever, and even
+    pbucket-free batches then fail because the flat table already
+    contains the column)."""
+    from apache_spark_streaming_project_spark.streaming.upsert import (
+        merge_batch_adaptive,
+    )
+
+    table = str(tmp_path / "t")
+    bad_first = spark.createDataFrame(
+        [(1, 1, "a", 0)], ["k", "version", "payload", "pbucket"]
+    )
+    # far below any threshold: the flat regime must STILL refuse
+    with pytest.raises(ValueError, match="pbucket"):
+        merge_batch_adaptive(bad_first, table, ["k"], "version")
+    assert not os.path.exists(table)  # nothing was written
+
+    # and a clean batch afterwards works normally
+    ok = spark.createDataFrame([(1, 1, "a")], ["k", "version", "payload"])
+    merge_batch_adaptive(ok, table, ["k"], "version")
+    assert _snap(spark, table) == {(1, 1, "a")}
