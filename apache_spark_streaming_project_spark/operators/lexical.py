@@ -160,8 +160,13 @@ def _log_idf_table(term_dfs: list[tuple[str, int]], n_docs: int) -> dict[str, in
         num = decimal.Decimal(2 * n_docs - 2 * df + 1)
         den = decimal.Decimal(2 * df + 1)
         ln = ctx.divide(num, den).ln(ctx)
+        # every step through the LOCAL prec-40 context — the bare `*`
+        # operator would consult the process-global thread-local context,
+        # making the "same bits on every engine/process" contract depend
+        # on whatever precision/traps the host application last set
+        scaled = ctx.multiply(ln, decimal.Decimal(_LOG_IDF_SCALE))
         out[term] = int(
-            (ln * _LOG_IDF_SCALE).quantize(
+            scaled.quantize(
                 decimal.Decimal(1), rounding=decimal.ROUND_HALF_EVEN, context=ctx
             )
         )
@@ -288,9 +293,11 @@ def bm25_top_k(
         # lazy (and keeps its caller-declared query_id type) — terms the
         # max_df_ratio guard dropped are absent here, so the inner join
         # drops them identically
+        # (term, idf_scaled) only — the log path's tf saturation never
+        # reads df, unlike the odds path's fused _contribution
         idf_lit = spark.createDataFrame(
-            [(t, d, table[t]) for t, d in term_dfs],
-            "term string, df bigint, idf_scaled bigint",
+            [(t, table[t]) for t, _ in term_dfs],
+            "term string, idf_scaled bigint",
         )
         qt_lit = qt.join(F.broadcast(idf_lit), "term")
         idf_factor = F.col("idf_scaled").cast("double") / F.lit(

@@ -192,6 +192,14 @@ def _train_sample(
     return sample
 
 
+def _sq_dists(V, C):
+    """Squared-Euclidean distance matrix between row sets (the
+    ``|x|^2 - 2x.c + |c|^2`` expansion) — one shape, used by the Lloyd
+    step and every assignment kernel so the tie-relevant float path is
+    literally the same code."""
+    return (V**2).sum(1)[:, None] - 2.0 * V @ C.T + (C**2).sum(1)[None, :]
+
+
 def _lloyd(sample, n_centroids: int, iterations: int, seed: int):
     """Seeded vectorized Lloyd's k-means over a driver-side numpy sample."""
     import random
@@ -200,12 +208,7 @@ def _lloyd(sample, n_centroids: int, iterations: int, seed: int):
     k = min(n_centroids, len(sample))
     cent = sample[rng.sample(range(len(sample)), k)]
     for _ in range(iterations):
-        # vectorized Lloyd step: ||x-c||^2 = |x|^2 - 2x.c + |c|^2
-        d2 = (
-            (sample**2).sum(1)[:, None]
-            - 2.0 * sample @ cent.T
-            + (cent**2).sum(1)[None, :]
-        )
+        d2 = _sq_dists(sample, cent)
         assign = d2.argmin(1)
         for ci in range(k):
             members = sample[assign == ci]
@@ -287,11 +290,7 @@ def ivf_index(
             vecs = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            d2 = (
-                (vecs**2).sum(1)[:, None]
-                - 2.0 * vecs @ coarse_np.T
-                + (coarse_np**2).sum(1)[None, :]
-            )
+            d2 = _sq_dists(vecs, coarse_np)
             top = np.argsort(d2, axis=1, kind="stable")[:, :n_assign]
             out = {key_col: [], vec_col: [], "centroid_id": []}
             for r in range(len(pdf)):
@@ -351,12 +350,17 @@ def imi_index(
 
     if n_assign not in (1, 2):
         raise ValueError("imi_index supports n_assign in {1, 2} only")
-    dim = len(df.select(vec_col).first()[0])
+    # dim comes from the training sample the trainer collects anyway —
+    # no extra .first() job, and empty/null-vector inputs fail loudly
+    # here instead of as an opaque TypeError
+    sample = _train_sample(df, key_col, vec_col, max_train_rows, seed)
+    if sample.size == 0:
+        raise ValueError("imi_index needs a non-empty vector column")
+    dim = sample.shape[1]
     if dim < 2:
         raise ValueError("imi_index needs vectors of dim >= 2 to split")
     da = dim // 2
 
-    sample = _train_sample(df, key_col, vec_col, max_train_rows, seed)
     cent_a = _lloyd(sample[:, :da], n_cells_per_half, iterations, seed)
     cent_b = _lloyd(sample[:, da:], n_cells_per_half, iterations, seed + 1)
     k_half = len(cent_a)  # = min(n_cells_per_half, sample size)
@@ -377,16 +381,8 @@ def imi_index(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             va, vb = vecs[:, :da], vecs[:, da:]
-            d2a = (
-                (va**2).sum(1)[:, None]
-                - 2.0 * va @ A.T
-                + (A**2).sum(1)[None, :]
-            )
-            d2b = (
-                (vb**2).sum(1)[:, None]
-                - 2.0 * vb @ B.T
-                + (B**2).sum(1)[None, :]
-            )
+            d2a = _sq_dists(va, A)
+            d2b = _sq_dists(vb, B)
             # stable argsort = deterministic lowest-id tie-break per half
             oa = np.argsort(d2a, axis=1, kind="stable")
             ob = np.argsort(d2b, axis=1, kind="stable")
@@ -421,6 +417,28 @@ def imi_index(
     )
 
 
+def _probe_top_k(
+    assigned: DataFrame,
+    probe: list[int],
+    query_vec: list[float],
+    k: int,
+    key_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared tail of the coarse-quantizer query paths (ivf_top_k /
+    imi_top_k): filter to the probed cells, exact fold-cosine against the
+    literal query vector, deterministic (cosine desc, key asc) top-k —
+    one place to fix tie-breaks or schema for every quantizer."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity(F.col(vec_col), q).alias("cosine")
+    return (
+        assigned.filter(F.col("centroid_id").isin(probe))
+        .select(F.col(key_col), sim)
+        .orderBy(F.col("cosine").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
 def ivf_top_k(
     assigned: DataFrame,
     centroids: list[list[float]],
@@ -436,14 +454,7 @@ def ivf_top_k(
         key=lambda i: sum((q - c) ** 2 for q, c in zip(query_vec, centroids[i])),
     )
     probe = scored[:nprobe]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine_similarity(F.col(vec_col), q).alias("cosine")
-    return (
-        assigned.filter(F.col("centroid_id").isin(probe))
-        .select(F.col(key_col), sim)
-        .orderBy(F.col("cosine").desc(), F.col(key_col).asc())
-        .limit(k)
-    )
+    return _probe_top_k(assigned, probe, query_vec, k, key_col, vec_col)
 
 
 def imi_top_k(
@@ -478,14 +489,7 @@ def imi_top_k(
         key=lambda cell: (d_a[cell // k_half] + d_b[cell % k_half], cell),
     )
     probe = cells[:nprobe]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine_similarity(F.col(vec_col), q).alias("cosine")
-    return (
-        assigned.filter(F.col("centroid_id").isin(probe))
-        .select(F.col(key_col), sim)
-        .orderBy(F.col("cosine").desc(), F.col(key_col).asc())
-        .limit(k)
-    )
+    return _probe_top_k(assigned, probe, query_vec, k, key_col, vec_col)
 
 
 def lsh_batch_top_k(

@@ -500,6 +500,9 @@ def test_imi_rejects_bad_n_assign_and_dim(spark):
     one_d = spark.createDataFrame([(0, [1.0])], ["vec_id", "embedding"])
     with _pytest.raises(ValueError, match="dim >= 2"):
         imi_index(one_d)
+    empty = df.filter("vec_id < 0")
+    with _pytest.raises(ValueError, match="non-empty"):
+        imi_index(empty)
 
 
 def test_imi_top_k_retrieves_planted_and_orders_cells_correctly(spark):
