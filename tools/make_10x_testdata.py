@@ -135,6 +135,24 @@ def main() -> None:
     unknown = set(fact_tables) - set(FACT_TABLES)
     if unknown:
         raise SystemExit(f"unknown fact tables: {sorted(unknown)}")
+    # entity-ownership closure: a subset that includes a REFERENCING
+    # table without the entity's owner would silently skip the key shift
+    # (offsets are computed from owners only), leaving N copies with
+    # identical keys — exactly the measurement-artifact class the
+    # isomorphic transforms exist to prevent. Fail loudly instead.
+    broken = sorted(
+        f"{tab}.{col} references '{entity}' owned by excluded "
+        f"'{sites[0][0]}'"
+        for entity, sites in ENTITY_KEYS.items()
+        if sites[0][0] not in fact_tables
+        for tab, col in sites[1:]
+        if tab in fact_tables
+    )
+    if broken:
+        raise SystemExit(
+            "table subset breaks key-shift closure (include the owning "
+            "tables or drop the referencing ones):\n  " + "\n  ".join(broken)
+        )
     spark = get_spark("make-10x")
 
     if out.exists():

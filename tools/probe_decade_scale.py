@@ -156,10 +156,20 @@ def near_dup_shape(spark, sf_dir: str, n_planes: int, runs: int):
         return pairs
 
     med, pairs = timed(run, runs)
-    n_vec = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    e_keys = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id"
     )
-    return med, pairs.count(), n_vec
+    n_vec = e_keys.count()
+    # TRUE planted recall: found pairs semi-joined against the known
+    # (id, id + 10^7) planted set — a raw pairs.count() would let
+    # spurious pairs (pre-existing near-dups, copy-copy) mask misses
+    planted = e_keys.select(
+        F.col("vec_id").alias("key_a"),
+        (F.col("vec_id") + 10_000_000).alias("key_b"),
+    )
+    found_planted = planted.join(pairs, ["key_a", "key_b"], "left_semi").count()
+    spurious = pairs.count() - found_planted
+    return med, found_planted, spurious, n_vec
 
 
 def main() -> None:
@@ -194,10 +204,11 @@ def main() -> None:
 
     print("== embedding near-dups, band width ∝ log2 N ==")
     for (sf_dir, tag, runs), planes in zip(scales, (32, 32, 64)):
-        med, found, n_vec = near_dup_shape(spark, sf_dir, planes, runs)
+        med, found, spurious, n_vec = near_dup_shape(spark, sf_dir, planes, runs)
         print(
             f"{tag:>4} n_planes={planes:<2}: {med:7.2f} s  "
-            f"planted={n_vec} found={found} recall={found / n_vec:.5f}"
+            f"planted={n_vec} found={found} recall={found / n_vec:.5f} "
+            f"spurious={spurious}"
         )
 
 
