@@ -748,9 +748,9 @@ def x4_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cnt
     )
     SELECT token, n_a, n_b,
-           CAST(abs(CAST(n_a AS DECIMAL(38,0)) * tb
-                    - CAST(n_b AS DECIMAL(38,0)) * ta)
-                AS BIGINT) AS divergence
+           CAST(CAST(abs(CAST(n_a AS DECIMAL(38,0)) * tb
+                         - CAST(n_b AS DECIMAL(38,0)) * ta)
+                     AS VARCHAR) AS DOUBLE) AS divergence
     FROM cnt, tot
     ORDER BY abs(CAST(n_a AS DECIMAL(38,0)) * tb
                  - CAST(n_b AS DECIMAL(38,0)) * ta) DESC, token ASC
@@ -785,9 +785,11 @@ def x4_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT lang, doc_id, n_tokens,
-           CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       - 1) / 512.0) AS BIGINT) AS pack_id
+           CAST(greatest(
+             floor((SUM(COALESCE(n_tokens, 0)) OVER (
+                      PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - 1) / 512.0), 0) AS BIGINT) AS pack_id
     FROM t ORDER BY lang, doc_id
     """,
     "X4",
@@ -1088,7 +1090,11 @@ def x4_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(regexp_extract_all(text,
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
                AS n_email,
-           CAST(len(regexp_extract_all(text, '\d{3}-\d{4}')) AS INT)
+           CAST(len(regexp_extract_all(
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '[email]', 'g'),
+                '\d{3}-\d{4}')) AS INT)
                AS n_phone,
            md5(regexp_replace(
                  regexp_replace(text,
@@ -1286,14 +1292,22 @@ _SHINGLES_SQL = r"""
     """
     WITH sh AS ({shingles}),
     g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
-    dfq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
-    SELECT g.doc_id,
-           COUNT(*) AS n_grams,
-           CAST(MAX(dfq.df) AS BIGINT) AS max_gram_df,
-           CAST(SUM(CASE WHEN dfq.df >= 20 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_common_grams
-    FROM g JOIN dfq USING (gram)
-    GROUP BY g.doc_id ORDER BY g.doc_id
+    dfq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+    stats AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_grams,
+             CAST(MAX(dfq.df) AS BIGINT) AS max_gram_df,
+             CAST(SUM(CASE WHEN dfq.df >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_common_grams
+      FROM g JOIN dfq USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(stats.n_grams, 0) AS n_grams,
+           COALESCE(stats.max_gram_df, 0) AS max_gram_df,
+           COALESCE(stats.n_common_grams, 0) AS n_common_grams
+    FROM documents d LEFT JOIN stats ON d.doc_id = stats.doc_id
+    ORDER BY d.doc_id
     """.format(shingles=_SHINGLES_SQL),
     "X4",
     "X2",
@@ -2352,8 +2366,9 @@ def x7_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
            0.0 + (bucket + 1) * 5000.0 AS bucket_hi,
            COUNT(*) AS n
     FROM (
-      SELECT CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 5000.0)
-                  AS BIGINT) AS bucket
+      SELECT CAST(least(
+                 floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 5000.0),
+                 19) AS BIGINT) AS bucket
       FROM lineitem
       WHERE CAST(l_extendedprice AS DOUBLE) >= 0.0
         AND CAST(l_extendedprice AS DOUBLE) < 100000.0
@@ -6412,7 +6427,8 @@ def m8_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT split, COUNT(*) AS n_rows, MIN(ts) AS min_ts, MAX(ts) AS max_ts
     FROM (
       SELECT ts,
-             CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'train'
+             CASE WHEN ts IS NULL THEN 'null_time'
+                  WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'train'
                   WHEN ts >= TIMESTAMP '2024-01-22 12:00:00' THEN 'test'
                   ELSE 'purged' END AS split
       FROM events
@@ -7426,8 +7442,8 @@ def x7_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     diag AS (SELECT i AS di, sxy AS sxx FROM s2 WHERE i = j)
     SELECT s.i, s.j,
            (nn.n * s.sxy - a.sx * b.sx)
-           / (sqrt(nn.n * da.sxx - a.sx * a.sx)
-              * sqrt(nn.n * db.sxx - b.sx * b.sx)) AS corr
+           / nullif(sqrt(nn.n * da.sxx - a.sx * a.sx)
+                    * sqrt(nn.n * db.sxx - b.sx * b.sx), 0.0) AS corr
     FROM s2 s
     JOIN sx a ON s.i = a.i
     JOIN sx b ON s.j = b.i
@@ -7435,6 +7451,12 @@ def x7_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN diag db ON s.j = db.di
     CROSS JOIN nn
     WHERE s.i < s.j
+      AND (nn.n * s.sxy - a.sx * b.sx)
+          / nullif(sqrt(nn.n * da.sxx - a.sx * a.sx)
+                   * sqrt(nn.n * db.sxx - b.sx * b.sx), 0.0) IS NOT NULL
+      AND NOT isnan((nn.n * s.sxy - a.sx * b.sx)
+          / nullif(sqrt(nn.n * da.sxx - a.sx * a.sx)
+                   * sqrt(nn.n * db.sxx - b.sx * b.sx), 0.0))
     ORDER BY abs(corr) DESC, s.i, s.j LIMIT 10
     """,
     "X9",
@@ -7493,7 +7515,7 @@ _RAW_URL_SQL = (
       FROM (
         SELECT doc_id, url,
                list_sort(list_filter(
-                 string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                 string_split(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '&'),
                  p -> p <> '' AND NOT regexp_matches(p,
                         '^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)='))) AS ps
         FROM raw
@@ -8348,7 +8370,7 @@ def d22_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (
         SELECT doc_id, url,
                list_sort(list_filter(
-                 string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                 string_split(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '&'),
                  p -> p <> '' AND NOT regexp_matches(p,
                         '^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)='))) AS ps
         FROM raw

@@ -35,11 +35,20 @@ def _as_string(c: Column, dtype: str) -> Column:
     """Cast a min/max value to a cross-engine-stable string.
 
     Doubles >= 1e7 stringify scientifically in Spark but positionally in
-    most other engines; money-style doubles are routed through
-    DECIMAL(18,2) so both render positionally with two places.
+    most other engines; money-style doubles (and floats) are routed
+    through DECIMAL(18,2) so both render positionally with two places.
+    The routing is RANGE-GUARDED: decimal(18,2) holds 16 integer digits,
+    so |v| >= 1e15 falls back to the plain double string instead of an
+    ANSI NUMERIC_VALUE_OUT_OF_RANGE crash (Spark 4 sessions keep ANSI
+    on) — the fallback string is engine-native, not cross-engine-stable,
+    which is the honest trade for a value the decimal route cannot
+    represent at all.
     """
-    if dtype == "double":
-        return c.cast("decimal(18,2)").cast("string")
+    if dtype in ("double", "float"):
+        d = c.cast("double")
+        return F.when(
+            F.abs(d) < F.lit(1e15), d.cast("decimal(18,2)").cast("string")
+        ).otherwise(d.cast("string"))
     return c.cast("string")
 
 
@@ -114,7 +123,14 @@ def fixed_width_histogram(
     filtered at the scan, so the predicate can prune row groups)."""
     width = (hi - lo) / nbins
     x = F.col(value_col).cast("double")
-    bucket = F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("bigint")
+    # clamp at nbins-1: for values just under hi, (x-lo)/width can round
+    # UP across the bin edge in doubles (e.g. x=1-ulp, lo=0, hi=1,
+    # nbins=7 -> floor(6.9999.../width) lands at 7), emitting a phantom
+    # bucket == nbins with bucket_lo == hi that misaligns histogram_drift
+    bucket = F.least(
+        F.floor((x - F.lit(float(lo))) / F.lit(width)),
+        F.lit(nbins - 1),
+    ).cast("bigint")
     return (
         df.filter((x >= lo) & (x < hi))
         .groupBy(bucket.alias("bucket"))
@@ -266,9 +282,17 @@ def embedding_correlations(
     da = diag.select(F.col("di").alias("dai"), F.col("sxx").alias("sxxa"))
     db = diag.select(F.col("di").alias("dbi"), F.col("sxx").alias("sxxb"))
 
-    corr = (F.col("n") * F.col("sxy") - F.col("sxa") * F.col("sxb")) / (
-        F.sqrt(F.col("n") * F.col("sxxa") - F.col("sxa") * F.col("sxa"))
-        * F.sqrt(F.col("n") * F.col("sxxb") - F.col("sxb") * F.col("sxb"))
+    # a zero-variance dimension (padded/zeroed coordinate — exactly the
+    # collapsed-encoder case this diagnostic exists to catch) makes a
+    # denominator exactly 0: under ANSI that's a DIVIDE_BY_ZERO job
+    # failure, non-ANSI a NaN that sorts ABOVE every real correlation.
+    # nullif the denominator and drop undefined pairs before ranking —
+    # a constant dim has no defined correlation with anything.
+    den = F.sqrt(F.col("n") * F.col("sxxa") - F.col("sxa") * F.col("sxa")) * F.sqrt(
+        F.col("n") * F.col("sxxb") - F.col("sxb") * F.col("sxb")
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sxa") * F.col("sxb")) / F.nullif(
+        den, F.lit(0.0)
     )
     return (
         s2.filter(F.col("i") < F.col("j"))
@@ -278,6 +302,7 @@ def embedding_correlations(
         .join(F.broadcast(db), F.col("j") == F.col("dbi"))
         .crossJoin(F.broadcast(n))
         .select("i", "j", corr.alias("corr"))
+        .filter(F.col("corr").isNotNull() & ~F.isnan(F.col("corr")))
         .orderBy(F.abs(F.col("corr")).desc(), "i", "j")
         .limit(top_k)
     )

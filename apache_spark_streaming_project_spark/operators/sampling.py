@@ -134,6 +134,23 @@ def weighted_sample(
     single k-row merge) — the corpus itself never shuffles or sorts.
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # A-ES is undefined for w <= 0 — and silently WRONG here, not just
+    # undefined: ln(u) <= 0, so a negative weight makes ln(u)/w POSITIVE
+    # and outranks every legitimate row (all real priorities are <= 0),
+    # while w = 0 is an ANSI DIVIDE_BY_ZERO job failure. Fail loudly
+    # in-plan (codegen'd branch, no extra pass) instead of returning a
+    # garbage sample; NULL weights surface here too rather than silently
+    # sorting last.
+    w_checked = F.when(
+        w.cast("double") > 0, w.cast("double")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample requires weights > 0, got "),
+                F.coalesce(w.cast("string"), F.lit("NULL")),
+            )
+        ).cast("double")
+    )
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
@@ -144,7 +161,7 @@ def weighted_sample(
         10,
     ).cast("long")
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
-    priority = F.ln(u) / w.cast("double")
+    priority = F.ln(u) / w_checked
     return (
         df.withColumn("_p", priority)
         .orderBy(F.col("_p").desc(), F.col(key_col))
@@ -170,9 +187,16 @@ def time_split(
     t = F.col(time_col)
     lo = F.lit(cutoff).cast("timestamp_ntz")
     hi = F.lit(cutoff).cast("timestamp_ntz") + F.expr(f"INTERVAL {purge}")
+    # NULL timestamps get their OWN label: t < lo and t >= hi are both
+    # NULL-false, so the bare otherwise-branch would silently fold
+    # missing-time rows (a lossy ingest, not a leakage decision) into
+    # 'purged', inflating any gap-size audit and hiding the nulls
     return df.withColumn(
         "split",
-        F.when(t < lo, "train").when(t >= hi, "test").otherwise("purged"),
+        F.when(t.isNull(), "null_time")
+        .when(t < lo, "train")
+        .when(t >= hi, "test")
+        .otherwise("purged"),
     )
 
 

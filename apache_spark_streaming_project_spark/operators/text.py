@@ -144,11 +144,19 @@ def pack_documents(
     w = Window.orderBy(order_col)
     if partition_col:
         w = Window.partitionBy(partition_col).orderBy(order_col)
-    cum = F.sum(F.col(token_col)).over(
+    # NULL token counts fold to 0 (a NULL would otherwise poison the
+    # running sum — NULL pack_id for every later row in the partition),
+    # and the id clamps at 0: a zero-token prefix makes cum = 0 and
+    # floor((0-1)/budget) = -1, an out-of-range pack a consumer
+    # iterating packs 0..max would silently drop
+    cum = F.sum(F.coalesce(F.col(token_col), F.lit(0))).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(
-        "pack_id", F.floor((cum - F.lit(1)) / F.lit(budget)).cast("bigint")
+        "pack_id",
+        F.greatest(
+            F.floor((cum - F.lit(1)) / F.lit(budget)), F.lit(0)
+        ).cast("bigint"),
     )
 
 
@@ -167,9 +175,13 @@ def contrast_top_tokens(
     DECIMAL(38,0): two bigint token totals can exceed 2^63 when crossed
     at corpus scale (25T tokens squared), and Spark's non-ANSI bigint
     multiply would wrap silently. The RANKING stays in exact decimal;
-    the emitted ``divergence`` column is cast to BIGINT so every engine
-    renders the identical integer identically (decimal128 stringification
-    differs across engines even when values are bit-equal).
+    the emitted ``divergence`` column is a correctly-rounded DOUBLE of
+    that decimal (NOT bigint — the same >2^63 products that justify the
+    decimal ranking would make a bigint cast overflow right after; and
+    NOT raw decimal — decimal128 stringification differs across engines
+    even when values are bit-equal. Spark's decimal->double is
+    correctly rounded natively; the oracle routes through VARCHAR so
+    DuckDB matches bit-for-bit — see functions/exact._dec2dbl).
 
     Scale shape: one explode + token-keyed partial/final agg (the only
     data-sized shuffle), a broadcast one-row totals join, then global
@@ -209,7 +221,15 @@ def contrast_top_tokens(
             "token",
             "n_a",
             "n_b",
-            F.col("_div_exact").cast("bigint").alias("divergence"),
+            # emitted as DOUBLE, not BIGINT: the crossed products exceed
+            # int64 at exactly the corpus scale the decimal(38,0) ranking
+            # exists for (25T-token totals squared) — a bigint cast would
+            # crash under ANSI right after ranking correctly. Spark's
+            # decimal->double is correctly rounded; the oracle routes
+            # through VARCHAR so DuckDB is too (functions/exact._dec2dbl
+            # rationale) — identical bits on both engines, and the
+            # RANKING itself stays in exact decimal either way.
+            F.col("_div_exact").cast("double").alias("divergence"),
         )
     )
 
@@ -243,7 +263,7 @@ def gram_boilerplate_signal(
         key_col, F.explode(word_shingles(F.col(text_col), n)).alias("gram")
     )
     dfq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    return (
+    stats = (
         grams.join(dfq, "gram")
         .groupBy(key_col)
         .agg(
@@ -253,6 +273,17 @@ def gram_boilerplate_signal(
                 "n_common_grams"
             ),
         )
+    )
+    # per-doc contract: documents with fewer than n tokens explode to
+    # zero gram rows and would be ABSENT from the output — a consumer
+    # inner-joining the signal back would silently lose every short doc
+    # (or misread absence as "not boilerplate"). Left-join back and emit
+    # (0, 0, 0) for them instead.
+    return df.select(key_col).join(stats, key_col, "left").select(
+        key_col,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("max_gram_df", F.lit(0)).alias("max_gram_df"),
+        F.coalesce("n_common_grams", F.lit(0)).alias("n_common_grams"),
     )
 
 
@@ -397,13 +428,22 @@ def redact_patterns(
     ``<text_col>_redacted`` output). Map-only — pure JVM regex inside
     WholeStageCodegen, no shuffle, no Python; at 100 TB this runs at scan
     speed. Patterns apply in dict order (earlier redactions can shadow
-    later patterns, so order specific -> general)."""
+    later patterns, so order specific -> general).
+
+    Each ``n_<label>`` counts matches on the text AS THIS PATTERN SEES
+    IT — after earlier patterns' replacements — so the counts equal the
+    redactions actually performed and ``sum(n_*)`` reconciles against
+    placeholder occurrences in the output (counting every pattern on the
+    ORIGINAL text would tally matches an earlier pattern had already
+    consumed; the placeholders' brackets sit outside every pattern's
+    character classes, so partially-redacted text can't create new
+    matches either)."""
     patterns = PII_PATTERNS if patterns is None else patterns
     redacted = F.col(text_col)
     counts = []
     for label, pat in patterns.items():
         counts.append(
-            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{label}")
+            F.regexp_count(redacted, F.lit(pat)).alias(f"n_{label}")
         )
         redacted = F.regexp_replace(
             redacted, pat, replacement_fmt.format(label=label)
@@ -612,7 +652,10 @@ def canonical_url(url: Column | str) -> Column:
         r"/+$",
         "",
     )
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # the '?' must occur BEFORE any '#': a bare \? would also match a
+    # '?' inside the fragment ('/p#sec?x=1'), resurrecting fragment
+    # content as query params after step 2 dropped it
+    query = F.regexp_extract(u, r"^[^#]*?\?([^#]*)", 1)
     params = F.array_sort(
         F.filter(
             F.split(query, "&"),

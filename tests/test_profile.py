@@ -102,3 +102,51 @@ def test_histogram_drift_fills_missing_buckets(spark):
     }
     # bucket 0 only in ref, bucket 2 only in cur -> zero-filled sides
     assert out == {0: (1, 0, 1), 1: (2, 1, 1), 2: (0, 1, 1)}
+
+
+def test_histogram_clamps_edge_rounding_into_last_bucket(spark):
+    """Round-7 self-review: x just under hi can round UP across the bin
+    edge in doubles — floor((x-lo)/width) == nbins, a phantom bucket with
+    bucket_lo == hi. The clamp keeps it in bucket nbins-1."""
+    from apache_spark_streaming_project_spark.operators.profile import (
+        fixed_width_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(0.9999999999999999,), (0.5,)], "v double"
+    )
+    rows = {r.bucket: r.n for r in
+            fixed_width_histogram(df, "v", 0.0, 1.0, 7).collect()}
+    assert max(rows) <= 6
+    assert rows[6] == 1  # the edge value landed in the last real bucket
+
+
+def test_embedding_correlations_skips_zero_variance_dims(spark):
+    """A constant (padded/zeroed) dimension has no defined correlation:
+    the pair must be dropped, not crash (ANSI) or rank NaN first."""
+    import math
+
+    from apache_spark_streaming_project_spark.operators.profile import (
+        embedding_correlations,
+    )
+
+    rows = [(i, [float(i % 7), 0.0, float((i * 3) % 5)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = embedding_correlations(df, n_dims=3).collect()
+    pairs = {(r.i, r.j) for r in got}
+    assert (0, 1) not in pairs and (1, 2) not in pairs  # const dim dropped
+    assert (0, 2) in pairs
+    assert all(not math.isnan(r.corr) for r in got)
+
+
+def test_column_profile_survives_huge_doubles(spark):
+    """decimal(18,2) cannot hold |v| >= 1e16 — the profile must fall back
+    to the plain double string instead of an ANSI overflow crash."""
+    df = spark.createDataFrame(
+        [(1, 1e17), (2, 0.5), (3, None)], "k long, v double"
+    )
+    got = {r.column_name: r for r in column_profile(df, ["v"]).collect()}
+    r = got["v"]
+    assert r.n_nulls == 1 and r.n_distinct == 2
+    assert r.min_value == "0.50"          # in-range: stable decimal route
+    assert "E17" in r.max_value or "e17" in r.max_value.lower()

@@ -241,14 +241,15 @@ def test_gram_boilerplate_matches_python_reference(spark, texts):
 
     sh = {i: shingles(t) for i, t in enumerate(texts)}
     df_counts = Counter(g for s in sh.values() for g in s)
+    # short docs (no 3-gram) keep a (0, 0, 0) row — the per-doc output
+    # contract (round-7 self-review), not absence
     expect = {
         i: (
             len(s),
-            max(df_counts[g] for g in s),
+            max(df_counts[g] for g in s) if s else 0,
             sum(1 for g in s if df_counts[g] >= 2),
         )
         for i, s in sh.items()
-        if s
     }
     d = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string"
@@ -323,7 +324,9 @@ def test_canonical_url_is_idempotent(spark, parts):
         + "?" + "&".join(
             p for p in ["utm_source=x", "b=2", "a=1", *parts[3:5]] if p
         )
-        + "#frag"
+        # a '?' INSIDE the fragment: urlsplit treats it as fragment
+        # content; a naive \? query regex would resurrect it as params
+        + "#frag?t=1"
     )
     df = spark.createDataFrame([(url,)], "u string")
     once = df.select(canonical_url("u").alias("c"))
@@ -509,9 +512,9 @@ def test_pack_documents_matches_python_reference(spark, token_counts, budget):
     want = {}
     for i, n in rows:
         cum += n
-        # Python // floors like SQL floor(), including the zero-token
-        # prefix case: cum=0 -> (0-1)//budget == -1, same as the engine
-        want[i] = (cum - 1) // budget
+        # Python // floors like SQL floor(); the engine clamps the
+        # zero-token-prefix case (cum=0 -> -1) to pack 0, so mirror it
+        want[i] = max((cum - 1) // budget, 0)
     assert got == want
 
 
@@ -540,7 +543,9 @@ def test_canonical_url_matches_urllib_reference(spark, parts):
         + "?" + "&".join(
             p for p in ["utm_source=x", "b=2", "a=1", *parts[3:5]] if p
         )
-        + "#frag"
+        # a '?' INSIDE the fragment: urlsplit treats it as fragment
+        # content; a naive \? query regex would resurrect it as params
+        + "#frag?t=1"
     )
 
     def ref(u: str) -> str:
@@ -785,7 +790,7 @@ def test_partitioned_pack_documents_matches_per_partition_reference(
             if p != shard:
                 continue
             cum += n
-            want[(shard, i)] = (cum - 1) // budget
+            want[(shard, i)] = max((cum - 1) // budget, 0)
     assert got == want
 
 

@@ -119,3 +119,44 @@ class TestNegativeSampling:
         # twice — repeats are semantically degraded for contrastive pairs
         for v in negs.values():
             assert len(set(v)) == len(v)
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    """Round-7 self-review: w=0 divided ln(u) by zero (ANSI job failure)
+    and w<0 made ln(u)/w POSITIVE — outranking every legitimate row. Both
+    now fail loudly in-plan instead of crashing opaquely or silently
+    returning a garbage sample."""
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    good = spark.createDataFrame(
+        [(i, 1.0 + i) for i in range(10)], ["doc_id", "w"]
+    )
+    assert weighted_sample(good, "w", 3, "doc_id").count() == 3
+    for bad_w in (0.0, -1.0):
+        bad = spark.createDataFrame(
+            [(0, 1.0), (1, bad_w)], ["doc_id", "w"]
+        )
+        with pytest.raises(Exception, match="weights > 0"):
+            weighted_sample(bad, "w", 2, "doc_id").collect()
+
+
+def test_time_split_labels_null_timestamps_distinctly(spark):
+    """NULL event times must NOT fold into 'purged' (they are a data
+    defect, not a leakage decision)."""
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        time_split,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-21 00:00:00",), ("2024-01-22 06:00:00",),
+         ("2024-01-23 00:00:00",), (None,)],
+        "ts string",
+    ).select(F.col("ts").cast("timestamp_ntz").alias("ts"))
+    got = {
+        (r.ts is None, r.split)
+        for r in time_split(df, "ts", "2024-01-22 00:00:00", "12 HOURS").collect()
+    }
+    assert (True, "null_time") in got
+    assert {(False, "train"), (False, "purged"), (False, "test")} <= got

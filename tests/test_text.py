@@ -171,3 +171,49 @@ def test_gram_boilerplate_signal(spark):
     assert out[0] == (4, 2, 2)
     assert out[1] == (4, 2, 2)
     assert out[2] == (3, 1, 0)
+
+
+def test_redact_counts_reconcile_with_redactions_performed(spark):
+    """Round-7 self-review: n_<label> must count what each pattern saw
+    AFTER earlier patterns ran — '555-1234@mail.com' is one email and
+    zero phone redactions, and sum(n_*) must equal the placeholders in
+    the output."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        redact_patterns,
+    )
+
+    df = spark.createDataFrame(
+        [("555-1234@mail.com and 111-2222",)], "text string"
+    )
+    r = redact_patterns(
+        df,
+        "text",
+        {
+            "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "phone": r"\d{3}-\d{4}",
+        },
+    ).first()
+    assert (r.n_email, r.n_phone) == (1, 1)
+    assert r.text_redacted == "[email] and [phone]"
+    assert r.text_redacted.count("[email]") == r.n_email
+    assert r.text_redacted.count("[phone]") == r.n_phone
+
+
+def test_gram_boilerplate_keeps_short_docs_with_zero_stats(spark):
+    """Round-7 self-review: a doc with fewer than n tokens explodes to
+    zero gram rows — it must still get a (0, 0, 0) profile row, not
+    vanish from the output (absence reads as 'not boilerplate' or drops
+    the doc entirely on an inner join back)."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        gram_boilerplate_signal,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "too short"), (2, "")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.n_grams, r.max_gram_df, r.n_common_grams)
+           for r in gram_boilerplate_signal(df, n=3).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[1] == (0, 0, 0) and got[2] == (0, 0, 0)
+    assert got[0][0] == 2  # two distinct 3-grams
