@@ -45,7 +45,10 @@ def _probe_position(key: Column, m_bits: int, i: int) -> Column:
     h1 = F.pmod(F.xxhash64(key), m)
     if i == 0:
         return h1
-    h2 = F.pmod(F.xxhash64(key, F.lit(0x9E3779B9)), m)
+    # h2 reduced into [1, m-1], never 0: h2 % m == 0 would collapse all
+    # k probes onto h1 (effective k = 1 for those keys, fp rate ~p
+    # instead of ~p^k) — the standard double-hashing nonzero guard
+    h2 = F.pmod(F.xxhash64(key, F.lit(0x9E3779B9)), m - F.lit(1)) + F.lit(1)
     return F.pmod(h1 + F.lit(i).cast("bigint") * h2, m)
 
 

@@ -42,13 +42,17 @@ def avg_exact(col: str | Column, scale: int = 2, out_alias: str | None = None) -
 def var_components(col: str | Column, scale: int = 2) -> tuple[Column, Column, Column]:
     """(n, sum(x), sum(x^2)) with the sums exact decimals.
 
-    x has `scale` fractional digits -> x^2 has 2*scale; DECIMAL(18,s) values
-    square into DECIMAL(36,2s) range, so per-element squares are exact and
-    sums stay within DECIMAL(38).
+    x has `scale` fractional digits -> the cast is DECIMAL(16,s) (NOT 18:
+    the square (16,s)*(16,s) -> (33,2s) must stay inside DECIMAL(38)),
+    so the safe input range is |x| < 10^(16-s). Values beyond it fail
+    LOUDLY under ANSI (this project's Spark 4 sessions keep ANSI on);
+    under non-ANSI the cast nulls out, and ``n`` counts the CAST column
+    so the components stay mutually consistent (a mean over rows the
+    sum silently excluded would be wrong with no error).
     """
     c = F.col(col) if isinstance(col, str) else col
     d = c.cast(f"decimal(16,{scale})")
-    n = F.count(c)
+    n = F.count(d)
     s = F.sum(d)
     # square in decimal: (16,s)*(16,s) -> (33,2s): exact, fits in 38.
     sq = F.sum(d * d)

@@ -27,11 +27,9 @@ def dot(a: str | Column, b: str | Column) -> Column:
 
 
 def l2_norm(a: str | Column) -> Column:
-    arr = _as_double_array(a)
-    sq = F.aggregate(
-        F.zip_with(arr, arr, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return F.sqrt(sq)
+    # exactly sqrt(dot(a, a)) — same zip_with/aggregate expression, so
+    # the float path (and the oracle-pinned bits) are shared, not cloned
+    return F.sqrt(dot(a, a))
 
 
 def cosine_similarity(a: str | Column, b: str | Column) -> Column:
@@ -55,15 +53,29 @@ def cosine_similarity(a: str | Column, b: str | Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def dot_pd() -> Column:
-    """pandas_udf: (array, array) -> double dot product, one einsum per
-    Arrow batch. On unit vectors this IS the cosine."""
+def dot_pd():
+    """Returns a pandas_udf CALLABLE (not a Column — invoke the result:
+    ``dot_udf = dot_pd(); dot_udf(col_a, col_b)``): (array, array) ->
+    double dot product, one einsum per Arrow batch. On unit vectors this
+    IS the cosine.
+
+    NULL-tolerant like the built-in ``dot`` it substitutes for in hot
+    paths: a NULL on either side yields a NULL product for that row
+    (np.stack on a batch containing None would otherwise kill the whole
+    job with an opaque PythonException). Ragged lengths within a batch
+    still raise — unequal dims are a schema bug, not data."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.stack(a.to_numpy()).astype(np.float64)
-        B = np.stack(b.to_numpy()).astype(np.float64)
-        return pd.Series(np.einsum("ij,ij->i", A, B))
+        ok = (a.notna() & b.notna()).to_numpy()
+        # nullable Float64 so the null rows arrive as SQL NULL (a plain
+        # float64 NaN would surface as NaN, not NULL, on the Spark side)
+        out = pd.array([None] * len(a), dtype="Float64")
+        if ok.any():
+            A = np.stack(a[ok].to_numpy()).astype(np.float64)
+            B = np.stack(b[ok].to_numpy()).astype(np.float64)
+            out[ok] = np.einsum("ij,ij->i", A, B)
+        return pd.Series(out, index=a.index)
 
     return _dot

@@ -58,12 +58,20 @@ def asof_join(
         )
 
     payload_struct = F.struct(*[F.col(c) for c in right_payload])
-    r_tagged = right.select(
+    # a right row with a NULL key or NULL timestamp can never be a
+    # legitimate at-or-before match (SQL joins never match NULL keys;
+    # DuckDB's native ASOF never matches a NULL timestamp) — but the
+    # union-window formulation WOULD match both: ascending order sorts
+    # NULL _ts first (its payload becomes "most recent" for everyone),
+    # and partitionBy groups NULL keys into one shared partition. Drop
+    # them here; NULL-key/-ts LEFT rows still come back, unmatched.
+    r_tagged = right.filter(
+        F.col(on).isNotNull() & F.col(right_ts).isNotNull()
+    ).select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),  # right sorts before left at equal ts (<=)
         payload_struct.alias("_payload"),
-        F.lit(None).cast("long").alias("_left_row"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
     )
     l_tagged = left.select(
@@ -71,7 +79,6 @@ def asof_join(
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(r_tagged.schema["_payload"].dataType).alias("_payload"),
-        F.monotonically_increasing_id().alias("_left_row"),
         *left.columns,
     )
 
@@ -218,6 +225,11 @@ def interval_overlap_join(
             f"back onto the inner result for outer semantics, got {how!r}"
         )
     w = int(bucket_width)
+    if w <= 0:
+        # without this, `lo div 0` is NULL (non-ANSI), sequence(NULL,
+        # NULL) is NULL, and explode(NULL) silently drops every row — a
+        # caller typo would read as "no overlaps" instead of an error
+        raise ValueError(f"bucket_width must be a positive integer, got {w}")
     # _alc/_blc: each side's lo-cell, computed WITHIN its own DataFrame so
     # the dedup anchor below never name-resolves across sides (a and b may
     # legitimately share lo/hi column names). div is monotone, so

@@ -32,10 +32,12 @@ def partial_stats(
 ) -> DataFrame:
     """Per-group mergeable components of the summary-stats family:
     ``(n, sum_dec, sumsq_dec, min_v, max_v)`` with exact decimal sums
-    (values must carry <= ``scale`` fractional digits)."""
+    (values must carry <= ``scale`` fractional digits and fit
+    |x| < 10^(16-scale) — see functions/exact.var_components for the
+    precision contract and why ``n`` counts the CAST column)."""
     d = F.col(value_col).cast(f"decimal(16,{scale})")
     return df.groupBy(*group_cols).agg(
-        F.count(value_col).alias("n"),
+        F.count(d).alias("n"),
         F.sum(d).alias("sum_dec"),
         F.sum(d * d).alias("sumsq_dec"),
         F.min(value_col).alias("min_v"),

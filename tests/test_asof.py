@@ -233,3 +233,41 @@ class TestIntervalOverlapJoin:
         b = self._mk(spark, [(7, 50, 55), (8, 205, 300)], "bid int, lo long, hi long")
         out = interval_overlap_join(a, b, "lo", "hi", "lo", "hi", 8).collect()
         assert sorted((r.aid, r.bid) for r in out) == [(1, 7), (2, 8)]
+
+
+def test_asof_ignores_null_timestamp_and_null_key_right_rows(spark):
+    """Round-7 self-review: ascending window order sorts NULL _ts FIRST
+    (its payload would become 'most recent' for every left row), and
+    partitionBy groups NULL keys together — neither is a legitimate
+    match (SQL joins never match NULL keys; ASOF never matches a NULL
+    timestamp)."""
+    from apache_spark_streaming_project_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5), (None, 10)], "k int, lts int"
+    )
+    right = spark.createDataFrame(
+        [(1, None, "null-ts"), (None, 5, "null-key")],
+        "k int, rts int, payload string",
+    )
+    got = {
+        (r.k, r.lts): r.matched_payload
+        for r in asof_join(left, right, "k", "lts", "rts", ["payload"]).collect()
+    }
+    assert got == {(1, 5): None, (None, 10): None}
+
+
+def test_interval_overlap_join_rejects_nonpositive_bucket_width(spark):
+    """bucket_width=0 previously made every row vanish via
+    explode(sequence(NULL, NULL)) — 'no overlaps' from a typo."""
+    import pytest as _pytest
+
+    from apache_spark_streaming_project_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame([(1, 0, 10)], "ida int, lo int, hi int")
+    b = spark.createDataFrame([(2, 5, 15)], "idb int, blo int, bhi int")
+    for bad in (0, -4):
+        with _pytest.raises(ValueError, match="bucket_width"):
+            interval_overlap_join(a, b, "lo", "hi", "blo", "bhi", bad)

@@ -849,3 +849,23 @@ def test_simhash_schemes_match_quadratic_reference(spark, bases, flips):
             ).collect()
         )
         assert got == want, (scheme, got, want)
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(st.lists(st.text(min_size=1, max_size=16), min_size=4, max_size=30, unique=True))
+def test_bloom_double_hash_probes_stay_distinct(spark, keys):
+    """Round-7 self-review: h2 is reduced into [1, m-1], never 0, so the
+    second probe can never collapse onto the first (which would silently
+    degrade those keys' effective k to 1)."""
+    from apache_spark_streaming_project_spark.functions.bloom import (
+        _probe_position,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    m = 1 << 10  # small m makes h2 % m == 0 likely under the OLD scheme
+    n_collapsed = df.select(
+        (_probe_position(F.col("key"), m, 0)
+         == _probe_position(F.col("key"), m, 1)).cast("int").alias("c")
+    ).agg(F.sum("c")).first()[0]
+    assert n_collapsed == 0

@@ -533,3 +533,26 @@ def test_imi_top_k_retrieves_planted_and_orders_cells_correctly(spark):
     assert [(r.vec_id, r.cosine) for r in full] == [
         (r.vec_id, r.cosine) for r in exact
     ]
+
+
+def test_dot_pd_null_parity_with_builtin_dot(spark):
+    """dot_pd substitutes for the built-in dot in hot paths, so a NULL
+    array on either side must yield SQL NULL for that row — not a
+    whole-job PythonException from np.stack(None)."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_streaming_project_spark.functions.vector import (
+        dot,
+        dot_pd,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0], [3.0, 4.0]), (1, None, [1.0, 1.0]),
+         (2, [1.0, 1.0], None)],
+        "k long, a array<double>, b array<double>",
+    )
+    udf = dot_pd()
+    rows = df.select(
+        "k", udf("a", "b").alias("pd"), dot("a", "b").alias("hof")
+    ).orderBy("k").collect()
+    assert [(r.pd, r.hof) for r in rows] == [(11.0, 11.0), (None, None), (None, None)]
