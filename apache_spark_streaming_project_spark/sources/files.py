@@ -92,7 +92,12 @@ def read_csv_stream_with_quarantine(
     df = stream.load(path)
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     # the quarantine keeps the FULL row (partially-parsed fields aid
-    # debugging) — also required: Spark rejects a query whose only
-    # referenced file column is the internal corrupt-record column
+    # debugging). Note this does NOT immunize every downstream query:
+    # Spark's corrupt-record restriction is enforced per-query AFTER
+    # column pruning, so a consumer that references only the corrupt
+    # column (e.g. quarantined.groupBy().count() pruned to it) still
+    # raises QUERY_ONLY_CORRUPT_RECORD_COLUMN — such metric queries must
+    # cache() the frame or also reference a data column, per the Spark
+    # docs for columnNameOfCorruptRecord
     quarantined = df.filter(F.col(corrupt_col).isNotNull())
     return clean, quarantined

@@ -53,17 +53,20 @@ class PipelineConfig:
     extra_sink_options: dict[str, str] = field(default_factory=dict)
 
 
-def compute_result_tables(enriched: DataFrame) -> dict[str, DataFrame]:
+def compute_result_tables(
+    enriched: DataFrame, anomaly_threshold: float = 3.0
+) -> dict[str, DataFrame]:
     """The 8 per-batch result tables (reference reset_database.py:18-27),
     as pure batch DataFrames over the enriched micro-batch.
 
     summary_statistics carries the reference's per-income-category counts as
     two fixed columns (count_high_income / count_low_income) instead of
-    dynamic string keys (S17 anti-pattern -> static schema).
+    dynamic string keys (S17 anti-pattern -> static schema); a category
+    absent from a micro-batch counts 0, not NULL (pivot emits NULL for a
+    missing explicit value, which would poison downstream arithmetic).
     """
     income_counts = (
-        enriched.groupBy("income_category")
-        .count()
+        grouped_counts(enriched, "income_category")  # the S20 operator
         .groupBy()
         .pivot(
             "income_category", ["High Income (>50K)", "Low Income (<=50K)"]
@@ -71,13 +74,14 @@ def compute_result_tables(enriched: DataFrame) -> dict[str, DataFrame]:
         .sum("count")
         .withColumnRenamed("High Income (>50K)", "count_high_income")
         .withColumnRenamed("Low Income (<=50K)", "count_low_income")
+        .na.fill(0, ["count_high_income", "count_low_income"])
     )
     summary = summary_statistics(enriched).crossJoin(
         F.broadcast(income_counts)
     )
     return {
         "summary_statistics": summary,
-        "anomalies": census_hours_anomalies(enriched),
+        "anomalies": census_hours_anomalies(enriched, anomaly_threshold),
         "age_group_distribution": grouped_counts(enriched, "age_group"),
         "education_income": grouped_counts(enriched, "education", "income_category"),
         "gender_income": grouped_counts(enriched, "gender", "income_category"),
@@ -87,7 +91,13 @@ def compute_result_tables(enriched: DataFrame) -> dict[str, DataFrame]:
     }
 
 
-def write_batch(batch_df: DataFrame, epoch_id: int, output_dir: str) -> None:
+def write_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    output_dir: str,
+    anomaly_threshold: float = 3.0,
+    sink_options: dict[str, str] | None = None,
+) -> None:
     """foreachBatch body: one persist, 8 bulk parquet writes, unpersist.
 
     Writes are ``partitionBy(epoch_id)`` + dynamic partition overwrite, so a
@@ -108,13 +118,22 @@ def write_batch(batch_df: DataFrame, epoch_id: int, output_dir: str) -> None:
 
         def _write(item: tuple[str, DataFrame]) -> None:
             name, table = item
-            out = table.withColumn("timestamp", snapshot_ts).withColumn(
-                "epoch_id", F.lit(int(epoch_id))
-            )
+            # aggregate tables carry the batch snapshot time as their
+            # 'timestamp' (the reference's per-insert Mongo timestamp);
+            # tables that already HAVE a timestamp column (raw_data,
+            # anomalies — the S8 per-row processing time) keep it: the
+            # old unconditional withColumn silently replaced that
+            # TimestampType with a double, breaking trailing-window
+            # reads over the result tables
+            out = table
+            if "timestamp" not in table.columns:
+                out = out.withColumn("timestamp", snapshot_ts)
+            out = out.withColumn("epoch_id", F.lit(int(epoch_id)))
             (
                 out.write.mode("overwrite")
                 .partitionBy("epoch_id")
                 .option("partitionOverwriteMode", "dynamic")
+                .options(**(sink_options or {}))
                 .parquet(f"{output_dir}/{name}")
             )
 
@@ -124,7 +143,9 @@ def write_batch(batch_df: DataFrame, epoch_id: int, output_dir: str) -> None:
         with ThreadPoolExecutor(max_workers=4) as pool:
             for f in [
                 pool.submit(_write, item)
-                for item in compute_result_tables(enriched).items()
+                for item in compute_result_tables(
+                    enriched, anomaly_threshold
+                ).items()
             ]:
                 f.result()  # propagate the first failure
     finally:
@@ -153,7 +174,13 @@ def start_pipeline(spark: SparkSession, cfg: PipelineConfig) -> StreamingQuery:
     writer = (
         stream.writeStream.outputMode("update")
         .foreachBatch(
-            lambda df, epoch: write_batch(df, epoch, cfg.output_dir)
+            lambda df, epoch: write_batch(
+                df,
+                epoch,
+                cfg.output_dir,
+                anomaly_threshold=cfg.anomaly_threshold,
+                sink_options=cfg.extra_sink_options,
+            )
         )
         .option("checkpointLocation", cfg.checkpoint_dir)
     )

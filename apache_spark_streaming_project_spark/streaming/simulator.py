@@ -68,9 +68,29 @@ def make_census_rows(n: int, rng: random.Random) -> list[list]:
 
 
 def write_batch_file(out_dir: str, rows: list[list], batch_no: int) -> str:
-    """One headerless CSV micro-batch file (G1 naming contract)."""
+    """One headerless CSV micro-batch file (G1 naming contract).
+
+    Two file-source hazards are handled here:
+
+    * the staging file is DOT-PREFIXED (``.batch_..._<n>.csv.tmp``) —
+      Spark's file listing skips only names starting with ``.`` or
+      ``_``, so a plain ``<name>.tmp`` in the watched directory is
+      VISIBLE and a live trigger could ingest the half-written file,
+      then ingest the renamed final copy again (duplicates);
+    * the final name gets a uniqueness suffix when it already exists:
+      ``batch_<epoch-seconds>_<n>`` collides across generate_batches
+      calls in the same second (batch_no restarts at 0), and os.rename
+      silently OVERWRITES — the source tracks seen filenames, so the
+      replaced content would never be read (silent row loss).
+    """
     path = os.path.join(out_dir, f"batch_{int(time.time())}_{batch_no}.csv")
-    tmp = path + ".tmp"
+    uniq = 0
+    while os.path.exists(path):
+        uniq += 1
+        path = os.path.join(
+            out_dir, f"batch_{int(time.time())}_{batch_no}_{uniq}.csv"
+        )
+    tmp = os.path.join(out_dir, "." + os.path.basename(path) + ".tmp")
     with open(tmp, "w", newline="") as f:
         csv.writer(f).writerows(rows)
     os.rename(tmp, path)  # atomic drop so the file source never sees partials

@@ -106,7 +106,11 @@ def test_summary_statistics_schema_and_consistency(spark, pipeline_run):
     per_epoch = {r.epoch_id: r for r in summary.collect()}
     sizes = {r.epoch_id: r["count"] for r in raw.groupBy("epoch_id").count().collect()}
     for eid, srow in per_epoch.items():
-        assert (srow.count_high_income or 0) + (srow.count_low_income or 0) == sizes[eid]
+        # counts are 0, never NULL, when a category is absent (round-7
+        # self-review: the pivot's NULL would poison downstream arithmetic)
+        assert srow.count_high_income is not None
+        assert srow.count_low_income is not None
+        assert srow.count_high_income + srow.count_low_income == sizes[eid]
 
 
 def test_exactly_once_on_restart(spark, pipeline_run, tmp_path_factory):
@@ -875,3 +879,37 @@ def test_layout_mismatch_rejected(spark, tmp_path):
         "key_cols": ["k"],
         "n_buckets": 8,
     }
+
+
+def test_reset_requires_explicit_half_reset(spark, tmp_path):
+    """Round-7 self-review: deleting the tables while the checkpoint still
+    marks all input processed leaves the pipeline permanently unable to
+    rebuild them — the half-reset must be an explicit choice."""
+    import pytest as _pytest
+
+    from apache_spark_streaming_project_spark.streaming.reset import (
+        reset_results,
+    )
+
+    out = str(tmp_path / "out")
+    with _pytest.raises(ValueError, match="half-reset"):
+        reset_results(out)
+    assert reset_results(out, keep_checkpoint=True) == []  # explicit is fine
+
+
+def test_simulator_staging_hidden_and_names_collision_free(spark, tmp_path):
+    """The staging file must be dot-prefixed (invisible to Spark's file
+    listing) and same-second name collisions across generate_batches
+    calls must not overwrite earlier files."""
+    import os
+
+    from apache_spark_streaming_project_spark.streaming import simulator
+
+    out = str(tmp_path / "in")
+    os.makedirs(out)
+    p1 = simulator.write_batch_file(out, [[1, 2], [3, 4]], 0)
+    p2 = simulator.write_batch_file(out, [[5, 6]], 0)  # same second, same n
+    assert p1 != p2 and os.path.exists(p1) and os.path.exists(p2)
+    assert not any(e.endswith(".tmp") for e in os.listdir(out))
+    with open(p1) as f:
+        assert f.read().strip().splitlines()[0] == "1,2"  # not overwritten
