@@ -6544,7 +6544,7 @@ def s_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY version DESC) AS rn
       FROM changes
-    ) WHERE rn = 1 AND op <> 'D' ORDER BY doc_id
+    ) WHERE rn = 1 AND op IS DISTINCT FROM 'D' ORDER BY doc_id
     """,
     "X1",
     "S2",

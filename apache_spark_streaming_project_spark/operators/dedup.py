@@ -59,7 +59,13 @@ def exact_dedup(
     """
     if not fingerprint_wide_cols:
         keep = df.groupBy(*cols).agg(F.min(key_col).alias(key_col))
-        return df.join(keep, on=[*cols, key_col], how="left_semi")
+        # dropDuplicates after the semi join: fully identical rows (same
+        # cols AND same key) all match the min-key row, so without it the
+        # reference path returns every copy — violating keep-one and
+        # diverging from the window path
+        return df.join(
+            keep, on=[*cols, key_col], how="left_semi"
+        ).dropDuplicates([*cols, key_col])
     h = F.xxhash64(*[F.col(c) for c in cols])
     # rank within (hash, exact col values): same shuffle key as hash-only,
     # but the window ORDER/PARTITION re-checks true equality per group
@@ -207,7 +213,12 @@ def apply_changelog(
         key_cols,
         [F.col(version_col).desc()],
     )
-    return newest.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+    # null-safe: op = NULL is NOT a tombstone (a changelog that only tags
+    # deletes leaves op NULL elsewhere; `!=` would evaluate NULL and the
+    # filter would silently DROP the document — data loss, not a delete)
+    return newest.filter(
+        ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+    ).drop(op_col)
 
 
 def snapshot_diff(
@@ -241,10 +252,13 @@ def snapshot_diff(
         *[F.col(c).alias(f"_new_{c}") for c in compare_cols],
         F.lit(True).alias("_in_new"),
     )
-    differs = None
+    # no compare_cols is a legitimate presence-only diff: nothing can
+    # differ, so keys in both snapshots are 'unchanged' (differs = False
+    # rather than a TypeError from F.when(None, ...))
+    differs = F.lit(False)
     for c in compare_cols:
         d = ~F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))
-        differs = d if differs is None else (differs | d)
+        differs = differs | d
     change = (
         F.when(F.col("_in_old").isNull(), F.lit("added"))
         .when(F.col("_in_new").isNull(), F.lit("removed"))
@@ -323,7 +337,14 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
             lambda acc, x: F.least(acc, x),
         )
 
-    return F.array(*[_component(s) for s in range(num_hashes)])
+    sig = F.array(*[_component(s) for s in range(num_hashes)])
+    # an empty shingle array would fold to the all-sentinel signature for
+    # EVERY such doc — unrelated short documents scoring est_jaccard 1.0
+    # and merging. NULL instead (minhash_signatures_df drops such docs;
+    # this composable form marks them un-signable).
+    return F.when(F.size(shingles) > 0, sig).otherwise(
+        F.lit(None).cast("array<long>")
+    )
 
 
 def minhash_signatures_df(
@@ -403,6 +424,15 @@ def minhash_lsh_candidates(
     AQE skew-join). Returns (key_a, key_b, est_jaccard) with key_a < key_b;
     est_jaccard = fraction of matching signature components.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would make every band hash a CONSTANT (all
+        # docs in one bucket per band — a global O(N^2) self-join with no
+        # error); a non-divisor would silently band only the first
+        # bands*(num_hashes//bands) signature components
+        raise ValueError(
+            f"bands must divide num_hashes: got num_hashes={num_hashes}, "
+            f"bands={bands}"
+        )
     rows_per_band = num_hashes // bands
     # the signature table feeds BOTH sides of the self-join — persist it so
     # the shingle+hash+shuffle pipeline runs once, not twice (at cluster
@@ -498,11 +528,16 @@ def hot_shingles(
         .select("_sh")
     )
     rows = hot.limit(max_hot + 1).collect()
-    assert len(rows) <= max_hot, (
-        f"hot-shingle set exceeded {max_hot} entries — max_shingle_df="
-        f"{max_shingle_df} is far below this corpus's vocabulary knee; "
-        "raise the cap (or the threshold) instead of shipping a giant set"
-    )
+    if len(rows) > max_hot:
+        # a real raise, not assert: under python -O an assert compiles
+        # out and the truncating limit() would silently ship an arbitrary
+        # subset of the hot set
+        raise ValueError(
+            f"hot-shingle set exceeded {max_hot} entries — max_shingle_df="
+            f"{max_shingle_df} is far below this corpus's vocabulary "
+            "knee; raise the cap (or the threshold) instead of shipping "
+            "a giant set"
+        )
     return frozenset(r._sh for r in rows)
 
 
@@ -660,6 +695,18 @@ def simhash_near_dups(
             )
         blocks = 2
     else:
+        if not 1 <= max_hamming <= 15:
+            # 0 needs a 64-bit mask literal (doesn't fit a JVM long —
+            # join on _fp equality directly for exact-dup checks); past
+            # 15 the 64 // (r+1)-bit blocks are <= 3 bits wide and the
+            # bucket space degenerates toward one global bucket (a
+            # silent O(N^2) self-join at 64+)
+            raise ValueError(
+                "pigeonhole blocking supports 1 <= max_hamming <= 15 on "
+                f"64-bit fingerprints, got {max_hamming}; for 0 join on "
+                "fingerprint equality, for wider radii use a wider "
+                "fingerprint or candidate prefilter"
+            )
         blocks = max_hamming + 1
     bits_per = 64 // blocks
     # both self-join sides read the fingerprint table — persist (see
@@ -846,7 +893,14 @@ def cross_split_contamination(
     LLM-training pipeline runs between corpus assembly and eval.
     """
     gram = F.explode_outer(word_shingles(text_col, n)).alias("gram")
-    grams = df.select(F.col(key_col), is_train.alias("_train"), gram)
+    # a NULL split flag fails BOTH filters (train and ~train) — the doc
+    # would silently be checked against nothing, the one failure mode a
+    # leakage gate must not have. Unknown split = held-out (checked).
+    grams = df.select(
+        F.col(key_col),
+        F.coalesce(is_train.cast("boolean"), F.lit(False)).alias("_train"),
+        gram,
+    )
     if hash_grams:
         # xxhash64(NULL) is the seed hash, NOT null — guard so zero-gram
         # docs (explode_outer's null row) keep counting as zero grams
@@ -908,7 +962,12 @@ def bloom_prefilter_contamination(
     )
 
     gram = F.explode_outer(word_shingles(text_col, n)).alias("gram")
-    grams = df.select(F.col(key_col), is_train.alias("_train"), gram)
+    # NULL split flag -> held-out (checked), as in cross_split_contamination
+    grams = df.select(
+        F.col(key_col),
+        F.coalesce(is_train.cast("boolean"), F.lit(False)).alias("_train"),
+        gram,
+    )
     train_grams = (
         grams.filter(F.col("_train")).filter(F.col("gram").isNotNull()).select("gram")
     )
@@ -1133,7 +1192,13 @@ def embedding_near_dups(
 
     from apache_spark_streaming_project_spark.functions.vector import dot_pd
 
-    dim = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError(
+            "embedding_near_dups needs a non-empty, non-null vector "
+            "column to derive the plane dimension"
+        )
+    dim = len(head[0])
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
     bits_per = n_planes // bands

@@ -520,3 +520,88 @@ def test_simhash_multiprobe_rejects_wide_radius_and_bad_scheme(spark):
         )
     with _pytest.raises(ValueError, match="unknown scheme"):
         dd.simhash_near_dups(None, fingerprints=fp, scheme="banded")
+
+
+def test_exact_dedup_reference_path_collapses_identical_rows(spark):
+    """Round-7 self-review: two FULLY identical rows (same cols, same
+    key) both matched the min-key semi join — the reference path must
+    keep exactly one, like the window path."""
+    df = spark.createDataFrame(
+        [(1, "same"), (1, "same"), (2, "other")], ["doc_id", "text"]
+    )
+    for fp in (True, False):
+        out = dd.exact_dedup(df, ["text"], "doc_id", fingerprint_wide_cols=fp)
+        assert sorted(r.text for r in out.collect()) == ["other", "same"], fp
+
+
+def test_apply_changelog_null_op_is_not_a_tombstone(spark):
+    """A NULL op (changelogs that only tag deletes) must keep the row —
+    `op != 'D'` evaluated NULL and silently dropped the document."""
+    base = spark.createDataFrame([(1, 0, "v0")], ["doc_id", "version", "text"])
+    changes = spark.createDataFrame(
+        [(1, 1, "v1", None), (2, 1, "new", "U"), (3, 1, "gone", "D")],
+        "doc_id long, version long, text string, op string",
+    )
+    got = {r.doc_id: r.text for r in
+           dd.apply_changelog(base, changes, ["doc_id"], "version").collect()}
+    assert got == {1: "v1", 2: "new"}
+
+
+def test_minhash_signature_null_for_shingleless_docs(spark):
+    """Docs with no shingles must NOT share the all-sentinel signature
+    (unrelated short docs would score est_jaccard 1.0 and merge)."""
+    df = spark.createDataFrame(
+        [(0, "too short"), (1, "also tiny"), (2, "one two three four")],
+        ["doc_id", "text"],
+    )
+    out = df.select(
+        "doc_id",
+        dd.minhash_signature(dd.word_shingles("text", 3), 4).alias("sig"),
+    ).collect()
+    sigs = {r.doc_id: r.sig for r in out}
+    assert sigs[0] is None and sigs[1] is None
+    assert sigs[2] is not None and len(sigs[2]) == 4
+
+
+def test_lsh_and_simhash_validate_degenerate_parameters(spark):
+    """bands must divide num_hashes (bands > num_hashes made every band
+    hash constant — a global O(N^2) join); pigeonhole max_hamming is
+    bounded to [1, 15] (0 crashed on the 64-bit mask literal, >= 64
+    degenerated to one bucket)."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="divide num_hashes"):
+        dd.minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=4, bands=8)
+    fp = spark.createDataFrame([(0, 1)], ["_key", "_fp"])
+    for bad in (0, 16, 64):
+        with _pytest.raises(ValueError, match="pigeonhole"):
+            dd.simhash_near_dups(None, fingerprints=fp, max_hamming=bad)
+
+
+def test_snapshot_diff_presence_only(spark):
+    """compare_cols=[] is a pure added/removed diff — keys in both are
+    'unchanged' (previously a TypeError from F.when(None, ...))."""
+    old = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "text"])
+    new = spark.createDataFrame([(2, "CHANGED"), (3, "c")], ["k", "text"])
+    got = {r.k: r.change_type for r in
+           dd.snapshot_diff(old, new, ["k"], []).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "added"}
+
+
+def test_contamination_checks_null_split_flags(spark):
+    """A NULL is_train flag must be treated as HELD-OUT (checked), not
+    silently dropped from both splits — a leakage gate that skips a doc
+    is the failure mode it exists to prevent."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma", True),
+         (1, "alpha beta gamma", None),       # null flag, contaminated text
+         (2, "delta epsilon zeta", False)],
+        "doc_id long, text string, flag boolean",
+    )
+    got = {r.doc_id: (r.n_grams, r.n_contaminated) for r in
+           dd.cross_split_contamination(df, F.col("flag"), n=3).collect()}
+    assert 1 in got and got[1] == (1, 1)   # checked, and caught
+    assert got[2] == (1, 0)
