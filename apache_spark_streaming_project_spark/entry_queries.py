@@ -1692,7 +1692,20 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what the oracle asserts. Scale shape: cells bound the
     quadratic term (per-cell pairs; soft assignment doubles rows — the
     price of boundary recall), everything before the pair graph is
-    map-only."""
+    map-only.
+
+    Scale guidance (measured, BASELINE.md round-7 two-decade probe):
+    keeping per-cell occupancy constant requires cells ∝ N, which makes
+    the flat quantizer's O(N*k) assignment the next bottleneck (~8x at
+    the probe's 100x/k=1600 point). Large-k callers should swap
+    ``ivf_index`` for ``similarity.imi_index`` (two sqrt(k)-codebooks
+    over vector halves — O(N*sqrt(k)) assignment, measured 3.2x warm at
+    100x) — a drop-in: same ``centroid_id`` output contract, same exact
+    soft top-2 boundary recall (n_assign=2), identical survivors at
+    fixture scale (tests/test_dedup.py::
+    test_semantic_dedup_composes_with_imi_quantizer). The registered
+    query keeps the flat k=16 quantizer — the oracle-pinned knob for
+    this fixture's N."""
     from apache_spark_streaming_project_spark.operators.dedup import (
         dedup_keep_representatives,
     )
@@ -2733,8 +2746,10 @@ def x5_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _X5_MEDIA_CTE
     + """
     , vid AS (
+      -- hx IS NOT NULL mirrors the kernel's NULL-payload skip (a NULL
+      -- text yields a NULL payload in both engines; no frames from it)
       SELECT media_id, duration_ms, upper(hx) AS hex_payload
-      FROM m WHERE mt = 1
+      FROM m WHERE mt = 1 AND hx IS NOT NULL
     )
     SELECT media_id,
            CAST(i AS INT) AS frame_idx,
@@ -2881,11 +2896,14 @@ def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(16,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(16,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(16,2))) AS DOUBLE)
+                   / COUNT(CAST(l_quantity AS DECIMAL(16,2))) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(16,2))) AS DOUBLE)
+                   / COUNT(CAST(l_extendedprice AS DECIMAL(16,2))) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(16,2))) AS DOUBLE)
+                   / COUNT(CAST(l_discount AS DECIMAL(16,2))) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem_v
         WHERE l_shipdate <= DATE '2000-09-02'
@@ -4665,7 +4683,7 @@ def j3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT media_id, duration_ms,
            CAST(16000 AS INT) AS sample_rate,
-           CAST(blen AS BIGINT) AS n_bytes,
+           CAST(blen AS BIGINT) AS n_samples,
            CAST(list_reduce(list_transform(bytes,
                   b -> (b - 128) * (b - 128)), (x, y) -> x + y) AS BIGINT)
              AS sum_sq,
@@ -4681,11 +4699,12 @@ def x5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas over the documents-derived media table (real decode is a
     stubbed NotImplementedError; see operators/multimodal.py). The fake
     kernel reads the bytes as a centered int8 waveform and emits EXACT
-    integers — sample count, sum of squared amplitudes, zero crossings —
-    which the oracle recomputes from the md5-chain hex in pure SQL, so
-    the kernel is hash-verified end-to-end (rms stays float-only in the
-    library API and is excluded here: Python's ``** 0.5`` is not
-    guaranteed bit-equal to SQL sqrt)."""
+    integers — sample count (``n_samples``: == payload bytes in fake
+    mode, the decoded PCM frame count in real mode), sum of squared
+    amplitudes, zero crossings — which the oracle recomputes from the
+    md5-chain hex in pure SQL, so the kernel is hash-verified end-to-end
+    (rms stays float-only in the library API and is excluded here:
+    Python's ``** 0.5`` is not guaranteed bit-equal to SQL sqrt)."""
     from apache_spark_streaming_project_spark.operators.multimodal import (
         derived_media_table,
         extract_audio_features,
@@ -4700,7 +4719,7 @@ def x5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_id",
             "duration_ms",
             "sample_rate",
-            "n_bytes",
+            "n_samples",
             "sum_sq",
             "zero_crossings",
         )

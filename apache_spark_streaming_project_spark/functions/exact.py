@@ -26,16 +26,27 @@ from pyspark.sql import functions as F
 
 
 def sum_money(col: str | Column, scale: int = 2, out_alias: str | None = None) -> Column:
-    """Exact sum of a fixed-point-valued double column, returned as double."""
+    """Exact sum of a fixed-point-valued double column, returned as double.
+
+    DECIMAL(16,s) like the whole family — see :func:`var_components` for
+    the shared input-domain bound |x| < 10^(16-s) and its failure modes.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    expr = F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+    expr = F.sum(c.cast(f"decimal(16,{scale})")).cast("double")
     return expr.alias(out_alias) if out_alias else expr
 
 
 def avg_exact(col: str | Column, scale: int = 2, out_alias: str | None = None) -> Column:
-    """Deterministic average: exact decimal sum, then one double division."""
+    """Deterministic average: exact decimal sum, then one double division.
+
+    The count is over the CAST column, not the raw one: under non-ANSI an
+    out-of-range value nulls out of the sum but would stay in a raw-column
+    divisor — exactly the 'wrong mean with no error' failure mode
+    :func:`var_components` documents. Same DECIMAL(16,s) domain as the
+    rest of the family."""
     c = F.col(col) if isinstance(col, str) else col
-    expr = F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c)
+    d = c.cast(f"decimal(16,{scale})")
+    expr = F.sum(d).cast("double") / F.count(d)
     return expr.alias(out_alias) if out_alias else expr
 
 
@@ -98,23 +109,25 @@ def _dec2dbl(expr: str) -> str:
 
 
 def stddev_exact_sql(col_sql: str, scale: int = 2) -> str:
-    """DuckDB-side mirror of :func:`stddev_exact` (same expression tree)."""
+    """DuckDB-side mirror of :func:`stddev_exact` (same expression tree;
+    COUNT is over the cast expression like the Python twin's
+    ``F.count(d)``, keeping n and the sums over the same population)."""
     d = f"CAST({col_sql} AS DECIMAL(16,{scale}))"
     return (
-        f"CASE WHEN COUNT({col_sql}) > 1 THEN sqrt(GREATEST("
-        f"(CAST(COUNT({col_sql}) AS DOUBLE) * {_dec2dbl(f'SUM({d} * {d})')}"
+        f"CASE WHEN COUNT({d}) > 1 THEN sqrt(GREATEST("
+        f"(CAST(COUNT({d}) AS DOUBLE) * {_dec2dbl(f'SUM({d} * {d})')}"
         f" - {_dec2dbl(f'SUM({d})')} * {_dec2dbl(f'SUM({d})')})"
-        f" / (CAST(COUNT({col_sql}) AS DOUBLE) * (CAST(COUNT({col_sql}) AS DOUBLE) - 1.0))"
+        f" / (CAST(COUNT({d}) AS DOUBLE) * (CAST(COUNT({d}) AS DOUBLE) - 1.0))"
         f", 0.0)) ELSE NULL END"
     )
 
 
 def avg_exact_sql(col_sql: str, scale: int = 2) -> str:
-    return (
-        f"{_dec2dbl(f'SUM(CAST({col_sql} AS DECIMAL(18,{scale})))')}"
-        f" / COUNT({col_sql})"
-    )
+    """Mirror of :func:`avg_exact` — DECIMAL(16,s), COUNT of the cast."""
+    d = f"CAST({col_sql} AS DECIMAL(16,{scale}))"
+    return f"{_dec2dbl(f'SUM({d})')} / COUNT({d})"
 
 
 def sum_money_sql(col_sql: str, scale: int = 2) -> str:
-    return _dec2dbl(f"SUM(CAST({col_sql} AS DECIMAL(18,{scale})))")
+    """Mirror of :func:`sum_money` — DECIMAL(16,s)."""
+    return _dec2dbl(f"SUM(CAST({col_sql} AS DECIMAL(16,{scale})))")

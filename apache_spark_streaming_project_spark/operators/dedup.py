@@ -58,14 +58,34 @@ def exact_dedup(
     and partitionings — never partition-order-dependent.
     """
     if not fingerprint_wide_cols:
-        keep = df.groupBy(*cols).agg(F.min(key_col).alias(key_col))
+        # nulls-first min via (isNotNull, key) structs, matching the window
+        # path's `asc` (= nulls-first) ordering: plain F.min SKIPS NULL
+        # keys, so a dup-group holding a NULL key would elect a different
+        # survivor per path
+        keep = df.groupBy(*cols).agg(
+            F.min(
+                F.struct(
+                    F.col(key_col).isNotNull().alias("_nn"),
+                    F.col(key_col).alias("_k"),
+                )
+            )["_k"].alias("_keep_key")
+        )
+        kr = keep.select(
+            *[F.col(c).alias(f"_kc{i}") for i, c in enumerate(cols)],
+            "_keep_key",
+        )
+        # eqNullSafe per column: a plain equality join never matches NULL
+        # dedup-column values, silently DROPPING those rows from the
+        # result (the window path keeps them — NULL is a groupBy value)
+        cond = df[cols[0]].eqNullSafe(kr["_kc0"])
+        for i, c in enumerate(cols[1:], start=1):
+            cond = cond & df[c].eqNullSafe(kr[f"_kc{i}"])
+        cond = cond & df[key_col].eqNullSafe(kr["_keep_key"])
         # dropDuplicates after the semi join: fully identical rows (same
-        # cols AND same key) all match the min-key row, so without it the
+        # cols AND same key) all match the keep row, so without it the
         # reference path returns every copy — violating keep-one and
         # diverging from the window path
-        return df.join(
-            keep, on=[*cols, key_col], how="left_semi"
-        ).dropDuplicates([*cols, key_col])
+        return df.join(kr, cond, "left_semi").dropDuplicates([*cols, key_col])
     h = F.xxhash64(*[F.col(c) for c in cols])
     # rank within (hash, exact col values): same shuffle key as hash-only,
     # but the window ORDER/PARTITION re-checks true equality per group

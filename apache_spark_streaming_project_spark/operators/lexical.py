@@ -255,10 +255,19 @@ def bm25_top_k(
         raise ValueError(f"idf must be 'odds' or 'log' (got {idf!r})")
     post = postings(docs, id_col, text_col)
     # dl == SUM(tf) per doc == the token count — computable map-only from
-    # the corpus scan, no second explode+agg pass over the postings
+    # the corpus scan, no second explode+agg pass over the postings.
+    # A NULL text is a ZERO-LENGTH document: without the explicit branch,
+    # size(tokens(NULL)) is NULL under ANSI (the doc silently drops out of
+    # `total` while n_docs still counts it) and -1 under legacy sizeOfNull
+    # (actively corrupting `total`). The oracle's dl derives from the
+    # postings GROUP BY — NULL-proof by construction — so this branch is
+    # what keeps the Spark side in agreement on NULL-text corpora.
     dl = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokens(text_col)).cast("bigint").alias("dl"),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(tokens(text_col)))
+        .cast("bigint")
+        .alias("dl"),
     )
     df_t = post.groupBy("term").agg(F.count("*").alias("df"))
     stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
@@ -282,8 +291,16 @@ def bm25_top_k(
         # Resolve query-term dfs eagerly (bounded: <= #query terms rows)
         # and replace the in-plan odds ratio with the driver-computed
         # fixed-precision log table, re-entering the plan as a literal
-        # DataFrame. n_docs is a second 1-row job.
+        # DataFrame.
         spark = docs.sparkSession
+        # Cache the postings for the call: the df collect below AND the
+        # scoring plan both read them — uncached, the explode+agg runs
+        # twice, and on a non-deterministic source the two reads could
+        # disagree (an idf table inconsistent with the tf rows it
+        # multiplies). The cache is caller-visible for the lifetime of the
+        # returned plan (the materialize-once pattern used by the dedup
+        # operators), so it is scoped to the log path that needs it.
+        post = post.cache()
         n_docs_val = docs.count()
         term_dfs = sorted(
             {(r["term"], r["df"]) for r in qt_df.select("term", "df").collect()}
@@ -303,6 +320,14 @@ def bm25_top_k(
         idf_factor = F.col("idf_scaled").cast("double") / F.lit(
             float(_LOG_IDF_SCALE)
         )
+        # the tf saturation must read the SAME n_docs the idf table was
+        # built from — re-aggregating docs in-plan would be a second scan
+        # of the source that could disagree with the eager count above;
+        # the literal makes it one shared value (total still aggregates
+        # in-plan: it multiplies both sides of the ratio symmetrically)
+        stats = spark.range(1).select(
+            F.lit(n_docs_val).cast("bigint").alias("n_docs")
+        ).crossJoin(dl.agg(F.sum("dl").alias("total")))
         contrib = (
             post.join(F.broadcast(qt_lit), "term")
             .join(dl, "doc_id")

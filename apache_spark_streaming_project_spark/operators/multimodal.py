@@ -216,6 +216,15 @@ def _decode_bmp_stdlib(payload: bytes) -> bytes:
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        # BITMAPCOREHEADER (12 bytes): width/height are 16-bit fields at
+        # different offsets — parsing it with the INFOHEADER layout below
+        # would silently decode garbage dimensions
+        raise NotImplementedError(
+            f"stdlib BMP decoder handles BITMAPINFOHEADER (>=40 bytes) "
+            f"only (got header size {hdr_size})"
+        )
     hdr_size, w, h, _planes, depth, compression = struct.unpack(
         "<IiiHHI", payload[14:34]
     )
@@ -290,14 +299,14 @@ def extract_image_features(df: DataFrame, fake_decode: bool = True) -> DataFrame
                 None if p is None else _decode_image_bytes(bytes(p), fake_decode)
                 for p in pdf["payload"]
             ]
+            # normalize by the histogram mass — pixel count in real mode,
+            # payload bytes in fake mode (where the two coincide, so the
+            # oracle bits are unchanged). Dividing by len(payload) would
+            # make real-mode features sum to pixels/compressed-bytes
+            # instead of 1.0, silently diverging from fake mode.
             feats = [
-                None
-                if h is None
-                else [c / max(n, 1) for c in h]
-                for h, n in zip(
-                    hists,
-                    (0 if p is None else len(p) for p in pdf["payload"]),
-                )
+                None if h is None else [c / max(sum(h), 1) for c in h]
+                for h in hists
             ]
             yield pd.DataFrame(
                 {
@@ -316,7 +325,7 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("duration_ms", T.LongType(), True),
         T.StructField("sample_rate", T.IntegerType(), True),
-        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
         T.StructField("sum_sq", T.LongType(), True),
         T.StructField("rms", T.DoubleType(), True),
         T.StructField("zero_crossings", T.LongType(), True),
@@ -349,12 +358,16 @@ def _decode_audio_bytes(payload: bytes, fake: bool) -> tuple[int, int, float, in
         import io
         import wave
 
+        import sys
+
         with wave.open(io.BytesIO(payload), "rb") as w:
             sw = w.getsampwidth()
             raw = w.readframes(w.getnframes())
         if sw == 2:
             arr = array.array("h")
             arr.frombytes(raw)
+            if sys.byteorder == "big":
+                arr.byteswap()  # WAV PCM frames are little-endian on disk
             samples = arr.tolist()
         elif sw == 1:
             samples = [b - 128 for b in raw]  # WAV 8-bit PCM is unsigned
@@ -399,7 +412,7 @@ def extract_audio_features(df: DataFrame, fake_decode: bool = True) -> DataFrame
                     "media_id": pdf["media_id"],
                     "duration_ms": pdf["duration_ms"],
                     "sample_rate": pdf["sample_rate"],
-                    "n_bytes": nb,
+                    "n_samples": nb,
                     "sum_sq": ssq,
                     "rms": rms,
                     "zero_crossings": zc,
@@ -466,7 +479,15 @@ def sample_video_frames(
     can't express). Fake mode emits one 'frame' per ``every_ms`` of
     meta.duration_ms (deterministic oracle path); real mode decodes the
     container with PyAV when importable, grabbing the first frame at or
-    after each ``every_ms`` boundary and re-encoding it as PNG."""
+    after each ``every_ms`` boundary and re-encoding it as PNG. NULL
+    payloads produce no frames in EITHER mode (missing media has no frames
+    to sample — fake mode must not invent rows the real decoder cannot
+    emit)."""
+    if every_ms <= 0:
+        # validate at plan-build time: in the fake kernel a zero would be
+        # an executor-side ZeroDivisionError, in the real kernel it would
+        # silently capture every frame
+        raise ValueError(f"every_ms must be >= 1 (got {every_ms})")
     pruned = df.select("media_id", "payload", F.col("meta.duration_ms").alias("duration_ms"))
     out_schema = T.StructType(
         [
@@ -491,7 +512,11 @@ def sample_video_frames(
                     buf = io.BytesIO()
                     frame.to_image().save(buf, format="PNG")
                     out.append((ts_ms, buf.getvalue()))
-                    next_boundary += every_ms
+                    # snap PAST this frame's timestamp: += every_ms would
+                    # leave the boundary behind after a stream gap and
+                    # re-capture the next frames in a stale burst, one per
+                    # boundary the gap skipped
+                    next_boundary = (ts_ms // every_ms + 1) * every_ms
         return out
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -517,6 +542,8 @@ def sample_video_frames(
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
+                if payload is None:
+                    continue  # parity with the real path's NULL skip
                 n = max(int((dur or 0) // every_ms), 1)
                 for i in range(n):
                     out["media_id"].append(mid)

@@ -605,3 +605,78 @@ def test_contamination_checks_null_split_flags(spark):
            dd.cross_split_contamination(df, F.col("flag"), n=3).collect()}
     assert 1 in got and got[1] == (1, 1)   # checked, and caught
     assert got[2] == (1, 0)
+
+
+def test_exact_dedup_paths_agree_on_null_keys_and_null_cols(spark):
+    """NULL dedup-column values and NULL keys: the reference (groupBy +
+    null-safe semi join) path and the window path elect the SAME
+    survivors — a NULL col value is a dedup value (plain-equality joins
+    silently DROPPED those rows), and a NULL key sorts FIRST in both
+    formulations (asc = nulls-first; plain F.min skipped NULL keys)."""
+    rows = [
+        ("a", "x", 3), ("a", "x", 7),        # plain dup group
+        (None, "x", 1), (None, "x", 2),      # NULL dedup col
+        ("b", None, 9),                      # NULL in second col
+        ("c", "y", None), ("c", "y", 5),     # NULL key wins (nulls first)
+    ]
+    df = spark.createDataFrame(rows, "c1 string, c2 string, k int")
+    ref = dd.exact_dedup(df, ["c1", "c2"], "k", fingerprint_wide_cols=False)
+    win = dd.exact_dedup(df, ["c1", "c2"], "k", fingerprint_wide_cols=True)
+    want = {("a", "x"): 3, (None, "x"): 1, ("b", None): 9, ("c", "y"): None}
+    assert {(r.c1, r.c2): r.k for r in ref.collect()} == want
+    assert {(r.c1, r.c2): r.k for r in win.collect()} == want
+
+
+def test_semantic_dedup_composes_with_imi_quantizer(spark, sf_dir):
+    """The SemDeDup pipeline (coarse cells -> within-cell cosine pairs ->
+    keep-representatives) produces IDENTICAL survivors whether the cells
+    come from the flat quantizer (ivf_index) or the two-level IMI
+    quantizer (imi_index) — the measured O(N*sqrt(k)) remedy for flat
+    assignment's O(N*k) term at cells-proportional-to-N scale. Pins the
+    drop-in contract the x_semantic_dedup docstring promises large-k
+    callers (the decade probe demonstrated it; this makes it a test)."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        blocked_cosine_join,
+        imi_index,
+        ivf_index,
+    )
+
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(200)
+    )
+    planted = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x + 0.003 * F.sin(F.col("vec_id") * 13 + i)).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+    )
+    corpus = e.unionByName(planted)
+
+    def survivors(assigned):
+        pairs = blocked_cosine_join(
+            assigned,
+            key_col="vec_id",
+            vec_col="embedding",
+            block_col="centroid_id",
+            threshold=0.95,
+        ).select("id_a", "id_b")
+        return sorted(
+            r.vec_id
+            for r in dd.dedup_keep_representatives(
+                corpus, pairs, "vec_id", key_a="id_a", key_b="id_b"
+            )
+            .select("vec_id")
+            .collect()
+        )
+
+    flat, _ = ivf_index(corpus, n_centroids=16, n_assign=2)
+    imi, _ = imi_index(corpus, n_cells_per_half=4, n_assign=2)
+    s_flat, s_imi = survivors(flat), survivors(imi)
+    assert s_flat == s_imi
+    # and both recover exactly the originals (every planted copy removed)
+    assert s_flat == sorted(r.vec_id for r in e.select("vec_id").collect())

@@ -584,3 +584,32 @@ class TestHybridRetrievalScalePath:
         assert set(top[: len(both)]) == both
         # and the fused list is drawn from the union of the two lists
         assert set(top) <= sparse_ids | dense_ids
+
+
+def test_bm25_null_text_doc_is_a_zero_length_doc(spark):
+    """A NULL-text doc must behave exactly like an empty-text doc:
+    counted in n_docs, dl = 0, contributing nothing to total — not
+    silently dropped from the corpus statistics (ANSI size(NULL) is
+    NULL) or corrupting them (legacy sizeOfNull is -1). Scores must be
+    bit-identical between the two corpora."""
+    base = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="apple banana cherry"),
+            Row(doc_id=1, text="apple apple banana"),
+            Row(doc_id=2, text="durian elderberry fig"),
+        ]
+    )
+    with_null = base.union(
+        spark.createDataFrame([(9, None)], schema=base.schema)
+    )
+    with_empty = base.union(
+        spark.createDataFrame([(9, "")], schema=base.schema)
+    )
+    q = spark.createDataFrame([Row(query_id=0, term="apple")])
+    for idf in ("odds", "log"):
+        rn = bm25_top_k(with_null, q, k=10, idf=idf).collect()
+        re_ = bm25_top_k(with_empty, q, k=10, idf=idf).collect()
+        assert sorted((r.rank, r.doc_id, r.score) for r in rn) == sorted(
+            (r.rank, r.doc_id, r.score) for r in re_
+        ), idf
+        assert all(r.doc_id != 9 for r in rn)
