@@ -32,22 +32,27 @@ def salted_distinct_count(
 ) -> DataFrame:
     """Exact per-key COUNT(DISTINCT value) robust to key skew.
 
-    Stage 1 shuffles on (key, salt) — a hot key's rows spread over
-    ``n_salts`` tasks, each computing a partial distinct SET (bounded by the
-    per-salt distinct values). Stage 2 shuffles only the per-salt partials
-    (n_salts rows per key, not all rows) and merges the sets.
-    """
-    salted = with_salt(df.select(key_col, value_col), n_salts)
-    partial = salted.groupBy(key_col, "_salt").agg(
-        F.collect_set(value_col).alias("_vals")
-    )
-    return (
-        partial.groupBy(key_col)
-        .agg(
-            F.size(F.array_distinct(F.flatten(F.collect_list("_vals")))).alias(
-                "n_distinct"
-            )
-        )
+    Stage 1 dedups on (key, value) — partitioning by the VALUE alongside
+    the key is salting with the value itself as the salt (the limit of
+    hash(value) % n_salts as n_salts grows), so a hot key's rows spread
+    over every task and a hot (key, value) pair collapses in the
+    map-side partial aggregate before the exchange. Stage 2 counts the
+    surviving rows per key — also partial-aggregated, so the final task
+    receives small per-partition counts, never rows.
+
+    Count semantics: DISTINCT ignores NULL values, so stage 2 counts
+    ``value_col`` (not ``*``) — the (key, NULL) survivor must not count.
+
+    This formulation replaced a collect_set-per-(key, salt) + merge
+    design whose final stage materialized the ENTIRE per-key distinct
+    set as one array in one task — at hot-key distinct cardinality that
+    is an OOM/2 GB-array wall, the exact funnel this function exists to
+    avoid. Nothing here holds more than a hash-aggregate bucket's worth
+    of state per task. ``n_salts`` is kept for API stability; the
+    value-as-salt rewrite has no knob to tune."""
+    dedup = df.select(key_col, value_col).distinct()
+    return dedup.groupBy(key_col).agg(
+        F.count(value_col).alias("n_distinct")
     )
 
 

@@ -103,7 +103,19 @@ def running_stats_anomalies(
             n, mean, m2 = state.get
         else:
             n, mean, m2 = 0, 0.0, 0.0
-        for pdf in pdfs:
+        # Materialize the whole group for this batch BEFORE sorting:
+        # applyInPandasWithState feeds groups larger than
+        # arrow.maxRecordsPerBatch (default 10k) as MULTIPLE chunks, and
+        # chunk order follows shuffle arrival — sorting each chunk alone
+        # left the cross-chunk order (and so every z-score downstream of
+        # the carried state) run-dependent for large groups. Per-key
+        # per-batch rows must fit one task's memory anyway (the
+        # applyInPandas contract); this makes the documented determinism
+        # actually hold at that size.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if len(chunks) > 1:
+            chunks = [pd.concat(chunks, ignore_index=True)]
+        for pdf in chunks:
             # deterministic in-batch order regardless of shuffle arrival
             pdf = pdf.sort_values(id_col)
             v = pdf[value_col].to_numpy(dtype=np.float64)
