@@ -2131,7 +2131,7 @@ def _profile_oracle_col(c: str, value_expr: str | None = None) -> str:
       FROM idx
     )
     SELECT label, pos,
-           CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / CAST(COUNT(q) AS DOUBLE)
              / 1000000.0 AS centroid
     FROM e GROUP BY label, pos ORDER BY label, pos
     """,
@@ -2163,7 +2163,7 @@ def x3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, i - 1 AS pos,
              CAST(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000
                                       + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS centroid
+               / CAST(COUNT(embedding[i]) AS DOUBLE) / 1000000.0 AS centroid
       FROM idx GROUP BY label, i
     ),
     carr AS (

@@ -183,13 +183,39 @@ def _train_sample(
         train = df.filter(keep).select(vec_col).limit(max_train_rows)
     else:
         train = df.select(vec_col)
+    rows = train.collect()
+    if any(r[0] is None for r in rows):
+        raise ValueError(
+            "training sample contains NULL embeddings — filter or impute "
+            "upstream (a bare tuple(None) here was an opaque TypeError)"
+        )
     sample = np.array(
-        sorted(tuple(r[0]) for r in train.collect()),
+        sorted(tuple(r[0]) for r in rows),
         dtype=np.float64,
     )
     # invariant: the driver never holds more than the training cap
     assert len(sample) <= max_train_rows, "training collect exceeded cap"
     return sample
+
+
+def _stack_vectors(values, what: str):
+    """Stack an Arrow column of embeddings into an (n, dim) float64 matrix,
+    failing LOUDLY on NULL rows: ``np.array`` over a batch containing a
+    None otherwise dies with numpy's opaque 'inhomogeneous shape'
+    ValueError deep in an executor — the same silent-crash shape the
+    dedup/asof NULL passes fixed. Dimension mismatches still raise (with
+    numpy's message), which is the right behavior for corrupt input."""
+    import numpy as np
+
+    out = []
+    for v in values:
+        if v is None:
+            raise ValueError(
+                f"{what}: NULL embedding in input — filter or impute "
+                "upstream (vectors must be non-null, fixed-dimension)"
+            )
+        out.append(np.asarray(v, dtype=np.float64))
+    return np.array(out)
 
 
 def _sq_dists(V, C):
@@ -287,9 +313,7 @@ def ivf_index(
         for pdf in batches:
             if not len(pdf):
                 continue
-            vecs = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
+            vecs = _stack_vectors(pdf[vec_col], "ivf_index")
             d2 = _sq_dists(vecs, coarse_np)
             top = np.argsort(d2, axis=1, kind="stable")[:, :n_assign]
             out = {key_col: [], vec_col: [], "centroid_id": []}
@@ -377,9 +401,7 @@ def imi_index(
         for pdf in batches:
             if not len(pdf):
                 continue
-            vecs = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
+            vecs = _stack_vectors(pdf[vec_col], "imi_index")
             va, vb = vecs[:, :da], vecs[:, da:]
             d2a = _sq_dists(va, A)
             d2b = _sq_dists(vb, B)
@@ -769,9 +791,19 @@ def blocked_cosine_join(
         pdf = pdf.sort_values("_key").reset_index(drop=True)
         ids = pdf["_key"].to_numpy()
         M = np.floor(
-            np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]]) * scale
-            + 0.5
+            _stack_vectors(pdf["_vec"], "blocked_cosine_join") * scale + 0.5
         ).astype(np.int64)
+        # ENFORCE the docstring's overflow bound: numpy int64 wraps
+        # SILENTLY, so past it every cosine would be wrong with no error.
+        # dim * max|q|^2 bounds any Gram element; check in float space
+        # (can't itself overflow).
+        mx = float(np.abs(M).max()) if M.size else 0.0
+        if mx * mx * M.shape[1] >= float(2**63):
+            raise ValueError(
+                "blocked_cosine_join: quantized magnitudes overflow the "
+                f"exact int64 Gram bound (max |q| = {mx:.3g}, dim = "
+                f"{M.shape[1]}); lower `scale` or normalize the vectors"
+            )
         G = M @ M.T  # exact int64 Gram matrix
         nrm = np.diag(G).astype(np.float64)
         ok = nrm > 0
@@ -824,7 +856,11 @@ def label_centroids(
         df.select(F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "x"))
         .select("label", "pos", q.alias("q"))
         .groupBy("label", "pos")
-        .agg(F.sum("q").alias("_sq"), F.count(F.lit(1)).alias("_n"))
+        # count the QUANTIZED component, not the row: a NULL component
+        # drops out of sum(q), so a row count would divide a smaller
+        # numerator population by a larger n — the silent wrong-mean
+        # shape every exact-aggregate in this repo guards against
+        .agg(F.sum("q").alias("_sq"), F.count("q").alias("_n"))
         .select(
             "label",
             "pos",
@@ -967,9 +1003,7 @@ def pq_encode(
         for pdf in batches:
             if not len(pdf):
                 continue
-            vecs = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
+            vecs = _stack_vectors(pdf[vec_col], "pq_encode")
             codes = np.empty((len(pdf), m), dtype=np.int32)
             for j in range(m):
                 sub = vecs[:, j * d_sub : (j + 1) * d_sub]
@@ -1184,9 +1218,7 @@ def ivfpq_assign(
         for pdf in batches:
             if not len(pdf):
                 continue
-            vecs = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
+            vecs = _stack_vectors(pdf[vec_col], "ivfpq_assign")
             dd = (
                 (vecs**2).sum(1)[:, None]
                 - 2.0 * vecs @ coarse_np.T

@@ -556,3 +556,74 @@ def test_dot_pd_null_parity_with_builtin_dot(spark):
         "k", udf("a", "b").alias("pd"), dot("a", "b").alias("hof")
     ).orderBy("k").collect()
     assert [(r.pd, r.hof) for r in rows] == [(11.0, 11.0), (None, None), (None, None)]
+
+
+def test_label_centroids_null_component_population(spark):
+    """A NULL vector component drops out of the per-position sum AND the
+    divisor: the centroid is the mean over PRESENT components (the old
+    row-count divisor silently shrank every mean at that position)."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, None]), ("a", [5.0, 4.0])],
+        "label string, embedding array<double>",
+    )
+    got = {
+        (r.label, r.pos): r.centroid for r in label_centroids(df).collect()
+    }
+    assert got[("a", 0)] == pytest.approx(3.0)  # (1+3+5)/3
+    assert got[("a", 1)] == pytest.approx(3.0)  # (2+4)/2 — NOT /3
+
+
+def test_similarity_kernels_reject_null_embeddings(spark, vecs):
+    """Every Arrow assignment/encode kernel fails LOUDLY on NULL
+    embeddings instead of dying with numpy's opaque inhomogeneous-shape
+    error (parity with the dedup/asof NULL-hardening passes)."""
+    from apache_spark_streaming_project_spark.operators import similarity as sim
+
+    with_null = vecs.unionByName(
+        spark.createDataFrame(
+            [(9, None)], "vec_id bigint, embedding array<double>"
+        )
+    )
+    assigned, cents = sim.ivf_index(vecs, n_centroids=2)
+    books = sim.pq_train(vecs, m=3, n_centroids=2)
+    for build in (
+        lambda: sim.ivf_index(with_null, n_centroids=2)[0].collect(),
+        lambda: sim.imi_index(with_null, n_cells_per_half=2)[0].collect(),
+        lambda: sim.pq_encode(with_null, books).collect(),
+        lambda: sim.ivfpq_assign(
+            with_null, cents, [[[0.0], [1.0]], [[0.0], [1.0]], [[0.0], [1.0]]]
+        ).collect(),
+        lambda: sim.blocked_cosine_join(
+            with_null.withColumn("label", with_null.vec_id % 2)
+        ).collect(),
+    ):
+        with pytest.raises(Exception, match="NULL embedding"):
+            build()
+
+
+def test_blocked_cosine_join_overflow_guard(spark):
+    """Magnitudes past the int64 Gram bound fail loudly — numpy wraps
+    int64 silently, which would corrupt every cosine with no error."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        blocked_cosine_join,
+    )
+
+    big = 4.0e9  # (4e9 * 1e6)^2 * dim >> 2^63
+    df = spark.createDataFrame(
+        [(0, [big, 0.0]), (1, [big, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    ).withColumn("label", F.lit(1))
+    with pytest.raises(Exception, match="overflow|int64"):
+        blocked_cosine_join(df).collect()
+    # in-range vectors still work
+    ok = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.1])],
+        "vec_id bigint, embedding array<double>",
+    ).withColumn("label", F.lit(1))
+    assert blocked_cosine_join(ok, threshold=0.9).count() == 1
