@@ -3771,8 +3771,8 @@ def sql_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM sq_orders o
         WHERE o_totalprice > 1.5 * (
-            SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                   / COUNT(o2.o_totalprice)
+            SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(16,2))) AS DOUBLE)
+                   / COUNT(CAST(o2.o_totalprice AS DECIMAL(16,2)))
             FROM sq_orders o2 WHERE o2.o_custkey = o.o_custkey
         )
         """
@@ -5555,20 +5555,21 @@ def sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_tpch_q22",
     """
     WITH avg_bal AS (
-      SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR)
-                  AS DOUBLE) / COUNT(c_acctbal) AS a
+      SELECT {avg_a} AS a
       FROM customer WHERE c_acctbal > 0.0
     )
     SELECT n.n_name, COUNT(*) AS numcust,
-           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS VARCHAR)
-                AS DOUBLE) AS totacctbal
+           {tot} AS totacctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE c.c_acctbal > (SELECT a FROM avg_bal)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                       AND o.o_orderdate >= TIMESTAMP '1999-01-01')
     GROUP BY n.n_name ORDER BY n.n_name
-    """,
+    """.format(
+        avg_a=avg_exact_sql("c_acctbal"),
+        tot=sum_money_sql("c.c_acctbal"),
+    ),
     "D2",
     "D8a",
 )
