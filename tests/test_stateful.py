@@ -113,3 +113,61 @@ def test_idle_timeout_evicts_and_restarts(spark, tmp_path):
     # u1 was evicted while idle -> statistics restarted cold in b3
     assert rows[200]["n_seen"] == 1
     assert rows[201]["n_seen"] == 2
+
+
+def test_multichunk_group_is_deterministic(spark, tmp_path):
+    """A group LARGER than arrow.maxRecordsPerBatch reaches the state
+    update as multiple chunks in shuffle-arrival order; the kernel must
+    merge them before its id sort or every z-score downstream of the
+    carried state becomes run-dependent. Forced here by dropping the
+    Arrow batch size to 16 under a 200-row group written in descending
+    id order, then checking the emitted statistics equal the
+    ascending-id Welford reference."""
+    import statistics
+
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "16")
+    try:
+        input_dir = tmp_path / "input"
+        input_dir.mkdir()
+        n = 200
+        # write descending + shuffled-ish ids so arrival order != id order
+        rows = [(i, "u1", float((i * 37) % 50)) for i in range(n - 1, -1, -1)]
+        spark.createDataFrame(
+            rows, "event_id long, user_id string, value double"
+        ).coalesce(1).write.parquet(str(input_dir / "b1.parquet"))
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id string, value double"
+            ).parquet(str(input_dir / "*.parquet"))
+        )
+        out = running_stats_anomalies(stream, min_n=5)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stateful_chunks")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["event_id"]: r
+            for r in spark.table("stateful_chunks").collect()
+        }
+        assert len(got) == n
+        # n_seen must follow ascending event_id exactly (the documented
+        # in-batch order), independent of the 13 chunks' arrival order
+        vals = []
+        for i in range(n):
+            vals.append(float((i * 37) % 50))
+            assert got[i]["n_seen"] == i + 1, i
+            assert got[i]["running_mean"] == pytest.approx(
+                statistics.fmean(vals)
+            ), i
+        assert got[n - 1]["running_stddev"] == pytest.approx(
+            statistics.stdev(vals)
+        )
+    finally:
+        spark.conf.set(conf, old)
