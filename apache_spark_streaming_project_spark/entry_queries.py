@@ -69,7 +69,22 @@ def _epoch_micros(col_name: str):
     )
 
 
+import atexit
 import contextlib
+import shutil
+import tempfile
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Session-lifetime scratch dir for fixture-writing queries (streaming
+    drains, export round-trips). These queries write files and return a
+    LAZY DataFrame reading them back, so deletion is only safe after the
+    driver has consumed the result — process exit is the earliest point
+    that is always safe, hence atexit. Without this every bench/gate run
+    strewed ~17 orphaned fixture dirs across /tmp."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 @contextlib.contextmanager
@@ -2313,7 +2328,7 @@ def x7_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_partitioned,
     )
 
-    out = tempfile.mkdtemp(prefix="x7_export_") + "/docs"
+    out = _scratch_dir("x7_export_") + "/docs"
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     write_partitioned(d, out, ["lang"])
     rb = read_partitioned(spark, out)
@@ -2354,7 +2369,7 @@ def x7_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_parquet,
     )
 
-    base = tempfile.mkdtemp(prefix="x7_compact_")
+    base = _scratch_dir("x7_compact_")
     frag, dense = base + "/frag", base + "/dense"
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     d.repartition(8).write.mode("overwrite").parquet(frag)
@@ -3031,7 +3046,7 @@ def m10_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with a WARN, never raises) — no except guard, so a genuine failure
     # surfaces here instead of cascading into a confusing read-time error.
     spark.dataSource.register(SyntheticCorpusDataSource)
-    base = tempfile.mkdtemp(prefix="m10_pysrc_")
+    base = _scratch_dir("m10_pysrc_")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     rows, batch = 500, 250  # 2 data restarts + 1 empty confirm batch
@@ -3917,7 +3932,7 @@ def j5_bucketed_cojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed,
     )
 
-    base = tempfile.mkdtemp(prefix="j5_buckets_")
+    base = _scratch_dir("j5_buckets_")
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     )
@@ -4795,7 +4810,7 @@ def m4_stateful_running_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
         .writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stateful_ckpt_"))
+        .option("checkpointLocation", _scratch_dir("stateful_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -4892,7 +4907,7 @@ def m5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_join,
     )
 
-    base = tempfile.mkdtemp(prefix="m5_ssj_")
+    base = _scratch_dir("m5_ssj_")
     a_dir = os.path.join(base, "a")
     b_dir = os.path.join(base, "b")
     out = os.path.join(base, "out")
@@ -4980,7 +4995,7 @@ def m5_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_join,
     )
 
-    base = tempfile.mkdtemp(prefix="m5_lo_")
+    base = _scratch_dir("m5_lo_")
     a_dir = os.path.join(base, "a")
     b_dir = os.path.join(base, "b")
     out = os.path.join(base, "out")
@@ -5063,7 +5078,7 @@ def m3_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_available_now,
     )
 
-    base = tempfile.mkdtemp(prefix="m3_parity_")
+    base = _scratch_dir("m3_parity_")
     in_dir = os.path.join(base, "in")
     out_dir = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -5135,7 +5150,7 @@ def m3_simulator_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         generate_batches,
     )
 
-    out = tempfile.mkdtemp(prefix="m3_sim_")
+    out = _scratch_dir("m3_sim_")
     generate_batches(out, total_rows=500, seed=42)
     df = (
         spark.read.schema(CENSUS_SCHEMA)
@@ -5643,7 +5658,7 @@ def m6_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_dedup_within_watermark,
     )
 
-    base = tempfile.mkdtemp(prefix="m6_dedup_")
+    base = _scratch_dir("m6_dedup_")
     in_dir = os.path.join(base, "in")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -6273,7 +6288,7 @@ def m7_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_windows,
     )
 
-    base = tempfile.mkdtemp(prefix="m7_sess_")
+    base = _scratch_dir("m7_sess_")
     in_dir = os.path.join(base, "in")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -6410,7 +6425,7 @@ def m8_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_counts,
     )
 
-    base = tempfile.mkdtemp(prefix="m8_tumb_")
+    base = _scratch_dir("m8_tumb_")
     in_dir = os.path.join(base, "in")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -6504,7 +6519,7 @@ def s_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="s_corrupt_")
+    base = _scratch_dir("s_corrupt_")
     path = os.path.join(base, "feed.csv")
     with open(path, "w") as f:
         f.write(
@@ -6731,7 +6746,7 @@ def m9_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_merge_upsert,
     )
 
-    base = tempfile.mkdtemp(prefix="m9_upsert_")
+    base = _scratch_dir("m9_upsert_")
     in_dir = os.path.join(base, "in")
     table = os.path.join(base, "table")
     ckpt = os.path.join(base, "ckpt")
@@ -6800,7 +6815,7 @@ def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="s_orc_")
+    base = _scratch_dir("s_orc_")
     path = os.path.join(base, "orders_orc")
     o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
     o.write.mode("overwrite").orc(path)
@@ -7793,7 +7808,7 @@ def m11_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="m11_enrich_")
+    base = _scratch_dir("m11_enrich_")
     in_dir = os.path.join(base, "in")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -7922,7 +7937,7 @@ def s_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="s_schemaevo_")
+    base = _scratch_dir("s_schemaevo_")
     d = _t(spark, sf_dir, "documents")
     d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
         "overwrite"
