@@ -2321,7 +2321,6 @@ def x7_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates the source table directly — equality proves the export
     is lossless and the recovered partition column is faithful. Pruning
     on the read side is asserted in tests/test_plans.py."""
-    import tempfile
 
     from apache_spark_streaming_project_spark.sources.partitioned import (
         read_partitioned,
@@ -2363,7 +2362,6 @@ def x7_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the invariants a table-maintenance job must guarantee before
     swapping the compacted directory in."""
     import glob
-    import tempfile
 
     from apache_spark_streaming_project_spark.sources.partitioned import (
         compact_parquet,
@@ -3036,7 +3034,6 @@ def m10_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates), hash-checked against the DuckDB range() reconstruction
     (sources/pydatasource.py SyntheticCorpusStreamReader)."""
     import os
-    import tempfile
 
     from apache_spark_streaming_project_spark.sources.pydatasource import (
         SyntheticCorpusDataSource,
@@ -3925,7 +3922,6 @@ def j5_bucketed_cojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     never again for any join on the key — THE layout decision at 100 TB.
     Result equality with the oracle's plain join proves the bucketed
     layout loses/duplicates nothing."""
-    import tempfile
 
     from apache_spark_streaming_project_spark.sources.bucketed import (
         cojoin_bucketed,
@@ -4776,7 +4772,6 @@ def m4_stateful_running_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
     library-API output; the anomaly DECISIONS agree because the smallest
     |z|-to-threshold margin in the testdata is ~1e-4, ~8 orders above
     float64 noise (verified at sf0.01 and sf0.1)."""
-    import tempfile
 
     from apache_spark_streaming_project_spark.streaming.stateful import (
         running_stats_anomalies,
@@ -4901,7 +4896,6 @@ def m5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     test watermark exceeds the fixture span so eviction can't race the
     drain (production uses a tight one — the state bound is the point)."""
     import os
-    import tempfile
 
     from apache_spark_streaming_project_spark.streaming.joins import (
         interval_join,
@@ -4989,7 +4983,6 @@ def m5_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     the emission rule). State per side stays bounded by
     watermark + interval (probed in BASELINE.md)."""
     import os
-    import tempfile
 
     from apache_spark_streaming_project_spark.streaming.joins import (
         interval_join,
@@ -5070,7 +5063,6 @@ def m3_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     every row through the stream is counted exactly once (checkpointed
     exactly-once per epoch)."""
     import os
-    import tempfile
 
     from apache_spark_streaming_project_spark.streaming.pipeline import (
         PipelineConfig,
@@ -5142,7 +5134,6 @@ def m3_simulator_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     anomaly count (the extreme hours_per_week values sit outside the
     normal 20-60 domain, so they are exactly countable), and value-domain
     invariants."""
-    import tempfile
 
     from apache_spark_streaming_project_spark.schemas import CENSUS_SCHEMA
     from apache_spark_streaming_project_spark.streaming.simulator import (
@@ -5652,7 +5643,6 @@ def m6_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     instant in this UTC session) and excluded from the output, so the
     result is arrival-order-independent."""
     import os
-    import tempfile
 
     from apache_spark_streaming_project_spark.streaming.windows import (
         streaming_dedup_within_watermark,
@@ -6282,7 +6272,6 @@ def m7_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     and m6 dedup: state per user is the open session row, evicted on
     close (streaming/windows.py session_windows)."""
     import os
-    import tempfile
 
     from apache_spark_streaming_project_spark.streaming.windows import (
         session_windows,
@@ -6419,7 +6408,6 @@ def m8_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/windows.py tumbling_window); state per key is one count
     row, evicted on emission."""
     import os
-    import tempfile
 
     from apache_spark_streaming_project_spark.streaming.windows import (
         windowed_counts,
@@ -6517,7 +6505,6 @@ def s_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpolluted. Schema is declared (the reference's stance — its stream
     requires one, spark_streaming.py:25-40); parsing stays JVM-side."""
     import os
-    import tempfile
 
     base = _scratch_dir("s_corrupt_")
     path = os.path.join(base, "feed.csv")
@@ -6740,7 +6727,6 @@ def m9_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental ingest pipeline ends in (streaming face of
     x1_merge_upsert/x1_incremental_dedup)."""
     import os
-    import tempfile
 
     from apache_spark_streaming_project_spark.streaming.upsert import (
         streaming_merge_upsert,
@@ -6813,7 +6799,6 @@ def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     any parquet scan). The projection is pruned BEFORE the write, so the
     roundtrip ships only the two aggregated columns."""
     import os
-    import tempfile
 
     base = _scratch_dir("s_orc_")
     path = os.path.join(base, "orders_orc")
@@ -7806,7 +7791,6 @@ def m11_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     value_cents uses floor(value*100) so the money rollup is exact
     integers in both engines."""
     import os
-    import tempfile
 
     base = _scratch_dir("m11_enrich_")
     in_dir = os.path.join(base, "in")
@@ -7935,7 +7919,6 @@ def s_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reconstructs the two generations relationally (NULL-padded
     UNION ALL — what mergeSchema semantically is)."""
     import os
-    import tempfile
 
     base = _scratch_dir("s_schemaevo_")
     d = _t(spark, sf_dir, "documents")
