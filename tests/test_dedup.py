@@ -680,3 +680,23 @@ def test_semantic_dedup_composes_with_imi_quantizer(spark, sf_dir):
     assert s_flat == s_imi
     # and both recover exactly the originals (every planted copy removed)
     assert s_flat == sorted(r.vec_id for r in e.select("vec_id").collect())
+
+
+def test_exact_dedup_reference_path_stays_equi_join(spark):
+    """The null-safe join condition (eqNullSafe per column) must still be
+    recognized as equi-join keys — if Catalyst ever stopped extracting
+    EqualNullSafe into hash/sort-merge keys, the reference path would
+    silently degrade to a nested-loop cartesian at corpus scale."""
+    from apache_spark_streaming_project_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "x", 2), (None, "y", 3)],
+        "c1 string, c2 string, k int",
+    )
+    out = dd.exact_dedup(df, ["c1", "c2"], "k", fingerprint_wide_cols=False)
+    plan = physical_plan(out, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Cartesian" not in plan
+    assert "Join" in plan  # the semi join is really there
