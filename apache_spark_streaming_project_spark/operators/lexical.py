@@ -300,6 +300,12 @@ def bm25_top_k(
         # multiplies). The cache is caller-visible for the lifetime of the
         # returned plan (the materialize-once pattern used by the dedup
         # operators), so it is scoped to the log path that needs it.
+        # Measured (BASELINE.md round-8): at sf0.1 the cache COSTS ~35%
+        # (2.0 s vs 1.5 s end-to-end — materialization overhead exceeds
+        # the recompute it saves at fixture scale). It stays because its
+        # job is CONSISTENCY, not speed; both recompute and cache costs
+        # scale linearly with the corpus, so the trade does not flip
+        # against correctness at scale.
         post = post.cache()
         n_docs_val = docs.count()
         term_dfs = sorted(
