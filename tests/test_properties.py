@@ -869,3 +869,37 @@ def test_bloom_double_hash_probes_stay_distinct(spark, keys):
          == _probe_position(F.col("key"), m, 1)).cast("int").alias("c")
     ).agg(F.sum("c")).first()[0]
     assert n_collapsed == 0
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+            st.one_of(st.none(), st.sampled_from(["x", "y"])),
+            st.one_of(st.none(), st.integers(0, 9)),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_exact_dedup_paths_agree_on_random_nullable_frames(spark, rows):
+    """The reference (groupBy + null-safe semi join) and window
+    formulations of exact_dedup must elect the SAME (cols, key) survivor
+    set on ANY frame, including NULL dedup columns and NULL keys — the
+    differential pin behind the round-8 null-safety fix. Compares the
+    (c1, c2, k) triples — the columns both paths deterministically agree
+    on; other-column tie-breaks among fully identical triples are
+    window-path-only by design."""
+    from apache_spark_streaming_project_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(rows, "c1 string, c2 string, k int")
+    ref = exact_dedup(df, ["c1", "c2"], "k", fingerprint_wide_cols=False)
+    win = exact_dedup(df, ["c1", "c2"], "k", fingerprint_wide_cols=True)
+
+    def key(t):
+        return (t[0] or "", t[1] or "", -1 if t[2] is None else t[2])
+
+    assert sorted(
+        ((r.c1, r.c2, r.k) for r in ref.collect()), key=key
+    ) == sorted(((r.c1, r.c2, r.k) for r in win.collect()), key=key)
