@@ -471,6 +471,28 @@ def resize_images(df: DataFrame, width: int, height: int, fake_decode: bool = Tr
     return pruned.mapInPandas(kernel, out_schema)
 
 
+def _frame_selector(every_ms: int):
+    """Boundary-selection kernel of real-mode frame sampling: returns a
+    ``take(ts_ms) -> bool`` deciding, frame by frame in stream order,
+    whether this is the first frame at/after the current ``every_ms``
+    boundary. Factored out of the PyAV path so the GAP behavior is
+    testable without a video decoder: after a capture the boundary snaps
+    PAST the captured timestamp (``(ts // every_ms + 1) * every_ms``) —
+    a plain ``+= every_ms`` would leave the boundary behind after a
+    stream gap and re-capture the following frames in a stale burst, one
+    per boundary the gap skipped."""
+    next_boundary = 0
+
+    def take(ts_ms: int) -> bool:
+        nonlocal next_boundary
+        if ts_ms >= next_boundary:
+            next_boundary = (ts_ms // every_ms + 1) * every_ms
+            return True
+        return False
+
+    return take
+
+
 def sample_video_frames(
     df: DataFrame, every_ms: int = 1000, fake_decode: bool = True
 ) -> DataFrame:
@@ -503,20 +525,16 @@ def sample_video_frames(
         import io
 
         out = []
+        take = _frame_selector(every_ms)
         with _av.open(io.BytesIO(bytes(payload))) as container:
             stream = container.streams.video[0]
-            next_boundary = 0
+            # streamed decode: only SELECTED frames are re-encoded/held
             for frame in container.decode(stream):
                 ts_ms = int((frame.time or 0.0) * 1000)
-                if ts_ms >= next_boundary:
+                if take(ts_ms):
                     buf = io.BytesIO()
                     frame.to_image().save(buf, format="PNG")
                     out.append((ts_ms, buf.getvalue()))
-                    # snap PAST this frame's timestamp: += every_ms would
-                    # leave the boundary behind after a stream gap and
-                    # re-capture the next frames in a stale burst, one per
-                    # boundary the gap skipped
-                    next_boundary = (ts_ms // every_ms + 1) * every_ms
         return out
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

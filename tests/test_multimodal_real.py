@@ -410,3 +410,22 @@ def test_bmp_core_header_refused():
     bad[14:18] = struct.pack("<I", 12)
     with pytest.raises(NotImplementedError, match="header"):
         mm._decode_bmp_stdlib(bytes(bad))
+
+
+def test_frame_selector_snaps_past_gaps():
+    """The real-mode boundary kernel (now PyAV-free and testable here):
+    a timestamp gap must NOT produce a stale burst. Sequence
+    [0, 100, 5000, 5100] at every_ms=1000: 0 captures (boundary -> 1000),
+    100 skips, 5000 captures (boundary snaps to 6000 — the old
+    += every_ms left it at 2000), 5100 must SKIP. Also pins ordinary
+    cadence and exact-boundary hits."""
+    take = mm._frame_selector(1000)
+    assert [take(t) for t in [0, 100, 5000, 5100]] == [
+        True, False, True, False
+    ]
+    # ordinary cadence: first frame at/after each boundary, one per
+    # boundary — 2100 snaps the boundary to 3000 so 2900 skips and 3000
+    # captures exactly on it
+    take = mm._frame_selector(1000)
+    got = [t for t in [0, 400, 900, 1000, 1500, 2100, 2900, 3000] if take(t)]
+    assert got == [0, 1000, 2100, 3000]
