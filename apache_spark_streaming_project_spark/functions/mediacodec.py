@@ -1,0 +1,877 @@
+"""Pure stdlib+numpy media codecs for the X5 real-decode paths.
+
+The engine's multimodal operators (operators/multimodal.py) decode real
+media inside Arrow ``mapInPandas`` kernels. PIL / PyAV are optional and
+absent from many deployments, so this module supplies dependency-free
+codecs for the dominant interchange shapes:
+
+- :func:`decode_jpeg` — BASELINE JPEG (SOF0/SOF1, Huffman, 8-bit,
+  grayscale or YCbCr with integer-ratio subsampling, restart markers).
+  Entropy decoding is the honest scalar path (Huffman is bit-serial by
+  nature); everything after it — dequantize, IDCT, plane assembly,
+  upsampling, color conversion — is whole-image vectorized numpy.
+  Progressive (SOF2), arithmetic coding, 12-bit and CMYK raise
+  ``NotImplementedError`` (PIL remains the path for those).
+- :func:`encode_jpeg` — a minimal baseline encoder (Annex K quantization
+  + Huffman tables, IJG quality scaling, 4:4:4 or 4:2:0, optional
+  restart intervals). Exists so JPEG fixtures can be BUILT and
+  round-trip-tested in environments without PIL; it writes standard
+  files any JPEG decoder reads.
+- :func:`encode_png` — 8-bit gray/RGB non-interlaced PNG writer (filter
+  0 scanlines), the exact shape ``_decode_png_stdlib`` reads back, so
+  frame-sampling output is verifiable in a closed loop.
+- :func:`encode_avi_mjpeg` / :func:`decode_avi_mjpeg` — the RIFF walk
+  for Motion-JPEG AVI, the simplest real video container: per-frame
+  JPEG payloads plus a rational frame rate. This is what lets
+  ``sample_video_frames(fake_decode=False)`` run on real video bytes
+  without PyAV.
+
+Everything here is public-format work from the published specs
+(ITU-T T.81 Annex K for the JPEG tables, the PNG and RIFF/AVI format
+documents). The reference system (tharushav/Apache_spark_streaming_project)
+has no media handling at all — this backs the engine's multimodal
+extension surface (SURVEY.md §2 X5).
+
+Determinism note: both codecs are pure functions of their inputs (no
+RNG, no time), so fixtures built from them are stable across runs and
+hosts; the IDCT/color math uses float64 with a single final rounding,
+identical everywhere numpy runs.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Shared JPEG constants (ITU-T T.81 / Annex K)
+# ---------------------------------------------------------------------------
+
+# zigzag scan: ZIGZAG[k] = natural (row-major) index of the k-th coefficient
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K base quantization tables (natural order, row-major)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K typical Huffman tables: (bits[1..16], symbol list)
+_HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _check_huff(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
+    """Structural validation of a Huffman spec: 16 length counts whose sum
+    equals the symbol count and fits a prefix code. Raised eagerly (not
+    ``assert``) so ``python -O`` can't skip it."""
+    if len(bits) != 16:
+        raise ValueError(f"Huffman spec needs 16 length counts, got {len(bits)}")
+    if sum(bits) != len(vals):
+        raise ValueError(
+            f"Huffman spec inconsistent: counts sum {sum(bits)} != "
+            f"{len(vals)} symbols"
+        )
+    # Kraft check: the canonical assignment below must never overflow a
+    # length's code space.
+    code, total = 0, 0
+    for ln, n in enumerate(bits, start=1):
+        total += n
+        if n and (code + n) > (1 << ln):
+            raise ValueError(f"Huffman spec overflows {ln}-bit code space")
+        code = (code + n) << 1
+    return bits, vals
+
+
+for _spec in (_HT_DC_LUMA, _HT_DC_CHROMA, _HT_AC_LUMA, _HT_AC_CHROMA):
+    _check_huff(*_spec)
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman: {(length, code) -> symbol}."""
+    _check_huff(bits, vals)
+    table, code, k = {}, 0, 0
+    for ln, n in enumerate(bits, start=1):
+        for _ in range(n):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman: {symbol -> (code, length)}."""
+    dec = _huff_decode_table(bits, vals)
+    return {sym: (code, ln) for (ln, code), sym in dec.items()}
+
+
+def _idct_basis() -> np.ndarray:
+    """The orthonormal 8x8 DCT-II basis M with M[x, u] =
+    c(u)/2 * cos((2x+1)u*pi/16): pixels = M @ F @ M.T, F = M.T @ px @ M."""
+    x = np.arange(8).reshape(8, 1)
+    u = np.arange(8).reshape(1, 8)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    m[:, 0] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _idct_basis()
+
+
+def quality_scaled_qtable(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: quality 1..100 maps the Annex K base table
+    through scale = 5000/q (q < 50) else 200 - 2q, clamped to [1, 255].
+    quality=100 yields an all-ones table (lossless-after-DCT-rounding —
+    what the flat-image exactness tests rely on)."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100] (got {quality})")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    tbl = (base * scale + 50) // 100
+    return np.clip(tbl, 1, 255).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def pad_to_byte(self) -> None:
+        """Fill the partial byte with 1-bits (T.81 F.1.2.3)."""
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)
+
+
+class _EntropyEnd(Exception):
+    """Raised when the bit reader hits a non-restart marker mid-read."""
+
+
+class _BitReader:
+    """MSB-first bit reader over JPEG entropy-coded data: un-stuffs
+    0xFF 0x00, stops (raises) at any real marker, and supports the
+    byte-aligned restart-marker consume the decoder calls between
+    restart intervals."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _load_byte(self) -> None:
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise _EntropyEnd("entropy data truncated")
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos = p + 2
+            else:
+                raise _EntropyEnd(f"marker 0x{nxt:02x} in entropy data")
+        else:
+            self.pos = p + 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def read_bits(self, n: int) -> int:
+        while self._n < n:
+            self._load_byte()
+        self._n -= n
+        v = (self._acc >> self._n) & ((1 << n) - 1)
+        self._acc &= (1 << self._n) - 1
+        return v
+
+    def read_bit(self) -> int:
+        return self.read_bits(1)
+
+    def consume_restart(self) -> None:
+        """Byte-align and consume an RSTn marker (T.81 E.2.4)."""
+        self._acc = 0
+        self._n = 0
+        d, p = self.data, self.pos
+        if p + 2 > len(d) or d[p] != 0xFF or not (0xD0 <= d[p + 1] <= 0xD7):
+            got = d[p : p + 2].hex() if p + 2 <= len(d) else "EOF"
+            raise ValueError(f"expected restart marker, got {got}")
+        self.pos = p + 2
+
+
+def _huff_read(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy data")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.12: map the s-bit magnitude field to its signed value."""
+    if s and v < (1 << (s - 1)):
+        return v - (1 << s) + 1
+    return v
+
+
+# ---------------------------------------------------------------------------
+# JPEG decoder (baseline)
+# ---------------------------------------------------------------------------
+
+_SOF_UNSUPPORTED = {
+    0xC2: "progressive (SOF2)",
+    0xC3: "lossless (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic sequential (SOF9)",
+    0xCA: "arithmetic progressive (SOF10)",
+    0xCB: "arithmetic lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a BASELINE JPEG to uint8 pixels: shape (h, w) for a
+    single-component (grayscale) image, (h, w, 3) RGB for a YCbCr one.
+
+    Supported: SOF0/SOF1 Huffman 8-bit, 1 or 3 components,
+    integer-ratio chroma subsampling (4:4:4 / 4:2:2 / 4:2:0 and any
+    other integer h/v factors), restart intervals, multi-table DQT/DHT
+    segments. ``NotImplementedError`` for progressive / arithmetic /
+    lossless / 12-bit / CMYK — PIL remains the path for those.
+
+    Rounding model: exact float64 IDCT and BT.601 YCbCr->RGB with one
+    final round-half-up-to-even per sample (numpy rint). libjpeg's
+    fixed-point islow IDCT may differ by +/-1 on some samples — this
+    decoder is bit-stable with ITSELF everywhere, and the engine uses
+    it only when PIL is absent (documented in _decode_image_bytes).
+
+    Entropy decoding is per-symbol Python (Huffman is bit-serial); the
+    dequantize/IDCT/upsample/color stages below it are whole-image
+    numpy. Fine for the fixture scale it serves; real bulk decode
+    should install PIL.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    sof = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before any scan
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        data = payload[pos + 2 : pos + seglen]
+        seg_end = pos + seglen
+        if marker == 0xDB:  # DQT (one or more tables)
+            o = 0
+            while o < len(data):
+                pq, tq = data[o] >> 4, data[o] & 0x0F
+                o += 1
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                zz = np.frombuffer(data[o : o + 64], dtype=np.uint8)
+                o += 64
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZIGZAG] = zz
+                qt[tq] = nat
+        elif marker == 0xC4:  # DHT (one or more tables)
+            o = 0
+            while o < len(data):
+                tc, th = data[o] >> 4, data[o] & 0x0F
+                o += 1
+                bits = list(data[o : o + 16])
+                o += 16
+                nsym = sum(bits)
+                vals = list(data[o : o + nsym])
+                o += nsym
+                tbl = _huff_decode_table(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = tbl
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            precision, h, w, ncomp = struct.unpack(">BHHB", data[:6])
+            if precision != 8:
+                raise NotImplementedError(f"{precision}-bit JPEG samples")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG (CMYK?); expected 1 or 3"
+                )
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = data[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            if ncomp == 1:
+                # non-interleaved single-component scan: MCU is one block
+                comps[0]["h"] = comps[0]["v"] = 1
+            sof = {"w": w, "h": h, "comps": comps}
+        elif marker in _SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                f"JPEG {_SOF_UNSUPPORTED[marker]} decoding; install PIL "
+                "or re-encode as baseline"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            ns = data[0]
+            sel = {}
+            for i in range(ns):
+                cid, tabs = data[1 + 2 * i : 3 + 2 * i]
+                sel[cid] = (tabs >> 4, tabs & 0x0F)
+            scan = (sel, seg_end)
+            break
+        # APPn / COM / others: skip
+        pos = seg_end
+    if scan is None:
+        raise ValueError("JPEG has no SOS scan")
+    sel, data_start = scan
+    comps = sof["comps"]
+    w, h = sof["w"], sof["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        if c["id"] not in sel:
+            raise NotImplementedError("multi-scan (non-interleaved) JPEG")
+        c["dc_t"], c["ac_t"] = sel[c["id"]]
+        c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+        c["pred"] = 0
+
+    reader = _BitReader(payload, data_start)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.consume_restart()
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                dct = huff_dc[c["dc_t"]]
+                act = huff_ac[c["ac_t"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
+                        s = _huff_read(reader, dct)
+                        diff = _extend(reader.read_bits(s), s) if s else 0
+                        c["pred"] += diff
+                        blk[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(reader, act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[ZIGZAG[k]] = _extend(reader.read_bits(s), s)
+                            k += 1
+            mcu_count += 1
+
+    planes = []
+    for c in comps:
+        q = qt[c["tq"]]
+        nby, nbx = c["coef"].shape[:2]
+        f = (c["coef"] * q).astype(np.float64).reshape(nby, nbx, 8, 8)
+        px = np.einsum("xu,bcuv,yv->bxcy", _DCT_M, f, _DCT_M)
+        plane = px.reshape(nby * 8, nbx * 8) + 128.0
+        plane = np.clip(np.rint(plane), 0, 255).astype(np.uint8)
+        cw = -(-w * c["h"] // hmax)
+        chh = -(-h * c["v"] // vmax)
+        plane = plane[:chh, :cw]
+        rh, rv = hmax // c["h"], vmax // c["v"]
+        if rh * c["h"] != hmax or rv * c["v"] != vmax:
+            raise NotImplementedError(
+                f"non-integer sampling ratio {c['h']}x{c['v']} vs "
+                f"{hmax}x{vmax}"
+            )
+        if rh > 1:
+            plane = np.repeat(plane, rh, axis=1)
+        if rv > 1:
+            plane = np.repeat(plane, rv, axis=0)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return planes[0]
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# JPEG encoder (baseline, Annex K tables)
+# ---------------------------------------------------------------------------
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H, W multiples of 8 -> (H//8, W//8, 8, 8)."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    return plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+
+
+def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % mult
+    pw = (-w) % mult
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _encode_component_blocks(
+    blocks: np.ndarray, qtbl: np.ndarray
+) -> np.ndarray:
+    """Vectorized forward DCT + quantization: (nby, nbx, 8, 8) uint8 ->
+    (nby, nbx, 64) int coefficients in NATURAL order."""
+    f = blocks.astype(np.float64) - 128.0
+    coef = np.einsum("ux,bcxy,vy->bcuv", _DCT_M.T, f, _DCT_M.T)
+    q = np.rint(coef.reshape(*coef.shape[:2], 64) / qtbl.astype(np.float64))
+    return q.astype(np.int64)
+
+
+def _emit_block(
+    writer: _BitWriter, blk: np.ndarray, pred: int, dc_tab: dict, ac_tab: dict
+) -> int:
+    """Huffman-encode one quantized block (natural order); returns the
+    new DC predictor."""
+    dc = int(blk[0])
+    diff = dc - pred
+    mag = abs(diff)
+    s = mag.bit_length()
+    code, ln = dc_tab[s]
+    writer.write(code, ln)
+    if s:
+        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    zz = blk[ZIGZAG]
+    run = 0
+    # index of the last nonzero AC (0 if none)
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        mag = abs(v)
+        s = mag.bit_length()
+        code, ln = ac_tab[(run << 4) | s]
+        writer.write(code, ln)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        writer.write(code, ln)
+    return dc
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode uint8 pixels — (h, w) grayscale or (h, w, 3) RGB — as a
+    baseline JPEG with Annex K quantization (IJG quality scaling) and
+    the Annex K typical Huffman tables. ``subsample`` is '444' or '420'
+    (RGB only); ``restart_interval`` > 0 emits DRI + RSTn markers every
+    that many MCUs (what exercises the decoder's restart path).
+
+    Exists so environments without PIL can BUILD real JPEG fixtures;
+    output is standard and readable by any JPEG decoder. Not a bulk
+    encoder — the entropy stage is per-block Python.
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        gray = True
+    elif img.ndim == 3 and img.shape[2] == 3:
+        gray = False
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {img.shape}")
+    if subsample not in ("444", "420"):
+        raise ValueError(f"subsample must be '444' or '420' (got {subsample!r})")
+    if gray:
+        subsample = "444"
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("cannot encode an empty image")
+
+    qy = quality_scaled_qtable(_QT_LUMA, quality)
+    qc = quality_scaled_qtable(_QT_CHROMA, quality)
+    dc_y = _huff_encode_table(*_HT_DC_LUMA)
+    ac_y = _huff_encode_table(*_HT_AC_LUMA)
+    dc_c = _huff_encode_table(*_HT_DC_CHROMA)
+    ac_c = _huff_encode_table(*_HT_AC_CHROMA)
+
+    if gray:
+        y_plane = img.astype(np.float64)
+        planes = [np.clip(np.rint(y_plane), 0, 255).astype(np.uint8)]
+        samps = [(1, 1)]
+        qts = [qy]
+    else:
+        r = img[..., 0].astype(np.float64)
+        g = img[..., 1].astype(np.float64)
+        b = img[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        to8 = lambda p: np.clip(np.rint(p), 0, 255).astype(np.uint8)  # noqa: E731
+        if subsample == "420":
+            # average 2x2 neighborhoods (on the edge-padded plane so odd
+            # dimensions stay well-defined)
+            def down2(p):
+                p = _pad_edge(to8(p).astype(np.float64), 2)
+                return to8(
+                    (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])
+                    / 4.0
+                )
+
+            planes = [to8(y), down2(cb), down2(cr)]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [to8(y), to8(cb), to8(cr)]
+            samps = [(1, 1), (1, 1), (1, 1)]
+        qts = [qy, qc, qc]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comp_blocks = []
+    for plane, (sh, sv) in zip(planes, samps):
+        # pad each component plane to its own MCU-aligned block grid
+        target_h = mcuy * sv * 8
+        target_w = mcux * sh * 8
+        p = _pad_edge(plane, 8)
+        if p.shape[0] < target_h or p.shape[1] < target_w:
+            p = np.pad(
+                p,
+                ((0, target_h - p.shape[0]), (0, target_w - p.shape[1])),
+                mode="edge",
+            )
+        comp_blocks.append(_to_blocks(p[:target_h, :target_w]))
+    coefs = [
+        _encode_component_blocks(cb_, qt_) for cb_, qt_ in zip(comp_blocks, qts)
+    ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0 (minimal, 1:1 aspect)
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_y = bytes(int(qy[ZIGZAG[i]]) for i in range(64))
+    out += _seg(0xDB, bytes([0x00]) + zz_y)
+    if not gray:
+        zz_c = bytes(int(qc[ZIGZAG[i]]) for i in range(64))
+        out += _seg(0xDB, bytes([0x01]) + zz_c)
+    ncomp = 1 if gray else 3
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for i, (sh, sv) in enumerate(samps):
+        sof += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
+    out += _seg(0xC0, bytes(sof))
+    for tc_th, (bits, vals) in (
+        (0x00, _HT_DC_LUMA),
+        (0x10, _HT_AC_LUMA),
+    ) + (() if gray else ((0x01, _HT_DC_CHROMA), (0x11, _HT_AC_CHROMA))):
+        out += _seg(0xC4, bytes([tc_th] + bits + vals))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, bytes(sos))
+
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.pad_to_byte()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * ncomp
+            for ci, (sh, sv) in enumerate(samps):
+                dct = dc_y if ci == 0 else dc_c
+                act = ac_y if ci == 0 else ac_c
+                for by in range(sv):
+                    for bx in range(sh):
+                        blk = coefs[ci][my * sv + by, mx * sh + bx]
+                        preds[ci] = _emit_block(writer, blk, preds[ci], dct, act)
+            mcu_count += 1
+    writer.pad_to_byte()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# PNG encoder (the inverse of multimodal._decode_png_stdlib's subset)
+# ---------------------------------------------------------------------------
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode uint8 pixels — (h, w) grayscale or (h, w, 3) RGB — as an
+    8-bit non-interlaced PNG with filter-0 scanlines. Exactly the shape
+    ``_decode_png_stdlib`` reads back, so PNG output produced here is
+    verifiable in a closed loop without PIL."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color = 0
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color = 2
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {img.shape}")
+    h, w = img.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    flat = img.reshape(h, -1)
+    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Motion-JPEG AVI (RIFF) — the stdlib real-video container
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], fps_rate: int = 25, fps_scale: int = 1,
+    width: int = 0, height: int = 0,
+) -> bytes:
+    """Pack per-frame JPEG payloads into a minimal Motion-JPEG AVI
+    (RIFF): hdrl (avih + one 'vids'/'MJPG' stream at rate/scale fps)
+    followed by a movi list of '00dc' chunks. Enough structure for any
+    RIFF walker — including :func:`decode_avi_mjpeg` — to recover the
+    frame bytes and their timestamps."""
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    if fps_rate <= 0 or fps_scale <= 0:
+        raise ValueError("fps rate/scale must be positive")
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    usec = (1_000_000 * fps_scale) // fps_rate
+    maxbuf = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<10I4x4x4x4x",
+        usec, maxbuf * fps_rate // max(fps_scale, 1), 0, 0x10,
+        len(frames), 0, 1, maxbuf, width, height,
+    )
+    strh = struct.pack(
+        "<4s4sI2H8I4h",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        fps_scale, fps_rate, 0, len(frames), maxbuf, 0xFFFFFFFF, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<I2i2H4s5I", 40, width, height, 1, 24, b"MJPG",
+        maxbuf, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(payload: bytes) -> list[tuple[int, bytes]]:
+    """Walk a Motion-JPEG AVI and return ``[(ts_ms, jpeg_bytes)]`` in
+    stream order — timestamps from the 'vids' stream's rate/scale
+    (frame i at ``i * 1000 * scale // rate`` ms). Raises ``ValueError``
+    for non-AVI payloads and ``NotImplementedError`` when the video
+    stream isn't Motion-JPEG (PyAV remains the path for real codecs)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    fps: list[tuple[int, int]] = []
+    handlers: list[bytes] = []
+    frames: list[bytes] = []
+
+    def walk(data: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            body_end = body_start + size
+            if fourcc == b"LIST":
+                walk(data, body_start + 4, body_end)
+            elif fourcc == b"strh" and size >= 48:
+                fcc_type = data[body_start : body_start + 4]
+                if fcc_type == b"vids":
+                    handlers.append(data[body_start + 4 : body_start + 8])
+                    scale, rate = struct.unpack(
+                        "<II", data[body_start + 20 : body_start + 28]
+                    )
+                    fps.append((scale, rate))
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                frames.append(bytes(data[body_start:body_end]))
+            pos = body_end + (size % 2)  # chunks pad to even
+
+    walk(payload, 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0]))
+    if not fps:
+        raise ValueError("AVI has no video stream header")
+    if handlers and handlers[0] not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            f"AVI video handler {handlers[0]!r} is not Motion-JPEG; "
+            "install PyAV for real codecs"
+        )
+    scale, rate = fps[0]
+    if rate <= 0 or scale <= 0:
+        raise ValueError("AVI stream has a non-positive frame rate")
+    return [
+        (i * 1000 * scale // rate, f) for i, f in enumerate(frames)
+    ]

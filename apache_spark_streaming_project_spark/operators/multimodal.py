@@ -11,9 +11,12 @@ whole Arrow pipeline is hash-verifiable; ``fake_decode=False`` (real mode)
 decodes actual media — WAV audio via the stdlib ``wave`` module (always
 available), PNG images via a stdlib ``zlib`` decoder (always available:
 chunk walk + inflate + the five scanline filters, 8-bit gray/RGB/RGBA
-non-interlaced — see ``_decode_png_stdlib``), other image formats via PIL
-and video via PyAV WHEN IMPORTABLE (import-guarded: environments without
-the libraries raise ``NotImplementedError`` with a clear message, and the
+non-interlaced — see ``_decode_png_stdlib``), 24-bit BMP and BASELINE
+JPEG via stdlib+numpy codecs (``functions/mediacodec.py``), and
+Motion-JPEG AVI video via the stdlib RIFF walk + the same JPEG decoder.
+Other image formats go through PIL and other video containers/codecs
+through PyAV WHEN IMPORTABLE (import-guarded: environments without the
+libraries raise ``NotImplementedError`` with a clear message, and the
 corresponding tests skip). The Spark-side plumbing — schema, batch
 iteration, partition layout, UDF signatures — is identical in all modes.
 
@@ -104,15 +107,14 @@ def _gray_from_rgb(px: "np.ndarray") -> "np.ndarray":
     ).astype(np.uint8)
 
 
-def _decode_png_stdlib(payload: bytes) -> bytes:
+def _decode_png_pixels(payload: bytes) -> "np.ndarray":
     """REAL PNG decode with the standard library + numpy: chunk walk
     (IHDR/IDAT/IEND), inflate, then per-scanline de-filtering (the five
-    PNG filters: None/Sub/Up/Average/Paeth). Supports the dominant
-    storage shape — 8-bit grayscale/RGB/RGBA, non-interlaced — and
-    raises ``NotImplementedError`` for the rest (16-bit, palette, Adam7),
-    where PIL remains the path. RGB(A) converts to grayscale with PIL's
-    exact rounded fixed-point luma (:func:`_gray_from_rgb`), so both
-    decode paths produce bit-identical pixels.
+    PNG filters: None/Sub/Up/Average/Paeth). Returns the raw channel
+    array — (h, w) for grayscale, (h, w, 3|4) for RGB(A). Supports the
+    dominant storage shape — 8-bit grayscale/RGB/RGBA, non-interlaced —
+    and raises ``NotImplementedError`` for the rest (16-bit, palette,
+    Adam7), where PIL remains the path.
 
     De-filtering is vectorized wherever the recurrence allows: None and
     Up are pure elementwise ops; Sub is a per-channel-lane cumulative
@@ -197,18 +199,28 @@ def _decode_png_stdlib(payload: bytes) -> bytes:
         img[y] = line
         prev = line
     if ch == 1:
-        return img.tobytes()
-    return _gray_from_rgb(img.reshape(-1, ch)).tobytes()
+        return img
+    return img.reshape(h, w, ch)
 
 
-def _decode_bmp_stdlib(payload: bytes) -> bytes:
+def _decode_png_stdlib(payload: bytes) -> bytes:
+    """Luma-bytes view of :func:`_decode_png_pixels`: RGB(A) converts to
+    grayscale with PIL's exact rounded fixed-point luma
+    (:func:`_gray_from_rgb`), so the PIL and stdlib decode paths produce
+    bit-identical pixels for the histogram kernel."""
+    px = _decode_png_pixels(payload)
+    if px.ndim == 2:
+        return px.tobytes()
+    return _gray_from_rgb(px).tobytes()
+
+
+def _decode_bmp_pixels(payload: bytes) -> "np.ndarray":
     """REAL BMP decode, stdlib + numpy: the uncompressed 24-bit BI_RGB
     shape (the overwhelmingly common one). Pixel rows are bottom-up,
-    BGR, padded to 4-byte multiples; converts to grayscale with PIL's
-    exact rounded fixed-point luma (:func:`_gray_from_rgb`), same as the
-    PNG path. Fully vectorized (row un-padding, vertical flip, BGR->RGB
-    swizzle, luma) — no per-pixel Python. Raises ``NotImplementedError``
-    for compressed / other-depth BMPs."""
+    BGR, padded to 4-byte multiples; returns the (h, w, 3) RGB array.
+    Fully vectorized (row un-padding, vertical flip, BGR->RGB swizzle) —
+    no per-pixel Python. Raises ``NotImplementedError`` for compressed /
+    other-depth BMPs."""
     import struct
 
     import numpy as np
@@ -242,8 +254,14 @@ def _decode_bmp_stdlib(payload: bytes) -> bytes:
     px = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
     if bottom_up:
         px = px[::-1]
-    # stored BGR: reverse the channel axis to RGB before the luma
-    return _gray_from_rgb(px[..., ::-1]).tobytes()
+    # stored BGR: reverse the channel axis to RGB
+    return px[..., ::-1]
+
+
+def _decode_bmp_stdlib(payload: bytes) -> bytes:
+    """Luma-bytes view of :func:`_decode_bmp_pixels` (PIL's exact
+    rounded fixed-point luma, same as the PNG path)."""
+    return _gray_from_rgb(_decode_bmp_pixels(payload)).tobytes()
 
 
 def _decode_image_bytes(payload: bytes, fake: bool) -> list[int]:
@@ -251,10 +269,16 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> list[int]:
     deterministic 8-bin byte histogram from the raw payload (exact integer
     counts — SQL-reproducible, so the oracle gate can hash-verify the whole
     Arrow pipeline; the normalized float 'feature' is derived from it).
-    Real mode: PIL when importable (any format); otherwise PNG payloads
-    decode via the stdlib decoder (``_decode_png_stdlib`` — real pixels,
-    zero third-party deps); otherwise raises. All real paths produce the
-    same grayscale pixel-intensity histogram in the same 8 bins."""
+    Real mode: PIL when importable (any format); otherwise PNG/BMP
+    payloads decode via the stdlib decoders (real pixels, zero
+    third-party deps) and baseline JPEG via
+    :func:`..functions.mediacodec.decode_jpeg`; otherwise raises. All
+    real paths produce the same grayscale pixel-intensity histogram in
+    the same 8 bins. PNG/BMP stdlib pixels are bit-identical to PIL's;
+    the stdlib JPEG path (used only when PIL is ABSENT) may differ from
+    libjpeg by +/-1 per sample (exact float IDCT vs libjpeg's
+    fixed-point islow) — stable with itself everywhere, documented in
+    decode_jpeg."""
     if not fake:
         if _HAS_PIL:
             import io
@@ -265,12 +289,20 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> list[int]:
             pixels = _decode_png_stdlib(payload)
         elif payload[:2] == b"BM":
             pixels = _decode_bmp_stdlib(payload)
+        elif payload[:2] == b"\xff\xd8":
+            from ..functions.mediacodec import decode_jpeg
+
+            px = decode_jpeg(payload)
+            pixels = (
+                px.tobytes() if px.ndim == 2 else _gray_from_rgb(px).tobytes()
+            )
         else:
             raise NotImplementedError(
                 "real image decode needs PIL for formats other than "
-                "PNG/BMP (not installed in this environment); PNG and "
-                "24-bit BMP payloads decode via the stdlib paths, or run "
-                "with fake_decode=True for the deterministic oracle kernel"
+                "PNG/BMP/baseline-JPEG (not installed in this "
+                "environment); those three decode via the stdlib paths, "
+                "or run with fake_decode=True for the deterministic "
+                "oracle kernel"
             )
         src = pixels
     else:
@@ -422,11 +454,51 @@ def extract_audio_features(df: DataFrame, fake_decode: bool = True) -> DataFrame
     return pruned.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
 
 
+def _resize_nearest(px: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Nearest-neighbor center-sampling resize of an (h, w[, ch]) array:
+    output pixel i samples source index floor((i + 0.5) * src/dst). The
+    stdlib fallback for real-mode resize — PIL's default bicubic
+    resampling differs (smoother); this path exists so resize works on
+    real pixels without PIL, with honestly-simpler resampling."""
+    import numpy as np
+
+    sh, sw = px.shape[:2]
+    ys = np.minimum(((np.arange(height) + 0.5) * sh / height).astype(np.int64), sh - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * sw / width).astype(np.int64), sw - 1)
+    return px[ys][:, xs]
+
+
+def _resize_real_stdlib(payload: bytes, width: int, height: int) -> bytes:
+    """PIL-free real resize: decode PNG/BMP/baseline-JPEG via the stdlib
+    decoders, nearest-neighbor resize, re-encode as PNG (gray payloads
+    stay gray, color stays RGB; PNG alpha is dropped — our PNG writer
+    emits gray/RGB)."""
+    from ..functions.mediacodec import decode_jpeg, encode_png
+
+    if payload[:8] == _PNG_SIG:
+        px = _decode_png_pixels(payload)
+        if px.ndim == 3 and px.shape[2] == 4:
+            px = px[..., :3]
+    elif payload[:2] == b"BM":
+        px = _decode_bmp_pixels(payload)
+    elif payload[:2] == b"\xff\xd8":
+        px = decode_jpeg(payload)
+    else:
+        raise NotImplementedError(
+            "real image resize without PIL handles PNG/BMP/baseline-JPEG "
+            "payloads; install PIL for other formats or run with "
+            "fake_decode=True for the pass-through kernel"
+        )
+    return encode_png(_resize_nearest(px, width, height))
+
+
 def resize_images(df: DataFrame, width: int, height: int, fake_decode: bool = True) -> DataFrame:
     """X5 — image resize: binary->binary mapInPandas (the shape of any
     re-encode transform). Fake mode passes the payload through (the
-    deterministic oracle path); real mode decodes with PIL when importable,
-    resizes to (width, height) and re-encodes as PNG."""
+    deterministic oracle path); real mode decodes with PIL when
+    importable (keeping PIL's bicubic resampling), otherwise falls back
+    to the stdlib decode + nearest-neighbor path for PNG/BMP/JPEG
+    (:func:`_resize_real_stdlib`); both re-encode as PNG."""
     pruned = df.select("media_id", "payload")
     out_schema = T.StructType(
         [
@@ -442,6 +514,8 @@ def resize_images(df: DataFrame, width: int, height: int, fake_decode: bool = Tr
 
         if payload is None:
             return None
+        if not _HAS_PIL:
+            return _resize_real_stdlib(bytes(payload), width, height)
         with _PILImage.open(io.BytesIO(bytes(payload))) as img:
             out = io.BytesIO()
             img.resize((width, height)).save(out, format="PNG")
@@ -450,12 +524,6 @@ def resize_images(df: DataFrame, width: int, height: int, fake_decode: bool = Tr
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake_decode:
-                if not _HAS_PIL:
-                    raise NotImplementedError(
-                        "real image resize requires PIL (pillow), not "
-                        "installed in this environment; run with "
-                        "fake_decode=True for the pass-through kernel"
-                    )
                 payloads = [_resize_real(p) for p in pdf["payload"]]
             else:
                 payloads = pdf["payload"]
@@ -500,8 +568,10 @@ def sample_video_frames(
     inside mapInPandas — output rows != input rows, the shape built-in UDFs
     can't express). Fake mode emits one 'frame' per ``every_ms`` of
     meta.duration_ms (deterministic oracle path); real mode decodes the
-    container with PyAV when importable, grabbing the first frame at or
-    after each ``every_ms`` boundary and re-encoding it as PNG. NULL
+    container with PyAV when importable — otherwise Motion-JPEG AVI
+    payloads decode via the stdlib RIFF+JPEG path — grabbing the first
+    frame at or after each ``every_ms`` boundary and re-encoding it as
+    PNG. NULL
     payloads produce no frames in EITHER mode (missing media has no frames
     to sample — fake mode must not invent rows the real decoder cannot
     emit)."""
@@ -521,32 +591,48 @@ def sample_video_frames(
     )
 
     def _frames_real(payload):
-        """[(ts_ms, png_bytes)] for the first frame at/after each boundary."""
+        """[(ts_ms, png_bytes)] for the first frame at/after each boundary:
+        PyAV when importable (any container/codec); otherwise the stdlib
+        Motion-JPEG AVI path (RIFF walk + baseline JPEG decode + PNG
+        re-encode, zero third-party deps — see functions/mediacodec.py).
+        Only SELECTED frames are decoded/re-encoded in either path."""
         import io
 
-        out = []
+        payload = bytes(payload)
         take = _frame_selector(every_ms)
-        with _av.open(io.BytesIO(bytes(payload))) as container:
-            stream = container.streams.video[0]
-            # streamed decode: only SELECTED frames are re-encoded/held
-            for frame in container.decode(stream):
-                ts_ms = int((frame.time or 0.0) * 1000)
+        out = []
+        if _HAS_AV:
+            with _av.open(io.BytesIO(payload)) as container:
+                stream = container.streams.video[0]
+                # streamed decode: only SELECTED frames are re-encoded/held
+                for frame in container.decode(stream):
+                    ts_ms = int((frame.time or 0.0) * 1000)
+                    if take(ts_ms):
+                        buf = io.BytesIO()
+                        frame.to_image().save(buf, format="PNG")
+                        out.append((ts_ms, buf.getvalue()))
+            return out
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            from ..functions.mediacodec import (
+                decode_avi_mjpeg,
+                decode_jpeg,
+                encode_png,
+            )
+
+            for ts_ms, jpg in decode_avi_mjpeg(payload):
                 if take(ts_ms):
-                    buf = io.BytesIO()
-                    frame.to_image().save(buf, format="PNG")
-                    out.append((ts_ms, buf.getvalue()))
-        return out
+                    out.append((ts_ms, encode_png(decode_jpeg(jpg))))
+            return out
+        raise NotImplementedError(
+            "real frame extraction without PyAV handles Motion-JPEG AVI "
+            "payloads only; install PyAV for other containers/codecs, or "
+            "run with fake_decode=True for the deterministic oracle kernel"
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame_payload": []}
             if not fake_decode:
-                if not _HAS_AV:
-                    raise NotImplementedError(
-                        "real frame extraction requires PyAV, not installed "
-                        "in this environment; run with fake_decode=True for "
-                        "the deterministic oracle kernel"
-                    )
                 for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                     if payload is None:
                         continue
