@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from apache_spark_streaming_project_spark.functions import mediacodec as mc
 from apache_spark_streaming_project_spark.operators import multimodal as mm
@@ -182,6 +183,78 @@ class TestAviMjpeg:
             mc.decode_avi_mjpeg(bytes(avi))
         with pytest.raises(ValueError, match="at least one"):
             mc.encode_avi_mjpeg([])
+
+
+class TestCodecProperties:
+    """Randomized differentials with ANALYTIC error bounds (no Spark —
+    the codecs are pure functions)."""
+
+    @settings(max_examples=25, deadline=None, derandomize=True)
+    @given(
+        st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**32 - 1)
+    )
+    def test_gray_q100_roundtrip_error_bound(self, h, w, seed):
+        """At quality 100 every quantizer is 1, so the ONLY loss is
+        rounding DCT coefficients to integers (<=0.5 each) plus the final
+        pixel rint (<=0.5). Per-pixel that is bounded by
+        0.5 * (max_x sum_u |M[x,u]|)^2 + 0.5 ~= 3.99 — so ANY uint8 image
+        must round-trip within 4 levels, arbitrary content included."""
+        img = np.random.RandomState(seed).randint(0, 256, (h, w)).astype(np.uint8)
+        out = mc.decode_jpeg(mc.encode_jpeg(img, quality=100))
+        assert out.shape == img.shape
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 4
+
+    @settings(max_examples=20, deadline=None, derandomize=True)
+    @given(
+        st.integers(1, 20),
+        st.integers(1, 20),
+        st.integers(0, 2**32 - 1),
+        st.sampled_from([30, 60, 90, 100]),
+        st.integers(1, 5),
+        st.booleans(),
+    )
+    def test_restart_markers_never_change_pixels(
+        self, h, w, seed, quality, interval, color
+    ):
+        """DRI/RSTn re-frame the entropy stream without touching the
+        coefficients: decode must be bit-identical with and without."""
+        rng = np.random.RandomState(seed)
+        shape = (h, w, 3) if color else (h, w)
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        plain = mc.decode_jpeg(mc.encode_jpeg(img, quality=quality))
+        rst = mc.decode_jpeg(
+            mc.encode_jpeg(img, quality=quality, restart_interval=interval)
+        )
+        assert (plain == rst).all()
+
+    @settings(max_examples=20, deadline=None, derandomize=True)
+    @given(st.integers(1, 16), st.integers(1, 16), st.integers(0, 2**32 - 1), st.booleans())
+    def test_png_roundtrip_exact(self, h, w, seed, color):
+        """PNG is lossless: encode_png -> _decode_png_pixels is the
+        identity for any uint8 gray/RGB array."""
+        rng = np.random.RandomState(seed)
+        shape = (h, w, 3) if color else (h, w)
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        got = mm._decode_png_pixels(mc.encode_png(img))
+        assert got.shape == img.shape and (got == img).all()
+
+    @settings(max_examples=15, deadline=None, derandomize=True)
+    @given(
+        st.lists(st.binary(min_size=1, max_size=64), min_size=1, max_size=8),
+        st.integers(1, 120),
+        st.integers(1, 4),
+    )
+    def test_avi_roundtrip_any_payloads(self, frames, rate, scale):
+        """The RIFF walk recovers frame bytes verbatim (including
+        odd-length frames, which pad to even on disk) and floor-rational
+        timestamps, for any payloads and any positive fps."""
+        dec = mc.decode_avi_mjpeg(
+            mc.encode_avi_mjpeg(frames, fps_rate=rate, fps_scale=scale)
+        )
+        assert [f for _, f in dec] == frames
+        assert [ts for ts, _ in dec] == [
+            i * 1000 * scale // rate for i in range(len(frames))
+        ]
 
 
 @pytest.mark.skipif(mm._HAS_PIL, reason="pins the PIL-absent stdlib path")
