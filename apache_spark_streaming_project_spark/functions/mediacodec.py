@@ -379,6 +379,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        if seglen < 2:
+            # a zero/one-length segment would leave pos unchanged and
+            # spin the marker walk forever on malformed input
+            raise ValueError(f"JPEG segment length {seglen} at offset {pos}")
         data = payload[pos + 2 : pos + seglen]
         seg_end = pos + seglen
         if marker == 0xDB:  # DQT (one or more tables)
@@ -842,6 +846,8 @@ def decode_avi_mjpeg(payload: bytes) -> list[tuple[int, bytes]]:
     frames: list[bytes] = []
 
     def walk(data: bytes, pos: int, end: int) -> None:
+        end = min(end, len(data))  # a lying parent size must not let a
+        # child chunk read past the actual payload
         while pos + 8 <= end:
             fourcc = data[pos : pos + 4]
             (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])

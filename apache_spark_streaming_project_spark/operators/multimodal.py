@@ -499,6 +499,13 @@ def resize_images(df: DataFrame, width: int, height: int, fake_decode: bool = Tr
     importable (keeping PIL's bicubic resampling), otherwise falls back
     to the stdlib decode + nearest-neighbor path for PNG/BMP/JPEG
     (:func:`_resize_real_stdlib`); both re-encode as PNG."""
+    if width <= 0 or height <= 0:
+        # validate at plan-build time, like every_ms in frame sampling:
+        # a zero target would otherwise surface as an opaque encoder /
+        # PIL error inside the executor
+        raise ValueError(
+            f"resize target must be >= 1x1 (got {width}x{height})"
+        )
     pruned = df.select("media_id", "payload")
     out_schema = T.StructType(
         [

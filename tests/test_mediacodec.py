@@ -103,6 +103,10 @@ class TestJpegRoundTrip:
     def test_decoder_refuses_unsupported_shapes(self):
         with pytest.raises(ValueError, match="SOI"):
             mc.decode_jpeg(b"not a jpeg")
+        # a zero-length segment must raise, not spin the marker walk
+        # forever (the walk advances by the declared segment length)
+        with pytest.raises(ValueError, match="segment length"):
+            mc.decode_jpeg(b"\xff\xd8\xff\xfe\x00\x00")
         # progressive: SOI + minimal SOF2 segment
         sof2 = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
         with pytest.raises(NotImplementedError, match="progressive"):
@@ -171,6 +175,15 @@ class TestAviMjpeg:
             mc.encode_avi_mjpeg(frames, fps_rate=30000, fps_scale=1001)
         )
         assert [ts for ts, _ in dec] == [0, 33, 66]
+
+    def test_lying_riff_size_clamps_to_real_payload(self):
+        """A RIFF size field claiming bytes past the payload end must not
+        leak struct.error from a short header slice — the walk clamps to
+        the real length and still recovers the frames that exist."""
+        avi = bytearray(mc.encode_avi_mjpeg([b"frame"], fps_rate=10))
+        avi[4:8] = (len(avi) * 4).to_bytes(4, "little")
+        dec = mc.decode_avi_mjpeg(bytes(avi))
+        assert [f for _, f in dec] == [b"frame"]
 
     def test_rejects_non_avi_and_non_mjpeg(self):
         with pytest.raises(ValueError, match="AVI"):
@@ -290,6 +303,14 @@ class TestRealModeJpegOnSpark:
         ).coalesce(1)
         row = mm.extract_image_features(df, fake_decode=False).collect()[0]
         assert row.hist == want
+
+    def test_resize_rejects_degenerate_target(self, spark):
+        """Plan-build validation, like every_ms in frame sampling: a zero
+        target must raise here, not as an opaque executor error."""
+        with pytest.raises(ValueError, match="resize target"):
+            mm.resize_images(None, 0, 4)
+        with pytest.raises(ValueError, match="resize target"):
+            mm.resize_images(None, 4, -1)
 
     def test_resize_real_mode_without_pil(self, spark):
         """Real-mode resize now works PIL-free: decode JPEG, nearest
