@@ -198,6 +198,62 @@ class TestAviMjpeg:
             mc.encode_avi_mjpeg([])
 
 
+class TestSpecPins:
+    """Pins against the PUBLISHED standard, not our own round trip — a
+    consistent encoder+decoder bug (transposed IDCT, LSB-first bits,
+    shifted zigzag) would round-trip cleanly here while misreading every
+    externally-produced JPEG; these tests break that cancellation."""
+
+    def test_idct_matches_t81_definition(self):
+        """The einsum IDCT must equal T.81 A.3.3 evaluated literally:
+        f(x,y) = 1/4 sum_u sum_v C(u)C(v) F(u,v) cos((2x+1)u*pi/16)
+        cos((2y+1)v*pi/16)."""
+        rng = np.random.RandomState(3)
+        F_ = rng.randint(-512, 512, (8, 8)).astype(np.float64)
+        got = mc._DCT_M @ F_ @ mc._DCT_M.T
+        want = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * F_[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                want[x, y] = s / 4.0
+        assert np.abs(got - want).max() < 1e-9
+
+    def test_zigzag_table_matches_generated_walk(self):
+        """ZIGZAG must equal the programmatic diagonal walk (up-right on
+        even anti-diagonals, down-left on odd), T.81 figure A.6."""
+        order = sorted(
+            ((r, c) for r in range(8) for c in range(8)),
+            key=lambda rc: (
+                rc[0] + rc[1],
+                rc[1] if (rc[0] + rc[1]) % 2 == 0 else rc[0],
+            ),
+        )
+        assert mc.ZIGZAG == [r * 8 + c for r, c in order]
+
+    def test_golden_entropy_bytes_flat_block(self):
+        """Hand-computed stream for a flat 8x8 gray 130 at q100: DC coef
+        = 8*(130-128) = 16 -> category 5 (Annex K DC-luma code '110') +
+        magnitude '10000', then EOB ('1010'), padded with 1-bits:
+        11010000 10101111 = D0 AF. Pins MSB-first packing, canonical
+        code assignment, the DC scale, and the 1-bit pad in one shot."""
+        img = np.full((8, 8), 130, np.uint8)
+        payload = mc.encode_jpeg(img, quality=100)
+        sos = payload.find(b"\xff\xda")
+        assert sos > 0
+        (seglen,) = __import__("struct").unpack(">H", payload[sos + 2 : sos + 4])
+        entropy = payload[sos + 2 + seglen : -2]  # up to EOI
+        assert entropy == b"\xd0\xaf"
+
+
 class TestCodecProperties:
     """Randomized differentials with ANALYTIC error bounds (no Spark —
     the codecs are pure functions)."""
