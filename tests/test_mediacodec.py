@@ -408,3 +408,92 @@ class TestRealModeJpegOnSpark:
                 mm._decode_png_stdlib(bytes(r.frame_payload)), np.uint8
             )
             assert (px == v).all() and px.size == 64
+
+
+def _strip_segments(jpeg: bytes, marker: int) -> bytes:
+    """Remove every segment with the given marker id from a JPEG stream
+    (copying the scan and everything after it verbatim)."""
+    out = bytearray(jpeg[:2])
+    pos = 2
+    while pos + 2 <= len(jpeg):
+        assert jpeg[pos] == 0xFF
+        m = jpeg[pos + 1]
+        if m == 0xDA:
+            out += jpeg[pos:]
+            break
+        seglen = int.from_bytes(jpeg[pos + 2 : pos + 4], "big")
+        seg = jpeg[pos : pos + 2 + seglen]
+        if m != marker:
+            out += seg
+        pos += 2 + seglen
+    return bytes(out)
+
+
+class TestMalformedInputContract:
+    """Ninth-pass pins: every malformed-media path must surface as the
+    module's documented error classes (ValueError / NotImplementedError),
+    never a bare Exception, KeyError, or a silent wrong answer."""
+
+    def test_truncated_entropy_data_is_a_value_error(self):
+        """A JPEG cut off mid-scan used to escape as the internal
+        _EntropyEnd (bare Exception subclass); it must be a ValueError."""
+        enc = mc.encode_jpeg(_gradient_gray(64, 64), quality=95)
+        cut = enc[:-40]  # well inside the entropy-coded scan
+        with pytest.raises(ValueError, match="entropy|truncated"):
+            mc.decode_jpeg(cut)
+
+    def test_scan_referencing_missing_huffman_table_is_a_value_error(self):
+        enc = mc.encode_jpeg(_gradient_gray(), quality=85)
+        with pytest.raises(ValueError, match="undefined Huffman"):
+            mc.decode_jpeg(_strip_segments(enc, 0xC4))
+
+    def test_scan_referencing_missing_quant_table_is_a_value_error(self):
+        enc = mc.encode_jpeg(_gradient_gray(), quality=85)
+        with pytest.raises(ValueError, match="undefined quantization"):
+            mc.decode_jpeg(_strip_segments(enc, 0xDB))
+
+    def test_fill_bytes_before_markers_decode_identically(self):
+        """T.81 B.1.1.2 allows 0xFF fill bytes before any marker; the
+        walk must skip them instead of misreading the marker id as a
+        segment length."""
+        enc = mc.encode_jpeg(_gradient_gray(), quality=90)
+        filled = enc[:2] + b"\xff\xff" + enc[2:]
+        assert (mc.decode_jpeg(filled) == mc.decode_jpeg(enc)).all()
+
+    def test_dnl_deferred_height_refuses_loudly(self):
+        """SOF lines=0 means the height arrives in a DNL marker after the
+        scan (T.81 B.2.2) — unsupported, and returning an empty image
+        would be a silent wrong answer."""
+        sof_h0 = (
+            b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x00\x00\x10\x01\x01\x11\x00"
+        )
+        with pytest.raises(NotImplementedError, match="DNL"):
+            mc.decode_jpeg(sof_h0)
+
+    def test_zero_sampling_factor_is_a_value_error(self):
+        """An h or v factor of 0 would divide-by-zero the upsampling
+        ratio; T.81 bounds factors to 1..4."""
+        sof_bad = (
+            b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x01\x00"
+        )
+        with pytest.raises(ValueError, match="sampling factors"):
+            mc.decode_jpeg(sof_bad)
+
+    def test_two_video_streams_refuse_instead_of_interleaving(self):
+        """The stdlib AVI walk keys frame chunks on the '##dc' fourcc
+        suffix without demuxing by stream id, so a second video stream
+        must refuse loudly rather than silently interleave frames."""
+        import struct
+
+        avi = bytearray(mc.encode_avi_mjpeg([b"xx"], fps_rate=10))
+        i = avi.find(b"strl") - 8  # LIST header precedes the type
+        (strl_size,) = struct.unpack("<I", avi[i + 4 : i + 8])
+        strl = bytes(avi[i : i + 8 + strl_size + (strl_size % 2)])
+        j = avi.find(b"hdrl") - 8
+        (hdrl_size,) = struct.unpack("<I", avi[j + 4 : j + 8])
+        avi[j + 4 : j + 8] = struct.pack("<I", hdrl_size + len(strl))
+        (riff_size,) = struct.unpack("<I", avi[4:8])
+        avi[4:8] = struct.pack("<I", riff_size + len(strl))
+        avi[i + 8 + strl_size + (strl_size % 2) : i + 8 + strl_size + (strl_size % 2)] = strl
+        with pytest.raises(NotImplementedError, match="multiple video"):
+            mc.decode_avi_mjpeg(bytes(avi))
