@@ -5,18 +5,22 @@ media inside Arrow ``mapInPandas`` kernels. PIL / PyAV are optional and
 absent from many deployments, so this module supplies dependency-free
 codecs for the dominant interchange shapes:
 
-- :func:`decode_jpeg` — BASELINE JPEG (SOF0/SOF1, Huffman, 8-bit,
-  grayscale or YCbCr with integer-ratio subsampling, restart markers).
-  Entropy decoding is table-driven scalar Python (a 16-bit LUT probe
-  per symbol — Huffman is bit-serial by nature); everything after it —
-  dequantize, IDCT, plane assembly, upsampling, color conversion — is
-  whole-image vectorized numpy.
-  Progressive (SOF2), arithmetic coding, 12-bit and CMYK raise
+- :func:`decode_jpeg` — BASELINE (SOF0/SOF1) and PROGRESSIVE (SOF2)
+  JPEG: Huffman, 8-bit, grayscale or YCbCr with integer-ratio
+  subsampling, restart markers, spectral selection + successive
+  approximation scan scripts. Entropy decoding is table-driven scalar
+  Python (a 16-bit LUT probe per symbol — Huffman is bit-serial by
+  nature); everything after it — dequantize, IDCT, plane assembly,
+  upsampling, color conversion — is whole-image vectorized numpy.
+  Arithmetic coding, lossless, 12-bit and CMYK raise
   ``NotImplementedError`` (PIL remains the path for those).
-- :func:`encode_jpeg` — a minimal baseline encoder (Annex K quantization
-  + Huffman tables, IJG quality scaling, 4:4:4 or 4:2:0, optional
-  restart intervals). Exists so JPEG fixtures can be BUILT and
-  round-trip-tested in environments without PIL; it writes standard
+- :func:`encode_jpeg` / :func:`encode_jpeg_progressive` — minimal
+  baseline and progressive encoders (Annex K quantization, IJG quality
+  scaling, 4:4:4 or 4:2:0, optional restart intervals; the progressive
+  one runs libjpeg's default-shaped scan script). They emit IDENTICAL
+  quantized coefficients — the differential pin the progressive decoder
+  tests rely on. Exist so JPEG fixtures can be BUILT and
+  round-trip-tested in environments without PIL; both write standard
   files any JPEG decoder reads.
 - :func:`encode_png` — 8-bit gray/RGB non-interlaced PNG writer (filter
   0 scanlines), the exact shape ``_decode_png_stdlib`` reads back, so
@@ -299,15 +303,19 @@ def _build_huff_lut(bits: list[int], vals: list[int]) -> list[int]:
     return lut.tolist()  # Python-int list indexing beats numpy scalars here
 
 
-def _entropy_intervals(data: bytes, pos: int) -> list[bytes]:
+def _entropy_intervals(data: bytes, pos: int) -> tuple[list[bytes], int]:
     """Un-stuffed entropy-coded intervals starting at ``pos``: one pass
     that removes 0xFF 0x00 byte stuffing, splits at RSTn restart markers,
     and stops at the first other marker (or EOF). The split lets the MCU
     loop swap readers at restart boundaries instead of checking for
-    markers on every byte load."""
+    markers on every byte load. Returns ``(intervals, end)`` where end is
+    the offset of the terminating marker's 0xFF (or ``len(data)``), so
+    the marker walk can resume there — progressive JPEGs have one
+    entropy segment per scan."""
     intervals: list[bytes] = []
     cur = bytearray()
     n = len(data)
+    end = n
     while True:
         j = data.find(b"\xff", pos)
         if j < 0:
@@ -323,9 +331,10 @@ def _entropy_intervals(data: bytes, pos: int) -> list[bytes]:
             cur = bytearray()
             pos = j + 2
         else:
-            break  # real marker: end of scan
+            end = j  # real marker: end of scan
+            break
     intervals.append(bytes(cur))
-    return intervals
+    return intervals, end
 
 
 # ---------------------------------------------------------------------------
@@ -454,8 +463,361 @@ def _decode_entropy_scan(
         raise _EntropyEnd("entropy data truncated")
 
 
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) scan decoders — T.81 G.1.2
+# ---------------------------------------------------------------------------
+
+
+class _ScanReader:
+    """Bit reader over one un-stuffed entropy interval, for the
+    progressive scan decoders (per-scan coefficient passes are a
+    fraction of total decode work, so clarity wins over the inlined
+    locals the sequential hot loop uses). Lookahead past the interval
+    end reads virtual zero padding; :meth:`check_overrun` raises iff
+    decode actually consumed padding bits."""
+
+    __slots__ = ("data", "nlen", "pos", "acc", "nbits", "consumed")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.nlen = len(data)
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+        self.consumed = 0
+
+    def read_sym(self, lut: list[int]) -> int:
+        while self.nbits < 16:
+            self.acc = (self.acc << 8) | (
+                self.data[self.pos] if self.pos < self.nlen else 0
+            )
+            self.pos += 1
+            self.nbits += 8
+        e = lut[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        if e == 0:
+            raise ValueError("invalid Huffman code in entropy data")
+        ln = e & 31
+        self.nbits -= ln
+        self.acc &= (1 << self.nbits) - 1
+        self.consumed += ln
+        return e >> 5
+
+    def read_bits(self, n: int) -> int:
+        while self.nbits < n:
+            self.acc = (self.acc << 8) | (
+                self.data[self.pos] if self.pos < self.nlen else 0
+            )
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        self.consumed += n
+        return v
+
+    def read_bit(self) -> int:
+        return self.read_bits(1)
+
+    def check_overrun(self) -> None:
+        if self.consumed > 8 * self.nlen:
+            raise _EntropyEnd("entropy data truncated")
+
+
+def _noninterleaved_grid(
+    c: dict, w: int, h: int, hmax: int, vmax: int
+) -> tuple[int, int]:
+    """(nby, nbx) block grid of one component in a NON-interleaved scan
+    (T.81 A.2.2): ceil over the component's own sample dimensions, which
+    can be smaller than the MCU-padded grid the coef arrays use."""
+    cw = -(-w * c["h"] // hmax)
+    chh = -(-h * c["v"] // vmax)
+    return -(-chh // 8), -(-cw // 8)
+
+
+def _scan_block_sequence(
+    scan_comps: list[dict],
+    mcux: int,
+    mcuy: int,
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+) -> tuple[list[tuple[int, int, int]], int]:
+    """Block visit order for a (DC) scan as ``[(comp_idx, by, bx)]`` plus
+    the number of blocks per restart unit (blocks per MCU when
+    interleaved, 1 when single-component non-interleaved)."""
+    seq: list[tuple[int, int, int]] = []
+    if len(scan_comps) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, c in enumerate(scan_comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            seq.append((ci, my * c["v"] + by, mx * c["h"] + bx))
+        unit = sum(c["v"] * c["h"] for c in scan_comps)
+    else:
+        nby, nbx = _noninterleaved_grid(scan_comps[0], w, h, hmax, vmax)
+        for by in range(nby):
+            for bx in range(nbx):
+                seq.append((0, by, bx))
+        unit = 1
+    return seq, unit
+
+
+def _next_restart_reader(
+    intervals: list[bytes], interval_i: int, reader: "_ScanReader"
+) -> tuple[int, "_ScanReader"]:
+    reader.check_overrun()
+    interval_i += 1
+    if interval_i >= len(intervals):
+        raise ValueError("expected restart marker, got end of scan")
+    return interval_i, _ScanReader(intervals[interval_i])
+
+
+def _decode_scan_dc(
+    intervals: list[bytes],
+    scan_comps: list[dict],
+    huff_dc: dict[int, list[int]],
+    restart_interval: int,
+    mcux: int,
+    mcuy: int,
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+    ah: int,
+    al: int,
+) -> None:
+    """Progressive DC scan (T.81 G.1.2.1): first pass (Ah=0) is the
+    sequential DC predictor chain shifted left by Al; refinement (Ah>0)
+    reads ONE raw bit per block and ORs it at position Al (two's
+    complement — Python's infinite-precision OR on negatives matches the
+    int16 arithmetic bit-for-bit)."""
+    seq, unit = _scan_block_sequence(scan_comps, mcux, mcuy, w, h, hmax, vmax)
+    if ah == 0:
+        for c in scan_comps:
+            if c["dc_t"] not in huff_dc:
+                raise ValueError(
+                    f"JPEG scan references undefined Huffman table "
+                    f"(dc={c['dc_t']})"
+                )
+        luts = [huff_dc[c["dc_t"]] for c in scan_comps]
+    coefs = [c["coef"] for c in scan_comps]
+    preds = [0] * len(scan_comps)
+    per_restart = restart_interval * unit
+    interval_i = 0
+    rd = _ScanReader(intervals[0])
+    p1 = 1 << al
+    for bi, (ci, by, bx) in enumerate(seq):
+        if per_restart and bi and bi % per_restart == 0:
+            interval_i, rd = _next_restart_reader(intervals, interval_i, rd)
+            preds = [0] * len(scan_comps)
+        if ah == 0:
+            s = rd.read_sym(luts[ci])
+            if s:
+                v = rd.read_bits(s)
+                if v < (1 << (s - 1)):
+                    v += 1 - (1 << s)
+                preds[ci] += v
+            coefs[ci][by, bx, 0] = preds[ci] << al
+        elif rd.read_bit():
+            coefs[ci][by, bx, 0] = int(coefs[ci][by, bx, 0]) | p1
+    rd.check_overrun()
+
+
+def _decode_scan_ac_first(
+    intervals: list[bytes],
+    c: dict,
+    act: list[int],
+    restart_interval: int,
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """Progressive AC first pass over band [Ss, Se] (T.81 G.1.2.2):
+    run/size coding like sequential AC but with EOBn run-length codes —
+    EOBr covers ``2^r + extra`` blocks (including the current one) whose
+    band is entirely zero at this approximation level."""
+    nby, nbx = _noninterleaved_grid(c, w, h, hmax, vmax)
+    zz = ZIGZAG
+    coef = c["coef"]
+    interval_i = 0
+    rd = _ScanReader(intervals[0])
+    eobrun = 0
+    bi = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and bi and bi % restart_interval == 0:
+                interval_i, rd = _next_restart_reader(intervals, interval_i, rd)
+                eobrun = 0
+            bi += 1
+            if eobrun:
+                eobrun -= 1
+                continue
+            blk = coef[by, bx]
+            k = ss
+            while k <= se:
+                rs = rd.read_sym(act)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1  # current block included
+                        if r:
+                            eobrun += rd.read_bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                v = rd.read_bits(s)
+                if v < (1 << (s - 1)):
+                    v += 1 - (1 << s)
+                blk[zz[k]] = v << al
+                k += 1
+    rd.check_overrun()
+
+
+def _decode_scan_ac_refine(
+    intervals: list[bytes],
+    c: dict,
+    act: list[int],
+    restart_interval: int,
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """Progressive AC refinement over band [Ss, Se] (T.81 G.1.2.3).
+    Three coefficient classes: already-nonzero coefficients receive one
+    correction bit each (appended at magnitude position Al when set);
+    zero-history coefficients are counted by the run lengths; run/1
+    codes place a NEW +/-1<<Al after the run. EOBr covers ``2^r +
+    extra`` blocks whose remaining band carries only correction bits.
+    The ``cur & p1`` already-refined test works on Python's negative
+    ints exactly as on C two's complement (coefficients here are
+    multiples of 1<<Al)."""
+    nby, nbx = _noninterleaved_grid(c, w, h, hmax, vmax)
+    zz = ZIGZAG
+    coef = c["coef"]
+    p1 = 1 << al
+    m1 = -1 << al
+    interval_i = 0
+    rd = _ScanReader(intervals[0])
+    eobrun = 0
+    bi = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and bi and bi % restart_interval == 0:
+                interval_i, rd = _next_restart_reader(intervals, interval_i, rd)
+                eobrun = 0
+            bi += 1
+            blk = coef[by, bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = rd.read_sym(act)
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r  # current block handled below
+                            if r:
+                                eobrun += rd.read_bits(r)
+                            break
+                        # r == 15: ZRL — skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid coefficient size in AC refinement"
+                            )
+                        newval = p1 if rd.read_bit() else m1
+                    # advance past r zero-history coefficients, emitting
+                    # correction bits for nonzero-history ones passed over
+                    while k <= se:
+                        cur = int(blk[zz[k]])
+                        if cur != 0:
+                            if rd.read_bit() and (cur & p1) == 0:
+                                blk[zz[k]] = cur + (p1 if cur >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        blk[zz[k]] = newval
+                    k += 1
+            if eobrun:
+                # correction bits for the rest of the band, then this
+                # block counts against the EOB run
+                while k <= se:
+                    cur = int(blk[zz[k]])
+                    if cur != 0 and rd.read_bit() and (cur & p1) == 0:
+                        blk[zz[k]] = cur + (p1 if cur >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    rd.check_overrun()
+
+
+def _decode_progressive_scan(
+    intervals: list[bytes],
+    scan_comps: list[dict],
+    huff_dc: dict[int, list[int]],
+    huff_ac: dict[int, list[int]],
+    restart_interval: int,
+    mcux: int,
+    mcuy: int,
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> None:
+    """Dispatch one progressive scan to its T.81 G.1.2 decoder, with the
+    spec's structural constraints enforced loudly."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError(
+                "progressive DC scan must have Se=0 (T.81 G.1.1.1)"
+            )
+        _decode_scan_dc(
+            intervals, scan_comps, huff_dc, restart_interval,
+            mcux, mcuy, w, h, hmax, vmax, ah, al,
+        )
+        return
+    if len(scan_comps) != 1:
+        raise ValueError(
+            "progressive AC scan must be single-component (T.81 G.1.1.1)"
+        )
+    if se > 63 or ss > se:
+        raise ValueError(f"invalid spectral band [{ss}, {se}]")
+    c = scan_comps[0]
+    if c["ac_t"] not in huff_ac:
+        raise ValueError(
+            f"JPEG scan references undefined Huffman table (ac={c['ac_t']})"
+        )
+    act = huff_ac[c["ac_t"]]
+    if ah == 0:
+        _decode_scan_ac_first(
+            intervals, c, act, restart_interval, w, h, hmax, vmax, ss, se, al
+        )
+    else:
+        _decode_scan_ac_refine(
+            intervals, c, act, restart_interval, w, h, hmax, vmax, ss, se, al
+        )
+
+
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -470,13 +832,15 @@ _SOF_UNSUPPORTED = {
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a BASELINE JPEG to uint8 pixels: shape (h, w) for a
-    single-component (grayscale) image, (h, w, 3) RGB for a YCbCr one.
+    """Decode a BASELINE or PROGRESSIVE JPEG to uint8 pixels: shape
+    (h, w) for a single-component (grayscale) image, (h, w, 3) RGB for
+    a YCbCr one.
 
-    Supported: SOF0/SOF1 Huffman 8-bit, 1 or 3 components,
+    Supported: SOF0/SOF1/SOF2 Huffman 8-bit, 1 or 3 components,
     integer-ratio chroma subsampling (4:4:4 / 4:2:2 / 4:2:0 and any
     other integer h/v factors), restart intervals, multi-table DQT/DHT
-    segments. ``NotImplementedError`` for progressive / arithmetic /
+    segments, progressive spectral-selection + successive-approximation
+    scan scripts (T.81 G.1.2). ``NotImplementedError`` for arithmetic /
     lossless / 12-bit / CMYK — PIL remains the path for those.
 
     Rounding model: exact float64 IDCT and BT.601 YCbCr->RGB with one
@@ -497,9 +861,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     sof = None
+    progressive = False
     restart_interval = 0
     pos = 2
-    scan = None
+    comps = None  # allocated at the first SOS
+    scans_decoded = 0
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -548,7 +914,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 o += nsym
                 tbl = _huff_decode_lut(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            progressive = marker == 0xC2
             precision, h, w, ncomp = struct.unpack(">BHHB", data[:6])
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG samples")
@@ -565,7 +932,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG (CMYK?); expected 1 or 3"
                 )
-            comps = []
+            sof_comps = []
             for i in range(ncomp):
                 cid, hv, tq = data[6 + 3 * i : 9 + 3 * i]
                 sh, sv = hv >> 4, hv & 0x0F
@@ -575,11 +942,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError(
                         f"JPEG sampling factors {sh}x{sv} out of range"
                     )
-                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
+                sof_comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
             if ncomp == 1:
                 # non-interleaved single-component scan: MCU is one block
-                comps[0]["h"] = comps[0]["v"] = 1
-            sof = {"w": w, "h": h, "comps": comps}
+                sof_comps[0]["h"] = sof_comps[0]["v"] = 1
+            sof = {"w": w, "h": h, "comps": sof_comps}
         elif marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"JPEG {_SOF_UNSUPPORTED[marker]} decoding; install PIL "
@@ -590,55 +957,77 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS — entropy data follows the segment
             if sof is None:
                 raise ValueError("SOS before SOF")
+            if comps is None:
+                # first scan: allocate the frame's coefficient arrays
+                comps = sof["comps"]
+                w, h = sof["w"], sof["h"]
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                for c in comps:
+                    c["coef"] = np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
+                    )
             ns = data[0]
-            sel = {}
+            if len(data) < 4 + 2 * ns:
+                raise ValueError("truncated SOS header")
+            by_id = {c["id"]: c for c in comps}
+            scan_comps = []
             for i in range(ns):
                 cid, tabs = data[1 + 2 * i : 3 + 2 * i]
-                sel[cid] = (tabs >> 4, tabs & 0x0F)
-            scan = (sel, seg_end)
-            break
+                if cid not in by_id:
+                    raise ValueError(
+                        f"scan references unknown component id {cid}"
+                    )
+                c = by_id[cid]
+                c["dc_t"], c["ac_t"] = tabs >> 4, tabs & 0x0F
+                scan_comps.append(c)
+            ss, se, ahal = data[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            intervals, end = _entropy_intervals(payload, seg_end)
+            if progressive:
+                _decode_progressive_scan(
+                    intervals, scan_comps, huff_dc, huff_ac,
+                    restart_interval, mcux, mcuy, w, h, hmax, vmax,
+                    ss, se, ah, al,
+                )
+            else:
+                if ss != 0 or se != 63 or ah or al:
+                    raise ValueError(
+                        "sequential scan with progressive parameters"
+                    )
+                if len(scan_comps) != len(comps):
+                    raise NotImplementedError(
+                        "multi-scan (non-interleaved) sequential JPEG"
+                    )
+                # surface a scan referencing an undefined table as the
+                # module's documented malformed-input error, not KeyError
+                for c in comps:
+                    if c["dc_t"] not in huff_dc or c["ac_t"] not in huff_ac:
+                        raise ValueError(
+                            f"JPEG scan references undefined Huffman table "
+                            f"(dc={c['dc_t']}, ac={c['ac_t']})"
+                        )
+                _decode_entropy_scan(
+                    intervals, comps, huff_dc, huff_ac,
+                    restart_interval, mcux, mcuy,
+                )
+            scans_decoded += 1
+            pos = end
+            continue
         # APPn / COM / others: skip
         pos = seg_end
-    if scan is None:
+    if scans_decoded == 0:
         raise ValueError("JPEG has no SOS scan")
-    sel, data_start = scan
-    comps = sof["comps"]
-    w, h = sof["w"], sof["h"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+
+    planes = []
     for c in comps:
-        if c["id"] not in sel:
-            raise NotImplementedError("multi-scan (non-interleaved) JPEG")
-        c["dc_t"], c["ac_t"] = sel[c["id"]]
-        # surface a scan referencing an undefined table as the module's
-        # documented malformed-input error, not a raw KeyError
-        if c["dc_t"] not in huff_dc or c["ac_t"] not in huff_ac:
-            raise ValueError(
-                f"JPEG scan references undefined Huffman table "
-                f"(dc={c['dc_t']}, ac={c['ac_t']})"
-            )
         if c["tq"] not in qt:
             raise ValueError(
                 f"JPEG component references undefined quantization "
                 f"table {c['tq']}"
             )
-        c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
-        c["pred"] = 0
-
-    _decode_entropy_scan(
-        _entropy_intervals(payload, data_start),
-        comps,
-        huff_dc,
-        huff_ac,
-        restart_interval,
-        mcux,
-        mcuy,
-    )
-
-    planes = []
-    for c in comps:
         q = qt[c["tq"]]
         nby, nbx = c["coef"].shape[:2]
         f = (c["coef"] * q).astype(np.float64).reshape(nby, nbx, 8, 8)
@@ -749,22 +1138,14 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 90,
-    subsample: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode uint8 pixels — (h, w) grayscale or (h, w, 3) RGB — as a
-    baseline JPEG with Annex K quantization (IJG quality scaling) and
-    the Annex K typical Huffman tables. ``subsample`` is '444' or '420'
-    (RGB only); ``restart_interval`` > 0 emits DRI + RSTn markers every
-    that many MCUs (what exercises the decoder's restart path).
-
-    Exists so environments without PIL can BUILD real JPEG fixtures;
-    output is standard and readable by any JPEG decoder. Not a bulk
-    encoder — the entropy stage is per-block Python.
-    """
+def _jpeg_frame_setup(
+    img: np.ndarray, quality: int, subsample: str
+) -> dict:
+    """Shared encoder front half (baseline and progressive emit the SAME
+    quantized coefficients — that identity is what the progressive
+    differential tests pin): validate input, build color planes,
+    subsample, pad to the MCU grid, forward-DCT + quantize. Returns the
+    frame dict the entropy back halves consume."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         gray = True
@@ -782,14 +1163,9 @@ def encode_jpeg(
 
     qy = quality_scaled_qtable(_QT_LUMA, quality)
     qc = quality_scaled_qtable(_QT_CHROMA, quality)
-    dc_y = _huff_encode_table(*_HT_DC_LUMA)
-    ac_y = _huff_encode_table(*_HT_AC_LUMA)
-    dc_c = _huff_encode_table(*_HT_DC_CHROMA)
-    ac_c = _huff_encode_table(*_HT_AC_CHROMA)
 
     if gray:
-        y_plane = img.astype(np.float64)
-        planes = [np.clip(np.rint(y_plane), 0, 255).astype(np.uint8)]
+        planes = [img.copy()]
         samps = [(1, 1)]
         qts = [qy]
     else:
@@ -837,6 +1213,45 @@ def encode_jpeg(
     coefs = [
         _encode_component_blocks(cb_, qt_) for cb_, qt_ in zip(comp_blocks, qts)
     ]
+    return {
+        "gray": gray,
+        "h": h,
+        "w": w,
+        "samps": samps,
+        "qy": qy,
+        "qc": qc,
+        "coefs": coefs,
+        "mcux": mcux,
+        "mcuy": mcuy,
+        "hmax": hmax,
+        "vmax": vmax,
+    }
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode uint8 pixels — (h, w) grayscale or (h, w, 3) RGB — as a
+    baseline JPEG with Annex K quantization (IJG quality scaling) and
+    the Annex K typical Huffman tables. ``subsample`` is '444' or '420'
+    (RGB only); ``restart_interval`` > 0 emits DRI + RSTn markers every
+    that many MCUs (what exercises the decoder's restart path).
+
+    Exists so environments without PIL can BUILD real JPEG fixtures;
+    output is standard and readable by any JPEG decoder. Not a bulk
+    encoder — the entropy stage is per-block Python.
+    """
+    fr = _jpeg_frame_setup(img, quality, subsample)
+    gray, h, w = fr["gray"], fr["h"], fr["w"]
+    samps, qy, qc, coefs = fr["samps"], fr["qy"], fr["qc"], fr["coefs"]
+    mcux, mcuy = fr["mcux"], fr["mcuy"]
+    dc_y = _huff_encode_table(*_HT_DC_LUMA)
+    ac_y = _huff_encode_table(*_HT_AC_LUMA)
+    dc_c = _huff_encode_table(*_HT_DC_CHROMA)
+    ac_c = _huff_encode_table(*_HT_AC_CHROMA)
 
     out = bytearray(b"\xff\xd8")  # SOI
     # JFIF APP0 (minimal, 1:1 aspect)
@@ -886,6 +1301,276 @@ def encode_jpeg(
     writer.pad_to_byte()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# A flat 8-bit AC Huffman table for progressive scans: all 176 valid
+# run/size symbols INCLUDING the EOBn codes (0x10..0xE0) that the Annex K
+# baseline tables lack — baseline never uses EOB runs, progressive needs
+# them. 176 symbols at length 8 trivially satisfies Kraft (176 <= 256);
+# compression is mediocre, which is irrelevant for fixture building.
+_HT_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11) if s or r < 15]
+    + [0xF0],
+)
+_check_huff(*_HT_AC_PROG)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode uint8 pixels as a PROGRESSIVE JPEG (SOF2) with the
+    standard spectral-selection + successive-approximation scan script
+    (DC first at Al=1; luma AC split into 1-5 / 6-63 bands at Al=2 with
+    two refinement passes; chroma AC at Al=1 with one; DC refinement
+    last — the same shape libjpeg's default progressive script uses).
+
+    Emits the IDENTICAL quantized coefficients as :func:`encode_jpeg`
+    (shared front half), so ``decode_jpeg(encode_jpeg_progressive(x)) ==
+    decode_jpeg(encode_jpeg(x))`` bit-for-bit — the differential pin the
+    progressive decoder's tests rely on. ``restart_interval`` > 0 emits
+    DRI + RSTn in every scan (MCU units in the DC scan, block units in
+    AC scans, per T.81). Exists to BUILD progressive fixtures without
+    PIL; output is standard."""
+    fr = _jpeg_frame_setup(img, quality, subsample)
+    gray, h, w = fr["gray"], fr["h"], fr["w"]
+    samps, qy, qc, coefs = fr["samps"], fr["qy"], fr["qc"], fr["coefs"]
+    mcux, mcuy = fr["mcux"], fr["mcuy"]
+    hmax, vmax = fr["hmax"], fr["vmax"]
+    ncomp = 1 if gray else 3
+    dc_tabs = [_huff_encode_table(*_HT_DC_LUMA)] + [
+        _huff_encode_table(*_HT_DC_CHROMA)
+    ] * (ncomp - 1)
+    ac_tab = _huff_encode_table(*_HT_AC_PROG)
+    # scan-side component dicts mirroring the decoder's shape
+    comps = [
+        {"h": sh, "v": sv, "coef": cf} for (sh, sv), cf in zip(samps, coefs)
+    ]
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(
+        0xDB, bytes([0x00]) + bytes(int(qy[ZIGZAG[i]]) for i in range(64))
+    )
+    if not gray:
+        out += _seg(
+            0xDB, bytes([0x01]) + bytes(int(qc[ZIGZAG[i]]) for i in range(64))
+        )
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for i, (sh, sv) in enumerate(samps):
+        sof += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
+    out += _seg(0xC2, bytes(sof))
+    dht = [(0x00, _HT_DC_LUMA), (0x10, _HT_AC_PROG)]
+    if not gray:
+        dht.append((0x01, _HT_DC_CHROMA))
+    for tc_th, (bits, vals) in dht:
+        out += _seg(0xC4, bytes([tc_th] + bits + vals))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            td = 0 if cid == 1 else 1
+            body += bytes([cid, (td << 4) | 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, bytes(body))
+
+    def restart_marks(writer: _BitWriter, rst: int) -> int:
+        writer.pad_to_byte()
+        writer.out += bytes([0xFF, 0xD0 + rst])
+        return (rst + 1) % 8
+
+    def emit_dc_first(al: int) -> bytes:
+        seq, unit = _scan_block_sequence(comps, mcux, mcuy, w, h, hmax, vmax)
+        writer = _BitWriter()
+        preds = [0] * ncomp
+        per_restart = restart_interval * unit
+        rst = 0
+        for bi, (ci, by, bx) in enumerate(seq):
+            if per_restart and bi and bi % per_restart == 0:
+                rst = restart_marks(writer, rst)
+                preds = [0] * ncomp
+            v = int(coefs[ci][by, bx, 0]) >> al  # arithmetic shift
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = abs(diff).bit_length()
+            code, ln = dc_tabs[ci][s]
+            writer.write(code, ln)
+            if s:
+                writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        writer.pad_to_byte()
+        return bytes(writer.out)
+
+    def emit_dc_refine(al: int) -> bytes:
+        seq, unit = _scan_block_sequence(comps, mcux, mcuy, w, h, hmax, vmax)
+        writer = _BitWriter()
+        per_restart = restart_interval * unit
+        rst = 0
+        for bi, (ci, by, bx) in enumerate(seq):
+            if per_restart and bi and bi % per_restart == 0:
+                rst = restart_marks(writer, rst)
+            writer.write((int(coefs[ci][by, bx, 0]) >> al) & 1, 1)
+        writer.pad_to_byte()
+        return bytes(writer.out)
+
+    def emit_ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
+        nby, nbx = _noninterleaved_grid(comps[ci], w, h, hmax, vmax)
+        coef = coefs[ci]
+        zz = ZIGZAG
+        writer = _BitWriter()
+        eobrun = 0
+        rst = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_tab[r << 4]
+                writer.write(code, ln)
+                if r:
+                    writer.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        bi = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    flush_eob()
+                    rst = restart_marks(writer, rst)
+                bi += 1
+                blk = coef[by, bx]
+                vals = [int(blk[zz[k]]) for k in range(ss, se + 1)]
+                mags = [abs(v) >> al for v in vals]
+                last = -1
+                for i, t in enumerate(mags):
+                    if t:
+                        last = i
+                if last < 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                for i in range(last + 1):
+                    t = mags[i]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, ln = ac_tab[0xF0]  # ZRL
+                        writer.write(code, ln)
+                        r -= 16
+                    s = t.bit_length()
+                    code, ln = ac_tab[(r << 4) | s]
+                    writer.write(code, ln)
+                    sv = t if vals[i] >= 0 else -t
+                    writer.write(sv if sv >= 0 else sv + (1 << s) - 1, s)
+                    r = 0
+                if last < se - ss:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        writer.pad_to_byte()
+        return bytes(writer.out)
+
+    def emit_ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
+        nby, nbx = _noninterleaved_grid(comps[ci], w, h, hmax, vmax)
+        coef = coefs[ci]
+        zz = ZIGZAG
+        writer = _BitWriter()
+        eobrun = 0
+        be_bits: list[int] = []  # corrections buffered behind the EOB run
+        rst = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun, be_bits
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_tab[r << 4]
+                writer.write(code, ln)
+                if r:
+                    writer.write(eobrun - (1 << r), r)
+                eobrun = 0
+            for b in be_bits:
+                writer.write(b, 1)
+            be_bits = []
+
+        bi = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    flush_eob()
+                    rst = restart_marks(writer, rst)
+                bi += 1
+                blk = coef[by, bx]
+                vals = [int(blk[zz[k]]) for k in range(ss, se + 1)]
+                mags = [abs(v) >> al for v in vals]
+                # last newly-visible position: runs past it fold into the
+                # EOB run instead of ZRLs (T.81 G.1.2.3)
+                eob_i = -1
+                for i, t in enumerate(mags):
+                    if t == 1:
+                        eob_i = i
+                r = 0
+                br: list[int] = []  # corrections since the last symbol
+                for i, t in enumerate(mags):
+                    if t == 0:
+                        r += 1
+                        continue
+                    # flush pending ZRLs at EVERY non-skipped position —
+                    # history coefficients included — so the buffered
+                    # correction bits stay aligned with the run window
+                    # the decoder replays them in
+                    while r > 15 and i <= eob_i:
+                        flush_eob()
+                        code, ln = ac_tab[0xF0]  # ZRL
+                        writer.write(code, ln)
+                        r -= 16
+                        for b in br:
+                            writer.write(b, 1)
+                        br = []
+                    if t > 1:  # history coefficient: one correction bit
+                        br.append(t & 1)
+                        continue
+                    # t == 1: newly visible coefficient
+                    flush_eob()
+                    code, ln = ac_tab[(r << 4) | 1]
+                    writer.write(code, ln)
+                    writer.write(0 if vals[i] < 0 else 1, 1)
+                    for b in br:
+                        writer.write(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    be_bits += br
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        writer.pad_to_byte()
+        return bytes(writer.out)
+
+    all_ids = list(range(1, ncomp + 1))
+    out += sos_header(all_ids, 0, 0, 0, 1) + emit_dc_first(1)
+    out += sos_header([1], 1, 5, 0, 2) + emit_ac_first(0, 1, 5, 2)
+    if not gray:
+        out += sos_header([2], 1, 63, 0, 1) + emit_ac_first(1, 1, 63, 1)
+        out += sos_header([3], 1, 63, 0, 1) + emit_ac_first(2, 1, 63, 1)
+    out += sos_header([1], 6, 63, 0, 2) + emit_ac_first(0, 6, 63, 2)
+    out += sos_header([1], 1, 63, 2, 1) + emit_ac_refine(0, 1, 63, 1)
+    out += sos_header(all_ids, 0, 0, 1, 0) + emit_dc_refine(0)
+    if not gray:
+        out += sos_header([2], 1, 63, 1, 0) + emit_ac_refine(1, 1, 63, 0)
+        out += sos_header([3], 1, 63, 1, 0) + emit_ac_refine(2, 1, 63, 0)
+    out += sos_header([1], 1, 63, 1, 0) + emit_ac_refine(0, 1, 63, 0)
+    out += b"\xff\xd9"
     return bytes(out)
 
 

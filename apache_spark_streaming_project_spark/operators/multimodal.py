@@ -271,7 +271,7 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> list[int]:
     Arrow pipeline; the normalized float 'feature' is derived from it).
     Real mode: PIL when importable (any format); otherwise PNG/BMP
     payloads decode via the stdlib decoders (real pixels, zero
-    third-party deps) and baseline JPEG via
+    third-party deps) and baseline/progressive JPEG via
     :func:`..functions.mediacodec.decode_jpeg`; otherwise raises. All
     real paths produce the same grayscale pixel-intensity histogram in
     the same 8 bins. PNG/BMP stdlib pixels are bit-identical to PIL's;
@@ -299,7 +299,7 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> list[int]:
         else:
             raise NotImplementedError(
                 "real image decode needs PIL for formats other than "
-                "PNG/BMP/baseline-JPEG (not installed in this "
+                "PNG/BMP/JPEG (not installed in this "
                 "environment); those three decode via the stdlib paths, "
                 "or run with fake_decode=True for the deterministic "
                 "oracle kernel"
@@ -469,7 +469,7 @@ def _resize_nearest(px: "np.ndarray", width: int, height: int) -> "np.ndarray":
 
 
 def _resize_real_stdlib(payload: bytes, width: int, height: int) -> bytes:
-    """PIL-free real resize: decode PNG/BMP/baseline-JPEG via the stdlib
+    """PIL-free real resize: decode PNG/BMP/JPEG via the stdlib
     decoders, nearest-neighbor resize, re-encode as PNG (gray payloads
     stay gray, color stays RGB; PNG alpha is dropped — our PNG writer
     emits gray/RGB)."""
@@ -485,7 +485,7 @@ def _resize_real_stdlib(payload: bytes, width: int, height: int) -> bytes:
         px = decode_jpeg(payload)
     else:
         raise NotImplementedError(
-            "real image resize without PIL handles PNG/BMP/baseline-JPEG "
+            "real image resize without PIL handles PNG/BMP/JPEG "
             "payloads; install PIL for other formats or run with "
             "fake_decode=True for the pass-through kernel"
         )
@@ -600,7 +600,7 @@ def sample_video_frames(
     def _frames_real(payload):
         """[(ts_ms, png_bytes)] for the first frame at/after each boundary:
         PyAV when importable (any container/codec); otherwise the stdlib
-        Motion-JPEG AVI path (RIFF walk + baseline JPEG decode + PNG
+        Motion-JPEG AVI path (RIFF walk + JPEG decode + PNG
         re-encode, zero third-party deps — see functions/mediacodec.py).
         Only SELECTED frames are decoded/re-encoded in either path."""
         import io

@@ -107,10 +107,10 @@ class TestJpegRoundTrip:
         # forever (the walk advances by the declared segment length)
         with pytest.raises(ValueError, match="segment length"):
             mc.decode_jpeg(b"\xff\xd8\xff\xfe\x00\x00")
-        # progressive: SOI + minimal SOF2 segment
-        sof2 = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
-        with pytest.raises(NotImplementedError, match="progressive"):
-            mc.decode_jpeg(sof2)
+        # arithmetic coding: SOI + minimal SOF9 segment
+        sof9 = b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+        with pytest.raises(NotImplementedError, match="arithmetic"):
+            mc.decode_jpeg(sof9)
         with pytest.raises(ValueError, match="quality"):
             mc.encode_jpeg(np.zeros((8, 8), np.uint8), quality=0)
         with pytest.raises(ValueError, match="subsample"):
@@ -497,3 +497,144 @@ class TestMalformedInputContract:
         avi[i + 8 + strl_size + (strl_size % 2) : i + 8 + strl_size + (strl_size % 2)] = strl
         with pytest.raises(NotImplementedError, match="multiple video"):
             mc.decode_avi_mjpeg(bytes(avi))
+
+
+class TestProgressiveJpeg:
+    """Progressive (SOF2) decode, pinned DIFFERENTIALLY: the progressive
+    encoder shares the baseline encoder's front half, so it emits the
+    IDENTICAL quantized coefficients — decode of the progressive stream
+    must therefore be bit-identical to decode of the baseline stream for
+    the same image. A co-designed scan-packing bug cannot cancel out here
+    because the baseline pipeline never touches the progressive scan
+    coders; the real-encoder fixture test below breaks any remaining
+    shared-misreading cancellation."""
+
+    def _assert_exact(self, img, **kw):
+        base = mc.decode_jpeg(mc.encode_jpeg(img, **kw))
+        prog = mc.decode_jpeg(mc.encode_jpeg_progressive(img, **kw))
+        assert base.shape == prog.shape
+        assert (base == prog).all()
+
+    def test_gray_matches_baseline_exactly(self):
+        self._assert_exact(_gradient_gray(24, 40))
+        self._assert_exact(_gradient_gray(64, 64), quality=50)
+
+    def test_subblock_and_offgrid_dims(self):
+        """8x9 is the regression fixture for the ZRL/correction-bit
+        ordering bug: ZRLs must flush at every non-skipped position
+        (history coefficients included) so buffered correction bits stay
+        aligned with the run window the decoder replays them in."""
+        for shape in ((1, 1), (8, 9), (17, 17)):
+            self._assert_exact(_gradient_gray(*shape), quality=80)
+
+    def test_color_444_and_420(self):
+        img = _smooth_rgb(33, 47)
+        self._assert_exact(img, quality=85, subsample="444")
+        self._assert_exact(img, quality=85, subsample="420")
+
+    def test_restart_intervals(self):
+        """Restart markers inside progressive scans: DC scans restart in
+        MCU units, AC scans in block units; EOB runs must flush before
+        each RSTn."""
+        img = _gradient_gray(48, 56)
+        base = mc.decode_jpeg(mc.encode_jpeg(img, quality=85))
+        for ri in (1, 3, 7):
+            prog = mc.decode_jpeg(
+                mc.encode_jpeg_progressive(img, quality=85, restart_interval=ri)
+            )
+            assert (base == prog).all(), f"restart_interval={ri}"
+
+    def test_noise_stress_all_qualities(self):
+        rng = np.random.RandomState(11)
+        for q in (25, 60, 95):
+            img = rng.randint(0, 256, (40, 40)).astype(np.uint8)
+            self._assert_exact(img, quality=q)
+
+    @given(
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.integers(min_value=5, max_value=100),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_property_progressive_equals_baseline(self, h, w, seed, quality):
+        img = np.random.RandomState(seed).randint(0, 256, (h, w)).astype(
+            np.uint8
+        )
+        self._assert_exact(img, quality=quality)
+
+    def test_ac_scan_must_be_single_component(self):
+        """Hand-built SOS with Ss>0 and ns=3 inside a progressive frame
+        must refuse (T.81 G.1.1.1)."""
+        img = _smooth_rgb(16, 16)
+        enc = bytearray(mc.encode_jpeg_progressive(img, quality=90))
+        # splice a 3-component AC SOS where the first single-comp AC SOS
+        # sits: find the second SOS (first is the DC scan)
+        first = enc.find(b"\xff\xda")
+        second = enc.find(b"\xff\xda", first + 2)
+        bad_sos = (
+            b"\xff\xda\x00\x0c\x03"
+            b"\x01\x00\x02\x00\x03\x00"
+            b"\x01\x3f\x00"
+        )
+        seglen = int.from_bytes(enc[second + 2 : second + 4], "big")
+        enc[second : second + 2 + seglen] = bad_sos
+        with pytest.raises(ValueError, match="single-component"):
+            mc.decode_jpeg(bytes(enc))
+
+    def test_progressive_dc_scan_with_band_refuses(self):
+        img = _gradient_gray(16, 16)
+        enc = bytearray(mc.encode_jpeg_progressive(img, quality=90))
+        first = enc.find(b"\xff\xda")
+        seglen = int.from_bytes(enc[first + 2 : first + 4], "big")
+        # DC scan header is ...Ss Se AhAl at the segment tail
+        enc[first + seglen] = 5  # Se = 5 on an Ss=0 scan
+        with pytest.raises(ValueError, match="Se=0"):
+            mc.decode_jpeg(bytes(enc))
+
+
+_REAL_PROGRESSIVE = (
+    "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/"
+    "rust/html/embedded-book/assets/f3.jpg"
+)
+_REAL_BASELINE = (
+    "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/"
+    "rust/html/embedded-book/assets/verify.jpeg"
+)
+
+
+class TestRealEncoderFixtures:
+    """Decode JPEGs produced by REAL encoders (photos shipped with local
+    tool documentation, found at runtime and skipped when absent): these
+    break encoder/decoder co-design — a consistent misreading of the
+    spec round-trips our own files cleanly but scrambles externally
+    produced ones. The hash pins are self-stability pins (the decoder's
+    rounding model is documented as bit-stable with itself); the
+    statistics assert photo-plausibility rather than block scrambling."""
+
+    @pytest.mark.skipif(
+        not __import__("os").path.exists(_REAL_PROGRESSIVE),
+        reason="no real progressive JPEG on this host",
+    )
+    def test_real_progressive_photo(self):
+        import hashlib
+
+        px = mc.decode_jpeg(open(_REAL_PROGRESSIVE, "rb").read())
+        assert px.shape == (477, 720, 3)
+        # photo-like: moderate mean, smooth horizontal gradients (a
+        # scan-packing bug produces near-uniform noise, |dx| ~ 85)
+        assert 40 < float(px.mean()) < 200
+        assert float(np.abs(np.diff(px[..., 0].astype(int), axis=1)).mean()) < 25
+        assert (
+            hashlib.sha256(px.tobytes()).hexdigest()
+            == "5158c38d6e8df942c7c3188daf3bddb7c2116bd330a5b6f07a3031ff650f0d94"
+        )
+
+    @pytest.mark.skipif(
+        not __import__("os").path.exists(_REAL_BASELINE),
+        reason="no real baseline JPEG on this host",
+    )
+    def test_real_baseline_photo(self):
+        px = mc.decode_jpeg(open(_REAL_BASELINE, "rb").read())
+        assert px.shape == (477, 720, 3)
+        assert float(np.abs(np.diff(px[..., 0].astype(int), axis=1)).mean()) < 25
