@@ -431,3 +431,49 @@ def test_frame_selector_snaps_past_gaps():
     take = mm._frame_selector(1000)
     got = [t for t in [0, 400, 900, 1000, 1500, 2100, 2900, 3000] if take(t)]
     assert got == [0, 1000, 2100, 3000]
+
+
+def test_real_image_features_via_progressive_jpeg(spark):
+    """extract_image_features(fake_decode=False) handles PROGRESSIVE
+    JPEG payloads without PIL, end to end through the Arrow kernel, and
+    reports the identical histogram as the baseline encoding of the
+    same image (the codec-level differential carried into the Spark
+    path)."""
+    import numpy as np
+
+    from apache_spark_streaming_project_spark.functions import mediacodec as mc
+
+    img = (np.add.outer(np.arange(24) * 5, np.arange(40) * 3) % 256).astype(
+        np.uint8
+    )
+    prog = mc.encode_jpeg_progressive(img, quality=90)
+    base = mc.encode_jpeg(img, quality=90)
+    df = _media_df(spark, [prog, base], media_type="image")
+    out = mm.extract_image_features(df, fake_decode=False).collect()
+    assert out[0].hist == out[1].hist
+    assert sum(out[0].hist) == img.size
+    assert out[0].n_bytes == len(prog)
+    assert sum(out[0].feature) == pytest.approx(1.0)
+
+
+def test_real_frame_sampling_with_progressive_frames(spark):
+    """sample_video_frames(fake_decode=False) decodes an MJPEG-AVI whose
+    frames are PROGRESSIVE JPEGs — the stdlib video path composes with
+    the progressive decoder (only boundary-selected frames decode)."""
+    import numpy as np
+
+    from apache_spark_streaming_project_spark.functions import mediacodec as mc
+
+    frames = [
+        mc.encode_jpeg_progressive(np.full((8, 8), v, np.uint8), quality=100)
+        for v in (10, 120, 240)
+    ]
+    avi = mc.encode_avi_mjpeg(frames, fps_rate=2, fps_scale=1, width=8, height=8)
+    rows = [(0, avi, ("video", "avi", 8, 8, 1500, None))]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA).coalesce(1)
+    out = mm.sample_video_frames(df, every_ms=1000, fake_decode=False).collect()
+    # frames at 0/500/1000 ms; boundaries at 0 and 1000 select #0 and #2
+    assert [(r.frame_idx, r.ts_ms) for r in out] == [(0, 0), (1, 1000)]
+    # q100 flat frames decode exactly; the PNG re-encode is lossless
+    px = mm._decode_png_pixels(bytes(out[1].frame_payload))
+    assert px.shape == (8, 8) and (px == 240).all()
