@@ -10,10 +10,11 @@ deterministic SQL-reproducible features from the raw payload bytes so the
 whole Arrow pipeline is hash-verifiable; ``fake_decode=False`` (real mode)
 decodes actual media — WAV audio via the stdlib ``wave`` module (always
 available), PNG images via a stdlib ``zlib`` decoder (always available:
-chunk walk + inflate + the five scanline filters, 8-bit gray/RGB/RGBA
-non-interlaced — see ``_decode_png_stdlib``), 24-bit BMP and BASELINE
-JPEG via stdlib+numpy codecs (``functions/mediacodec.py``), and
-Motion-JPEG AVI video via the stdlib RIFF walk + the same JPEG decoder.
+chunk walk + inflate + the five scanline filters, 8-bit gray/RGB/RGBA/
+palette non-interlaced — see ``_decode_png_stdlib``), 24-bit BMP and
+baseline + progressive JPEG via stdlib+numpy codecs
+(``functions/mediacodec.py``), and Motion-JPEG AVI video via the stdlib
+RIFF walk + the same JPEG decoder.
 Other image formats go through PIL and other video containers/codecs
 through PyAV WHEN IMPORTABLE (import-guarded: environments without the
 libraries raise ``NotImplementedError`` with a clear message, and the
@@ -109,12 +110,14 @@ def _gray_from_rgb(px: "np.ndarray") -> "np.ndarray":
 
 def _decode_png_pixels(payload: bytes) -> "np.ndarray":
     """REAL PNG decode with the standard library + numpy: chunk walk
-    (IHDR/IDAT/IEND), inflate, then per-scanline de-filtering (the five
-    PNG filters: None/Sub/Up/Average/Paeth). Returns the raw channel
-    array — (h, w) for grayscale, (h, w, 3|4) for RGB(A). Supports the
-    dominant storage shape — 8-bit grayscale/RGB/RGBA, non-interlaced —
-    and raises ``NotImplementedError`` for the rest (16-bit, palette,
-    Adam7), where PIL remains the path.
+    (IHDR/PLTE/IDAT/IEND), inflate, then per-scanline de-filtering (the
+    five PNG filters: None/Sub/Up/Average/Paeth). Returns the raw channel
+    array — (h, w) for grayscale, (h, w, 3|4) for RGB(A); palette images
+    (color type 3) resolve through their PLTE chunk to (h, w, 3).
+    Supports the dominant storage shapes — 8-bit grayscale/RGB/RGBA/
+    palette, non-interlaced — and raises ``NotImplementedError`` for the
+    rest (16-bit, sub-byte palette depths, Adam7), where PIL remains the
+    path.
 
     De-filtering is vectorized wherever the recurrence allows: None and
     Up are pure elementwise ops; Sub is a per-channel-lane cumulative
@@ -132,7 +135,7 @@ def _decode_png_pixels(payload: bytes) -> "np.ndarray":
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat, ihdr = 8, [], None
+    pos, idat, ihdr, plte = 8, [], None, None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
@@ -140,6 +143,8 @@ def _decode_png_pixels(payload: bytes) -> "np.ndarray":
         pos += 12 + length  # length + type + data + crc32
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -147,13 +152,17 @@ def _decode_png_pixels(payload: bytes) -> "np.ndarray":
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+    if depth != 8 or interlace != 0 or color not in (0, 2, 3, 6):
         raise NotImplementedError(
-            f"stdlib PNG decoder handles 8-bit gray/RGB/RGBA non-interlaced "
-            f"only (got depth={depth}, color={color}, interlace={interlace});"
-            " install PIL for the rest"
+            f"stdlib PNG decoder handles 8-bit gray/RGB/RGBA/palette "
+            f"non-interlaced only (got depth={depth}, color={color}, "
+            f"interlace={interlace}); install PIL for the rest"
         )
-    ch = {0: 1, 2: 3, 6: 4}[color]
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing a well-formed PLTE chunk")
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     raw = zlib.decompress(b"".join(idat))
     stride = w * ch
     if len(raw) != h * (stride + 1):
@@ -198,6 +207,13 @@ def _decode_png_pixels(payload: bytes) -> "np.ndarray":
             raise ValueError(f"unknown PNG filter {f}")
         img[y] = line
         prev = line
+    if color == 3:
+        # palette indices -> RGB (tRNS alpha, if any, is ignored — the
+        # same choice the RGBA path makes); out-of-range indices are a
+        # malformed file, surfaced loudly rather than clamped
+        if int(img.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("palette PNG index out of PLTE range")
+        return palette[img]
     if ch == 1:
         return img
     return img.reshape(h, w, ch)

@@ -477,3 +477,46 @@ def test_real_frame_sampling_with_progressive_frames(spark):
     # q100 flat frames decode exactly; the PNG re-encode is lossless
     px = mm._decode_png_pixels(bytes(out[1].frame_payload))
     assert px.shape == (8, 8) and (px == 240).all()
+
+
+def test_palette_png_decodes_via_plte():
+    """Color-type-3 (palette) PNGs — common on the web — resolve through
+    the PLTE chunk to RGB, bit-identical to the equivalent truecolor
+    image; malformed files (missing PLTE, out-of-range index) refuse
+    loudly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from apache_spark_streaming_project_spark.functions import mediacodec as mc
+
+    def palette_png(indices, palette, include_plte=True):
+        h, w = len(indices), len(indices[0])
+
+        def chunk(ctype, data):
+            crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", crc)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        raw = b"".join(b"\x00" + bytes(row) for row in indices)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if include_plte:
+            out += chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (17, 34, 51)]
+    idx = [[0, 1, 2], [3, 2, 1]]
+    px = mm._decode_png_pixels(palette_png(idx, pal))
+    want = np.array([[pal[i] for i in row] for row in idx], dtype=np.uint8)
+    assert px.shape == (2, 3, 3) and (px == want).all()
+    # truecolor equivalence: same pixels through the RGB writer
+    truecolor = mm._decode_png_pixels(mc.encode_png(want))
+    assert (px == truecolor).all()
+    with pytest.raises(ValueError, match="PLTE"):
+        mm._decode_png_pixels(palette_png(idx, pal, include_plte=False))
+    with pytest.raises(ValueError, match="PLTE range"):
+        mm._decode_png_pixels(palette_png([[0, 5]], pal[:2]))
