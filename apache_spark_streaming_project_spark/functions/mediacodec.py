@@ -915,6 +915,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tbl = _huff_decode_lut(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
         elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            if sof is not None:
+                # a second SOF would silently be ignored (the coefficient
+                # arrays are allocated from the first) — refuse instead
+                raise ValueError("JPEG has more than one SOF marker")
             progressive = marker == 0xC2
             precision, h, w, ncomp = struct.unpack(">BHHB", data[:6])
             if precision != 8:
@@ -981,6 +985,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         f"scan references unknown component id {cid}"
                     )
                 c = by_id[cid]
+                if any(sc is c for sc in scan_comps):
+                    raise ValueError(
+                        f"scan lists component id {cid} more than once"
+                    )
                 c["dc_t"], c["ac_t"] = tabs >> 4, tabs & 0x0F
                 scan_comps.append(c)
             ss, se, ahal = data[1 + 2 * ns : 4 + 2 * ns]

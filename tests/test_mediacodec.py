@@ -638,3 +638,28 @@ class TestRealEncoderFixtures:
         px = mc.decode_jpeg(open(_REAL_BASELINE, "rb").read())
         assert px.shape == (477, 720, 3)
         assert float(np.abs(np.diff(px[..., 0].astype(int), axis=1)).mean()) < 25
+
+
+class TestScanStructureHardening:
+    """Post-progressive self-review pins: malformed scan structure must
+    refuse loudly, not silently mis-decode."""
+
+    def test_duplicate_component_in_sos_refuses(self):
+        enc = bytearray(mc.encode_jpeg(_smooth_rgb(16, 16), quality=90))
+        i = enc.find(b"\xff\xda")
+        # components are (cid, tabs) pairs at body offset 1: make all
+        # three pairs reference component 1
+        base = i + 5
+        enc[base + 2] = 1
+        enc[base + 4] = 1
+        with pytest.raises(ValueError, match="more than once"):
+            mc.decode_jpeg(bytes(enc))
+
+    def test_second_sof_refuses(self):
+        enc = bytearray(mc.encode_jpeg(_gradient_gray(8, 8), quality=90))
+        i = enc.find(b"\xff\xc0")
+        seglen = int.from_bytes(enc[i + 2 : i + 4], "big")
+        sof_seg = bytes(enc[i : i + 2 + seglen])
+        enc[i:i] = sof_seg  # duplicate the SOF segment
+        with pytest.raises(ValueError, match="more than one SOF"):
+            mc.decode_jpeg(bytes(enc))
