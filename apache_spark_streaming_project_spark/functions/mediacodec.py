@@ -1587,11 +1587,51 @@ def encode_jpeg_progressive(
 # ---------------------------------------------------------------------------
 
 
-def encode_png(img: np.ndarray) -> bytes:
+def _filter_png_rows(
+    flat: np.ndarray, ch: int, filter_type: int
+) -> bytes:
+    """Apply one PNG filter to every row of a (nrows, rowbytes) byte
+    array, prefixing each row with its filter byte. Supports filters
+    0 (None), 1 (Sub), 2 (Up) — enough to differential-test the
+    decoder's vectorized de-filter branches from the encoder side."""
+    nrows = flat.shape[0]
+    out = bytearray()
+    prev = np.zeros(flat.shape[1], dtype=np.uint8)
+    for y in range(nrows):
+        line = flat[y]
+        if filter_type == 0:
+            enc = line
+        elif filter_type == 1:  # Sub: subtract the left neighbor per lane
+            left = np.zeros_like(line)
+            left[ch:] = line[:-ch]
+            enc = line - left
+        elif filter_type == 2:  # Up
+            enc = line - prev
+        else:
+            raise ValueError(f"unsupported PNG write filter {filter_type}")
+        out += bytes([filter_type]) + enc.tobytes()
+        prev = line
+    return bytes(out)
+
+
+# Adam7 pass geometry, duplicated from the decoder side so the writer
+# stays importable standalone: (row0, col0, row_step, col_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+    (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1),
+)
+
+
+def encode_png(
+    img: np.ndarray, interlace: bool = False, filter_type: int = 0
+) -> bytes:
     """Encode uint8 pixels — (h, w) grayscale or (h, w, 3) RGB — as an
-    8-bit non-interlaced PNG with filter-0 scanlines. Exactly the shape
-    ``_decode_png_stdlib`` reads back, so PNG output produced here is
-    verifiable in a closed loop without PIL."""
+    8-bit PNG, plain or Adam7-interlaced, with one filter applied to
+    every scanline (0/1/2). Exactly the shapes ``_decode_png_stdlib``
+    reads back, so PNG output produced here is verifiable in a closed
+    loop without PIL — and the interlace/filter knobs exist precisely to
+    differential-test the decoder's pass-reassembly and de-filter paths
+    from an independent direction."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         color = 0
@@ -1600,14 +1640,31 @@ def encode_png(img: np.ndarray) -> bytes:
     else:
         raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {img.shape}")
     h, w = img.shape[:2]
+    ch = 1 if color == 0 else 3
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    flat = img.reshape(h, -1)
-    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
+    full = img.reshape(h, w, ch)
+    if not interlace:
+        raw = _filter_png_rows(full.reshape(h, w * ch), ch, filter_type)
+    else:
+        parts = []
+        for row0, col0, rstep, cstep in _ADAM7:
+            sub = full[row0::rstep, col0::cstep]
+            if sub.size == 0:
+                continue  # empty pass contributes no bytes
+            ph, pw = sub.shape[:2]
+            parts.append(
+                _filter_png_rows(
+                    np.ascontiguousarray(sub).reshape(ph, pw * ch),
+                    ch,
+                    filter_type,
+                )
+            )
+        raw = b"".join(parts)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)

@@ -11,7 +11,7 @@ whole Arrow pipeline is hash-verifiable; ``fake_decode=False`` (real mode)
 decodes actual media — WAV audio via the stdlib ``wave`` module (always
 available), PNG images via a stdlib ``zlib`` decoder (always available:
 chunk walk + inflate + the five scanline filters, 8-bit gray/RGB/RGBA/
-palette non-interlaced — see ``_decode_png_stdlib``), 24-bit BMP and
+palette, plain or Adam7 interlaced — see ``_decode_png_stdlib``), 24-bit BMP and
 baseline + progressive JPEG via stdlib+numpy codecs
 (``functions/mediacodec.py``), and Motion-JPEG AVI video via the stdlib
 RIFF walk + the same JPEG decoder.
@@ -108,26 +108,85 @@ def _gray_from_rgb(px: "np.ndarray") -> "np.ndarray":
     ).astype(np.uint8)
 
 
+# Adam7 pass geometry: (row0, col0, row_step, col_step) per pass
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (0, 4, 8, 8),
+    (4, 0, 8, 4),
+    (0, 2, 4, 4),
+    (2, 0, 4, 2),
+    (0, 1, 2, 2),
+    (1, 0, 2, 1),
+)
+
+
+def _defilter_png(raw: bytes, nrows: int, rowbytes: int, ch: int) -> "np.ndarray":
+    """Reverse the five PNG scanline filters over ``nrows`` rows of
+    ``rowbytes`` bytes each (every row prefixed by its filter byte).
+    Returns the (nrows, rowbytes) byte array. Vectorized where the
+    recurrence allows (None/Up elementwise, Sub as a per-lane mod-256
+    cumsum); Average and Paeth read the current row's decoded left
+    neighbor and stay as honest scalar loops."""
+    import numpy as np
+
+    if len(raw) != nrows * (rowbytes + 1):
+        raise ValueError("PNG scanline data has unexpected length")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(nrows, rowbytes + 1)
+    filters = scan[:, 0]
+    img = np.empty((nrows, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.uint8)
+    for y in range(nrows):
+        f = int(filters[y])
+        d = scan[y, 1:]
+        if f == 0:  # None
+            line = d.copy()
+        elif f == 1:  # Sub: per-lane mod-256 cumulative sum
+            line = np.empty(rowbytes, dtype=np.uint8)
+            for o in range(ch):
+                line[o::ch] = np.cumsum(d[o::ch], dtype=np.uint64) & 0xFF
+        elif f == 2:  # Up: elementwise, uint8 wraps mod 256
+            line = d + prev
+        elif f == 3:  # Average: sequential (reads decoded left neighbor)
+            buf = bytearray(d.tobytes())
+            pv = prev.tobytes()
+            for i in range(rowbytes):
+                a = buf[i - ch] if i >= ch else 0
+                buf[i] = (buf[i] + ((a + pv[i]) >> 1)) & 0xFF
+            line = np.frombuffer(bytes(buf), dtype=np.uint8)
+        elif f == 4:  # Paeth: sequential (same reason)
+            buf = bytearray(d.tobytes())
+            pv = prev.tobytes()
+            for i in range(rowbytes):
+                a = buf[i - ch] if i >= ch else 0
+                b = pv[i]
+                c = pv[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                buf[i] = (buf[i] + pred) & 0xFF
+            line = np.frombuffer(bytes(buf), dtype=np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        img[y] = line
+        prev = line
+    return img
+
+
 def _decode_png_pixels(payload: bytes) -> "np.ndarray":
     """REAL PNG decode with the standard library + numpy: chunk walk
     (IHDR/PLTE/IDAT/IEND), inflate, then per-scanline de-filtering (the
     five PNG filters: None/Sub/Up/Average/Paeth). Returns the raw channel
     array — (h, w) for grayscale, (h, w, 3|4) for RGB(A); palette images
     (color type 3) resolve through their PLTE chunk to (h, w, 3).
-    Supports the dominant storage shapes — 8-bit grayscale/RGB/RGBA/
-    palette, non-interlaced — and raises ``NotImplementedError`` for the
-    rest (16-bit, sub-byte palette depths, Adam7), where PIL remains the
-    path.
+    Supports every 8-bit storage shape — grayscale/RGB/RGBA/palette,
+    non-interlaced or Adam7 interlaced — and raises
+    ``NotImplementedError`` for the rest (16-bit, sub-byte palette
+    depths), where PIL remains the path.
 
-    De-filtering is vectorized wherever the recurrence allows: None and
-    Up are pure elementwise ops; Sub is a per-channel-lane cumulative
-    sum (mod-256 addition is a homomorphism, so a uint64 cumsum masked
-    to the low byte equals the sequential byte adds); Average and Paeth
-    read the CURRENT row's already-decoded left neighbor and are
-    inherently sequential — those two stay as tight bytearray loops (the
-    honest scalar tail; a compiled kernel is the only further step). The
-    luma conversion and histogramming downstream are whole-image numpy
-    ops either way."""
+    De-filtering (``_defilter_png``) is vectorized wherever the
+    recurrence allows; the luma conversion and histogramming downstream
+    are whole-image numpy ops either way. Adam7 reassembly is a
+    per-pass ``np.ix_`` scatter."""
     import struct
     import zlib
 
@@ -152,10 +211,10 @@ def _decode_png_pixels(payload: bytes) -> "np.ndarray":
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color not in (0, 2, 3, 6):
+    if depth != 8 or interlace not in (0, 1) or color not in (0, 2, 3, 6):
         raise NotImplementedError(
             f"stdlib PNG decoder handles 8-bit gray/RGB/RGBA/palette "
-            f"non-interlaced only (got depth={depth}, color={color}, "
+            f"only (got depth={depth}, color={color}, "
             f"interlace={interlace}); install PIL for the rest"
         )
     if color == 3:
@@ -164,49 +223,30 @@ def _decode_png_pixels(payload: bytes) -> "np.ndarray":
         palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline data has unexpected length")
-    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    filters = scan[:, 0]
-    img = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f = int(filters[y])
-        d = scan[y, 1:]
-        if f == 0:  # None
-            line = d.copy()
-        elif f == 1:  # Sub: per-lane mod-256 cumulative sum
-            line = np.empty(stride, dtype=np.uint8)
-            for o in range(ch):
-                line[o::ch] = np.cumsum(
-                    d[o::ch], dtype=np.uint64
-                ) & 0xFF
-        elif f == 2:  # Up: elementwise, uint8 wraps mod 256
-            line = d + prev
-        elif f == 3:  # Average: sequential (reads decoded left neighbor)
-            buf = bytearray(d.tobytes())
-            pv = prev.tobytes()
-            for i in range(stride):
-                a = buf[i - ch] if i >= ch else 0
-                buf[i] = (buf[i] + ((a + pv[i]) >> 1)) & 0xFF
-            line = np.frombuffer(bytes(buf), dtype=np.uint8)
-        elif f == 4:  # Paeth: sequential (same reason)
-            buf = bytearray(d.tobytes())
-            pv = prev.tobytes()
-            for i in range(stride):
-                a = buf[i - ch] if i >= ch else 0
-                b = pv[i]
-                c = pv[i - ch] if i >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                buf[i] = (buf[i] + pred) & 0xFF
-            line = np.frombuffer(bytes(buf), dtype=np.uint8)
-        else:
-            raise ValueError(f"unknown PNG filter {f}")
-        img[y] = line
-        prev = line
+    if interlace == 0:
+        if len(raw) != h * (w * ch + 1):
+            raise ValueError("PNG scanline data has unexpected length")
+        img = _defilter_png(raw, h, w * ch, ch)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered back
+        # onto the full grid at each pass's offsets/strides
+        img = np.empty((h, w * ch), dtype=np.uint8)
+        off = 0
+        for row0, col0, rstep, cstep in _ADAM7_PASSES:
+            pw = (w - col0 + cstep - 1) // cstep if w > col0 else 0
+            ph = (h - row0 + rstep - 1) // rstep if h > row0 else 0
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no bytes at all
+            nbytes = ph * (pw * ch + 1)
+            sub = _defilter_png(raw[off : off + nbytes], ph, pw * ch, ch)
+            off += nbytes
+            rows = np.arange(row0, h, rstep)
+            cols = np.arange(col0, w, cstep)
+            sub3 = sub.reshape(ph, pw, ch)
+            full = img.reshape(h, w, ch)
+            full[np.ix_(rows, cols)] = sub3
+        if off != len(raw):
+            raise ValueError("PNG interlaced data has unexpected length")
     if color == 3:
         # palette indices -> RGB (tRNS alpha, if any, is ignored — the
         # same choice the RGBA path makes); out-of-range indices are a

@@ -520,3 +520,31 @@ def test_palette_png_decodes_via_plte():
         mm._decode_png_pixels(palette_png(idx, pal, include_plte=False))
     with pytest.raises(ValueError, match="PLTE range"):
         mm._decode_png_pixels(palette_png([[0, 5]], pal[:2]))
+
+
+def test_adam7_interlaced_png_roundtrip():
+    """Adam7 PNGs decode bit-identically to their source pixels across
+    sub-8x8 and off-grid dims (empty passes contribute no bytes), with
+    Sub/Up filters inside passes — the writer's interlacer is the
+    independent direction that pins the decoder's pass reassembly."""
+    import numpy as np
+
+    from apache_spark_streaming_project_spark.functions import mediacodec as mc
+
+    rng = np.random.RandomState(9)
+    for shape in [(1, 1), (7, 5), (9, 13), (8, 1), (33, 47, 3)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        for ft in (0, 1, 2):
+            got = mm._decode_png_pixels(
+                mc.encode_png(img, interlace=True, filter_type=ft)
+            )
+            assert got.shape == img.shape and (got == img).all(), (
+                shape,
+                ft,
+            )
+    # interlaced and plain encodings of the same image agree end to end
+    img = rng.randint(0, 256, (17, 19, 3)).astype(np.uint8)
+    assert (
+        mm._decode_png_stdlib(mc.encode_png(img, interlace=True))
+        == mm._decode_png_stdlib(mc.encode_png(img))
+    )
