@@ -398,6 +398,13 @@ def _decode_entropy_scan(
                                 "invalid Huffman code in entropy data"
                             )
                         s = e >> 5
+                        if s > 15:
+                            # a corrupt DHT can declare any 8-bit symbol;
+                            # a DC size past 15 would read 2^s magnitudes
+                            # into the int64 coefficient array
+                            raise ValueError(
+                                f"invalid DC size symbol {s} in entropy data"
+                            )
                         nbits -= (e & 31) + s
                         if nbits < 0:
                             while nbits < 0:
@@ -614,6 +621,10 @@ def _decode_scan_dc(
             preds = [0] * len(scan_comps)
         if ah == 0:
             s = rd.read_sym(luts[ci])
+            if s > 15:
+                raise ValueError(
+                    f"invalid DC size symbol {s} in entropy data"
+                )
             if s:
                 v = rd.read_bits(s)
                 if v < (1 << (s - 1)):
@@ -831,7 +842,14 @@ _SOF_UNSUPPORTED = {
 }
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
+# Decompression-bomb guard, following PIL's public MAX_IMAGE_PIXELS
+# precedent: a corrupt/hostile header can declare 65535x65535 and drive a
+# multi-GB coefficient allocation from a few hundred payload bytes. The
+# same default cap applies to the PNG/BMP decoders in operators/multimodal.
+MAX_IMAGE_PIXELS = 89_478_485
+
+
+def decode_jpeg(payload: bytes, max_pixels: int | None = MAX_IMAGE_PIXELS) -> np.ndarray:
     """Decode a BASELINE or PROGRESSIVE JPEG to uint8 pixels: shape
     (h, w) for a single-component (grayscale) image, (h, w, 3) RGB for
     a YCbCr one.
@@ -855,6 +873,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     numpy. Fine for the fixture scale it serves; real bulk decode
     should install PIL.
     """
+    try:
+        return _decode_jpeg_impl(payload, max_pixels)
+    except (struct.error, IndexError) as e:
+        # truncated segments surface as short unpacks / byte reads deep in
+        # the parse; normalize to the documented malformed-input error
+        raise ValueError(f"truncated or malformed JPEG structure: {e}") from e
+
+
+def _decode_jpeg_impl(payload: bytes, max_pixels: int | None) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -932,6 +959,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 )
             if w == 0:
                 raise ValueError("JPEG SOF declares zero width")
+            if max_pixels is not None and h * w > max_pixels:
+                # decompression-bomb guard (PIL MAX_IMAGE_PIXELS shape):
+                # the coefficient arrays alone would be 8x the pixel count
+                raise ValueError(
+                    f"JPEG declares {h}x{w} = {h * w} pixels, over the "
+                    f"max_pixels cap {max_pixels}"
+                )
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG (CMYK?); expected 1 or 3"
@@ -1732,7 +1766,7 @@ def decode_avi_mjpeg(payload: bytes) -> list[tuple[int, bytes]]:
     (frame i at ``i * 1000 * scale // rate`` ms). Raises ``ValueError``
     for non-AVI payloads and ``NotImplementedError`` when the video
     stream isn't Motion-JPEG (PyAV remains the path for real codecs)."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     fps: list[tuple[int, int]] = []
     handlers: list[bytes] = []
@@ -1751,6 +1785,9 @@ def decode_avi_mjpeg(payload: bytes) -> list[tuple[int, bytes]]:
             elif fourcc == b"strh" and size >= 48:
                 fcc_type = data[body_start : body_start + 4]
                 if fcc_type == b"vids":
+                    if body_start + 28 > len(data):
+                        # a lying strh size must not leak struct.error
+                        raise ValueError("truncated AVI stream header")
                     handlers.append(data[body_start + 4 : body_start + 8])
                     scale, rate = struct.unpack(
                         "<II", data[body_start + 20 : body_start + 28]

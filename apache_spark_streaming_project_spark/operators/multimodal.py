@@ -201,6 +201,8 @@ def _decode_png_pixels(payload: bytes) -> "np.ndarray":
         data = payload[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + data + crc32
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("PNG IHDR chunk has wrong length")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
             plte = data
@@ -211,6 +213,15 @@ def _decode_png_pixels(payload: bytes) -> "np.ndarray":
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = ihdr
+    from ..functions.mediacodec import MAX_IMAGE_PIXELS
+
+    if h * w > MAX_IMAGE_PIXELS:
+        # decompression-bomb guard (PIL MAX_IMAGE_PIXELS precedent): a
+        # corrupt header must not drive a multi-GB allocation
+        raise ValueError(
+            f"PNG declares {h}x{w} = {h * w} pixels, over the "
+            f"{MAX_IMAGE_PIXELS} cap"
+        )
     if depth != 8 or interlace not in (0, 1) or color not in (0, 2, 3, 6):
         raise NotImplementedError(
             f"stdlib PNG decoder handles 8-bit gray/RGB/RGBA/palette "
@@ -222,7 +233,12 @@ def _decode_png_pixels(payload: bytes) -> "np.ndarray":
             raise ValueError("palette PNG missing a well-formed PLTE chunk")
         palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # corrupt deflate streams must surface under the documented
+        # malformed-input contract, not as zlib.error
+        raise ValueError(f"corrupt PNG compressed data: {e}") from e
     if interlace == 0:
         if len(raw) != h * (w * ch + 1):
             raise ValueError("PNG scanline data has unexpected length")
@@ -283,6 +299,10 @@ def _decode_bmp_pixels(payload: bytes) -> "np.ndarray":
 
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < 34:
+        # file + info headers need 34 bytes before the fields below; a
+        # shorter payload would leak struct.error from the unpacks
+        raise ValueError("truncated BMP header")
     (data_off,) = struct.unpack("<I", payload[10:14])
     (hdr_size,) = struct.unpack("<I", payload[14:18])
     if hdr_size < 40:
@@ -303,6 +323,11 @@ def _decode_bmp_pixels(payload: bytes) -> "np.ndarray":
         )
     bottom_up = h > 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        # negative width / zero height are malformed (width is a signed
+        # field; a negative value would silently read the whole buffer
+        # through the negative-count frombuffer below)
+        raise ValueError(f"BMP declares invalid dimensions {w}x{h}")
     stride = (w * 3 + 3) & ~3  # rows pad to 4-byte multiples
     data = np.frombuffer(
         payload, dtype=np.uint8, count=stride * h, offset=data_off

@@ -663,3 +663,138 @@ class TestScanStructureHardening:
         enc[i:i] = sof_seg  # duplicate the SOF segment
         with pytest.raises(ValueError, match="more than one SOF"):
             mc.decode_jpeg(bytes(enc))
+
+
+class TestMalformedInputFuzz:
+    """Deterministic mutation fuzz over every stdlib codec: byte flips,
+    truncations, and junk splices of valid files must decode, raise
+    ValueError, or raise NotImplementedError — never leak struct.error,
+    zlib.error, IndexError, or OverflowError (all four escaped before
+    this test existed: truncated headers hit short unpacks, corrupt IDAT
+    leaked zlib.error, and a corrupt DHT could declare a DC size symbol
+    of 200 and push 2^200 into the int64 coefficient array)."""
+
+    def _fixtures(self):
+        import struct
+        import zlib
+
+        img = _gradient_gray(24, 32)
+        rgb = _smooth_rgb(24, 24)
+        idx = [[i % 4 for i in range(16)] for _ in range(8)]
+        pal = bytes(
+            v
+            for rgb_ in [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+            for v in rgb_
+        )
+
+        def chunk(ctype, data):
+            crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", crc)
+            )
+
+        plte_png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 8, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", pal)
+            + chunk(b"IDAT", zlib.compress(b"".join(b"\x00" + bytes(r) for r in idx)))
+            + chunk(b"IEND", b"")
+        )
+        return [
+            (mc.encode_jpeg(img, quality=85, restart_interval=2), mc.decode_jpeg),
+            (mc.encode_jpeg_progressive(rgb, quality=85), mc.decode_jpeg),
+            (mc.encode_png(rgb), mm._decode_png_pixels),
+            (mc.encode_png(img, interlace=True, filter_type=2), mm._decode_png_pixels),
+            (plte_png, mm._decode_png_pixels),
+            (
+                mc.encode_avi_mjpeg(
+                    [mc.encode_jpeg(img, quality=90)] * 3, fps_rate=10
+                ),
+                mc.decode_avi_mjpeg,
+            ),
+        ]
+
+    def test_mutations_stay_inside_the_error_contract(self):
+        import random
+
+        rng = random.Random(20260815)
+        for payload, decode in self._fixtures():
+            for _ in range(150):
+                b = bytearray(payload)
+                op = rng.randrange(3)
+                if op == 0:  # flip 1-4 bytes
+                    for _ in range(rng.randrange(1, 5)):
+                        b[rng.randrange(len(b))] = rng.randrange(256)
+                elif op == 1:  # truncate
+                    b = b[: rng.randrange(1, len(b))]
+                else:  # splice junk
+                    i = rng.randrange(len(b))
+                    b[i:i] = bytes(
+                        rng.randrange(256) for _ in range(rng.randrange(1, 16))
+                    )
+                try:
+                    decode(bytes(b))
+                except (ValueError, NotImplementedError):
+                    pass  # the documented contract
+
+    def test_bmp_mutations_stay_inside_the_contract(self):
+        import random
+        import struct
+
+        stride = (16 * 3 + 3) & ~3
+        pb = bytearray()
+        for r in range(8):
+            line = bytes([r, 2 * r, 3 * r] * 16)
+            pb += line + b"\x00" * (stride - len(line))
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, 16, 8, 1, 24, 0, len(pb), 2835, 2835, 0, 0
+        )
+        off = 14 + len(info)
+        bmp = (
+            b"BM" + struct.pack("<IHHI", off + len(pb), 0, 0, off)
+            + info + bytes(pb)
+        )
+        rng = random.Random(7)
+        for _ in range(200):
+            b = bytearray(bmp)
+            if rng.randrange(2):
+                b = b[: rng.randrange(1, len(b))]
+            else:
+                for _ in range(rng.randrange(1, 5)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                mm._decode_bmp_pixels(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+
+    def test_decompression_bomb_guard(self):
+        """A few hundred payload bytes declaring 65535x65535 must refuse
+        up front (PIL MAX_IMAGE_PIXELS precedent), not attempt a 34 GB
+        coefficient allocation."""
+        import struct
+        import zlib
+
+        enc = bytearray(mc.encode_jpeg(_gradient_gray(8, 8), quality=90))
+        i = enc.find(b"\xff\xc0")
+        enc[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)
+        with pytest.raises(ValueError, match="max_pixels"):
+            mc.decode_jpeg(bytes(enc))
+
+        def chunk(ctype, data):
+            crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", crc)
+            )
+
+        bomb = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(
+                b"IHDR", struct.pack(">IIBBBBB", 2**30, 2**30, 8, 0, 0, 0, 0)
+            )
+            + chunk(b"IDAT", zlib.compress(b"\x00"))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="cap"):
+            mm._decode_png_pixels(bomb)
