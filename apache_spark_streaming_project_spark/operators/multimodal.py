@@ -465,7 +465,9 @@ def _decode_audio_bytes(payload: bytes, fake: bool) -> tuple[int, int, float, in
     module (no third-party dependency): PCM-16 or PCM-8 frames become the
     integer sample stream (channels interleaved — features are over the
     flat stream), then the same feature arithmetic applies. Malformed
-    payloads raise ``wave.Error`` — real mode is for real audio bytes."""
+    payloads raise ``ValueError`` (the stdlib's ``wave.Error`` is
+    normalized so all media decoders share one malformed-input
+    contract)."""
     if not fake:
         import array
         import io
@@ -473,9 +475,17 @@ def _decode_audio_bytes(payload: bytes, fake: bool) -> tuple[int, int, float, in
 
         import sys
 
-        with wave.open(io.BytesIO(payload), "rb") as w:
-            sw = w.getsampwidth()
-            raw = w.readframes(w.getnframes())
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                sw = w.getsampwidth()
+                raw = w.readframes(w.getnframes())
+        except (wave.Error, EOFError, RuntimeError) as e:
+            # normalize to the malformed-input contract every other media
+            # decoder follows; wave.Error subclasses Exception, and the
+            # stdlib chunk reader raises a BARE RuntimeError on malformed
+            # chunk sizes (wave.py _Chunk.seek) — both only ever reach
+            # here from inside the wave calls this try wraps
+            raise ValueError(f"malformed WAV payload: {e}") from e
         if sw == 2:
             arr = array.array("h")
             arr.frombytes(raw)

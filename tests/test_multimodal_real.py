@@ -548,3 +548,32 @@ def test_adam7_interlaced_png_roundtrip():
         mm._decode_png_stdlib(mc.encode_png(img, interlace=True))
         == mm._decode_png_stdlib(mc.encode_png(img))
     )
+
+
+def test_wav_mutations_stay_inside_the_error_contract():
+    """Malformed WAV payloads raise ValueError like every other media
+    decoder — the stdlib wave module's wave.Error, EOFError, and the
+    bare RuntimeError its chunk reader raises on malformed sizes are
+    all normalized."""
+    import array
+    import random
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(array.array("h", [100, -100, 300, -5]).tobytes())
+    payload = buf.getvalue()
+    rng = random.Random(3)
+    for _ in range(300):
+        b = bytearray(payload)
+        if rng.randrange(2):
+            b = b[: rng.randrange(1, len(b))]
+        else:
+            for _ in range(rng.randrange(1, 5)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            mm._decode_audio_bytes(bytes(b), fake=False)
+        except (ValueError, NotImplementedError):
+            pass
