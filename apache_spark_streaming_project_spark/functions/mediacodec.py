@@ -30,6 +30,10 @@ codecs for the dominant interchange shapes:
   JPEG payloads plus a rational frame rate. This is what lets
   ``sample_video_frames(fake_decode=False)`` run on real video bytes
   without PyAV.
+- :func:`decode_gif` / :func:`decode_gif_frames` / :func:`encode_gif` —
+  GIF87a/89a with LZW, global/local palettes, interlace, transparency,
+  and animation with disposal methods 0-3; animated GIFs feed the same
+  frame-sampling boundary kernel as AVI video.
 
 Everything here is public-format work from the published specs
 (ITU-T T.81 Annex K for the JPEG tables, the PNG and RIFF/AVI format
@@ -1817,3 +1821,314 @@ def decode_avi_mjpeg(payload: bytes) -> list[tuple[int, bytes]]:
     return [
         (i * 1000 * scale // rate, f) for i, f in enumerate(frames)
     ]
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) — LZW, palettes, interlace, animation with disposal
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode_gif(min_code_size: int, data: bytes, max_out: int) -> bytearray:
+    """GIF-flavor LZW decode (LSB-first variable-width codes, clear/EOI,
+    12-bit dictionary cap with deferred-clear tolerance). ``max_out``
+    bounds the output so a hostile stream cannot expand past the frame
+    it claims to fill (the LZW analog of the decompression-bomb guard)."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"GIF LZW min code size {min_code_size} out of range")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("GIF LZW stream truncated (no EOI)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"invalid GIF LZW code {code}")
+        out += entry
+        if len(out) > max_out:
+            raise ValueError("GIF LZW output exceeds declared frame size")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def _lzw_encode_gif(min_code_size: int, indices: bytes) -> bytes:
+    """GIF-flavor LZW encode, the inverse of :func:`_lzw_decode_gif` —
+    exists so GIF fixtures can be BUILT and differential-tested without
+    PIL. Standard greedy longest-match with clear-on-full."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return (
+            {bytes([i]): i for i in range(clear)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    seq = b""
+    for b in bytes(indices):
+        cand = seq + bytes([b])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code > 4095:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        seq = bytes([b])
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# GIF interlace passes: (first_row, step)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block chain starting at ``pos``; returns
+    (data, position after the 0-length terminator)."""
+    parts = []
+    n = len(payload)
+    while True:
+        if pos >= n:
+            raise ValueError("GIF sub-block chain truncated")
+        ln = payload[pos]
+        pos += 1
+        if ln == 0:
+            return b"".join(parts), pos
+        if pos + ln > n:
+            raise ValueError("GIF sub-block chain truncated")
+        parts.append(payload[pos : pos + ln])
+        pos += ln
+
+
+def decode_gif_frames(
+    payload: bytes, max_pixels: int | None = MAX_IMAGE_PIXELS
+) -> list[tuple[int, np.ndarray]]:
+    """Decode a GIF87a/89a — including animations — to
+    ``[(ts_ms, rgb_frame)]``: each entry is the composited logical
+    screen after drawing that frame, timestamped by the cumulative
+    graphic-control delays (frame 0 at 0 ms). Handles global/local
+    color tables, interlace, transparency, and disposal methods
+    0/1 (leave), 2 (restore to background), 3 (restore to previous).
+    Raises ``ValueError`` for malformed streams — same contract as the
+    other stdlib decoders."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    w, h, flags, bg_idx, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    if w == 0 or h == 0:
+        raise ValueError("GIF declares zero dimensions")
+    if max_pixels is not None and w * h > max_pixels:
+        raise ValueError(
+            f"GIF declares {w}x{h} = {w * h} pixels, over the "
+            f"max_pixels cap {max_pixels}"
+        )
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated GIF global color table")
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    if gct is not None and bg_idx < gct.shape[0]:
+        background = gct[bg_idx].copy()
+    else:
+        background = np.zeros(3, np.uint8)
+    canvas = np.empty((h, w, 3), np.uint8)
+    canvas[:] = background
+    frames: list[tuple[int, np.ndarray]] = []
+    ts_ms = 0
+    delay_cs = 0
+    transparent: int | None = None
+    disposal = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF stream truncated (no trailer)")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension")
+            label = payload[pos]
+            pos += 1
+            data, pos = _gif_subblocks(payload, pos)
+            if label == 0xF9 and len(data) >= 4:  # graphic control
+                gflags = data[0]
+                delay_cs = struct.unpack("<H", data[1:3])[0]
+                transparent = data[3] if gflags & 0x01 else None
+                disposal = (gflags >> 2) & 0x07
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, fw, fh, iflags = struct.unpack(
+            "<HHHHB", payload[pos : pos + 9]
+        )
+        pos += 9
+        if fw == 0 or fh == 0 or left + fw > w or top + fh > h:
+            raise ValueError("GIF frame rectangle outside the logical screen")
+        pal = gct
+        if iflags & 0x80:  # local color table
+            n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("truncated GIF local color table")
+            pal = np.frombuffer(
+                payload[pos : pos + 3 * n], np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
+        mcs = payload[pos]
+        pos += 1
+        data, pos = _gif_subblocks(payload, pos)
+        raw = _lzw_decode_gif(mcs, data, fw * fh)
+        if len(raw) < fw * fh:
+            raise ValueError("GIF LZW data shorter than the frame")
+        idx = np.frombuffer(bytes(raw[: fw * fh]), np.uint8)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("GIF pixel index out of color-table range")
+        if iflags & 0x40:  # interlaced: reorder rows into place
+            rows = np.empty((fh, fw), np.uint8)
+            src = idx.reshape(fh, fw)
+            o = 0
+            for first, step in _GIF_INTERLACE:
+                cnt = len(range(first, fh, step))
+                rows[first::step] = src[o : o + cnt]
+                o += cnt
+            idx2d = rows
+        else:
+            idx2d = idx.reshape(fh, fw)
+        saved = canvas.copy() if disposal == 3 else None
+        rect = canvas[top : top + fh, left : left + fw]
+        rgb = pal[idx2d]
+        if transparent is not None:
+            mask = idx2d != transparent
+            rect[mask] = rgb[mask]
+        else:
+            rect[:] = rgb
+        frames.append((ts_ms, canvas.copy()))
+        ts_ms += delay_cs * 10
+        if disposal == 2:
+            canvas[top : top + fh, left : left + fw] = background
+        elif disposal == 3 and saved is not None:
+            canvas = saved
+        delay_cs = 0
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return frames
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First composited frame of a GIF as (h, w, 3) RGB — the still-image
+    view the image-feature kernels use."""
+    return decode_gif_frames(payload)[0][1]
+
+
+def encode_gif(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    delays_cs: list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal GIF89a writer: full-frame index arrays (h, w) uint8 over
+    one global color table, optional per-frame delays (centiseconds) and
+    interlacing. Exists so GIF fixtures can be BUILT and the decoder
+    differential-tested without PIL; output is standard."""
+    palette = np.asarray(palette, dtype=np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= palette.shape[0] <= 256:
+        raise ValueError("palette must be (n<=256, 3) uint8")
+    if not frames:
+        raise ValueError("GIF needs at least one frame")
+    h, w = np.asarray(frames[0]).shape[:2]
+    # color table size: power of two >= max(palette size, 2)
+    bits = max((palette.shape[0] - 1).bit_length(), 1)
+    n_pal = 1 << bits
+    pal_full = np.zeros((n_pal, 3), np.uint8)
+    pal_full[: palette.shape[0]] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal_full.tobytes()
+    mcs = max(bits, 2)
+    for fi, frame in enumerate(frames):
+        frame = np.asarray(frame, dtype=np.uint8)
+        if frame.shape != (h, w):
+            raise ValueError("all frames must be (h, w) index arrays")
+        if int(frame.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("frame index out of palette range")
+        delay = delays_cs[fi] if delays_cs else 0
+        out += bytes([0x21, 0xF9, 4]) + struct.pack("<BHB", 0, delay, 0) + b"\x00"
+        out += bytes([0x2C]) + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+        )
+        if interlace:
+            rows = [frame[first::step] for first, step in _GIF_INTERLACE]
+            body = np.concatenate(rows, axis=0).tobytes()
+        else:
+            body = frame.tobytes()
+        out += bytes([mcs])
+        lzw = _lzw_encode_gif(mcs, body)
+        for i in range(0, len(lzw), 255):
+            blockb = lzw[i : i + 255]
+            out += bytes([len(blockb)]) + blockb
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)

@@ -12,9 +12,9 @@ decodes actual media — WAV audio via the stdlib ``wave`` module (always
 available), PNG images via a stdlib ``zlib`` decoder (always available:
 chunk walk + inflate + the five scanline filters, 8-bit gray/RGB/RGBA/
 palette, plain or Adam7 interlaced — see ``_decode_png_stdlib``), 24-bit BMP and
-baseline + progressive JPEG via stdlib+numpy codecs
-(``functions/mediacodec.py``), and Motion-JPEG AVI video via the stdlib
-RIFF walk + the same JPEG decoder.
+baseline + progressive JPEG and GIF via stdlib+numpy codecs
+(``functions/mediacodec.py``), and Motion-JPEG AVI (plus animated GIF)
+video via the stdlib RIFF walk + the same decoders.
 Other image formats go through PIL and other video containers/codecs
 through PyAV WHEN IMPORTABLE (import-guarded: environments without the
 libraries raise ``NotImplementedError`` with a clear message, and the
@@ -377,11 +377,15 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> list[int]:
             pixels = (
                 px.tobytes() if px.ndim == 2 else _gray_from_rgb(px).tobytes()
             )
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            from ..functions.mediacodec import decode_gif
+
+            pixels = _gray_from_rgb(decode_gif(payload)).tobytes()
         else:
             raise NotImplementedError(
                 "real image decode needs PIL for formats other than "
-                "PNG/BMP/JPEG (not installed in this "
-                "environment); those three decode via the stdlib paths, "
+                "PNG/BMP/JPEG/GIF (not installed in this "
+                "environment); those decode via the stdlib paths, "
                 "or run with fake_decode=True for the deterministic "
                 "oracle kernel"
             )
@@ -574,9 +578,13 @@ def _resize_real_stdlib(payload: bytes, width: int, height: int) -> bytes:
         px = _decode_bmp_pixels(payload)
     elif payload[:2] == b"\xff\xd8":
         px = decode_jpeg(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ..functions.mediacodec import decode_gif
+
+        px = decode_gif(payload)
     else:
         raise NotImplementedError(
-            "real image resize without PIL handles PNG/BMP/JPEG "
+            "real image resize without PIL handles PNG/BMP/JPEG/GIF "
             "payloads; install PIL for other formats or run with "
             "fake_decode=True for the pass-through kernel"
         )
@@ -721,10 +729,20 @@ def sample_video_frames(
                 if take(ts_ms):
                     out.append((ts_ms, encode_png(decode_jpeg(jpg))))
             return out
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            # animated GIF: composited frames carry their own cumulative
+            # timestamps; only boundary-selected frames re-encode
+            from ..functions.mediacodec import decode_gif_frames, encode_png
+
+            for ts_ms, rgb in decode_gif_frames(payload):
+                if take(ts_ms):
+                    out.append((ts_ms, encode_png(rgb)))
+            return out
         raise NotImplementedError(
             "real frame extraction without PyAV handles Motion-JPEG AVI "
-            "payloads only; install PyAV for other containers/codecs, or "
-            "run with fake_decode=True for the deterministic oracle kernel"
+            "and animated GIF payloads; install PyAV for other "
+            "containers/codecs, or run with fake_decode=True for the "
+            "deterministic oracle kernel"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -577,3 +577,40 @@ def test_wav_mutations_stay_inside_the_error_contract():
             mm._decode_audio_bytes(bytes(b), fake=False)
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_animated_gif_frame_sampling(spark):
+    """sample_video_frames(fake_decode=False) samples an ANIMATED GIF
+    through the stdlib path: composited frames carry cumulative
+    graphic-control delays; only boundary-selected frames re-encode."""
+    import numpy as np
+
+    from apache_spark_streaming_project_spark.functions import mediacodec as mc
+
+    pal = np.array([[0, 0, 0], [255, 255, 255], [128, 128, 128]], np.uint8)
+    frames = [np.full((6, 6), i, np.uint8) for i in (0, 1, 2)]
+    # delays 50cs=500ms each: frames at 0 / 500 / 1000 ms
+    gif = mc.encode_gif(frames, pal, delays_cs=[50, 50, 50])
+    rows = [(0, gif, ("video", "gif", 6, 6, 1500, None))]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA).coalesce(1)
+    out = mm.sample_video_frames(df, every_ms=1000, fake_decode=False).collect()
+    assert [(r.frame_idx, r.ts_ms) for r in out] == [(0, 0), (1, 1000)]
+    px = mm._decode_png_pixels(bytes(out[1].frame_payload))
+    assert (px == pal[2]).all()
+
+
+def test_gif_image_features_real_mode(spark):
+    """extract_image_features(fake_decode=False) decodes GIF payloads
+    stdlib-only: the luma histogram comes from the composited first
+    frame's palette colors."""
+    import numpy as np
+
+    from apache_spark_streaming_project_spark.functions import mediacodec as mc
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    img = np.array([[0, 1], [1, 1]], np.uint8)
+    gif = mc.encode_gif([img], pal)
+    df = _media_df(spark, [gif], media_type="image")
+    out = mm.extract_image_features(df, fake_decode=False).collect()[0]
+    assert out.hist == [1, 0, 0, 0, 0, 0, 0, 3]
+    assert sum(out.feature) == pytest.approx(1.0)
