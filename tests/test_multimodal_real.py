@@ -614,3 +614,29 @@ def test_gif_image_features_real_mode(spark):
     out = mm.extract_image_features(df, fake_decode=False).collect()[0]
     assert out.hist == [1, 0, 0, 0, 0, 0, 0, 3]
     assert sum(out.feature) == pytest.approx(1.0)
+
+
+@pytest.mark.skipif(not mm._HAS_PIL, reason="PIL not installed")
+def test_palette_adam7_gif_parity_with_pil():  # pragma: no cover
+    """When PIL exists, its decode of our palette / Adam7 / GIF writers'
+    output must match our stdlib decoders bit-for-bit (pixel data is
+    lossless in all three containers)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from apache_spark_streaming_project_spark.functions import mediacodec as mc
+
+    rng = np.random.RandomState(12)
+    rgb = rng.randint(0, 256, (19, 23, 3)).astype(np.uint8)
+    for il in (False, True):
+        data = mc.encode_png(rgb, interlace=il, filter_type=1)
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        ours = mm._decode_png_pixels(data)
+        assert (pil == ours).all(), f"interlace={il}"
+    pal = rng.randint(0, 256, (5, 3)).astype(np.uint8)
+    idx = rng.randint(0, 5, (9, 14)).astype(np.uint8)
+    gif = mc.encode_gif([idx], pal)
+    pil = np.asarray(Image.open(io.BytesIO(gif)).convert("RGB"))
+    assert (pil == mc.decode_gif(gif)).all()
