@@ -1951,6 +1951,14 @@ def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
         pos += ln
 
 
+# materializing every composited frame of an animation is bounded: a
+# hostile 2 MB payload can declare 100k tiny frames on a megapixel
+# screen (~300 GB of canvas copies). The streaming path
+# (_iter_gif_frames, used by frame sampling) holds one frame at a time
+# and is not subject to this cap.
+MAX_GIF_COMPOSITE_BYTES = 1 << 30
+
+
 def decode_gif_frames(
     payload: bytes, max_pixels: int | None = MAX_IMAGE_PIXELS
 ) -> list[tuple[int, np.ndarray]]:
@@ -1961,7 +1969,29 @@ def decode_gif_frames(
     color tables, interlace, transparency, and disposal methods
     0/1 (leave), 2 (restore to background), 3 (restore to previous).
     Raises ``ValueError`` for malformed streams — same contract as the
-    other stdlib decoders."""
+    other stdlib decoders — and for animations whose materialized
+    frames would exceed ``MAX_GIF_COMPOSITE_BYTES`` (stream them with
+    :func:`_iter_gif_frames` instead)."""
+    frames: list[tuple[int, np.ndarray]] = []
+    total = 0
+    for ts_ms, frame in _iter_gif_frames(payload, max_pixels):
+        total += frame.nbytes
+        if total > MAX_GIF_COMPOSITE_BYTES:
+            raise ValueError(
+                "GIF animation frames exceed the composite-bytes cap; "
+                "stream them with _iter_gif_frames"
+            )
+        frames.append((ts_ms, frame))
+    return frames
+
+
+def _iter_gif_frames(
+    payload: bytes, max_pixels: int | None = MAX_IMAGE_PIXELS
+):
+    """Generator form of :func:`decode_gif_frames`: yields
+    ``(ts_ms, rgb_frame)`` one composited frame at a time, so consumers
+    that keep only selected frames (video frame sampling) never hold the
+    whole animation."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     if len(payload) < 13:
@@ -1988,7 +2018,7 @@ def decode_gif_frames(
         background = np.zeros(3, np.uint8)
     canvas = np.empty((h, w, 3), np.uint8)
     canvas[:] = background
-    frames: list[tuple[int, np.ndarray]] = []
+    yielded = 0
     ts_ms = 0
     delay_cs = 0
     transparent: int | None = None
@@ -2063,7 +2093,8 @@ def decode_gif_frames(
             rect[mask] = rgb[mask]
         else:
             rect[:] = rgb
-        frames.append((ts_ms, canvas.copy()))
+        yield ts_ms, canvas.copy()
+        yielded += 1
         ts_ms += delay_cs * 10
         if disposal == 2:
             canvas[top : top + fh, left : left + fw] = background
@@ -2072,9 +2103,8 @@ def decode_gif_frames(
         delay_cs = 0
         transparent = None
         disposal = 0
-    if not frames:
+    if not yielded:
         raise ValueError("GIF contains no image frames")
-    return frames
 
 
 def decode_gif(payload: bytes) -> np.ndarray:

@@ -731,10 +731,11 @@ def sample_video_frames(
             return out
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             # animated GIF: composited frames carry their own cumulative
-            # timestamps; only boundary-selected frames re-encode
-            from ..functions.mediacodec import decode_gif_frames, encode_png
+            # timestamps; the GENERATOR form holds one frame at a time,
+            # so only boundary-selected frames are ever retained
+            from ..functions.mediacodec import _iter_gif_frames, encode_png
 
-            for ts_ms, rgb in decode_gif_frames(payload):
+            for ts_ms, rgb in _iter_gif_frames(payload):
                 if take(ts_ms):
                     out.append((ts_ms, encode_png(rgb)))
             return out

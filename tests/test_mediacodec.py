@@ -924,3 +924,25 @@ class TestGif:
                 mc.decode_gif_frames(bytes(b))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_gif_composite_bytes_cap():
+    """A small payload declaring many frames on a large screen must not
+    materialize gigabytes of canvas copies: the list form refuses past
+    MAX_GIF_COMPOSITE_BYTES while the generator form streams the same
+    animation one frame at a time."""
+    import struct
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    base = bytearray(mc.encode_gif([np.zeros((1, 1), np.uint8)], pal))
+    # rewrite the logical screen to 2000x2000 and repeat the 1x1 frame
+    # descriptor+data block 200 times: 200 * 2000*2000*3 = 2.4 GB of
+    # composited copies if materialized
+    base[6:10] = struct.pack("<HH", 2000, 2000)
+    i = bytes(base).find(b"\x2c")
+    frame_block = bytes(base[i:-1])  # image descriptor .. before trailer
+    payload = bytes(base[:i]) + frame_block * 200 + b"\x3b"
+    with pytest.raises(ValueError, match="composite-bytes cap"):
+        mc.decode_gif_frames(payload)
+    n = sum(1 for _ in mc._iter_gif_frames(payload))
+    assert n == 200  # the streaming form walks all frames in O(1 frame)
