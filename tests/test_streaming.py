@@ -78,8 +78,10 @@ def test_injected_anomalies_detected(spark, pipeline_run):
     assert len(rows) > 0, "no anomalies detected despite 5% injection rate"
     for r in rows:
         assert r.anomaly_type == "hours_outlier"
+        # z>3 is the whole contract: non-injected rows can legitimately
+        # be batch outliers too, so membership in ANOMALY_HOURS is NOT
+        # asserted (an earlier draft had it neutered with `or True`)
         assert r.hours_z_score > 3
-        assert r.hours_per_week in simulator.ANOMALY_HOURS or True  # z>3 is the contract
     # every anomaly must be a genuine row of its batch
     raw = read_result_table(spark, out, "raw_data")
     raw_keys = {
