@@ -178,10 +178,11 @@ def _decode_png_pixels(payload: bytes) -> "np.ndarray":
     five PNG filters: None/Sub/Up/Average/Paeth). Returns the raw channel
     array — (h, w) for grayscale, (h, w, 3|4) for RGB(A); palette images
     (color type 3) resolve through their PLTE chunk to (h, w, 3).
-    Supports every 8-bit storage shape — grayscale/RGB/RGBA/palette,
-    non-interlaced or Adam7 interlaced — and raises
-    ``NotImplementedError`` for the rest (16-bit, sub-byte palette
-    depths), where PIL remains the path.
+    Supports grayscale/RGB/RGBA at 8 or 16 bits (16-bit samples
+    downconvert to their high byte — the same 16->8 conversion PIL
+    applies when reading into 8-bit modes) and 8-bit palette, plain or
+    Adam7 interlaced; raises ``NotImplementedError`` for sub-byte
+    palette depths, where PIL remains the path.
 
     De-filtering (``_defilter_png``) is vectorized wherever the
     recurrence allows; the luma conversion and histogramming downstream
@@ -222,10 +223,15 @@ def _decode_png_pixels(payload: bytes) -> "np.ndarray":
             f"PNG declares {h}x{w} = {h * w} pixels, over the "
             f"{MAX_IMAGE_PIXELS} cap"
         )
-    if depth != 8 or interlace not in (0, 1) or color not in (0, 2, 3, 6):
+    if (
+        depth not in (8, 16)
+        or interlace not in (0, 1)
+        or color not in (0, 2, 3, 6)
+        or (depth == 16 and color == 3)  # 16-bit palette is not a PNG shape
+    ):
         raise NotImplementedError(
-            f"stdlib PNG decoder handles 8-bit gray/RGB/RGBA/palette "
-            f"only (got depth={depth}, color={color}, "
+            f"stdlib PNG decoder handles 8/16-bit gray/RGB/RGBA and 8-bit "
+            f"palette only (got depth={depth}, color={color}, "
             f"interlace={interlace}); install PIL for the rest"
         )
     if color == 3:
@@ -233,6 +239,8 @@ def _decode_png_pixels(payload: bytes) -> "np.ndarray":
             raise ValueError("palette PNG missing a well-formed PLTE chunk")
         palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    sb = depth // 8  # bytes per sample; PNG filters operate on BYTES
+    chb = ch * sb  # filter left-neighbor offset = bytes per pixel
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
@@ -240,29 +248,34 @@ def _decode_png_pixels(payload: bytes) -> "np.ndarray":
         # malformed-input contract, not as zlib.error
         raise ValueError(f"corrupt PNG compressed data: {e}") from e
     if interlace == 0:
-        if len(raw) != h * (w * ch + 1):
+        if len(raw) != h * (w * chb + 1):
             raise ValueError("PNG scanline data has unexpected length")
-        img = _defilter_png(raw, h, w * ch, ch)
+        img = _defilter_png(raw, h, w * chb, chb)
     else:
         # Adam7: seven independently-filtered sub-images, scattered back
         # onto the full grid at each pass's offsets/strides
-        img = np.empty((h, w * ch), dtype=np.uint8)
+        img = np.empty((h, w * chb), dtype=np.uint8)
         off = 0
         for row0, col0, rstep, cstep in _ADAM7_PASSES:
             pw = (w - col0 + cstep - 1) // cstep if w > col0 else 0
             ph = (h - row0 + rstep - 1) // rstep if h > row0 else 0
             if pw <= 0 or ph <= 0:
                 continue  # empty pass contributes no bytes at all
-            nbytes = ph * (pw * ch + 1)
-            sub = _defilter_png(raw[off : off + nbytes], ph, pw * ch, ch)
+            nbytes = ph * (pw * chb + 1)
+            sub = _defilter_png(raw[off : off + nbytes], ph, pw * chb, chb)
             off += nbytes
             rows = np.arange(row0, h, rstep)
             cols = np.arange(col0, w, cstep)
-            sub3 = sub.reshape(ph, pw, ch)
-            full = img.reshape(h, w, ch)
+            sub3 = sub.reshape(ph, pw, chb)
+            full = img.reshape(h, w, chb)
             full[np.ix_(rows, cols)] = sub3
         if off != len(raw):
             raise ValueError("PNG interlaced data has unexpected length")
+    if sb == 2:
+        # 16-bit samples are big-endian on the wire: keep the HIGH byte —
+        # the same 16->8 downconversion PIL applies when reading 16-bit
+        # PNGs into 8-bit modes
+        img = np.ascontiguousarray(img.reshape(h, w * ch, 2)[..., 0])
     if color == 3:
         # palette indices -> RGB (tRNS alpha, if any, is ignored — the
         # same choice the RGBA path makes); out-of-range indices are a

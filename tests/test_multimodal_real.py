@@ -246,8 +246,10 @@ class TestStdlibPNGDecode:
         import struct
         import zlib
 
-        def png16():
-            ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+        def png_depth4_palette():
+            # sub-byte palette depths remain PIL territory (16-bit
+            # gray/RGB now decode — see test_16bit_png_decodes_to_high_bytes)
+            ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 3, 0, 0, 0)
 
             def chunk(ctype, data):
                 body = ctype + data
@@ -258,12 +260,13 @@ class TestStdlibPNGDecode:
             return (
                 b"\x89PNG\r\n\x1a\n"
                 + chunk(b"IHDR", ihdr)
-                + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+                + chunk(b"PLTE", bytes(6))
+                + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
                 + chunk(b"IEND", b"")
             )
 
-        with pytest.raises(NotImplementedError, match="16|depth"):
-            mm._decode_png_stdlib(png16())
+        with pytest.raises(NotImplementedError, match="depth|palette"):
+            mm._decode_png_stdlib(png_depth4_palette())
         with pytest.raises(ValueError, match="PNG"):
             mm._decode_png_stdlib(b"not a png at all")
 
@@ -640,3 +643,68 @@ def test_palette_adam7_gif_parity_with_pil():  # pragma: no cover
     gif = mc.encode_gif([idx], pal)
     pil = np.asarray(Image.open(io.BytesIO(gif)).convert("RGB"))
     assert (pil == mc.decode_gif(gif)).all()
+
+
+def test_16bit_png_decodes_to_high_bytes():
+    """16-bit PNGs (gray and RGB, plain / Up-filtered / Adam7) decode
+    with PNG's byte-level filters at the 16-bit pixel offset and
+    downconvert to the high byte — PIL's 16->8 conversion."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    def png16(samples, color, interlace=0, filt=0):
+        h, w = samples.shape[:2]
+        rows = [samples[y].astype(">u2").tobytes() for y in range(h)]
+        if filt == 2:  # Up, byte-wise
+            out = [b"\x00" + rows[0]]
+            for y in range(1, h):
+                a = np.frombuffer(rows[y], np.uint8)
+                b = np.frombuffer(rows[y - 1], np.uint8)
+                out.append(b"\x02" + (a - b).tobytes())
+            raw = b"".join(out)
+        else:
+            raw = b"".join(b"\x00" + r for r in rows)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, interlace))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(2)
+    gray = rng.randint(0, 65536, (5, 7), dtype=np.uint32).astype(np.uint16)
+    got = mm._decode_png_pixels(png16(gray, color=0))
+    assert (got == (gray >> 8).astype(np.uint8)).all()
+    rgb = rng.randint(0, 65536, (5, 7, 3), dtype=np.uint32).astype(np.uint16)
+    got = mm._decode_png_pixels(png16(rgb, color=2, filt=2))
+    assert (got == (rgb >> 8).astype(np.uint8)).all()
+    # Adam7 16-bit: assemble pass data from the pass geometry
+    h, w = 9, 6
+    g2 = rng.randint(0, 65536, (h, w), dtype=np.uint32).astype(np.uint16)
+    parts = []
+    for row0, col0, rstep, cstep in mm._ADAM7_PASSES:
+        sub = g2[row0::rstep, col0::cstep]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            parts.append(b"\x00" + sub[y].astype(">u2").tobytes())
+    import struct as _s
+    import zlib as _z
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 1))
+        + chunk(b"IDAT", _z.compress(b"".join(parts)))
+        + chunk(b"IEND", b"")
+    )
+    got = mm._decode_png_pixels(png)
+    assert (got == (g2 >> 8).astype(np.uint8)).all()
+    # 16-bit palette is not a PNG shape: refuse
+    with pytest.raises(NotImplementedError):
+        mm._decode_png_pixels(png16(gray, color=3))
