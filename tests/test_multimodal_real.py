@@ -708,3 +708,42 @@ def test_16bit_png_decodes_to_high_bytes():
     # 16-bit palette is not a PNG shape: refuse
     with pytest.raises(NotImplementedError):
         mm._decode_png_pixels(png16(gray, color=3))
+
+
+def test_mixed_format_corpus_single_kernel(spark):
+    """The realistic crawl shape: ONE media table mixing PNG, BMP,
+    baseline JPEG, progressive JPEG, and GIF payloads through one
+    real-mode mapInPandas run — per-row format dispatch inside the
+    kernel, every histogram over real pixels, NULL payload passed
+    through."""
+    import numpy as np
+
+    from apache_spark_streaming_project_spark.functions import mediacodec as mc
+
+    img = (np.add.outer(np.arange(16) * 9, np.arange(16) * 5) % 256).astype(
+        np.uint8
+    )
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    payloads = [
+        mc.encode_png(img),
+        _bmp_encode([[(v, v, v) for v in row] for row in img.tolist()]),
+        mc.encode_jpeg(img, quality=95),
+        mc.encode_jpeg_progressive(img, quality=95),
+        mc.encode_gif([(img > 127).astype(np.uint8)], pal),
+        None,
+    ]
+    df = _media_df(spark, payloads, media_type="image")
+    out = {r.media_id: r for r in mm.extract_image_features(
+        df, fake_decode=False
+    ).collect()}
+    assert len(out) == 6
+    # lossless containers agree exactly with the source pixels
+    want = np.bincount(img.ravel() >> 5, minlength=8).tolist()
+    assert out[0].hist == want  # PNG
+    assert out[1].hist == want  # BMP
+    # JPEG is lossy but both encodings decode the same content shape
+    assert sum(out[2].hist) == img.size and sum(out[3].hist) == img.size
+    # GIF: two-tone palette -> only the extreme bins
+    assert sum(out[4].hist) == img.size
+    assert out[4].hist[1:7] == [0] * 6
+    assert out[5].hist is None  # NULL payload row survives as NULLs
