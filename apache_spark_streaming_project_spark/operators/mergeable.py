@@ -77,3 +77,103 @@ def finalize_stats(stats: DataFrame) -> DataFrame:
             "stddev"
         ),
     )
+
+
+def partial_heavy_hitters(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    candidates: int = 400,
+) -> DataFrame:
+    """Per-Arrow-batch Misra-Gries frequency summaries: for each group,
+    at most ``candidates`` (item, partial_count) rows whose counts
+    UNDERCOUNT the batch-exact counts by at most
+    ``N_batch_group / (candidates + 1)`` each (the MG compaction bound:
+    the (candidates+1)-th largest count is subtracted from every item
+    and non-positive entries drop).
+
+    This is the map-side half of mergeable heavy hitters: raw rows never
+    shuffle — each input batch emits <= candidates summary rows per
+    group, and summing partials per (group, item) downstream is itself a
+    valid merged sketch (per-batch decrements are disjoint, so total
+    undercount stays <= N_group / (candidates + 1)). The 100 TB shape:
+    top tokens / domains / near-dup cluster sizes in one pass without an
+    exact all-items groupBy."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if candidates < 1:
+        raise ValueError(f"candidates must be >= 1 (got {candidates})")
+    pruned = df.select(*group_cols, item_col)
+    item_field = pruned.schema[item_col]
+    out_schema = T.StructType(
+        [pruned.schema[c] for c in group_cols]
+        + [
+            item_field,
+            T.StructField("partial_count", T.LongType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            outs = []
+            for keys, grp in pdf.groupby(group_cols, dropna=False, sort=False):
+                vc = grp[item_col].value_counts()  # exact within the batch
+                if len(vc) > candidates:
+                    vc = vc - int(vc.iloc[candidates])  # MG compaction
+                    vc = vc[vc > 0]
+                if vc.empty:
+                    continue
+                out = pd.DataFrame(
+                    {item_col: vc.index, "partial_count": vc.values}
+                )
+                if not isinstance(keys, tuple):
+                    keys = (keys,)
+                for c, v in zip(group_cols, keys):
+                    out[c] = v
+                outs.append(out[list(group_cols) + [item_col, "partial_count"]])
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame(
+                    {c: [] for c in group_cols + [item_col, "partial_count"]}
+                )
+            )
+
+    return pruned.mapInPandas(kernel, out_schema)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    k: int = 20,
+    candidates: int = 400,
+) -> DataFrame:
+    """Top-``k`` estimated items per group from the mergeable sketch:
+    ``partial_heavy_hitters`` map-side, partials summed per (group,
+    item) — bounded shuffle: <= candidates rows per group per input
+    batch — then a rank window. Returns (group_cols..., item,
+    est_count, rank).
+
+    Guarantee (Misra-Gries): est_count undercounts the true count by at
+    most ``N_group / (candidates + 1)``, and every item whose true count
+    exceeds that bound is PRESENT in the merged sketch — so with
+    ``candidates`` sized a few multiples above ``k`` the true top-k
+    survive any input partitioning. Exactness on demand: items whose
+    est_count already exceeds the bound plus the (k+1)-th estimate are
+    provably in the true top-k."""
+    from pyspark.sql import Window
+
+    parts = partial_heavy_hitters(df, group_cols, item_col, candidates)
+    merged = parts.groupBy(*group_cols, item_col).agg(
+        F.sum("partial_count").alias("est_count")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("est_count"), F.asc(item_col)
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

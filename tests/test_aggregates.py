@@ -71,3 +71,109 @@ def test_occupation_stats(census_df):
     assert out["Tech-support"]["count"] == 2
     assert out["Tech-support"]["avg_age"] == pytest.approx(30.0)
     assert out["Sales"]["avg_hours"] == pytest.approx(30.0)
+
+
+class TestHeavyHitters:
+    """Mergeable Misra-Gries heavy hitters (X11 family): raw rows never
+    shuffle — per-Arrow-batch summaries of <= candidates rows per group
+    merge declaratively — and the MG guarantee holds against exact
+    counts: undercount <= N_group/(candidates+1), every item above that
+    bound present."""
+
+    def _corpus(self, spark, n_parts):
+        from pyspark.sql import functions as F
+
+        # Zipf-ish: token t_i appears ~ N/(i+1) times, two groups
+        rows = []
+        for g in ("a", "b"):
+            for i in range(40):
+                rows += [(g, f"t{i:02d}")] * (2000 // (i + 1))
+        import random
+
+        random.Random(7).shuffle(rows)
+        return spark.createDataFrame(rows, "g string, tok string").repartition(
+            n_parts
+        )
+
+    def test_mg_guarantee_vs_exact(self, spark):
+        from apache_spark_streaming_project_spark.operators.mergeable import (
+            heavy_hitters,
+        )
+
+        df = self._corpus(spark, 8).cache()
+        exact = {
+            (r.g, r.tok): r["cnt"]
+            for r in df.groupBy("g", "tok").agg(
+                __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt")
+            ).collect()
+        }
+        n_per_group = sum(v for (g, _), v in exact.items() if g == "a")
+        cand = 25  # fewer than the 40 distinct tokens: compaction is real
+        got = {
+            (r.g, r.tok): r.est_count
+            for r in heavy_hitters(df, ["g"], "tok", k=10, candidates=cand).collect()
+        }
+        bound = n_per_group / (cand + 1)
+        # every returned estimate is a valid MG estimate
+        for key, est in got.items():
+            true = exact[key]
+            assert est <= true, f"{key}: overcount {est} > {true}"
+            assert true - est <= bound + 1e-9, f"{key}: undercount past bound"
+        # the true top-10 per group all survive (their counts dwarf the bound)
+        for g in ("a", "b"):
+            true_top = {
+                t for (gg, t), v in exact.items()
+                if gg == g and v > bound
+            }
+            top10_true = sorted(
+                ((v, t) for (gg, t), v in exact.items() if gg == g),
+                reverse=True,
+            )[:10]
+            got_items = {t for (gg, t) in got if gg == g}
+            for v, t in top10_true:
+                if v > bound:
+                    assert t in got_items, f"true heavy hitter {t} missing"
+
+    def test_partitioning_invariance_of_heavy_set(self, spark):
+        from apache_spark_streaming_project_spark.operators.mergeable import (
+            heavy_hitters,
+        )
+
+        tops = []
+        for n_parts in (1, 4, 16):
+            df = self._corpus(spark, n_parts)
+            got = heavy_hitters(df, ["g"], "tok", k=5, candidates=200).collect()
+            tops.append(
+                sorted((r.g, r.tok, r.rank) for r in got)
+            )
+        # with candidates >= distinct items the sketch is EXACT, so the
+        # ranked set is identical under any partitioning
+        assert tops[0] == tops[1] == tops[2]
+
+    def test_summary_rows_are_bounded(self, spark):
+        from apache_spark_streaming_project_spark.operators.mergeable import (
+            partial_heavy_hitters,
+        )
+
+        df = self._corpus(spark, 4)
+        cand = 10
+        parts = partial_heavy_hitters(df, ["g"], "tok", candidates=cand)
+        # <= candidates rows per group per input partition (4 partitions,
+        # 2 groups): the shuffle is bounded by summaries, not rows
+        assert parts.count() <= 4 * 2 * cand
+        from pyspark.sql import functions as F
+
+        per = parts.groupBy("g").count().collect()
+        assert all(r["count"] <= 4 * cand for r in per)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from apache_spark_streaming_project_spark.operators.mergeable import (
+            partial_heavy_hitters,
+        )
+
+        with _pytest.raises(ValueError, match="candidates"):
+            partial_heavy_hitters(
+                self._corpus(spark, 1), ["g"], "tok", candidates=0
+            )
