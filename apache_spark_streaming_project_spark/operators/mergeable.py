@@ -92,6 +92,10 @@ def partial_heavy_hitters(
     the (candidates+1)-th largest count is subtracted from every item
     and non-positive entries drop).
 
+    NULL items are ignored (pandas ``value_counts`` semantics — a
+    frequency sketch over tokens/domains has no meaningful NULL entry;
+    count NULLs separately with a plain aggregate if they matter).
+
     This is the map-side half of mergeable heavy hitters: raw rows never
     shuffle — each input batch emits <= candidates summary rows per
     group, and summing partials per (group, item) downstream is itself a
@@ -163,7 +167,18 @@ def heavy_hitters(
     ``candidates`` sized a few multiples above ``k`` the true top-k
     survive any input partitioning. Exactness on demand: items whose
     est_count already exceeds the bound plus the (k+1)-th estimate are
-    provably in the true top-k."""
+    provably in the true top-k.
+
+    When to use — measured honestly (tools/probe_heavy_hitters.py): at
+    any single-box scale the EXACT ``groupBy(item).count()`` + rank
+    window WINS on wall time (2.1 s vs 5.9 s at 20M rows on local[32]) —
+    Spark's partial hash aggregate already map-side-combines, and
+    millions of distinct keys are trivial for it. Reach for this sketch
+    only when distinct cardinality per executor threatens aggregation
+    memory / shuffle volume (billions of distinct URLs/shingles at
+    corpus scale): its summary traffic is bounded by
+    batches x groups x candidates REGARDLESS of distinct count, which
+    the exact path cannot promise."""
     from pyspark.sql import Window
 
     parts = partial_heavy_hitters(df, group_cols, item_col, candidates)
