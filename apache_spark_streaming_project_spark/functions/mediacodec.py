@@ -720,7 +720,6 @@ def _decode_scan_ac_refine(
     ints exactly as on C two's complement (coefficients here are
     multiples of 1<<Al)."""
     nby, nbx = _noninterleaved_grid(c, w, h, hmax, vmax)
-    zz = ZIGZAG
     coef = c["coef"]
     p1 = 1 << al
     m1 = -1 << al
@@ -728,6 +727,13 @@ def _decode_scan_ac_refine(
     rd = _ScanReader(intervals[0])
     eobrun = 0
     bi = 0
+    # every band position of every block is visited each refinement
+    # pass — gather the band into a Python list once per block and
+    # scatter it back once instead of ~63 numpy scalar reads/writes
+    # (measured 1.07x on the probe fixture: the remaining cost is the
+    # per-symbol/per-bit reader calls, i.e. Huffman's serial floor)
+    zz_band = ZIGZAG[ss : se + 1]
+    band_len = se - ss + 1
     for by in range(nby):
         for bx in range(nbx):
             if restart_interval and bi and bi % restart_interval == 0:
@@ -735,9 +741,10 @@ def _decode_scan_ac_refine(
                 eobrun = 0
             bi += 1
             blk = coef[by, bx]
-            k = ss
+            band = blk[zz_band].tolist()
+            i = 0
             if eobrun == 0:
-                while k <= se:
+                while i < band_len:
                     rs = rd.read_sym(act)
                     r, s = rs >> 4, rs & 0x0F
                     newval = 0
@@ -756,28 +763,29 @@ def _decode_scan_ac_refine(
                         newval = p1 if rd.read_bit() else m1
                     # advance past r zero-history coefficients, emitting
                     # correction bits for nonzero-history ones passed over
-                    while k <= se:
-                        cur = int(blk[zz[k]])
+                    while i < band_len:
+                        cur = band[i]
                         if cur != 0:
                             if rd.read_bit() and (cur & p1) == 0:
-                                blk[zz[k]] = cur + (p1 if cur >= 0 else m1)
+                                band[i] = cur + (p1 if cur >= 0 else m1)
                         else:
                             if r == 0:
                                 break
                             r -= 1
-                        k += 1
-                    if newval and k <= se:
-                        blk[zz[k]] = newval
-                    k += 1
+                        i += 1
+                    if newval and i < band_len:
+                        band[i] = newval
+                    i += 1
             if eobrun:
                 # correction bits for the rest of the band, then this
                 # block counts against the EOB run
-                while k <= se:
-                    cur = int(blk[zz[k]])
+                while i < band_len:
+                    cur = band[i]
                     if cur != 0 and rd.read_bit() and (cur & p1) == 0:
-                        blk[zz[k]] = cur + (p1 if cur >= 0 else m1)
-                    k += 1
+                        band[i] = cur + (p1 if cur >= 0 else m1)
+                    i += 1
                 eobrun -= 1
+            blk[zz_band] = band
     rd.check_overrun()
 
 
