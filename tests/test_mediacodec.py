@@ -946,3 +946,22 @@ def test_gif_composite_bytes_cap():
         mc.decode_gif_frames(payload)
     n = sum(1 for _ in mc._iter_gif_frames(payload))
     assert n == 200  # the streaming form walks all frames in O(1 frame)
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=2, max_value=256),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_property_gif_roundtrip(h, w, n_pal, seed, interlace):
+    """Any palette size 2..256, any dims, plain or interlaced: encode ->
+    decode recovers the exact palette-mapped pixels."""
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (n_pal, 3)).astype(np.uint8)
+    idx = rng.randint(0, n_pal, (h, w)).astype(np.uint8)
+    px = mc.decode_gif(mc.encode_gif([idx], pal, interlace=interlace))
+    assert px.shape == (h, w, 3)
+    assert (px == pal[idx]).all()
