@@ -667,3 +667,49 @@ def canonical_url(url: Column | str) -> Column:
         F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
     ).otherwise(F.lit(""))
     return F.concat(scheme, F.lit("://"), host, path, qpart)
+
+
+def strip_html(c: Column | str) -> Column:
+    """Plain text from HTML markup, entirely JVM-side (chained
+    ``regexp_replace``/``replace`` — WholeStageCodegen, no Python, no
+    shuffle): drops script/style/head/noscript/template blocks and
+    comments, turns block-level tags into newlines (word and paragraph
+    boundaries survive), removes remaining tags, decodes the common
+    named entities, and normalizes whitespace.
+
+    Regex-approximate BY DESIGN: crawl-scale cleaning at scan speed.
+    Malformed markup degrades gracefully (text survives; stray markup
+    may leak); numeric character references other than ``&#39;`` are
+    left as-is. A real HTML parser (trafilatura/BeautifulSoup behind an
+    Arrow kernel) is the high-fidelity path when fidelity beats
+    throughput — the same trade the media codecs document.
+
+    Entity order matters: ``&amp;`` decodes LAST, so ``&amp;lt;`` (the
+    author literally wrote "&lt;") becomes ``&lt;`` — decoding ``&amp;``
+    first would double-decode it to ``<`` (test-pinned)."""
+    x = F.col(c) if isinstance(c, str) else c
+    for blk in ("script", "style", "head", "noscript", "template"):
+        x = F.regexp_replace(x, f"(?is)<{blk}\\b[^>]*>.*?</{blk}>", " ")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(
+        x,
+        r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote|section"
+        r"|article|header|footer)\b[^>]*/?>",
+        "\n",
+    )
+    x = F.regexp_replace(x, r"(?s)<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&amp;", "&"),  # LAST — see the docstring
+    ):
+        x = F.replace(x, F.lit(ent), F.lit(rep))
+    x = F.regexp_replace(x, r"[ \t\x0b\f\r]+", " ")
+    x = F.regexp_replace(x, r" ?\n ?", "\n")
+    x = F.regexp_replace(x, r"\n{3,}", "\n\n")
+    # Spark's trim() strips spaces only — newlines need the regex form
+    return F.regexp_replace(x, r"^\s+|\s+$", "")

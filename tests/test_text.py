@@ -217,3 +217,58 @@ def test_gram_boilerplate_keeps_short_docs_with_zero_stats(spark):
     assert set(got) == {0, 1, 2}
     assert got[1] == (0, 0, 0) and got[2] == (0, 0, 0)
     assert got[0][0] == 2  # two distinct 3-grams
+
+
+class TestStripHtml:
+    """JVM-side HTML stripping: all regexp_replace/replace — no Python,
+    no shuffle — with the entity decode ORDER pinned (the classic
+    double-decode bug: &amp;lt; is the author writing '&lt;' literally
+    and must NOT become '<')."""
+
+    def _strip(self, spark, html):
+        from apache_spark_streaming_project_spark.operators.text import (
+            strip_html,
+        )
+
+        return (
+            spark.createDataFrame([(html,)], "html string")
+            .select(strip_html("html").alias("t"))
+            .first()
+            .t
+        )
+
+    def test_realistic_page(self, spark):
+        html = (
+            "<!DOCTYPE html><html><head><title>skip me</title>"
+            "<style>p {color: red}</style></head><body>"
+            "<script>var x = '<p>not text</p>';</script>"
+            "<!-- a comment -->"
+            "<h1>Title</h1><p>First <b>bold</b> paragraph.</p>"
+            "<ul><li>one</li><li>two</li></ul>"
+            "<p>A&nbsp;B &amp; C &lt;tag&gt;</p></body></html>"
+        )
+        got = self._strip(spark, html)
+        assert "skip me" not in got and "color" not in got
+        assert "not text" not in got and "comment" not in got
+        assert "Title" in got and "First bold paragraph." in got
+        assert "one" in got and "two" in got
+        assert "A B & C <tag>" in got
+        # block tags became line boundaries: title and paragraph separate
+        assert "Title\n" in got or "Title \n" in got.replace("  ", " ")
+
+    def test_entity_decode_order(self, spark):
+        # the author wrote the literal text "&lt;" — must survive as
+        # "&lt;", not double-decode to "<"
+        assert self._strip(spark, "<p>&amp;lt;</p>") == "&lt;"
+        assert self._strip(spark, "&amp;amp;") == "&amp;"
+
+    def test_plan_is_pure_jvm(self, spark):
+        from apache_spark_streaming_project_spark.operators.text import (
+            strip_html,
+        )
+
+        df = spark.createDataFrame([("<p>x</p>",)], "html string").select(
+            strip_html("html")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Exchange" not in plan
