@@ -713,3 +713,63 @@ def strip_html(c: Column | str) -> Column:
     x = F.regexp_replace(x, r"\n{3,}", "\n\n")
     # Spark's trim() strips spaces only — newlines need the regex form
     return F.regexp_replace(x, r"^\s+|\s+$", "")
+
+
+def remove_common_lines(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 10,
+    min_line_chars: int = 8,
+) -> DataFrame:
+    """The REMOVAL companion to :func:`gram_boilerplate_signal` (which
+    only measures): strip every line whose trimmed text appears in at
+    least ``min_df`` distinct documents — cookie banners, navigation
+    menus, template scaffolding — while preserving each document's
+    remaining lines in their original order and byte-exact content (the
+    C4/RefinedWeb-style line-dedup pass).
+
+    Lines shorter than ``min_line_chars`` after trimming (blank lines,
+    separators) are never counted nor removed, so paragraph structure
+    survives. Documents whose every line is removed stay present with
+    empty text (vanishing rows would silently change corpus counts).
+
+    Plan shape: one posexplode (map-side), one distinct + partial/final
+    agg for the line document-frequency table, a left-anti join on the
+    trimmed line text (exact — no hash-collision removals), and one
+    groupBy re-assembly via array_sort on (pos, line) structs. No
+    broadcast hint on the common-lines side: its size is corpus-driven,
+    AQE decides."""
+    pos_line = df.select(
+        key_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    line_t = F.trim(F.col("line"))
+    eligible = pos_line.filter(F.length(line_t) >= min_line_chars)
+    common = (
+        eligible.select(line_t.alias("line_t"), key_col)
+        .distinct()
+        .groupBy("line_t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("line_t")
+    )
+    # the plain anti-join is sufficient for short lines too: trimmed
+    # equality implies equal length, so a line below min_line_chars can
+    # never match a common line (all >= min_line_chars) and is kept
+    kept = pos_line.withColumn("line_t", line_t).join(
+        common, "line_t", "left_anti"
+    )
+    rebuilt = kept.groupBy(key_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("_clean")
+    )
+    return df.select(key_col).join(rebuilt, key_col, "left").select(
+        key_col,
+        F.coalesce("_clean", F.lit("")).alias(text_col),
+    )

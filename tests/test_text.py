@@ -272,3 +272,71 @@ class TestStripHtml:
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Exchange" not in plan
+
+
+class TestRemoveCommonLines:
+    """C4/RefinedWeb-style line dedup: lines shared by >= min_df docs
+    are stripped everywhere; order and byte-exact content of kept lines
+    survive; short/blank lines are immune; fully-stripped documents stay
+    present with empty text."""
+
+    def _corpus(self, spark):
+        banner = "Accept all cookies to continue"
+        docs = []
+        for i in range(12):
+            docs.append((i, f"unique opener {i}\n{banner}\n\nbody {i} text here"))
+        docs.append((12, banner))  # banner-only doc
+        docs.append((13, f"rare line in two docs\nmore {13}"))
+        docs.append((14, f"rare line in two docs\nmore {14}"))
+        return spark.createDataFrame(docs, "doc_id long, text string")
+
+    def test_removal_order_and_immunity(self, spark):
+        from apache_spark_streaming_project_spark.operators.text import (
+            remove_common_lines,
+        )
+
+        out = {
+            r.doc_id: r.text
+            for r in remove_common_lines(
+                self._corpus(spark), min_df=10, min_line_chars=8
+            ).collect()
+        }
+        assert len(out) == 15  # nobody vanished
+        for i in range(12):
+            # banner gone, order preserved, blank line kept
+            assert out[i] == f"unique opener {i}\n\nbody {i} text here"
+        assert out[12] == ""  # banner-only doc emptied, still present
+        # a line in only 2 docs is under min_df: kept
+        assert out[13].startswith("rare line in two docs")
+        assert out[14].startswith("rare line in two docs")
+
+    def test_min_df_boundary(self, spark):
+        from apache_spark_streaming_project_spark.operators.text import (
+            remove_common_lines,
+        )
+
+        df = self._corpus(spark)
+        out = {
+            r.doc_id: r.text
+            for r in remove_common_lines(df, min_df=2, min_line_chars=8).collect()
+        }
+        # at min_df=2 the two-doc line IS removed
+        assert not out[13].startswith("rare")
+        assert not out[14].startswith("rare")
+
+    def test_short_lines_never_counted(self, spark):
+        from apache_spark_streaming_project_spark.operators.text import (
+            remove_common_lines,
+        )
+
+        docs = [(i, "---\nreal content " + str(i)) for i in range(20)]
+        out = {
+            r.doc_id: r.text
+            for r in remove_common_lines(
+                spark.createDataFrame(docs, "doc_id long, text string"),
+                min_df=5,
+                min_line_chars=8,
+            ).collect()
+        }
+        # '---' appears in all 20 docs but is under min_line_chars: kept
+        assert all(t.startswith("---\n") for t in out.values())
