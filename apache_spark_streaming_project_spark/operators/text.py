@@ -773,3 +773,43 @@ def remove_common_lines(
         key_col,
         F.coalesce("_clean", F.lit("")).alias(text_col),
     )
+
+
+def normalize_unicode(c: Column | str, form: str = "NFKC") -> Column:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) as an Arrow-batched
+    ``pandas_udf`` — the standard pre-dedup step (ligatures, full-width
+    forms, combining marks make byte-identical text hash differently).
+    Spark has no built-in normalizer, so this is one of the engine's few
+    deliberate Python-boundary columns (X4-X5 rule: Arrow-batched,
+    never row-at-a-time).
+
+    Fast path INSIDE the kernel: a vectorized (C-rate) ASCII scan masks
+    the batch, and per-row ``unicodedata.normalize`` runs only on rows
+    that actually contain non-ASCII — ASCII is normalization-invariant
+    in every form — so English-heavy crawl batches pay near-zero Python
+    per row. NULLs pass through."""
+    import unicodedata
+
+    import pandas as pd  # noqa: F401 — pandas_udf resolves the hints
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm(s):
+        non_ascii = s.notna() & s.str.contains(r"[^\x00-\x7F]", regex=True)
+        if not non_ascii.any():
+            return s
+        out = s.copy()
+        out[non_ascii] = s[non_ascii].map(
+            lambda t: unicodedata.normalize(form, t)
+        )
+        return out
+
+    # real annotation objects: the module-level `from __future__ import
+    # annotations` stringifies inline hints, which pandas_udf's
+    # signature inference cannot resolve
+    _norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    norm_udf = pandas_udf("string")(_norm)
+    return norm_udf(F.col(c) if isinstance(c, str) else c)

@@ -340,3 +340,49 @@ class TestRemoveCommonLines:
         }
         # '---' appears in all 20 docs but is under min_line_chars: kept
         assert all(t.startswith("---\n") for t in out.values())
+
+
+class TestNormalizeUnicode:
+    def test_nfkc_folds_and_ascii_passthrough(self, spark):
+        from apache_spark_streaming_project_spark.operators.text import (
+            normalize_unicode,
+        )
+
+        rows = [
+            ("ﬁle",),          # fi ligature -> "file" under NFKC
+            ("ＡBC",),          # full-width A -> "ABC"
+            ("café",),        # e + combining acute -> é (composed)
+            ("plain ascii",),       # byte-identical passthrough
+            (None,),                # NULL passthrough
+        ]
+        df = spark.createDataFrame(rows, "t string").coalesce(1)
+        got = [
+            r.n
+            for r in df.select(
+                normalize_unicode("t", "NFKC").alias("n")
+            ).collect()
+        ]
+        assert got[0] == "file"
+        assert got[1] == "ABC"
+        assert got[2] == "café"
+        assert got[3] == "plain ascii"
+        assert got[4] is None
+
+    def test_nfc_vs_nfkc_difference(self, spark):
+        from apache_spark_streaming_project_spark.operators.text import (
+            normalize_unicode,
+        )
+
+        df = spark.createDataFrame([("ﬁle",)], "t string")
+        nfc = df.select(normalize_unicode("t", "NFC").alias("n")).first().n
+        assert nfc == "ﬁle"  # NFC keeps compatibility ligatures
+
+    def test_bad_form_rejected(self, spark):
+        import pytest as _pytest
+
+        from apache_spark_streaming_project_spark.operators.text import (
+            normalize_unicode,
+        )
+
+        with _pytest.raises(ValueError, match="normalization form"):
+            normalize_unicode("t", "NFX")
