@@ -386,3 +386,42 @@ class TestNormalizeUnicode:
 
         with _pytest.raises(ValueError, match="normalization form"):
             normalize_unicode("t", "NFX")
+
+
+def test_crawl_cleaning_pipeline_end_to_end(spark):
+    """The realistic composition: raw HTML pages -> strip_html ->
+    normalize_unicode -> remove_common_lines -> quality signals. One
+    declarative plan; Python only inside the normalization kernel."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        normalize_unicode,
+        quality_score,
+        remove_common_lines,
+        strip_html,
+    )
+
+    banner = "Accept all cookies to continue with this site"
+    pages = [
+        (
+            i,
+            "<html><head><style>x{}</style></head><body>"
+            f"<div>{banner}</div>"
+            f"<p>Unique ﬁnding number {i} with real content here.</p>"
+            "<script>tracker()</script></body></html>",
+        )
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    text = df.select(
+        "doc_id",
+        normalize_unicode(strip_html("html"), "NFKC").alias("text"),
+    )
+    clean = remove_common_lines(text, min_df=10, min_line_chars=8)
+    out = {r.doc_id: r for r in clean.select(
+        "doc_id", "text", quality_score("text").alias("q")
+    ).collect()}
+    for i in range(12):
+        t = out[i].text
+        assert banner not in t  # boilerplate line removed corpus-wide
+        assert f"Unique finding number {i}" in t  # ligature folded, kept
+        assert "tracker" not in t and "style" not in t
+        assert out[i].q > 0
