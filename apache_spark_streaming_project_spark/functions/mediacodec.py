@@ -1898,13 +1898,24 @@ def _lzw_decode_gif(min_code_size: int, data: bytes, max_out: int) -> bytearray:
 def _lzw_encode_gif(min_code_size: int, indices: bytes) -> bytes:
     """GIF-flavor LZW encode, the inverse of :func:`_lzw_decode_gif` —
     exists so GIF fixtures can be BUILT and differential-tested without
-    PIL. Standard greedy longest-match with clear-on-full."""
+    PIL. Standard greedy longest-match with clear-on-full.
+
+    Width bookkeeping mirrors the DECODER's table, not the encoder's:
+    the decoder appends one entry for EVERY processed data code after
+    the first in a segment — including the final flush emit, for which
+    the encoder registers nothing — so tracking only registrations
+    emits EOI one bit narrower than the decoder reads it whenever the
+    flush lands exactly on a width boundary (a hypothesis-found
+    desync)."""
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()
     acc = nbits = 0
+    width = min_code_size + 1
+    dec_len = eoi + 1  # simulated decoder table length
+    emitted = 0  # data codes emitted since the last clear
 
-    def emit(code: int, width: int) -> None:
+    def emit(code: int) -> None:
         nonlocal acc, nbits
         acc |= code << nbits
         nbits += width
@@ -1913,33 +1924,47 @@ def _lzw_encode_gif(min_code_size: int, indices: bytes) -> bytes:
             acc >>= 8
             nbits -= 8
 
-    def fresh() -> tuple[dict, int, int]:
-        return (
-            {bytes([i]): i for i in range(clear)},
-            eoi + 1,
-            min_code_size + 1,
-        )
+    def emit_data(code: int) -> None:
+        # the decoder appends an entry while processing every data code
+        # except the first after a clear, and bumps its read width when
+        # its table size reaches 1 << width — replay that here so the
+        # NEXT emitted code (data, clear, or EOI) uses the width the
+        # decoder will read it at
+        nonlocal dec_len, emitted, width
+        emit(code)
+        emitted += 1
+        if emitted >= 2 and dec_len < 4096:
+            dec_len += 1
+            if dec_len == (1 << width) and width < 12:
+                width += 1
 
-    table, next_code, width = fresh()
-    emit(clear, width)
+    def emit_clear() -> None:
+        nonlocal dec_len, emitted, width
+        emit(clear)  # read at the current width, then both sides reset
+        width = min_code_size + 1
+        dec_len = eoi + 1
+        emitted = 0
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit_clear()
     seq = b""
     for b in bytes(indices):
         cand = seq + bytes([b])
         if cand in table:
             seq = cand
             continue
-        emit(table[seq], width)
+        emit_data(table[seq])
         table[cand] = next_code
-        if next_code == (1 << width) and width < 12:
-            width += 1
         next_code += 1
         if next_code > 4095:
-            emit(clear, width)
-            table, next_code, width = fresh()
+            emit_clear()
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
         seq = bytes([b])
     if seq:
-        emit(table[seq], width)
-    emit(eoi, width)
+        emit_data(table[seq])
+    emit(eoi)
     if nbits:
         out.append(acc & 0xFF)
     return bytes(out)

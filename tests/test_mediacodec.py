@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from apache_spark_streaming_project_spark.functions import mediacodec as mc
 from apache_spark_streaming_project_spark.operators import multimodal as mm
@@ -955,6 +955,9 @@ def test_gif_composite_bytes_cap():
     st.integers(min_value=0, max_value=2**32 - 1),
     st.booleans(),
 )
+@example(h=1, w=18, n_pal=2, seed=1, interlace=False)  # found the LZW
+# encoder width desync: the final flush emit landed exactly on a width
+# boundary and EOI was written one bit narrower than the decoder read it
 @settings(max_examples=30, deadline=None)
 def test_property_gif_roundtrip(h, w, n_pal, seed, interlace):
     """Any palette size 2..256, any dims, plain or interlaced: encode ->
