@@ -968,3 +968,43 @@ def test_property_gif_roundtrip(h, w, n_pal, seed, interlace):
     px = mc.decode_gif(mc.encode_gif([idx], pal, interlace=interlace))
     assert px.shape == (h, w, 3)
     assert (px == pal[idx]).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.booleans(),
+    st.booleans(),
+    st.sampled_from([0, 1, 2]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_property_png_roundtrip(h, w, rgb, interlace, filt, seed):
+    """Random shapes x gray/RGB x plain/Adam7 x filters 0/1/2: encode ->
+    stdlib decode recovers the pixels bit-exactly (the interlace pass
+    geometry has the same boundary-sensitivity class as the LZW widths
+    the GIF property caught)."""
+    rng = np.random.RandomState(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.randint(0, 256, shape).astype(np.uint8)
+    got = mm._decode_png_pixels(
+        mc.encode_png(img, interlace=interlace, filter_type=filt)
+    )
+    assert got.shape == img.shape and (got == img).all()
+
+
+@given(
+    st.lists(st.binary(min_size=1, max_size=300), min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=1, max_value=1001),
+)
+@settings(max_examples=30, deadline=None)
+def test_property_avi_roundtrip(frames, rate, scale):
+    """Arbitrary frame payloads and rational frame rates round-trip the
+    RIFF container with floor-exact timestamps."""
+    avi = mc.encode_avi_mjpeg(frames, fps_rate=rate, fps_scale=scale)
+    dec = mc.decode_avi_mjpeg(avi)
+    assert [f for _, f in dec] == frames
+    assert [t for t, _ in dec] == [
+        i * 1000 * scale // rate for i in range(len(frames))
+    ]
