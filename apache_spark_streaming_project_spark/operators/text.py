@@ -813,3 +813,75 @@ def normalize_unicode(c: Column | str, form: str = "NFKC") -> Column:
     _norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
     norm_udf = pandas_udf("string")(_norm)
     return norm_udf(F.col(c) if isinstance(c, str) else c)
+
+
+def gopher_quality_flags(c: Column | str) -> Column:
+    """The published Gopher/MassiveText rule-based quality filters
+    (Rae et al. 2021, table A1) as one JVM-side struct of booleans —
+    a document is kept when every flag is true. All built-in
+    string/array arithmetic (codegen, no Python):
+
+    - ``word_count_ok``: 50..100,000 words
+    - ``mean_word_len_ok``: mean word length in [3, 10]
+    - ``symbol_ratio_ok``: '#' or '...' to word ratio <= 0.1
+    - ``bullet_ratio_ok``: <= 90% of lines start with a bullet
+    - ``ellipsis_ratio_ok``: <= 30% of lines end with an ellipsis
+    - ``alpha_word_ratio_ok``: >= 80% of words contain a letter
+    - ``stopword_ok``: contains >= 2 of the English must-have
+      stopwords (the paper's "stop word" filter)
+
+    The thresholds are the paper's published constants; callers needing
+    different cut-offs can re-derive from the component metrics
+    (token_count, mean_token_length, ...) this composes."""
+    x = F.col(c) if isinstance(c, str) else c
+    toks = tokens(x)
+    n_words = F.size(toks)
+    nw = n_words.cast("double")
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / nw,
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(x) - F.length(F.replace(x, F.lit("#"), F.lit("")))
+    n_ellipsis = F.size(F.split(x, r"\.\.\.")) - 1
+    lines = F.filter(F.split(x, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    nl = n_lines.cast("double")
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    must_have = F.array(
+        *[F.lit(w) for w in ("the", "be", "to", "of", "and", "that", "have", "with")]
+    )
+    low_toks = F.transform(toks, lambda t: F.lower(t))
+    stop_hits = F.size(
+        F.filter(must_have, lambda w: F.array_contains(low_toks, w))
+    )
+    return F.struct(
+        ((n_words >= 50) & (n_words <= 100_000)).alias("word_count_ok"),
+        ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("mean_word_len_ok"),
+        F.when(
+            n_words > 0,
+            ((n_hash + n_ellipsis).cast("double") / nw) <= 0.1,
+        )
+        .otherwise(F.lit(False))
+        .alias("symbol_ratio_ok"),
+        F.when(n_lines > 0, bullet_lines.cast("double") / nl <= 0.9)
+        .otherwise(F.lit(True))
+        .alias("bullet_ratio_ok"),
+        F.when(n_lines > 0, ellipsis_lines.cast("double") / nl <= 0.3)
+        .otherwise(F.lit(True))
+        .alias("ellipsis_ratio_ok"),
+        F.when(n_words > 0, alpha_words.cast("double") / nw >= 0.8)
+        .otherwise(F.lit(False))
+        .alias("alpha_word_ratio_ok"),
+        (stop_hits >= 2).alias("stopword_ok"),
+    )

@@ -425,3 +425,50 @@ def test_crawl_cleaning_pipeline_end_to_end(spark):
         assert f"Unique finding number {i}" in t  # ligature folded, kept
         assert "tracker" not in t and "style" not in t
         assert out[i].q > 0
+
+
+class TestGopherQualityFlags:
+    def _flags(self, spark, text):
+        from apache_spark_streaming_project_spark.operators.text import (
+            gopher_quality_flags,
+        )
+
+        return (
+            spark.createDataFrame([(text,)], "t string")
+            .select(gopher_quality_flags("t").alias("f"))
+            .first()
+            .f.asDict()
+        )
+
+    def test_good_document_passes_all(self, spark):
+        text = " ".join(
+            "the quick brown fox jumps over that lazy dog with energy and"
+            " purpose to have fun".split()
+            * 6
+        )
+        f = self._flags(spark, text)
+        assert all(f.values()), f
+
+    def test_each_rule_fires(self, spark):
+        base = " ".join(["the of and that have with be to word here"] * 8)
+        # too short
+        assert not self._flags(spark, "the of and")["word_count_ok"]
+        # symbol ratio: hashes everywhere
+        f = self._flags(spark, base + " " + "# " * 30)
+        assert not f["symbol_ratio_ok"]
+        # bullet lines dominate
+        bullets = "\n".join("- item the of and that have" for _ in range(20))
+        assert not self._flags(spark, bullets)["bullet_ratio_ok"]
+        # ellipsis line endings dominate
+        ell = "\n".join("the of and that have this..." for _ in range(10))
+        assert not self._flags(spark, ell)["ellipsis_ratio_ok"]
+        # numeric soup fails the alpha-word rule
+        nums = base + " " + " ".join(str(i) for i in range(200))
+        assert not self._flags(spark, nums)["alpha_word_ratio_ok"]
+        # no must-have stopwords
+        f = self._flags(spark, " ".join(["lorem ipsum dolor sit amet"] * 20))
+        assert not f["stopword_ok"]
+
+    def test_empty_and_null_are_rejected_not_errors(self, spark):
+        f = self._flags(spark, "")
+        assert not f["word_count_ok"] and not f["symbol_ratio_ok"]
