@@ -472,3 +472,64 @@ class TestGopherQualityFlags:
     def test_empty_and_null_are_rejected_not_errors(self, spark):
         f = self._flags(spark, "")
         assert not f["word_count_ok"] and not f["symbol_ratio_ok"]
+
+
+def test_full_curation_composition(spark):
+    """Capstone composition over the whole curation library: raw HTML ->
+    strip_html -> normalize_unicode -> remove_common_lines ->
+    gopher_quality_flags gate -> token counting -> pack_documents.
+    One declarative plan end to end; Python only inside the
+    normalization kernel."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_streaming_project_spark.operators.text import (
+        gopher_quality_flags,
+        normalize_unicode,
+        pack_documents,
+        remove_common_lines,
+        strip_html,
+        token_count,
+    )
+
+    banner = "Subscribe to our newsletter for the latest updates today"
+    good_body = (
+        "the quick brown fox jumps over that lazy dog with energy and "
+        "purpose to have fun in the sun and then some more words follow "
+        "naturally here with the usual flow of an ordinary paragraph"
+    )
+    pages = []
+    for i in range(12):
+        pages.append(
+            (
+                i,
+                f"<html><body><p>{banner}</p>"
+                f"<p>Document {i}: {good_body} {good_body}</p></body></html>",
+            )
+        )
+    # a junk page that must be filtered by the gopher gate
+    pages.append((12, "<html><body><p>" + "# " * 120 + "</p></body></html>"))
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    text = df.select(
+        "doc_id", normalize_unicode(strip_html("html"), "NFKC").alias("text")
+    )
+    clean = remove_common_lines(text, min_df=10, min_line_chars=8)
+    flags = gopher_quality_flags("text")
+    gated = (
+        clean.withColumn("flags", flags)
+        .filter(
+            F.col("flags.word_count_ok")
+            & F.col("flags.symbol_ratio_ok")
+            & F.col("flags.alpha_word_ratio_ok")
+            & F.col("flags.stopword_ok")
+        )
+        .withColumn("n_tokens", token_count("text"))
+    )
+    packed = pack_documents(gated, "n_tokens", budget=200)
+    rows = packed.collect()
+    ids = {r.doc_id for r in rows}
+    assert ids == set(range(12))  # junk page gated out, banner docs kept
+    for r in rows:
+        assert banner not in r.text  # boilerplate removed corpus-wide
+        assert r.pack_id >= 0
+    # packing is contiguous and budget-shaped: > 1 pack for ~12 x ~60 tokens
+    assert len({r.pack_id for r in rows}) >= 3
