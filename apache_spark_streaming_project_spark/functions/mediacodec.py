@@ -1063,6 +1063,16 @@ def _decode_jpeg_impl(payload: bytes, max_pixels: int | None) -> np.ndarray:
                     raise NotImplementedError(
                         "multi-scan (non-interleaved) sequential JPEG"
                     )
+                # T.81 B.2.3: the scan's component ordering must match the
+                # frame (SOF) ordering. The entropy decoder below walks
+                # comps in SOF order, so a non-conformant reordered SOS
+                # would silently consume the stream against the wrong
+                # components — refuse loudly instead.
+                if any(sc is not c for sc, c in zip(scan_comps, comps)):
+                    raise ValueError(
+                        "JPEG scan component order differs from SOF order "
+                        "(T.81 B.2.3 violation)"
+                    )
                 # surface a scan referencing an undefined table as the
                 # module's documented malformed-input error, not KeyError
                 for c in comps:

@@ -241,12 +241,32 @@ def _decode_png_pixels(payload: bytes) -> "np.ndarray":
     ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     sb = depth // 8  # bytes per sample; PNG filters operate on BYTES
     chb = ch * sb  # filter left-neighbor offset = bytes per pixel
+    # Expected inflate output is fully determined by the (already
+    # pixel-capped) header: bound the decompress itself so a tiny deflate
+    # stream declaring small dimensions cannot allocate past the declared
+    # raw size (the MAX_IMAGE_PIXELS cap alone doesn't stop a ~1000:1
+    # stream whose HEADER is honest but whose payload over-inflates).
+    if interlace == 0:
+        expected = h * (w * chb + 1)
+    else:
+        expected = 0
+        for row0, col0, rstep, cstep in _ADAM7_PASSES:
+            pw = (w - col0 + cstep - 1) // cstep if w > col0 else 0
+            ph = (h - row0 + rstep - 1) // rstep if h > row0 else 0
+            if pw > 0 and ph > 0:
+                expected += ph * (pw * chb + 1)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error as e:
         # corrupt deflate streams must surface under the documented
         # malformed-input contract, not as zlib.error
         raise ValueError(f"corrupt PNG compressed data: {e}") from e
+    if len(raw) > expected:
+        raise ValueError(
+            f"PNG compressed data inflates past the declared "
+            f"{expected}-byte raw size"
+        )
     if interlace == 0:
         if len(raw) != h * (w * chb + 1):
             raise ValueError("PNG scanline data has unexpected length")

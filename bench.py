@@ -84,7 +84,15 @@ def main() -> None:
     }
     if args.runs > 1:
         out["runs"] = args.runs
+    # Full record first (per-query timings — the line humans and
+    # bench_compare.py consume), then a compact headline as the FINAL line:
+    # the driver's tail capture parses the last line, and the per-query dict
+    # for 166 queries makes the full record too long for that window.
     print(json.dumps(out))
+    sys.stdout.flush()
+    headline = {k: out[k] for k in ("metric", "value", "unit", "sf")}
+    headline["n_queries"] = len(timings)
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

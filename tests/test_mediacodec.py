@@ -655,6 +655,20 @@ class TestScanStructureHardening:
         with pytest.raises(ValueError, match="more than once"):
             mc.decode_jpeg(bytes(enc))
 
+    def test_reordered_sos_components_refuse(self):
+        """T.81 B.2.3: scan component order must match SOF order. The
+        entropy decoder walks SOF order, so a reordered SOS would silently
+        decode wrong pixels — it must refuse instead (advisor finding)."""
+        enc = bytearray(mc.encode_jpeg(_smooth_rgb(16, 16), quality=90))
+        i = enc.find(b"\xff\xda")
+        base = i + 5  # (cid, tabs) pairs; swap the Cb and Cr entries
+        pair2 = bytes(enc[base + 2 : base + 4])
+        pair3 = bytes(enc[base + 4 : base + 6])
+        enc[base + 2 : base + 4] = pair3
+        enc[base + 4 : base + 6] = pair2
+        with pytest.raises(ValueError, match="SOF order"):
+            mc.decode_jpeg(bytes(enc))
+
     def test_second_sof_refuses(self):
         enc = bytearray(mc.encode_jpeg(_gradient_gray(8, 8), quality=90))
         i = enc.find(b"\xff\xc0")
@@ -798,6 +812,39 @@ class TestMalformedInputFuzz:
         )
         with pytest.raises(ValueError, match="cap"):
             mm._decode_png_pixels(bomb)
+
+    def test_png_overinflating_stream_refuses_bounded(self):
+        """An HONEST small header with a deflate stream that inflates to
+        ~50 MB: the bounded decompressobj must stop at the declared raw
+        size + 1 and refuse, never materializing the full inflate output
+        (advisor-verified gap: the pixel cap alone doesn't stop this)."""
+        import struct
+        import tracemalloc
+        import zlib
+
+        def chunk(ctype, data):
+            crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", crc)
+            )
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 50_000_000, 9))
+            + chunk(b"IEND", b"")
+        )
+        tracemalloc.start()
+        try:
+            with pytest.raises(ValueError, match="inflates past"):
+                mm._decode_png_pixels(payload)
+            _, peak = tracemalloc.get_traced_memory()
+        finally:
+            tracemalloc.stop()
+        # declared raw size is 4*(4+1)=20 bytes; the inflate output must
+        # be bounded near that, not the 50 MB the stream encodes
+        assert peak < 5_000_000, f"peak allocation {peak} bytes"
 
 
 class TestGif:

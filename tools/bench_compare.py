@@ -44,8 +44,21 @@ def _load(path: str) -> dict[str, float]:
     BENCH_r{N}.json wrapper (which stores the stdout TAIL — possibly
     truncated at the front, so the embedded JSON may not parse whole;
     recover the per-query pairs by regex instead)."""
-    with open(path) as f:
-        doc = json.load(f)
+    text = Path(path).read_text()
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        # bench.py emits the full per-query record plus a compact headline
+        # as a second line (for the driver's tail parser); take whichever
+        # line carries the per-query dict
+        doc = {}
+        for line in text.splitlines():
+            try:
+                cand = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "queries" in cand or not doc:
+                doc = cand
     if "queries" in doc:
         return doc["queries"]
     tail = doc.get("tail", "")
