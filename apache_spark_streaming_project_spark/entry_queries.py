@@ -8607,3 +8607,465 @@ def x9_kanonymity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additive registrations: the round-8 curation / sketch library
+# operators promoted from pytest-only to oracle-checked queries (the registry
+# freeze is lifted ADDITIVELY — new names only, no existing oracle bits
+# touched).
+# ---------------------------------------------------------------------------
+
+
+def _strip_html_oracle_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`operators.text.strip_html`: the identical
+    regexp_replace / replace chain (RE2 supports every construct the Java
+    patterns use here: inline (?is) flags, lazy quantifiers, \\b, hex
+    escapes), each regexp_replace with the 'g' option because DuckDB
+    replaces only the first match by default while Spark replaces all."""
+    x = expr
+    for blk in ("script", "style", "head", "noscript", "template"):
+        x = (
+            f"regexp_replace({x}, '(?is)<{blk}\\b[^>]*>.*?</{blk}>', ' ', 'g')"
+        )
+    x = f"regexp_replace({x}, '(?s)<!--.*?-->', ' ', 'g')"
+    x = (
+        f"regexp_replace({x}, '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table"
+        f"|blockquote|section|article|header|footer)\\b[^>]*/?>', chr(10), 'g')"
+    )
+    x = f"regexp_replace({x}, '(?s)<[^>]+>', ' ', 'g')"
+    for ent, rep in (
+        ("&nbsp;", "' '"),
+        ("&lt;", "'<'"),
+        ("&gt;", "'>'"),
+        ("&quot;", "'\"'"),
+        ("&#39;", "chr(39)"),
+        ("&apos;", "chr(39)"),
+        ("&amp;", "'&'"),  # LAST — same double-decode pin as the Spark chain
+    ):
+        x = f"replace({x}, '{ent}', {rep})"
+    x = f"regexp_replace({x}, '[ \\t\\x0b\\f\\r]+', ' ', 'g')"
+    x = f"regexp_replace({x}, ' ?\\n ?', chr(10), 'g')"
+    x = f"regexp_replace({x}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    return f"regexp_replace({x}, '^\\s+|\\s+$', '', 'g')"
+
+
+_STRIP_HTML_DOC_SQL = (
+    "'<html><head><title>T</title><style>body{color:red}</style></head>"
+    "<body><!-- nav comment --><h1>Doc ' || CAST(doc_id AS VARCHAR) || "
+    "'</h1><p>' || text || '</p>"
+    '<script type="text/javascript">var x = "<p>not text</p>";</script>'
+    "<ul><li>alpha &amp; beta</li><li>1 &lt; 2 &gt; 0</li></ul>"
+    "<DIV>&quot;quoted&quot; &#39;apos&#39;&nbsp;and &amp;lt;literal</DIV>"
+    "<table><tr><td>cell</td></tr></table></body></html>'"
+)
+
+
+@register(
+    "x4_strip_html",
+    f"""
+    SELECT doc_id, {_strip_html_oracle_sql(_STRIP_HTML_DOC_SQL)} AS text
+    FROM documents ORDER BY doc_id
+    """,
+    "X4",
+)
+def x4_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — crawl-cleaning HTML strip (text.py strip_html), oracle-checked:
+    every document is wrapped in a deterministic HTML page exercising the
+    full chain — script/style/head block removal (with markup INSIDE the
+    script body), comments, block-tag newlines, case-insensitive tags,
+    the seven named entities, and the &amp;lt; double-decode pin — then
+    stripped back to plain text. Entirely JVM-side chained regexp_replace
+    (WholeStageCodegen, zero Python, zero shuffle); the oracle runs the
+    identical RE2-compatible chain in DuckDB."""
+    from apache_spark_streaming_project_spark.operators.text import strip_html
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            "<html><head><title>T</title><style>body{color:red}</style>"
+            "</head><body><!-- nav comment --><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            '</p><script type="text/javascript">var x = "<p>not text</p>";'
+            "</script><ul><li>alpha &amp; beta</li><li>1 &lt; 2 &gt; 0</li>"
+            "</ul><DIV>&quot;quoted&quot; &#39;apos&#39;&nbsp;and "
+            "&amp;lt;literal</DIV><table><tr><td>cell</td></tr></table>"
+            "</body></html>"
+        ),
+    )
+    return d.select("doc_id", strip_html(html).alias("text")).orderBy("doc_id")
+
+
+_RCL_TEXT_SQL = (
+    "'SUBSCRIBE TO OUR NEWSLETTER TODAY' || chr(10) || "
+    "substr(text, 1, 60) || chr(10) || "
+    "CASE WHEN doc_id % 5 = 0 THEN 'FOLLOW US ON SOCIAL MEDIA' "
+    "ELSE substr(text, 61, 60) END || chr(10) || "
+    "'--' || chr(10) || "
+    "substr(text, 21, 60) || chr(10) || "
+    "'COPYRIGHT 2024 EXAMPLE CORP ALL RIGHTS RESERVED'"
+)
+
+
+@register(
+    "x4_remove_common_lines",
+    f"""
+    WITH d2 AS (
+      SELECT doc_id, {_RCL_TEXT_SQL} AS text FROM documents
+    ),
+    pl AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+      FROM d2
+    ),
+    common AS (
+      SELECT line_t FROM (
+        SELECT DISTINCT trim(line) AS line_t, doc_id
+        FROM pl WHERE len(trim(line)) >= 8
+      ) GROUP BY line_t HAVING count(*) >= 10
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM pl
+      WHERE trim(line) NOT IN (SELECT line_t FROM common)
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d2.doc_id, coalesce(rebuilt.clean, '') AS text
+    FROM d2 LEFT JOIN rebuilt USING (doc_id) ORDER BY doc_id
+    """,
+    "X4",
+)
+def x4_remove_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — C4/RefinedWeb-style corpus-wide line dedup (text.py
+    remove_common_lines), oracle-checked: every document gets a
+    deterministic multi-line body with two banners present in ALL docs
+    (df=500), one banner in every fifth doc (df=100), a short '--'
+    separator (below min_line_chars — never counted nor removed), and
+    three text-derived content lines. Lines appearing in >= 10 distinct
+    docs are stripped; remaining lines keep their original order
+    byte-exactly; fully-emptied docs stay present with empty text. Plan:
+    one posexplode, one distinct+agg df table, one exact anti-join, one
+    groupBy re-assembly — mirrored in DuckDB via zipped unnest +
+    string_agg(ORDER BY pos)."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        remove_common_lines,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    text2 = F.concat_ws(
+        "\n",
+        F.lit("SUBSCRIBE TO OUR NEWSLETTER TODAY"),
+        F.substring(F.col("text"), 1, 60),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("FOLLOW US ON SOCIAL MEDIA")
+        ).otherwise(F.substring(F.col("text"), 61, 60)),
+        F.lit("--"),
+        F.substring(F.col("text"), 21, 60),
+        F.lit("COPYRIGHT 2024 EXAMPLE CORP ALL RIGHTS RESERVED"),
+    )
+    d2 = d.select("doc_id", text2.alias("text"))
+    return remove_common_lines(
+        d2, "doc_id", "text", min_df=10, min_line_chars=8
+    ).orderBy("doc_id")
+
+
+@register(
+    "x4_normalize_unicode",
+    """
+    SELECT doc_id, 'NFC' AS form,
+           nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)
+                         || ' n' || chr(771)) AS text
+    FROM documents
+    UNION ALL
+    SELECT * FROM (VALUES
+      (CAST(-1 AS BIGINT), 'NFKC', 'ABC full-width'),
+      (CAST(-2 AS BIGINT), 'NFKC', 'file and ffix'),
+      (CAST(-3 AS BIGINT), 'NFKC', '12 circled'),
+      (CAST(-4 AS BIGINT), 'NFKC', 'x2 + y3'),
+      (CAST(-5 AS BIGINT), 'NFKC', 'mm and ' || chr(956) || 'A'),
+      (CAST(-6 AS BIGINT), 'NFKC',
+       chr(233) || 'fficient caf' || chr(233))
+    ) t(doc_id, form, text)
+    ORDER BY doc_id
+    """,
+    "X4",
+)
+def x4_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — Unicode normalization (text.py normalize_unicode, the
+    Arrow-batched pandas_udf with the vectorized ASCII fast path),
+    oracle-checked two ways: (1) NFC over every document with appended
+    decomposed sequences (e+combining-acute, A+ring, n+tilde) mirrored by
+    DuckDB's nfc_normalize; (2) an NFKC planted fixture — full-width
+    letters, fi/ffi ligatures, circled digits, superscripts, squared
+    units, decomposed-accent + ligature combos — whose expected outputs
+    are literal in the oracle SQL (DuckDB has no NFKC function)."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        normalize_unicode,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    nfc_rows = d.select(
+        "doc_id",
+        F.lit("NFC").alias("form"),
+        normalize_unicode(
+            # decomposed on purpose (e+U+0301, A+U+030A, n+U+0303):
+            # the kernel must COMPOSE them to match nfc_normalize
+            F.concat(
+                F.col("text"),
+                F.lit(" cafe\u0301 A\u030a n\u0303"),
+            ),
+            "NFC",
+        ).alias("text"),
+    )
+    fixture = spark.createDataFrame(
+        [
+            (-1, "ＡＢＣ full-width"),
+            (-2, "ﬁle and ﬃx"),
+            (-3, "①② circled"),
+            (-4, "x² + y³"),
+            (-5, "㎜ and ㎂"),
+            # decomposed accent + ffi ligature
+            (-6, "e\u0301\ufb03cient cafe\u0301"),
+        ],
+        "doc_id long, raw string",
+    )
+    nfkc_rows = fixture.select(
+        "doc_id",
+        F.lit("NFKC").alias("form"),
+        normalize_unicode(F.col("raw"), "NFKC").alias("text"),
+    )
+    return nfc_rows.unionByName(nfkc_rows).orderBy("doc_id")
+
+
+_GOPHER_BULLET_DOC = (
+    "- alpha\n- beta\n- gamma\n- delta\n- epsilon\n- zeta\n- eta\n"
+    "- theta\n- iota\n- mu\nfinal line"
+)
+
+_GOPHER_DEC_SQL = (
+    "CASE WHEN doc_id % 9 = 0 THEN "
+    "'- alpha' || chr(10) || '- beta' || chr(10) || '- gamma' || chr(10) || "
+    "'- delta' || chr(10) || '- epsilon' || chr(10) || '- zeta' || chr(10) || "
+    "'- eta' || chr(10) || '- theta' || chr(10) || '- iota' || chr(10) || "
+    "'- mu' || chr(10) || 'final line' "
+    "WHEN doc_id % 7 = 0 THEN text || chr(10) || '### ## #### ###' "
+    "WHEN doc_id % 5 = 0 THEN text || chr(10) || 'to be continued...' "
+    "|| chr(10) || 'more soon...' || chr(10) || 'the end...' "
+    "ELSE text || chr(10) || "
+    "'the data must be processed with care and that will have to do' END"
+)
+
+
+@register(
+    "x4_gopher_flags",
+    f"""
+    WITH dec AS (
+      SELECT doc_id, {_GOPHER_DEC_SQL} AS t FROM documents
+    ),
+    m AS (
+      SELECT doc_id, t,
+        list_filter(regexp_split_to_array(trim(t), '\\s+'),
+                    x -> x <> '') AS toks,
+        list_filter(string_split(t, chr(10)), l -> trim(l) <> '') AS lines
+      FROM dec
+    ),
+    m2 AS (
+      SELECT doc_id,
+        len(toks) AS nw,
+        len(lines) AS nl,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+               AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_len,
+        len(t) - len(replace(t, '#', '')) AS n_hash,
+        len(string_split(t, '...')) - 1 AS n_ellipsis,
+        len(list_filter(lines,
+            l -> regexp_matches(trim(l), '^[-*•]'))) AS bullet_lines,
+        len(list_filter(lines,
+            l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+          AS ellipsis_lines,
+        len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+          AS alpha_words,
+        len(list_filter(
+            ['the','be','to','of','and','that','have','with'],
+            w -> list_contains(list_transform(toks, x -> lower(x)), w)))
+          AS stop_hits
+      FROM m
+    )
+    SELECT doc_id,
+      CAST(nw AS BIGINT) AS n_words,
+      (nw >= 50 AND nw <= 100000) AS word_count_ok,
+      (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_word_len_ok,
+      CASE WHEN nw > 0 THEN
+        CAST(n_hash + n_ellipsis AS DOUBLE) / nw <= 0.1
+      ELSE FALSE END AS symbol_ratio_ok,
+      CASE WHEN nl > 0 THEN CAST(bullet_lines AS DOUBLE) / nl <= 0.9
+      ELSE TRUE END AS bullet_ratio_ok,
+      CASE WHEN nl > 0 THEN CAST(ellipsis_lines AS DOUBLE) / nl <= 0.3
+      ELSE TRUE END AS ellipsis_ratio_ok,
+      CASE WHEN nw > 0 THEN CAST(alpha_words AS DOUBLE) / nw >= 0.8
+      ELSE FALSE END AS alpha_word_ratio_ok,
+      (stop_hits >= 2) AS stopword_ok
+    FROM m2 ORDER BY doc_id
+    """,
+    "X4",
+)
+def x4_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the published Gopher/MassiveText rule-based quality battery
+    (text.py gopher_quality_flags; Rae et al. 2021 table A1 constants),
+    oracle-checked with deterministic adversarial decoration so every
+    flag fires both ways: every ninth doc becomes a bullet-list page
+    (>90% bullet lines, sub-3 mean word length), every seventh gains a
+    symbol-ratio-busting '###' line, every fifth gains ellipsis-ended
+    lines (>30%), and the rest gain a stopword-rich tail sentence. All
+    JVM-side built-in string/array arithmetic (codegen, no Python); the
+    oracle recomputes each rule with DuckDB list lambdas."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        gopher_quality_flags,
+        tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    dec = (
+        F.when(F.col("doc_id") % 9 == 0, F.lit(_GOPHER_BULLET_DOC))
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit("\n### ## #### ###")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\nto be continued...\nmore soon...\nthe end..."),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    "\nthe data must be processed with care and that will"
+                    " have to do"
+                ),
+            )
+        )
+    )
+    g = gopher_quality_flags(dec)
+    return (
+        d.select(
+            "doc_id",
+            F.size(tokens(dec)).cast("bigint").alias("n_words"),
+            g.alias("_g"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.col("_g.word_count_ok").alias("word_count_ok"),
+            F.col("_g.mean_word_len_ok").alias("mean_word_len_ok"),
+            F.col("_g.symbol_ratio_ok").alias("symbol_ratio_ok"),
+            F.col("_g.bullet_ratio_ok").alias("bullet_ratio_ok"),
+            F.col("_g.ellipsis_ratio_ok").alias("ellipsis_ratio_ok"),
+            F.col("_g.alpha_word_ratio_ok").alias("alpha_word_ratio_ok"),
+            F.col("_g.stopword_ok").alias("stopword_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x11_heavy_hitters",
+    """
+    WITH words AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                t -> t <> '')) AS item
+      FROM documents
+    ),
+    hot AS (
+      SELECT source, 'hot' || CAST(doc_id % 3 AS VARCHAR) AS item,
+             unnest(range(40)) AS _i
+      FROM documents
+    ),
+    items AS (
+      SELECT source, item FROM words
+      UNION ALL SELECT source, item FROM hot
+    ),
+    n AS (SELECT source, count(*) AS n_items FROM items GROUP BY source),
+    exact AS (
+      SELECT source, item, count(*) AS true_count
+      FROM items GROUP BY source, item
+    )
+    SELECT e.source, e.item, CAST(e.true_count AS BIGINT) AS true_count,
+           TRUE AS present_ok, TRUE AS bound_ok
+    FROM exact e JOIN n USING (source)
+    WHERE e.true_count > n.n_items / 9.0
+    ORDER BY source, item
+    """,
+    "X11",
+)
+def x11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 — mergeable Misra-Gries heavy hitters (mergeable.py
+    heavy_hitters), oracle-checked in the x_hll_mergeable_cardinality
+    contract style: the oracle hash-checks the EXACT counts of every
+    true heavy item (count > N_group/(candidates+1)) and the sketch path
+    is gated in-plan — every such item must be PRESENT in the merged
+    sketch (the MG survival guarantee) with its estimate in
+    [true - N/(c+1), true] (the MG undercount bound), both emitted as
+    booleans the oracle pins to TRUE. The item stream is each document's
+    word tokens plus 40 injected copies of a per-doc hot token, so with
+    candidates=8 << 31-word vocabulary the per-batch MG compaction
+    genuinely triggers and only the injected hot tokens clear the
+    threshold. est values themselves are partitioning-dependent (any
+    valid sketch undercount) and deliberately NOT output columns — the
+    booleans are partitioning-invariant by the MG theorem. Scale: raw
+    rows never shuffle; <= candidates summary rows per group per Arrow
+    batch."""
+    from apache_spark_streaming_project_spark.operators.mergeable import (
+        heavy_hitters,
+    )
+    from apache_spark_streaming_project_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("source", F.explode(tokens("text")).alias("item"))
+    hot = d.select(
+        "source",
+        F.explode(
+            F.array_repeat(
+                F.concat(F.lit("hot"), (F.col("doc_id") % 3).cast("string")),
+                40,
+            )
+        ).alias("item"),
+    )
+    items = words.unionByName(hot)
+    sketch = heavy_hitters(
+        items, ["source"], "item", k=1_000_000, candidates=8
+    ).select("source", "item", "est_count")
+    n = items.groupBy("source").agg(F.count(F.lit(1)).alias("n_items"))
+    exact = items.groupBy("source", "item").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    bound = F.col("n_items") / F.lit(9.0)  # N_group / (candidates + 1)
+    heavy = (
+        exact.join(n, "source")
+        .filter(F.col("true_count") > bound)
+    )
+    joined = heavy.join(sketch, ["source", "item"], "left")
+    return joined.select(
+        "source",
+        "item",
+        F.col("true_count").cast("bigint").alias("true_count"),
+        F.col("est_count").isNotNull().alias("present_ok"),
+        F.coalesce(
+            (F.col("est_count") <= F.col("true_count"))
+            & (
+                (F.col("true_count") - F.col("est_count")).cast("double")
+                <= bound
+            ),
+            F.lit(False),
+        ).alias("bound_ok"),
+    ).orderBy("source", "item")

@@ -721,6 +721,7 @@ def remove_common_lines(
     text_col: str = "text",
     min_df: int = 10,
     min_line_chars: int = 8,
+    fingerprint: bool = False,
 ) -> DataFrame:
     """The REMOVAL companion to :func:`gram_boilerplate_signal` (which
     only measures): strip every line whose trimmed text appears in at
@@ -739,26 +740,36 @@ def remove_common_lines(
     trimmed line text (exact — no hash-collision removals), and one
     groupBy re-assembly via array_sort on (pos, line) structs. No
     broadcast hint on the common-lines side: its size is corpus-driven,
-    AQE decides."""
+    AQE decides.
+
+    ``fingerprint=True`` keys the document-frequency table and the
+    anti-join on ``xxhash64(trimmed line)`` instead of the line text:
+    the corpus-wide distinct + agg exchanges carry 8-byte keys instead
+    of full line strings — the scale path when the line-df exchange
+    dominates (see BASELINE.md for the measured law). The trade is a
+    ~2^-64-per-pair hash-collision chance of removing a non-common
+    line; the default stays exact."""
     pos_line = df.select(
         key_col,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
     line_t = F.trim(F.col("line"))
+    line_key = F.xxhash64(line_t) if fingerprint else line_t
     eligible = pos_line.filter(F.length(line_t) >= min_line_chars)
     common = (
-        eligible.select(line_t.alias("line_t"), key_col)
+        eligible.select(line_key.alias("line_k"), key_col)
         .distinct()
-        .groupBy("line_t")
+        .groupBy("line_k")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
-        .select("line_t")
+        .select("line_k")
     )
     # the plain anti-join is sufficient for short lines too: trimmed
-    # equality implies equal length, so a line below min_line_chars can
-    # never match a common line (all >= min_line_chars) and is kept
-    kept = pos_line.withColumn("line_t", line_t).join(
-        common, "line_t", "left_anti"
+    # equality implies equal length (resp. equal fingerprint), so a line
+    # below min_line_chars can never match a common line (all were
+    # >= min_line_chars when counted) and is kept
+    kept = pos_line.withColumn("line_k", line_key).join(
+        common, "line_k", "left_anti"
     )
     rebuilt = kept.groupBy(key_col).agg(
         F.array_join(

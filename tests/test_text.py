@@ -341,6 +341,31 @@ class TestRemoveCommonLines:
         # '---' appears in all 20 docs but is under min_line_chars: kept
         assert all(t.startswith("---\n") for t in out.values())
 
+    def test_fingerprint_variant_matches_exact(self, spark):
+        """fingerprint=True (xxhash64 line keys — the 8-byte-exchange
+        scale path) must produce the exact path's output row-for-row on
+        every fixture shape: removal, boundaries, immunity, emptied
+        docs."""
+        from apache_spark_streaming_project_spark.operators.text import (
+            remove_common_lines,
+        )
+
+        df = self._corpus(spark)
+        for min_df in (2, 10):
+            exact = {
+                r.doc_id: r.text
+                for r in remove_common_lines(
+                    df, min_df=min_df, min_line_chars=8
+                ).collect()
+            }
+            fp = {
+                r.doc_id: r.text
+                for r in remove_common_lines(
+                    df, min_df=min_df, min_line_chars=8, fingerprint=True
+                ).collect()
+            }
+            assert fp == exact, f"min_df={min_df}"
+
 
 class TestNormalizeUnicode:
     def test_nfkc_folds_and_ascii_passthrough(self, spark):
