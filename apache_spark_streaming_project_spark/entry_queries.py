@@ -8884,7 +8884,8 @@ _GOPHER_DEC_SQL = (
           CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum')
                AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_len,
         len(t) - len(replace(t, '#', '')) AS n_hash,
-        len(string_split(t, '...')) - 1 AS n_ellipsis,
+        len(string_split(t, '...')) - 1
+          + len(string_split(t, '…')) - 1 AS n_ellipsis,
         len(list_filter(lines,
             l -> regexp_matches(trim(l), '^[-*•]'))) AS bullet_lines,
         len(list_filter(lines,
@@ -8903,7 +8904,8 @@ _GOPHER_DEC_SQL = (
       (nw >= 50 AND nw <= 100000) AS word_count_ok,
       (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_word_len_ok,
       CASE WHEN nw > 0 THEN
-        CAST(n_hash + n_ellipsis AS DOUBLE) / nw <= 0.1
+        CAST(n_hash AS DOUBLE) / nw <= 0.1
+        AND CAST(n_ellipsis AS DOUBLE) / nw <= 0.1
       ELSE FALSE END AS symbol_ratio_ok,
       CASE WHEN nl > 0 THEN CAST(bullet_lines AS DOUBLE) / nl <= 0.9
       ELSE TRUE END AS bullet_ratio_ok,

@@ -780,10 +780,25 @@ def remove_common_lines(
             "\n",
         ).alias("_clean")
     )
-    return df.select(key_col).join(rebuilt, key_col, "left").select(
-        key_col,
-        F.coalesce("_clean", F.lit("")).alias(text_col),
+    # NULL text passes through as NULL (posexplode of split(NULL) drops
+    # the row, so without this branch a NULL doc would silently become
+    # the empty string — the same NULL!=''-parity rule the BM25 dl fix
+    # established); keys are assumed unique per document.
+    return (
+        df.select(key_col, F.col(text_col).alias("_orig"))
+        .join(rebuilt, key_col, "left")
+        .select(
+            key_col,
+            F.when(
+                F.col("_orig").isNull(), F.lit(None).cast("string")
+            )
+            .otherwise(F.coalesce("_clean", F.lit("")))
+            .alias(text_col),
+        )
     )
+
+
+_NORM_UDFS: dict = {}
 
 
 def normalize_unicode(c: Column | str, form: str = "NFKC") -> Column:
@@ -799,31 +814,37 @@ def normalize_unicode(c: Column | str, form: str = "NFKC") -> Column:
     that actually contain non-ASCII — ASCII is normalization-invariant
     in every form — so English-heavy crawl batches pay near-zero Python
     per row. NULLs pass through."""
-    import unicodedata
-
-    import pandas as pd  # noqa: F401 — pandas_udf resolves the hints
-
     if form not in ("NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError(f"unknown normalization form {form!r}")
+    if form not in _NORM_UDFS:
+        import unicodedata
 
-    from pyspark.sql.functions import pandas_udf
+        import pandas as pd  # noqa: F401 — pandas_udf resolves the hints
 
-    def _norm(s):
-        non_ascii = s.notna() & s.str.contains(r"[^\x00-\x7F]", regex=True)
-        if not non_ascii.any():
-            return s
-        out = s.copy()
-        out[non_ascii] = s[non_ascii].map(
-            lambda t: unicodedata.normalize(form, t)
-        )
-        return out
+        from pyspark.sql.functions import pandas_udf
 
-    # real annotation objects: the module-level `from __future__ import
-    # annotations` stringifies inline hints, which pandas_udf's
-    # signature inference cannot resolve
-    _norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    norm_udf = pandas_udf("string")(_norm)
-    return norm_udf(F.col(c) if isinstance(c, str) else c)
+        def _norm(s):
+            # closes over `form`; the cache keys by form, so each cached
+            # udf's closure is pinned to its own normalization form
+            non_ascii = s.notna() & s.str.contains(
+                r"[^\x00-\x7F]", regex=True
+            )
+            if not non_ascii.any():
+                return s
+            out = s.copy()
+            out[non_ascii] = s[non_ascii].map(
+                lambda t: unicodedata.normalize(form, t)
+            )
+            return out
+
+        # real annotation objects: the module-level `from __future__
+        # import annotations` stringifies inline hints, which
+        # pandas_udf's signature inference cannot resolve
+        _norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        # cache per form: rebuilding the pandas_udf on every call adds
+        # plan-build overhead and a new UDF object per column reference
+        _NORM_UDFS[form] = pandas_udf("string")(_norm)
+    return _NORM_UDFS[form](F.col(c) if isinstance(c, str) else c)
 
 
 def gopher_quality_flags(c: Column | str) -> Column:
@@ -834,7 +855,9 @@ def gopher_quality_flags(c: Column | str) -> Column:
 
     - ``word_count_ok``: 50..100,000 words
     - ``mean_word_len_ok``: mean word length in [3, 10]
-    - ``symbol_ratio_ok``: '#' or '...' to word ratio <= 0.1
+    - ``symbol_ratio_ok``: '#'-to-word ratio <= 0.1 AND
+      ellipsis-to-word ratio <= 0.1 ('...' or '…'), each rule
+      separate per the paper's "either" wording
     - ``bullet_ratio_ok``: <= 90% of lines start with a bullet
     - ``ellipsis_ratio_ok``: <= 30% of lines end with an ellipsis
     - ``alpha_word_ratio_ok``: >= 80% of words contain a letter
@@ -858,7 +881,12 @@ def gopher_quality_flags(c: Column | str) -> Column:
         / nw,
     ).otherwise(F.lit(0.0))
     n_hash = F.length(x) - F.length(F.replace(x, F.lit("#"), F.lit("")))
-    n_ellipsis = F.size(F.split(x, r"\.\.\.")) - 1
+    # both ellipsis spellings count toward the symbol ratio — the
+    # line-end rule below already treated '...' and '…' alike, and the
+    # paper's rule is about the ellipsis SYMBOL, not its ASCII spelling
+    n_ellipsis = (
+        F.size(F.split(x, r"\.\.\.")) - 1 + F.size(F.split(x, "…")) - 1
+    )
     lines = F.filter(F.split(x, "\n"), lambda ln: F.trim(ln) != "")
     n_lines = F.size(lines)
     nl = n_lines.cast("double")
@@ -881,7 +909,11 @@ def gopher_quality_flags(c: Column | str) -> Column:
         ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("mean_word_len_ok"),
         F.when(
             n_words > 0,
-            ((n_hash + n_ellipsis).cast("double") / nw) <= 0.1,
+            # the paper removes on ratio > 0.1 for EITHER symbol
+            # separately (not their sum — a sum is stricter than
+            # published; round-9 review finding)
+            ((n_hash.cast("double") / nw) <= 0.1)
+            & ((n_ellipsis.cast("double") / nw) <= 0.1),
         )
         .otherwise(F.lit(False))
         .alias("symbol_ratio_ok"),

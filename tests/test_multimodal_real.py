@@ -747,3 +747,86 @@ def test_mixed_format_corpus_single_kernel(spark):
     assert sum(out[4].hist) == img.size
     assert out[4].hist[1:7] == [0] * 6
     assert out[5].hist is None  # NULL payload row survives as NULLs
+
+
+_REAL_BASELINE_JPEG = (
+    "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/"
+    "rust/html/embedded-book/assets/verify.jpeg"
+)
+_REAL_PROGRESSIVE_JPEG = (
+    "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/"
+    "rust/html/embedded-book/assets/f3.jpg"
+)
+_HAVE_REAL_PHOTOS = __import__("os").path.exists(
+    _REAL_BASELINE_JPEG
+) and __import__("os").path.exists(_REAL_PROGRESSIVE_JPEG)
+
+
+@pytest.mark.skipif(
+    not _HAVE_REAL_PHOTOS, reason="no real-encoder photos on this host"
+)
+class TestRealPhotoEndToEnd:
+    """REAL-ENCODER streams driven through the full Spark operators
+    (not just the codec functions): resize and frame-sampling outputs
+    are sha256-PINNED, so a codec regression on externally produced
+    JPEGs cannot hide behind the self-round-trip tests (round-9 item:
+    the previous real-photo pins covered decode_jpeg only)."""
+
+    _RESIZE_PINS = {
+        0: "cfe29e2a616653b5aab0ce1c8124a559c0a3ffaaf52385291267c5478837e82c",
+        1: "d2bdfa7da639aada9e8e7b56d7e462097aebaec4231638e61bcfbce60716ddf4",
+    }
+    _DECODE_PINS = {
+        0: "7f50039ba4f4f5a920fd2007f5bb2f5a6731624e778e4c77eef13ab31bd319db",
+        1: "5158c38d6e8df942c7c3188daf3bddb7c2116bd330a5b6f07a3031ff650f0d94",
+    }
+
+    def _payloads(self):
+        return [
+            open(_REAL_BASELINE_JPEG, "rb").read(),
+            open(_REAL_PROGRESSIVE_JPEG, "rb").read(),
+        ]
+
+    def test_resize_pins_real_photos(self, spark):
+        import hashlib
+
+        if mm._HAS_PIL:
+            pytest.skip("pins are for the stdlib nearest-neighbor path")
+        df = _media_df(spark, self._payloads(), "image")
+        out = {
+            r.media_id: r
+            for r in mm.resize_images(df, 64, 48, fake_decode=False).collect()
+        }
+        for i, want in self._RESIZE_PINS.items():
+            px = mm._decode_png_pixels(bytes(out[i].payload))
+            assert px.shape == (48, 64, 3)
+            got = hashlib.sha256(px.tobytes()).hexdigest()
+            assert got == want, f"media {i}: {got}"
+
+    def test_frame_sampling_pins_real_photo_frames(self, spark):
+        import hashlib
+
+        if mm._HAS_AV:
+            pytest.skip("pins are for the stdlib MJPEG-AVI path")
+        from apache_spark_streaming_project_spark.functions.mediacodec import (
+            encode_avi_mjpeg,
+        )
+
+        # the AVI container is ours, but the frame STREAMS inside it are
+        # real-encoder JPEGs — the co-design-breaking part
+        avi = encode_avi_mjpeg(self._payloads(), fps_rate=1, fps_scale=1)
+        df = _media_df(spark, [avi], "video")
+        rows = sorted(
+            mm.sample_video_frames(
+                df, every_ms=1000, fake_decode=False
+            ).collect(),
+            key=lambda r: r.frame_idx,
+        )
+        assert [(r.frame_idx, r.ts_ms) for r in rows] == [(0, 0), (1, 1000)]
+        for r in rows:
+            px = mm._decode_png_pixels(bytes(r.frame_payload))
+            assert px.shape == (477, 720, 3)
+            got = hashlib.sha256(px.tobytes()).hexdigest()
+            assert got == self._DECODE_PINS[r.frame_idx], (
+                f"frame {r.frame_idx}: {got}"
+            )

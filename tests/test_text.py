@@ -341,6 +341,28 @@ class TestRemoveCommonLines:
         # '---' appears in all 20 docs but is under min_line_chars: kept
         assert all(t.startswith("---\n") for t in out.values())
 
+    def test_null_text_stays_null(self, spark):
+        """A NULL document must come back NULL, not '' — posexplode of
+        split(NULL) drops the row, so the operator needs (and has) an
+        explicit NULL branch (round-9 review finding; same NULL!=''
+        parity rule as the BM25 dl fix)."""
+        from apache_spark_streaming_project_spark.operators.text import (
+            remove_common_lines,
+        )
+
+        docs = [(i, "shared banner line here\nbody " + str(i)) for i in range(10)]
+        docs.append((99, None))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for fp in (False, True):
+            out = {
+                r.doc_id: r.text
+                for r in remove_common_lines(
+                    df, min_df=10, min_line_chars=8, fingerprint=fp
+                ).collect()
+            }
+            assert out[99] is None, f"fingerprint={fp}"
+            assert out[0] == "body 0"  # banner removed, NULL row inert
+
     def test_fingerprint_variant_matches_exact(self, spark):
         """fingerprint=True (xxhash64 line keys — the 8-byte-exchange
         scale path) must produce the exact path's output row-for-row on
@@ -497,6 +519,30 @@ class TestGopherQualityFlags:
     def test_empty_and_null_are_rejected_not_errors(self, spark):
         f = self._flags(spark, "")
         assert not f["word_count_ok"] and not f["symbol_ratio_ok"]
+
+    def test_unicode_ellipsis_counts_toward_symbol_ratio(self, spark):
+        """'…' is the ellipsis SYMBOL — it must count in the symbol
+        ratio exactly like its ASCII spelling (it already counted in
+        the line-end rule; the two rules were inconsistent before the
+        round-9 review pass)."""
+        base = " ".join(["the of and that have with be to word here"] * 8)
+        ascii_f = self._flags(spark, base + " " + "... " * 30)
+        uni_f = self._flags(spark, base + " " + "… " * 30)
+        assert not ascii_f["symbol_ratio_ok"]
+        assert not uni_f["symbol_ratio_ok"]
+
+    def test_symbol_rule_is_per_symbol_not_summed(self, spark):
+        """The paper removes on ratio > 0.1 for EITHER '#' or ellipsis
+        SEPARATELY: a doc at 0.06 hash + 0.06 ellipsis (sum 0.12) must
+        still pass (round-9 review finding — the summed form was
+        stricter than published)."""
+        base = " ".join(["the of and that have with be to word here"] * 8)
+        # 80 words + 8 '#' + 8 '...' = 96 words; each ratio 8/96 < 0.1
+        f = self._flags(spark, base + " " + "# " * 8 + "... " * 8)
+        assert f["symbol_ratio_ok"], f
+        # but 12 of one symbol alone (12/92 > 0.1) still fails
+        f2 = self._flags(spark, base + " " + "# " * 12)
+        assert not f2["symbol_ratio_ok"], f2
 
 
 def test_full_curation_composition(spark):
