@@ -9071,3 +9071,172 @@ def x11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("bound_ok"),
     ).orderBy("source", "item")
+
+
+_DP_TEXT_SQL = (
+    "substr(text, 1, 50) || chr(10) || chr(10) || "
+    "'REPEATED PROMO PARAGRAPH BUY NOW' || chr(10) || chr(10) || "
+    "substr(text, 1, 50) || chr(10) || chr(10) || "
+    "'REPEATED PROMO PARAGRAPH BUY NOW' || chr(10) || chr(10) || "
+    "substr(text, 51, 80) || chr(10) || chr(10) || "
+    "'REPEATED PROMO PARAGRAPH BUY NOW'"
+)
+
+
+@register(
+    "x4_dedup_paragraphs",
+    f"""
+    WITH d2 AS (
+      SELECT doc_id, {_DP_TEXT_SQL} AS text FROM documents
+    ),
+    pl AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10) || chr(10))) AS para,
+             unnest(range(1, len(string_split(text, chr(10) || chr(10))) + 1))
+               AS pos
+      FROM d2
+    ),
+    firsts AS (
+      SELECT doc_id, para, min(pos) AS first_pos
+      FROM pl GROUP BY doc_id, para
+    )
+    SELECT doc_id,
+           string_agg(para, chr(10) || chr(10) ORDER BY first_pos) AS text
+    FROM firsts GROUP BY doc_id ORDER BY doc_id
+    """,
+    "X4",
+)
+def x4_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — WITHIN-document exact paragraph dedup (text.py
+    dedup_paragraphs; the Gopher/C4 repetition-removal pass): every doc
+    gets a promo paragraph injected three times and its opening
+    paragraph twice; dedup must keep exactly the first occurrence of
+    each, order preserved. The Spark side is one map-side JVM expression
+    (split -> array_distinct -> array_join: array_distinct keeps first
+    occurrences in encounter order — zero shuffle, zero Python); the
+    oracle reconstructs first-occurrence order via min(pos) group +
+    string_agg(ORDER BY first_pos)."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        dedup_paragraphs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    promo = F.lit("REPEATED PROMO PARAGRAPH BUY NOW")
+    text2 = F.concat_ws(
+        "\n\n",
+        F.substring(F.col("text"), 1, 50),
+        promo,
+        F.substring(F.col("text"), 1, 50),
+        promo,
+        F.substring(F.col("text"), 51, 80),
+        promo,
+    )
+    return d.select(
+        "doc_id", dedup_paragraphs(text2).alias("text")
+    ).orderBy("doc_id")
+
+
+@register(
+    "x11_kmv_overlap",
+    """
+    WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 < 2),
+         b AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 > 0),
+         i AS (SELECT count(*) AS n_inter FROM a JOIN b USING (text)),
+         na AS (SELECT count(*) AS n_a FROM a),
+         nb AS (SELECT count(*) AS n_b FROM b)
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(n_a + n_b - n_inter AS BIGINT) AS n_union,
+           TRUE AS est_a_ok, TRUE AS est_b_ok, TRUE AS union_ok,
+           TRUE AS jaccard_ok, TRUE AS inter_ok
+    FROM na, nb, i
+    """,
+    "X11",
+    "X10",
+)
+def x11_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11/X10 — KMV (k-minimum-values) sketch set-overlap estimation
+    (mergeable.py kmv_sketch/kmv_overlap; Beyer et al. SIGMOD'07), the
+    capability HLL lacks: INTERSECTION estimates between sets from
+    sketch-sized state — the train/test-overlap question
+    decontamination asks, answerable at 100 TB without an exact distinct
+    join (the sketches are <= k 8-byte hashes per set; the only
+    corpus-sized exchange carries hashes, trimmed map-side by
+    WindowGroupLimit). Two planted splits share exactly the doc_id%3==1
+    documents' texts (Jaccard 1/3). The oracle hash-checks the EXACT
+    distinct/overlap counts; the sketch path is gated in-plan with
+    measured-margin booleans (k=256 -> 1/sqrt(254) ~ 6.3% design error;
+    measured worst case across sf0.001/0.01/0.1 is 8.5%, bounds carry
+    >= 2x headroom and the estimates are deterministic for a given item
+    set — fixed xxhash64, no RNG)."""
+    from apache_spark_streaming_project_spark.operators.mergeable import (
+        kmv_estimate,
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    k = 256
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 3 < 2).select(
+        "text", F.lit(1).alias("g")
+    )
+    b = d.filter(F.col("doc_id") % 3 > 0).select(
+        "text", F.lit(1).alias("g")
+    )
+    sk_a = kmv_sketch(a, ["g"], "text", k)
+    sk_b = kmv_sketch(b, ["g"], "text", k)
+    est_a = kmv_estimate(sk_a, ["g"], k).select(
+        F.col("est_distinct").alias("_est_a")
+    )
+    est_b = kmv_estimate(sk_b, ["g"], k).select(
+        F.col("est_distinct").alias("_est_b")
+    )
+    ov = kmv_overlap(sk_a, sk_b, k)
+    n_a = a.select("text").distinct().agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    n_b = b.select("text").distinct().agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    n_i = (
+        a.select("text")
+        .distinct()
+        .join(b.select("text").distinct(), "text", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    exact = n_a.crossJoin(n_b).crossJoin(n_i)  # three 1-row aggregates
+    nu = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        exact.crossJoin(est_a)
+        .crossJoin(est_b)
+        .crossJoin(ov)
+        .select(
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            nu.cast("bigint").alias("n_union"),
+            (
+                F.abs(F.col("_est_a") - F.col("n_a"))
+                <= 0.2 * F.col("n_a")
+            ).alias("est_a_ok"),
+            (
+                F.abs(F.col("_est_b") - F.col("n_b"))
+                <= 0.2 * F.col("n_b")
+            ).alias("est_b_ok"),
+            (F.abs(F.col("est_union") - nu) <= 0.15 * nu).alias(
+                "union_ok"
+            ),
+            (
+                F.abs(
+                    F.col("jaccard_est")
+                    - F.col("n_inter").cast("double") / nu.cast("double")
+                )
+                <= 0.1
+            ).alias("jaccard_ok"),
+            (
+                F.abs(F.col("est_intersection") - F.col("n_inter"))
+                <= 0.25 * F.col("n_inter")
+            ).alias("inter_ok"),
+        )
+    )

@@ -192,3 +192,162 @@ def heavy_hitters(
         merged.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch: mergeable distinct-count AND set-overlap
+# estimation (Beyer et al., "On Synopses for Distinct-Value Estimation
+# Under Multiset Operations", SIGMOD'07). The third mergeable sketch next
+# to HLL (cardinality via Spark's built-in) and Misra-Gries (frequency):
+# unlike HLL, a KMV sketch supports INTERSECTION estimates — the
+# train/test-overlap question decontamination asks at corpus scale —
+# because the k smallest hash values of a union are computable from the
+# per-set sketches, and membership of each sampled hash in either side is
+# exact. Fully declarative: zero Python, zero driver loops.
+# ---------------------------------------------------------------------------
+
+# hashes are signed 64-bit (xxhash64); position = hv + 2^63 + 1 maps them
+# onto [1, 2^64] so the k-th smallest estimates k / (position / 2^64)
+_HASH_SPAN = float(2**64)
+_HASH_OFFSET = 2**63
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    k: int = 1024,
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest DISTINCT ``xxhash64``
+    values of ``item_col`` (NULL items ignored, as in every sketch
+    here). Returns (group_cols..., hv) — at most ``k`` rows per group,
+    the persistable synopsis.
+
+    Plan: one distinct over (group, 8-byte hash) — the only corpus-sized
+    exchange, and it carries hashes, never items — then a rank window
+    that Spark executes as a map-side WindowGroupLimit (each task
+    forwards at most k rows per group). Merging sketches is
+    :func:`kmv_merge`; a sketch row set is a deterministic function of
+    the item SET, so it is partitioning- and ingestion-order-invariant
+    by construction."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k})")
+    distinct = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*group_cols, F.xxhash64(item_col).alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        distinct.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Merge KMV sketch rows (e.g. per-shard or per-epoch sketches
+    unioned together) back into one valid k-sketch per group: distinct
+    hashes, keep the k smallest. Valid because every hash among the k
+    smallest of a UNION of sets is among the k smallest of the set it
+    came from — so the union of per-set sketches is a superset of the
+    union's sketch, and trimming recovers it exactly."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        sketches.select(*group_cols, "hv")
+        .distinct()
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Distinct-count estimate per group from a KMV sketch: EXACT when
+    the group holds fewer than ``k`` distinct values (the sketch IS the
+    distinct hash set), else the unbiased KMV estimator
+    ``(k - 1) / u_k`` where ``u_k`` is the k-th smallest hash mapped to
+    (0, 1]. Returns (group_cols..., n_sketch, est_distinct). The
+    estimate is a deterministic function of the item set (fixed hash,
+    no RNG); relative error concentrates around 1/sqrt(k - 2)."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max("hv").alias("_max_hv"),
+    )
+    # double-space arithmetic: 2^63 overflows a Java long literal, and
+    # the 2^-53 mantissa truncation is far below the estimator's
+    # 1/sqrt(k) error (still deterministic — IEEE ops on fixed inputs)
+    pos = (
+        F.col("_max_hv").cast("double")
+        + F.lit(float(_HASH_OFFSET))
+        + F.lit(1.0)
+    )
+    return agg.select(
+        *group_cols,
+        "n_sketch",
+        F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(_HASH_SPAN) / pos)
+        .alias("est_distinct"),
+    )
+
+
+def kmv_overlap(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int
+) -> DataFrame:
+    """Set-operation estimates between two (ungrouped) KMV sketches —
+    the capability HLL lacks. Builds the UNION's k-sketch from the two
+    input sketches (exact, see :func:`kmv_merge`), estimates the union
+    cardinality from it, and estimates Jaccard as the fraction of the
+    union sample present in BOTH sides (membership is exact: the union
+    sketch's hashes all come from one of the sketches). Returns one row:
+    (n_union_sketch, est_union, jaccard_est, est_intersection). Scale:
+    both inputs are <= k rows — everything here is sketch-sized, and the
+    k-smallest trim is a TakeOrderedAndProject, not a global window."""
+    a = sketch_a.select("hv")
+    b = sketch_b.select("hv")
+    union_sk = a.unionByName(b).distinct().orderBy("hv").limit(k)
+    both = union_sk.join(a, "hv", "left_semi").join(b, "hv", "left_semi")
+    stats = union_sk.agg(
+        F.count(F.lit(1)).alias("n_union_sketch"),
+        F.max("hv").alias("_max_hv"),
+    )
+    # double-space arithmetic: 2^63 overflows a Java long literal, and
+    # the 2^-53 mantissa truncation is far below the estimator's
+    # 1/sqrt(k) error (still deterministic — IEEE ops on fixed inputs)
+    pos = (
+        F.col("_max_hv").cast("double")
+        + F.lit(float(_HASH_OFFSET))
+        + F.lit(1.0)
+    )
+    est_union = (
+        F.when(
+            F.col("n_union_sketch") < k,
+            F.col("n_union_sketch").cast("double"),
+        )
+        .otherwise(F.lit(float(k - 1)) * F.lit(_HASH_SPAN) / pos)
+    )
+    n_both = both.agg(F.count(F.lit(1)).alias("n_both"))
+    return (
+        stats.crossJoin(n_both)  # two 1-row aggregates
+        .select(
+            "n_union_sketch",
+            est_union.alias("est_union"),
+            (
+                F.col("n_both").cast("double")
+                / F.col("n_union_sketch").cast("double")
+            ).alias("jaccard_est"),
+            (
+                est_union
+                * F.col("n_both").cast("double")
+                / F.col("n_union_sketch").cast("double")
+            ).alias("est_intersection"),
+        )
+    )

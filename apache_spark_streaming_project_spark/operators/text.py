@@ -798,6 +798,26 @@ def remove_common_lines(
     )
 
 
+def dedup_paragraphs(c: Column | str, sep: str = "\n\n") -> Column:
+    """WITHIN-document exact paragraph dedup (the Gopher/C4 repetition
+    removal companion to the cross-document :func:`remove_common_lines`):
+    keep the FIRST occurrence of each exact paragraph, preserving
+    document order — ``array_distinct`` keeps first occurrences in
+    encounter order, so the whole pass is one map-side JVM expression
+    (split -> array_distinct -> array_join): zero shuffle, zero Python,
+    and it composes into any scan-side curation chain.
+
+    Matching is byte-exact by design (normalize first with
+    :func:`normalize_unicode` / :func:`strip_html` if markup or encoding
+    noise should not defeat it). Runs of separators produce empty
+    paragraphs, which dedup like any other value (at most one survives).
+    NULL text passes through as NULL. ``sep`` is used as BOTH the split
+    regex and the re-join delimiter, so it must be a literal with no
+    regex metacharacters (the default ``"\\n\\n"`` is)."""
+    x = F.col(c) if isinstance(c, str) else c
+    return F.array_join(F.array_distinct(F.split(x, sep)), sep)
+
+
 _NORM_UDFS: dict = {}
 
 

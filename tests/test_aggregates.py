@@ -177,3 +177,125 @@ class TestHeavyHitters:
             partial_heavy_hitters(
                 self._corpus(spark, 1), ["g"], "tok", candidates=0
             )
+
+
+class TestKMVSketch:
+    """KMV k-minimum-values sketch: mergeable distinct-count and
+    set-overlap estimation (Beyer et al. SIGMOD'07). Deterministic for a
+    given item set (fixed xxhash64, no RNG), so every assertion here is
+    a hard pin, not a statistical hope."""
+
+    def _ints(self, spark, lo, hi, group="g"):
+        from pyspark.sql import functions as F
+
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.lit(group).alias("g"),
+                F.concat(F.lit("item_"), F.col("id")).alias("item"),
+            )
+        )
+
+    def test_exact_below_k(self, spark):
+        from apache_spark_streaming_project_spark.operators.mergeable import (
+            kmv_estimate,
+            kmv_sketch,
+        )
+
+        df = self._ints(spark, 0, 500)
+        sk = kmv_sketch(df, ["g"], "item", k=1024)
+        est = kmv_estimate(sk, ["g"], k=1024).first()
+        assert est.n_sketch == 500
+        assert est.est_distinct == 500.0  # sketch not full -> exact
+
+    def test_estimator_accuracy_above_k(self, spark):
+        from apache_spark_streaming_project_spark.operators.mergeable import (
+            kmv_estimate,
+            kmv_sketch,
+        )
+
+        n = 100_000
+        df = self._ints(spark, 0, n)
+        sk = kmv_sketch(df, ["g"], "item", k=1024)
+        est = kmv_estimate(sk, ["g"], k=1024).first()
+        assert est.n_sketch == 1024
+        # 1/sqrt(k-2) ~ 3.1% design error; allow 4x margin
+        assert abs(est.est_distinct - n) / n < 0.125, est.est_distinct
+
+    def test_merge_equals_direct_sketch(self, spark):
+        """Sketch(A union B) must equal merge(Sketch(A), Sketch(B))
+        row-for-row — the mergeability contract."""
+        from apache_spark_streaming_project_spark.operators.mergeable import (
+            kmv_merge,
+            kmv_sketch,
+        )
+
+        a = self._ints(spark, 0, 30_000)
+        b = self._ints(spark, 20_000, 60_000)  # overlapping shards
+        k = 256
+        direct = kmv_sketch(a.unionByName(b), ["g"], "item", k=k)
+        merged = kmv_merge(
+            kmv_sketch(a, ["g"], "item", k=k).unionByName(
+                kmv_sketch(b, ["g"], "item", k=k)
+            ),
+            ["g"],
+            k=k,
+        )
+        assert direct.exceptAll(merged).count() == 0
+        assert merged.exceptAll(direct).count() == 0
+
+    def test_partitioning_invariance(self, spark):
+        from apache_spark_streaming_project_spark.operators.mergeable import (
+            kmv_sketch,
+        )
+
+        df = self._ints(spark, 0, 50_000)
+        k = 128
+        one = sorted(
+            r.hv for r in kmv_sketch(df.coalesce(1), ["g"], "item", k=k).collect()
+        )
+        many = sorted(
+            r.hv
+            for r in kmv_sketch(
+                df.repartition(32), ["g"], "item", k=k
+            ).collect()
+        )
+        assert one == many
+
+    def test_overlap_estimates(self, spark):
+        """Planted overlap: |A|=40k, |B|=40k, |A^B|=20k. The KMV
+        union/Jaccard/intersection estimates must land within 4x the
+        design error of truth (deterministic pin for this data)."""
+        from apache_spark_streaming_project_spark.operators.mergeable import (
+            kmv_overlap,
+            kmv_sketch,
+        )
+
+        k = 1024
+        a = self._ints(spark, 0, 40_000)
+        b = self._ints(spark, 20_000, 60_000)
+        sk_a = kmv_sketch(a, ["g"], "item", k=k)
+        sk_b = kmv_sketch(b, ["g"], "item", k=k)
+        r = kmv_overlap(sk_a, sk_b, k=k).first()
+        true_union, true_inter = 60_000, 20_000
+        assert abs(r.est_union - true_union) / true_union < 0.125
+        assert abs(r.jaccard_est - true_inter / true_union) < 0.05
+        assert abs(r.est_intersection - true_inter) / true_inter < 0.2
+
+    def test_null_items_ignored(self, spark):
+        from pyspark.sql import functions as F
+
+        from apache_spark_streaming_project_spark.operators.mergeable import (
+            kmv_estimate,
+            kmv_sketch,
+        )
+
+        df = self._ints(spark, 0, 100).unionByName(
+            spark.range(5).select(
+                F.lit("g").alias("g"),
+                F.lit(None).cast("string").alias("item"),
+            )
+        )
+        est = kmv_estimate(kmv_sketch(df, ["g"], "item", k=64), ["g"], 64)
+        r = est.first()
+        assert r.n_sketch == 64  # 100 distinct, k=64: full sketch, no NULL row

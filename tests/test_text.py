@@ -389,6 +389,56 @@ class TestRemoveCommonLines:
             assert fp == exact, f"min_df={min_df}"
 
 
+class TestDedupParagraphs:
+    def _run(self, spark, text):
+        from apache_spark_streaming_project_spark.operators.text import (
+            dedup_paragraphs,
+        )
+
+        return (
+            spark.createDataFrame([(text,)], "t string")
+            .select(dedup_paragraphs("t").alias("d"))
+            .first()
+            .d
+        )
+
+    def test_first_occurrence_kept_order_preserved(self, spark):
+        got = self._run(spark, "a\n\npromo\n\na\n\npromo\n\nb\n\npromo")
+        assert got == "a\n\npromo\n\nb"
+
+    def test_no_duplicates_is_identity(self, spark):
+        assert self._run(spark, "one\n\ntwo\n\nthree") == "one\n\ntwo\n\nthree"
+
+    def test_single_paragraph_and_null(self, spark):
+        from apache_spark_streaming_project_spark.operators.text import (
+            dedup_paragraphs,
+        )
+
+        assert self._run(spark, "just one paragraph") == "just one paragraph"
+        r = (
+            spark.createDataFrame([(None,)], "t string")
+            .select(dedup_paragraphs("t").alias("d"))
+            .first()
+        )
+        assert r.d is None
+
+    def test_empty_paragraphs_dedup_too(self, spark):
+        # 'a' + sep + sep + 'a' splits to ['a', '', 'a']: the empty
+        # paragraph is a value like any other, 'a' keeps its first slot
+        assert self._run(spark, "a\n\n\n\na") == "a\n\n"
+
+    def test_plan_is_map_side_jvm(self, spark):
+        from apache_spark_streaming_project_spark.operators.text import (
+            dedup_paragraphs,
+        )
+
+        df = spark.createDataFrame([("x\n\nx",)], "t string").select(
+            dedup_paragraphs("t")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Exchange" not in plan
+
+
 class TestNormalizeUnicode:
     def test_nfkc_folds_and_ascii_passthrough(self, spark):
         from apache_spark_streaming_project_spark.operators.text import (
