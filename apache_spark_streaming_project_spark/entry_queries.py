@@ -9240,3 +9240,68 @@ def x11_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("inter_ok"),
         )
     )
+
+
+@register(
+    "x4_bigram_lm",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+             unnest(list_transform(range(1, len(ts)),
+                                   i -> ts[i] || chr(1) || ts[i+1])) AS bg
+      FROM toks WHERE len(ts) >= 2
+    ),
+    bgc AS (SELECT bg, count(*) AS cbg FROM pairs GROUP BY bg),
+    w1c AS (SELECT w1, count(*) AS cw1 FROM pairs GROUP BY w1),
+    v AS (
+      SELECT count(DISTINCT t) AS v_size
+      FROM (SELECT unnest(ts) AS t FROM toks)
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(bgc.cbg) AS BIGINT) AS sum_bigram_count,
+           CAST(sum(w1c.cw1) AS BIGINT) AS sum_left_count,
+           CAST(min(v.v_size) AS BIGINT) AS v_size,
+           TRUE AS score_ok
+    FROM pairs p JOIN bgc USING (bg) JOIN w1c USING (w1), v
+    GROUP BY p.doc_id ORDER BY p.doc_id
+    """,
+    "X4",
+)
+def x4_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — CCNet-style corpus-trained add-alpha bigram LM quality
+    scoring (text.py bigram_lm_score). The oracle hash-checks the full
+    INTEGER skeleton — per-doc bigram count and the two count-sums the
+    shuffles/joins/aggs produce, plus the corpus vocabulary size —
+    which verifies every relational stage of the plan; the float
+    lm_score itself is OUTSIDE the hash because cross-engine ln is not
+    bit-stable (measured this round: JVM ln differs from libm/DuckDB ln
+    in the last ulp on ~1.5% of inputs — BASELINE.md; the same
+    measurement that keeps BM25 in odds form) and is instead gated by a
+    sanity boolean (finite, <= 0 — add-alpha probabilities cannot
+    exceed 1 since C(w1·) >= C(w1 w2) and V >= 1) plus a 1e-12
+    reference-parity pytest with a deterministic position-ordered
+    fold."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        bigram_lm_score,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = bigram_lm_score(d, "doc_id", "text", alpha=0.5)
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.col("sum_bigram_count").cast("bigint").alias("sum_bigram_count"),
+        F.col("sum_left_count").cast("bigint").alias("sum_left_count"),
+        F.col("v_size").cast("bigint").alias("v_size"),
+        (
+            ~F.isnan("lm_score") & (F.col("lm_score") <= 0.0)
+        ).alias("score_ok"),
+    ).orderBy("doc_id")

@@ -948,3 +948,88 @@ def gopher_quality_flags(c: Column | str) -> Column:
         .alias("alpha_word_ratio_ok"),
         (stop_hits >= 2).alias("stopword_ok"),
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring with the LM trained on
+    the corpus itself: per-document mean log-probability under an
+    add-``alpha`` BIGRAM model — documents whose word sequences are
+    improbable under the corpus's own statistics (boilerplate soup,
+    scrambled text, wrong-language fragments) score low, the relational
+    analogue of CCNet's KenLM perplexity bucketing.
+
+    ``p(w2 | w1) = (C(w1 w2) + alpha) / (C(w1 ·) + alpha * V)`` where
+    ``C(w1 w2)`` is the corpus bigram count, ``C(w1 ·)`` the count of
+    ``w1`` as a LEFT context (so the conditional sums to one), and ``V``
+    the corpus unigram vocabulary. Returns one row per document with
+    >= 2 tokens: (key, n_bigrams, sum_bigram_count, sum_left_count,
+    v_size, lm_score).
+
+    Exactness contract: the INTEGER skeleton (n_bigrams and the two
+    count sums — everything the shuffles/joins/aggs produce) is
+    DuckDB-mirrorable and hash-checked by the registered query; the
+    float ``lm_score`` itself deliberately is NOT, because cross-engine
+    ``ln`` is not bit-stable (measured on this box: JVM ``ln`` differs
+    from libm/DuckDB ``ln`` in the last ulp on ~1.5% of inputs — the
+    same measurement that forced BM25 into odds form). The score is
+    made DETERMINISTIC within Spark by folding the per-bigram logs in
+    position order (the x9 ordered-fold idiom), and is pytest-pinned
+    against an independent Python reference to 1e-12.
+
+    Scale: one bigram explosion (map-side), two count aggregations and
+    two joins keyed on token strings (xxhash64-shuffled; broadcast under
+    AQE when small), one per-doc re-aggregation. No Python anywhere."""
+    toks = tokens(text_col)
+    base = df.select(key_col, toks.alias("ts")).filter(F.size("ts") >= 2)
+    n = F.size("ts")
+    pairs = base.select(
+        key_col,
+        F.posexplode(
+            F.zip_with(
+                F.slice("ts", F.lit(1), n - 1),
+                F.slice("ts", F.lit(2), n - 1),
+                lambda a, b: F.struct(
+                    a.alias("w1"),
+                    F.concat(a, F.lit("\x01"), b).alias("bg"),
+                ),
+            )
+        ).alias("pos", "p"),
+    ).select(key_col, "pos", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+    bgc = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
+    w1c = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cw1"))
+    v = df.select(F.explode(tokens(text_col)).alias("t")).agg(
+        F.count_distinct("t").alias("v_size")
+    )
+    lp = F.ln(
+        (F.col("cbg").cast("double") + F.lit(float(alpha)))
+        / (
+            F.col("cw1").cast("double")
+            + F.lit(float(alpha)) * F.col("v_size").cast("double")
+        )
+    )
+    scored = (
+        pairs.join(bgc, "bg")
+        .join(w1c, "w1")
+        .crossJoin(v)  # 1-row aggregate
+        .select(key_col, "pos", "cbg", "cw1", "v_size", lp.alias("lp"))
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+            lambda s: s["lp"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("cbg").alias("sum_bigram_count"),
+        F.sum("cw1").alias("sum_left_count"),
+        F.min("v_size").alias("v_size"),
+        (folded / F.count(F.lit(1)).cast("double")).alias("lm_score"),
+    )

@@ -654,3 +654,111 @@ def test_full_curation_composition(spark):
         assert r.pack_id >= 0
     # packing is contiguous and budget-shaped: > 1 pack for ~12 x ~60 tokens
     assert len({r.pack_id for r in rows}) >= 3
+
+
+class TestBigramLMScore:
+    """CCNet-style corpus-trained add-alpha bigram LM scoring: integer
+    skeleton is exact; the log-based score is pinned to an independent
+    Python reference (1e-12 — cross-engine ln is NOT bit-stable, see
+    BASELINE.md round-9 ln measurement, so the score column is
+    deliberately outside the oracle hash)."""
+
+    def _reference(self, docs, alpha=0.5):
+        from collections import Counter
+
+        import math
+
+        toks = {k: t.split() for k, t in docs}
+        pairs = {
+            k: [(ts[i], ts[i] + "\x01" + ts[i + 1]) for i in range(len(ts) - 1)]
+            for k, ts in toks.items()
+            if len(ts) >= 2
+        }
+        cbg = Counter(bg for ps in pairs.values() for _, bg in ps)
+        cw1 = Counter(w1 for ps in pairs.values() for w1, _ in ps)
+        vocab = {t for ts in toks.values() for t in ts}
+        out = {}
+        for k, ps in pairs.items():
+            lps = [
+                math.log(
+                    (cbg[bg] + alpha) / (cw1[w1] + alpha * len(vocab))
+                )
+                for w1, bg in ps
+            ]
+            acc = 0.0
+            for x in lps:  # same left-to-right fold as the Spark plan
+                acc += x
+            out[k] = (
+                len(ps),
+                sum(cbg[bg] for _, bg in ps),
+                sum(cw1[w1] for w1, _ in ps),
+                len(vocab),
+                acc / len(ps),
+            )
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from apache_spark_streaming_project_spark.operators.text import (
+            bigram_lm_score,
+        )
+
+        docs = [
+            (0, "the cat sat on the mat"),
+            (1, "the cat sat on the hat"),
+            (2, "a dog ran through the park"),
+            (3, "zx qq vv"),          # rare sequences -> low score
+            (4, "the cat sat on the mat"),  # duplicate of 0
+            (5, "single"),            # < 2 tokens: excluded
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: r
+            for r in bigram_lm_score(df, "doc_id", "text").collect()
+        }
+        want = self._reference(docs)
+        assert set(got) == set(want)  # doc 5 absent from both
+        for k, (nb, sbc, slc, v, score) in want.items():
+            r = got[k]
+            assert (r.n_bigrams, r.sum_bigram_count, r.sum_left_count) == (
+                nb,
+                sbc,
+                slc,
+            ), k
+            assert r.v_size == v
+            assert abs(r.lm_score - score) < 1e-12, (k, r.lm_score, score)
+
+    def test_fluent_scores_above_rare(self, spark):
+        from apache_spark_streaming_project_spark.operators.text import (
+            bigram_lm_score,
+        )
+
+        docs = [(i, "the cat sat on the mat") for i in range(8)]
+        docs.append((100, "qq zx mat cat vv on"))  # same vocab, odd order
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: r.lm_score
+            for r in bigram_lm_score(df, "doc_id", "text").collect()
+        }
+        assert got[0] > got[100]
+
+    def test_deterministic_across_partitionings(self, spark):
+        from apache_spark_streaming_project_spark.operators.text import (
+            bigram_lm_score,
+        )
+
+        docs = [
+            (i, f"the cat sat on mat {i % 3} and the dog ran {i % 5}")
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        one = {
+            r.doc_id: r.lm_score
+            for r in bigram_lm_score(df.coalesce(1), "doc_id", "text").collect()
+        }
+        many = {
+            r.doc_id: r.lm_score
+            for r in bigram_lm_score(
+                df.repartition(16), "doc_id", "text"
+            ).collect()
+        }
+        assert one == many  # ordered fold: bit-identical, not just close
