@@ -9305,3 +9305,210 @@ def x4_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ~F.isnan("lm_score") & (F.col("lm_score") <= 0.0)
         ).alias("score_ok"),
     ).orderBy("doc_id")
+
+
+@register(
+    "m12_streaming_sessions",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    ord AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 2 DAY
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    grp AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ord
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 2 DAY AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS first_event,
+           CAST(MAX(event_id) AS BIGINT) AS last_event
+    FROM grp GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    "S6",
+    "M4",
+)
+def m12_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gap-based session windows with FORCED cross-batch
+    merging and a complete-result oracle — the two lifecycle properties
+    m7_streaming_sessions (single availableNow batch, tight watermark,
+    oracle restricted to watermark-closed sessions) does not pin:
+    the click stream arrives as three time-ordered waves
+    (maxFilesPerTrigger=1 -> one micro-batch each), so sessions spanning
+    a wave boundary MUST merge across micro-batches inside the session
+    state store; a far-future sentinel wave (user_id = -1) then advances
+    the watermark past every real session's end so append mode flushes
+    them all (the standard finite-input session-flush recipe — without
+    it the final sessions would sit unemitted in state when availableNow
+    terminates). Wave subdirs are written sequentially, so the file
+    source's (mtime, path) ordering processes them in event-time order —
+    the same ordering contract m9's waves rely on; the 1-hour watermark
+    never drops anything because waves do not overlap in time. The
+    drained result must equal the batch gaps-and-islands sessionization
+    the oracle computes (lag + running-sum session ids, end = last event
+    + gap). State is bounded by the watermark. The sentinel's own
+    session never flushes and is filtered out."""
+    import os
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    base = _scratch_dir("m12_sessions_")
+    in_dir = os.path.join(base, "in")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    waves = [
+        ev.filter(F.col("ts") < F.lit("2024-01-11").cast("timestamp")),
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-11").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-21").cast("timestamp"))
+        ),
+        ev.filter(F.col("ts") >= F.lit("2024-01-21").cast("timestamp")),
+        spark.range(1).select(
+            F.lit(-1).cast("bigint").alias("user_id"),
+            F.lit(-1).cast("bigint").alias("event_id"),
+            F.lit("2024-04-15 00:00:00").cast("timestamp").alias("ts"),
+        ),
+    ]
+    for i, w in enumerate(waves):
+        w.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(in_dir, f"wave{i}")
+        )
+    stream = (
+        spark.readStream.schema(waves[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "wave*"))
+    )
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", "2 days").alias("session"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .select(
+            "user_id",
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "first_event",
+            "last_event",
+        )
+    )
+    with _stream_shuffle_partitions(spark):
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "first_event",
+            "last_event",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "x11_histogram_quantiles",
+    """
+    WITH hist AS (
+      SELECT LEAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 20.0), 49)
+               AS bucket,
+             count(*) AS n
+      FROM documents
+      WHERE CAST(n_chars AS DOUBLE) >= 0.0
+        AND CAST(n_chars AS DOUBLE) < 1000.0
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT bucket, n,
+             SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER () AS n_total
+      FROM hist
+    )
+    SELECT CAST(q AS DOUBLE) AS q,
+           CAST(bucket AS BIGINT) AS bucket,
+           0.0 + bucket * 20.0 AS bucket_lo,
+           0.0 + (bucket + 1) * 20.0 AS bucket_hi,
+           CAST(ceil(CAST(q AS DOUBLE) * n_total) AS BIGINT) AS rank,
+           CAST(n_total AS BIGINT) AS n_total
+    FROM c, (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) qs(q)
+    WHERE cum - n < ceil(CAST(q AS DOUBLE) * n_total)
+      AND ceil(CAST(q AS DOUBLE) * n_total) <= cum
+    ORDER BY q
+    """,
+    "X11",
+    "X9",
+)
+def x11_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11/X9 — MERGEABLE quantiles: three per-shard fixed-width
+    histograms of documents.n_chars (doc_id%3 shards) are merged by
+    summing bucket counts (profile.merge_histograms) and the quantile
+    BUCKET for each q is found by integer cumulative sum
+    (profile.histogram_quantiles: first bucket with cum >= ceil(q*N)).
+    Everything is exact integer/IEEE-bucket arithmetic — the oracle
+    recomputes the DIRECT (unsharded) histogram quantiles in SQL, so the
+    hash match proves both the merge (merged partials == direct
+    histogram) and the rank-to-bucket identification; the true
+    q-quantile provably lies in [bucket_lo, bucket_hi) by construction,
+    exact to one bucket width. Scale: per-shard histograms are
+    nbins-key partial aggs; the quantile pass runs over <= nbins rows
+    regardless of corpus size."""
+    from apache_spark_streaming_project_spark.operators.profile import (
+        fixed_width_histogram,
+        histogram_quantiles,
+        merge_histograms,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    shards = [
+        fixed_width_histogram(
+            d.filter(F.col("doc_id") % 3 == i), "n_chars", 0.0, 1000.0, 50
+        )
+        for i in range(3)
+    ]
+    merged = merge_histograms(
+        shards[0].unionByName(shards[1]).unionByName(shards[2])
+    )
+    return histogram_quantiles(
+        merged, [0.25, 0.5, 0.75, 0.9, 0.99]
+    ).select(
+        "q",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "bucket_lo",
+        "bucket_hi",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+    ).orderBy("q")

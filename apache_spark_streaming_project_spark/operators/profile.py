@@ -306,3 +306,67 @@ def embedding_correlations(
         .orderBy(F.abs(F.col("corr")).desc(), "i", "j")
         .limit(top_k)
     )
+
+
+def merge_histograms(hists: DataFrame) -> DataFrame:
+    """Merge fixed-width histogram partials (same lo/hi/nbins — e.g.
+    per-shard, per-epoch, or per-source outputs of
+    :func:`fixed_width_histogram`) into one histogram: counts sum
+    associatively per bucket, edges are bucket-determined constants.
+    The quantile companion to X11's mergeable moments/HLL/MG/KMV: persist
+    per-shard histograms, merge without rescanning."""
+    return (
+        hists.groupBy("bucket")
+        .agg(
+            F.min("bucket_lo").alias("bucket_lo"),
+            F.min("bucket_hi").alias("bucket_hi"),
+            F.sum("n").alias("n"),
+        )
+        .select("bucket", "bucket_lo", "bucket_hi", "n")
+    )
+
+
+def histogram_quantiles(hist: DataFrame, qs: list[float]) -> DataFrame:
+    """Quantile BUCKETS from a (possibly merged) fixed-width histogram:
+    for each q, the bucket holding the rank-``ceil(q * N)`` value — the
+    first bucket whose cumulative count reaches the rank, found with an
+    integer cumulative sum (``cum - n < rank <= cum``), so the result is
+    EXACT integer/bucket arithmetic end to end (no estimator error to
+    bound: the true q-quantile provably lies in [bucket_lo, bucket_hi),
+    i.e. the answer is exact to one bucket width by construction).
+    Returns (q, bucket, bucket_lo, bucket_hi, rank, n_total), one row
+    per q in (0, 1].
+
+    The window runs over at most nbins rows (the histogram, not the
+    data) — quantiles over 100 TB cost one nbins-key aggregation plus
+    this constant-size pass."""
+    from pyspark.sql import Window
+
+    if not qs or any(q <= 0 or q > 1 for q in qs):
+        raise ValueError(f"quantiles must lie in (0, 1] (got {qs})")
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = hist.select(
+        "bucket",
+        "bucket_lo",
+        "bucket_hi",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+    )
+    total = hist.agg(F.sum("n").alias("n_total"))
+    qcol = F.explode(F.array(*[F.lit(float(q)) for q in sorted(qs)]))
+    ranks = total.select(
+        "n_total", qcol.alias("q")
+    ).withColumn("rank", F.ceil(F.col("q") * F.col("n_total")).cast("bigint"))
+    return (
+        c.join(
+            ranks,
+            (F.col("cum") - F.col("n") < F.col("rank"))
+            & (F.col("rank") <= F.col("cum")),
+        )
+        .select(
+            "q", "bucket", "bucket_lo", "bucket_hi", "rank", "n_total"
+        )
+        .orderBy("q")
+    )

@@ -150,3 +150,77 @@ def test_column_profile_survives_huge_doubles(spark):
     assert r.n_nulls == 1 and r.n_distinct == 2
     assert r.min_value == "0.50"          # in-range: stable decimal route
     assert "E17" in r.max_value or "e17" in r.max_value.lower()
+
+
+class TestHistogramQuantiles:
+    """Mergeable fixed-width-histogram quantiles: merged partials must
+    equal the direct histogram row-for-row, and each quantile bucket
+    must CONTAIN the exact rank-ceil(q*N) value (the one-bucket-width
+    exactness guarantee)."""
+
+    def _df(self, spark, n=10_000):
+        from pyspark.sql import functions as F
+
+        # skewed deterministic values in [0, 100): (id*id) % 97 + id%4
+        return spark.range(n).select(
+            F.col("id"),
+            ((F.col("id") * F.col("id")) % 97 + F.col("id") % 4)
+            .cast("double")
+            .alias("v"),
+        )
+
+    def test_merge_equals_direct(self, spark):
+        from apache_spark_streaming_project_spark.operators.profile import (
+            fixed_width_histogram,
+            merge_histograms,
+        )
+
+        df = self._df(spark)
+        direct = fixed_width_histogram(df, "v", 0.0, 100.0, 25)
+        parts = [
+            fixed_width_histogram(
+                df.filter(df.id % 4 == i), "v", 0.0, 100.0, 25
+            )
+            for i in range(4)
+        ]
+        merged = merge_histograms(
+            parts[0].unionByName(parts[1])
+            .unionByName(parts[2])
+            .unionByName(parts[3])
+        )
+        assert direct.exceptAll(merged).count() == 0
+        assert merged.exceptAll(direct).count() == 0
+
+    def test_quantile_bucket_contains_exact_value(self, spark):
+        import math
+
+        from apache_spark_streaming_project_spark.operators.profile import (
+            fixed_width_histogram,
+            histogram_quantiles,
+        )
+
+        df = self._df(spark)
+        hist = fixed_width_histogram(df, "v", 0.0, 100.0, 25)
+        qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+        got = {r.q: r for r in histogram_quantiles(hist, qs).collect()}
+        vals = sorted(r.v for r in df.collect())
+        assert set(got) == set(qs)
+        for q in qs:
+            rank = math.ceil(q * len(vals))
+            exact = vals[rank - 1]
+            r = got[q]
+            assert r.rank == rank and r.n_total == len(vals)
+            assert r.bucket_lo <= exact < r.bucket_hi, (q, exact, r)
+
+    def test_rejects_bad_quantiles(self, spark):
+        import pytest as _pytest
+
+        from apache_spark_streaming_project_spark.operators.profile import (
+            fixed_width_histogram,
+            histogram_quantiles,
+        )
+
+        hist = fixed_width_histogram(self._df(spark, 100), "v", 0.0, 100.0, 10)
+        for bad in ([], [0.0], [1.5], [-0.1]):
+            with _pytest.raises(ValueError):
+                histogram_quantiles(hist, bad)

@@ -30,6 +30,7 @@ EXECUTING = {
     "m5_stream_stream_left_outer",
     "m6_streaming_dedup",
     "m7_streaming_sessions",
+    "m12_streaming_sessions",
     "m8_streaming_tumbling",
     "m4_stateful_running_anomalies",
     "j5_bucketed_cojoin",
