@@ -762,3 +762,31 @@ class TestBigramLMScore:
             ).collect()
         }
         assert one == many  # ordered fold: bit-identical, not just close
+
+
+def test_gopher_df_form_equals_column_form(spark):
+    """gopher_quality_flags_df (arrays materialized once; ~1.5x faster,
+    BASELINE-measured) must produce the identical struct to the
+    single-Column form on every adversarial shape."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        gopher_quality_flags,
+        gopher_quality_flags_df,
+    )
+
+    rows = [
+        (0, " ".join(["the of and that have with be to word here"] * 8)),
+        (1, "- a\n- b\n- c\nshort"),
+        (2, "ends with dots...\nand more…\nplain"),
+        (3, ""),
+        (4, "# " * 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    via_col = df.select(
+        "doc_id", gopher_quality_flags("text").alias("flags")
+    )
+    via_df = gopher_quality_flags_df(df, "text").select("doc_id", "flags")
+    assert via_col.exceptAll(via_df).count() == 0
+    assert via_df.exceptAll(via_col).count() == 0
+    # keep_arrays exposes the materialized arrays for derived metrics
+    kept = gopher_quality_flags_df(df, "text", keep_arrays=True)
+    assert "__toks" in kept.columns and "__lines" in kept.columns
