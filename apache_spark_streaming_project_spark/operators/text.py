@@ -1045,6 +1045,13 @@ def bigram_lm_score(
             )
         ).alias("pos", "p"),
     ).select(key_col, "pos", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+    # Two direct aggregations over the pair stream, NOT a shared
+    # (w1, bg) contingency table: measured A/B at sf0.1 shows the
+    # contingency form is SLOWER (1.48 -> 2.08 s) — map-side partial
+    # combine already bounds each exchange by its key cardinality
+    # (vocab for w1, vocab^2 for bg), so "one fewer corpus agg" saves
+    # nothing while the two-string-key contingency exchange costs more
+    # (round-9 honest negative, kept as guidance).
     bgc = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
     w1c = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cw1"))
     v = df.select(F.explode(tokens(text_col)).alias("t")).agg(
