@@ -903,3 +903,119 @@ def test_exact_dedup_paths_agree_on_random_nullable_frames(spark, rows):
     assert sorted(
         ((r.c1, r.c2, r.k) for r in ref.collect()), key=key
     ) == sorted(((r.c1, r.c2, r.k) for r in win.collect()), key=key)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aaa", "bbb", "ccc", "dd", ""]),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_dedup_paragraphs_matches_python_reference(spark, para_lists):
+    """Within-doc paragraph dedup vs dict.fromkeys (first-occurrence
+    order), plus idempotence: f(f(x)) == f(x)."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        dedup_paragraphs,
+    )
+
+    docs = [(i, "\n\n".join(ps)) for i, ps in enumerate(para_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    once = {
+        r.doc_id: r.d
+        for r in df.select(
+            "doc_id", dedup_paragraphs("text").alias("d")
+        ).collect()
+    }
+    twice = {
+        r.doc_id: r.d
+        for r in df.select(
+            "doc_id", dedup_paragraphs(dedup_paragraphs("text")).alias("d")
+        ).collect()
+    }
+    for i, ps in enumerate(para_lists):
+        want = "\n\n".join(dict.fromkeys("\n\n".join(ps).split("\n\n")))
+        assert once[i] == want, (i, ps)
+        assert twice[i] == once[i], (i, ps)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    st.lists(st.integers(min_value=0, max_value=3000), min_size=1, max_size=400),
+    st.integers(min_value=1, max_value=3),
+)
+def test_kmv_merge_matches_python_reference(spark, items, n_shards):
+    """KMV sketch (k smallest distinct xxhash64) vs a Python reference
+    computed with Spark's own hash values, under ANY sharding: the
+    merged per-shard sketches must equal the direct sketch, which must
+    equal the reference's sorted-distinct-prefix."""
+    from apache_spark_streaming_project_spark.operators.mergeable import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 16
+    df = spark.createDataFrame(
+        [(i % n_shards, f"v{x}") for i, x in enumerate(items)],
+        "shard int, item string",
+    ).withColumn("g", F.lit(1))
+    # reference: Spark's xxhash64 of each distinct item, k smallest
+    hv = {
+        r.h
+        for r in df.select(F.xxhash64("item").alias("h")).distinct().collect()
+    }
+    want = sorted(hv)[:k]
+    direct = sorted(r.hv for r in kmv_sketch(df, ["g"], "item", k).collect())
+    assert direct == want
+    shards = [
+        kmv_sketch(df.filter(F.col("shard") == s), ["g"], "item", k)
+        for s in range(n_shards)
+    ]
+    u = shards[0]
+    for s in shards[1:]:
+        u = u.unionByName(s)
+    merged = sorted(r.hv for r in kmv_merge(u, ["g"], k).collect())
+    assert merged == want
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=99.999, allow_nan=False),
+        min_size=1,
+        max_size=300,
+    ),
+    st.lists(
+        st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9, 1.0]),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+def test_histogram_quantiles_contain_exact_values(spark, values, qs):
+    """For ANY data and quantile set, the reported bucket must contain
+    the exact rank-ceil(q*N) order statistic, and rank/n_total must be
+    exact integers."""
+    import math
+
+    from apache_spark_streaming_project_spark.operators.profile import (
+        fixed_width_histogram,
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    hist = fixed_width_histogram(df, "v", 0.0, 100.0, 20)
+    got = {r.q: r for r in histogram_quantiles(hist, qs).collect()}
+    svals = sorted(values)
+    assert set(got) == set(qs)
+    for q in qs:
+        rank = math.ceil(q * len(svals))
+        exact = svals[rank - 1]
+        r = got[q]
+        assert r.rank == rank and r.n_total == len(svals)
+        assert r.bucket_lo <= exact < r.bucket_hi, (q, exact, r)

@@ -915,3 +915,70 @@ def test_simulator_staging_hidden_and_names_collision_free(spark, tmp_path):
     assert not any(e.endswith(".tmp") for e in os.listdir(out))
     with open(p1) as f:
         assert f.read().strip().splitlines()[0] == "1,2"  # not overwritten
+
+
+def test_session_state_survives_restart(spark, tmp_path):
+    """Session-window state recovery across a RESTART: a session left
+    OPEN when the first availableNow drain terminates must merge with
+    events arriving before the second drain (same checkpoint) — the
+    state-store recovery property m12's single-run lifecycle does not
+    pin. If state were lost, the resumed run would open a fresh session
+    at the continuation event and emit two fragments (or a wrong
+    start/count) instead of ONE merged session."""
+    import time as _time
+
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp"
+
+    def drain(rows):
+        df = spark.createDataFrame(rows, schema)
+        df.repartition(1).write.mode("append").parquet(in_dir)
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        sess = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("s"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.col("s.start").alias("start"),
+                F.col("s.end").alias("end"),
+                "n",
+            )
+        )
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t = lambda s: datetime.fromisoformat(s)
+    # drain 1: user 1 session opens (two events, 10 min apart) — nothing
+    # can be emitted (watermark = 10:10 - 10 min < any session end)
+    drain([(1, t("2024-06-01 10:00:00")), (1, t("2024-06-01 10:10:00"))])
+    assert not list((tmp_path / "out").glob("*.parquet")) or (
+        spark.read.parquet(out).count() == 0
+    )
+    _time.sleep(1.1)  # file mtimes must order across the two generations
+    # drain 2 (SAME checkpoint): 10:20 must MERGE into the restored open
+    # session; the far-future user pushes the watermark past its end
+    drain([(1, t("2024-06-01 10:20:00")), (99, t("2024-06-03 00:00:00"))])
+    got = [
+        (r.user_id, str(r.start), str(r.end), r.n)
+        for r in spark.read.parquet(out)
+        .filter(F.col("user_id") == 1)
+        .collect()
+    ]
+    assert got == [
+        (1, "2024-06-01 10:00:00", "2024-06-01 10:50:00", 3)
+    ], got
