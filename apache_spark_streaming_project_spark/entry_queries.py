@@ -9518,3 +9518,102 @@ def x11_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("bigint").alias("rank"),
         F.col("n_total").cast("bigint").alias("n_total"),
     ).orderBy("q")
+
+
+def _zorder_sql(xe: str, ye: str, bits: int) -> str:
+    """DuckDB mirror of layout.zorder_key for two columns: the identical
+    LSB-first bit interleave as an OR-chain of shifted bit extracts."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xe} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ye} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "x7_zorder_clustering",
+    f"""
+    WITH pts AS (
+      SELECT l_partkey % 1024 AS px, l_suppkey % 1024 AS sx
+      FROM lineitem
+    ),
+    keyed AS (
+      SELECT px, sx, ({_zorder_sql('px', 'sx', 10)}) AS z FROM pts
+    ),
+    zb AS (
+      SELECT (z >> 14) AS b, max(px) - min(px) AS ep,
+             max(sx) - min(sx) AS es
+      FROM keyed GROUP BY 1
+    ),
+    sb AS (
+      SELECT (px >> 4) AS b, max(px) - min(px) AS ep,
+             max(sx) - min(sx) AS es
+      FROM pts GROUP BY 1
+    ),
+    agg AS (
+      SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(ep) AS BIGINT) AS sum_ext_px,
+             CAST(sum(es) AS BIGINT) AS sum_ext_sx
+      FROM zb
+      UNION ALL
+      SELECT 'single' AS layout, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(ep) AS BIGINT) AS sum_ext_px,
+             CAST(sum(es) AS BIGINT) AS sum_ext_sx
+      FROM sb
+    )
+    SELECT layout, n_buckets, sum_ext_px, sum_ext_sx,
+           GREATEST(sum_ext_px, sum_ext_sx) AS worst_dimension_extent
+    FROM agg ORDER BY layout
+    """,
+    "X7",
+    "X9",
+)
+def x7_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7/X9 — Z-ORDER data layout (layout.zorder_key: Morton bit
+    interleave, the Delta/Iceberg OPTIMIZE ZORDER primitive) measured
+    against a single-column sort by the data-skipping quality metric:
+    per-bucket (max-min) extents of both key columns, summed. Buckets
+    are top-6-bit key ranges (z: 128x128 quadrants, only OCCUPIED
+    quadrants materialize — 8 at sf0.01 where l_suppkey%1024 spans
+    ~100 values; single: 16-wide px slabs, 64 buckets): the
+    single-column layout gives tight px extents and USELESS sx extents
+    (full observed range in every bucket, sum 6336), the z-order
+    layout bounds BOTH dimensions (sums 1016/792) — the
+    worst-dimension extent, which is what multi-predicate file pruning
+    pays, drops 6.2x even with 8x FEWER buckets to prune against. All
+    integer bit arithmetic (shiftleft/shiftright/bitwiseAND/OR,
+    codegen'd, zero Python), mirrored bit-for-bit in DuckDB, so every
+    output value is hash-checked exactly — including the
+    worst-dimension comparison the narrative rests on. At 100 TB the
+    key feeds repartitionByRange(...).write: layout cost is one range
+    shuffle at ingest, repaid by footer-level pruning on every
+    subsequent multi-dimensional scan."""
+    from apache_spark_streaming_project_spark.operators.layout import (
+        cluster_extents,
+        zorder_key,
+    )
+
+    pts = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 1024).alias("px"),
+        (F.col("l_suppkey") % 1024).alias("sx"),
+    )
+    keyed = pts.withColumn("z", zorder_key(["px", "sx"], bits=10))
+    z_row = cluster_extents(
+        keyed, F.shiftright("z", 14), ["px", "sx"], "zorder"
+    )
+    s_row = cluster_extents(
+        pts, F.shiftright("px", 4), ["px", "sx"], "single"
+    )
+    return (
+        z_row.unionByName(s_row)
+        .select(
+            "layout",
+            "n_buckets",
+            "sum_ext_px",
+            "sum_ext_sx",
+            F.greatest("sum_ext_px", "sum_ext_sx").alias(
+                "worst_dimension_extent"
+            ),
+        )
+        .orderBy("layout")
+    )

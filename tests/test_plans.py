@@ -571,3 +571,73 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     # and the result only contains the surviving partition
     types = {r.event_type for r in j.select("event_type").distinct().collect()}
     assert types == {"purchase"}
+
+
+class TestZorderKey:
+    def _ref(self, vals, bits):
+        out = []
+        for xs in vals:
+            z = 0
+            n = len(xs)
+            for i in range(bits):
+                for j, x in enumerate(xs):
+                    z |= (((x & ((1 << bits) - 1)) >> i) & 1) << (i * n + j)
+            out.append(z)
+        return out
+
+    def test_matches_python_reference_2d_3d(self, spark):
+        from pyspark.sql import functions as F
+
+        from apache_spark_streaming_project_spark.operators.layout import (
+            zorder_key,
+        )
+
+        rows = [(x, y, w) for x in (0, 1, 5, 255, 1023)
+                for y in (0, 2, 77, 1023) for w in (0, 3)]
+        df = spark.createDataFrame(rows, "x long, y long, w long")
+        got2 = [r.z for r in df.select(
+            zorder_key(["x", "y"], bits=10).alias("z")).collect()]
+        assert got2 == self._ref([(x, y) for x, y, _ in rows], 10)
+        got3 = [r.z for r in df.select(
+            zorder_key(["x", "y", "w"], bits=8).alias("z")).collect()]
+        assert got3 == self._ref([(x, y, w) for x, y, w in rows], 8)
+
+    def test_quadrant_prefix_property(self, spark):
+        """Points sharing their top k bits in EVERY dimension share the
+        top n*k bits of the z key — the property file-range pruning
+        exploits."""
+        from pyspark.sql import functions as F
+
+        from apache_spark_streaming_project_spark.operators.layout import (
+            zorder_key,
+        )
+
+        rows = [(x, y) for x in range(0, 64, 7) for y in range(0, 64, 11)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = df.select(
+            "x", "y", zorder_key(["x", "y"], bits=6).alias("z")
+        ).collect()
+        for r in got:
+            assert (r.z >> 8) == self._interleave_top(r.x >> 4, r.y >> 4)
+
+    @staticmethod
+    def _interleave_top(xt, yt):
+        z = 0
+        for i in range(2):
+            z |= ((xt >> i) & 1) << (2 * i)
+            z |= ((yt >> i) & 1) << (2 * i + 1)
+        return z
+
+    def test_rejects_bad_shapes(self, spark):
+        import pytest as _pytest
+
+        from apache_spark_streaming_project_spark.operators.layout import (
+            zorder_key,
+        )
+
+        with _pytest.raises(ValueError):
+            zorder_key(["a"], bits=8)
+        with _pytest.raises(ValueError):
+            zorder_key(["a", "b"], bits=32)  # 64 bits > 62
+        with _pytest.raises(ValueError):
+            zorder_key(["a", "b", "c", "d", "e"], bits=4)
