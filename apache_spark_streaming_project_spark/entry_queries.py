@@ -9617,3 +9617,108 @@ def x7_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+@register(
+    "m13_streaming_kmv",
+    """
+    SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact,
+           TRUE AS merge_exact, TRUE AS est_ok
+    FROM documents
+    """,
+    "S6",
+    "X11",
+)
+def m13_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING mergeable-sketch maintenance (S6 x X11): the documents
+    corpus arrives as three waves (maxFilesPerTrigger=1 -> one
+    micro-batch each) and a foreachBatch sink maintains a PERSISTED KMV
+    sketch table — each batch is sketched (k smallest distinct text
+    hashes) and merged into the stored sketch (kmv_merge: union,
+    distinct, re-trim), the incremental-rollup-without-rescans shape for
+    corpus cardinality under continuous ingest. The merge step is
+    idempotent (set semantics), so batch replay after a crash cannot
+    corrupt the sketch — the exactly-once recipe sketches get for free.
+    Contract: the final stored sketch must equal the DIRECT sketch of
+    the whole corpus ROW-FOR-ROW (the KMV merge theorem, asserted
+    in-plan as merge_exact), its estimate must land within the measured
+    KMV margin of the exact distinct count (est_ok; k=256 over ~500
+    distinct texts — the estimator path, not the exact sub-k path), and
+    the exact count itself is hash-checked against the oracle."""
+    import os
+
+    from apache_spark_streaming_project_spark.operators.mergeable import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 256
+    base = _scratch_dir("m13_kmv_")
+    in_dir = os.path.join(base, "in")
+    state = os.path.join(base, "sketch_state")
+    ckpt = os.path.join(base, "ckpt")
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(3):
+        d.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(in_dir, f"wave{i}"))
+
+    def upsert_sketch(batch_df, batch_id):
+        batch_sk = kmv_sketch(
+            batch_df.select("text", F.lit(1).alias("g")), ["g"], "text", k
+        )
+        if os.path.isdir(state):
+            prior = batch_df.sparkSession.read.parquet(state)
+            merged = kmv_merge(prior.unionByName(batch_sk), ["g"], k)
+        else:
+            merged = batch_sk
+        # two-phase publish: never read and overwrite the same files in
+        # one job (the upsert.py seam rule)
+        tmp = state + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        final = batch_df.sparkSession.read.parquet(tmp)
+        final.coalesce(1).write.mode("overwrite").parquet(state)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "wave*"))
+    )
+    with _stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(upsert_sketch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stored = spark.read.parquet(state)
+    direct = kmv_sketch(
+        d.select("text", F.lit(1).alias("g")), ["g"], "text", k
+    )
+    merge_exact = (
+        stored.exceptAll(direct)
+        .unionByName(direct.exceptAll(stored))
+        .agg(F.count(F.lit(1)).alias("_diff"))
+    )
+    est = kmv_estimate(stored, ["g"], k).select(
+        F.col("est_distinct").alias("_est")
+    )
+    n_exact = d.select("text").distinct().agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        n_exact.crossJoin(merge_exact)  # 1-row aggregates
+        .crossJoin(est)
+        .select(
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (F.col("_diff") == 0).alias("merge_exact"),
+            (
+                F.abs(F.col("_est") - F.col("n_exact"))
+                <= 0.2 * F.col("n_exact")
+            ).alias("est_ok"),
+        )
+    )

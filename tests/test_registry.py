@@ -31,6 +31,7 @@ EXECUTING = {
     "m6_streaming_dedup",
     "m7_streaming_sessions",
     "m12_streaming_sessions",
+    "m13_streaming_kmv",
     "m8_streaming_tumbling",
     "m4_stateful_running_anomalies",
     "j5_bucketed_cojoin",
