@@ -335,19 +335,23 @@ def kmv_overlap(
         .otherwise(F.lit(float(k - 1)) * F.lit(_HASH_SPAN) / pos)
     )
     n_both = both.agg(F.count(F.lit(1)).alias("n_both"))
+    # empty-union guard: two empty sketches have est_union 0 (exact) and
+    # an UNDEFINED Jaccard (0/0) — NULL, not an ANSI DIVIDE_BY_ZERO crash
+    jaccard = F.when(
+        F.col("n_union_sketch") > 0,
+        F.col("n_both").cast("double")
+        / F.col("n_union_sketch").cast("double"),
+    )
     return (
         stats.crossJoin(n_both)  # two 1-row aggregates
         .select(
             "n_union_sketch",
             est_union.alias("est_union"),
-            (
-                F.col("n_both").cast("double")
-                / F.col("n_union_sketch").cast("double")
-            ).alias("jaccard_est"),
-            (
-                est_union
-                * F.col("n_both").cast("double")
-                / F.col("n_union_sketch").cast("double")
-            ).alias("est_intersection"),
+            jaccard.alias("jaccard_est"),
+            F.when(
+                F.col("n_union_sketch") > 0, est_union * jaccard
+            )
+            .otherwise(F.lit(0.0))  # intersection of empty sets is empty
+            .alias("est_intersection"),
         )
     )

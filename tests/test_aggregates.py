@@ -282,6 +282,23 @@ class TestKMVSketch:
         assert abs(r.jaccard_est - true_inter / true_union) < 0.05
         assert abs(r.est_intersection - true_inter) / true_inter < 0.2
 
+    def test_empty_sketches_do_not_crash(self, spark):
+        """Two empty sketches: est_union 0 (exact), Jaccard NULL (0/0 is
+        undefined), intersection 0 — not an ANSI DIVIDE_BY_ZERO crash
+        (thirteenth-pass finding; the session keeps ANSI on)."""
+        from apache_spark_streaming_project_spark.operators.mergeable import (
+            kmv_overlap,
+            kmv_sketch,
+        )
+
+        empty = spark.createDataFrame([], "g int, item string")
+        sk = kmv_sketch(empty, ["g"], "item", 16)
+        r = kmv_overlap(sk, sk, 16).first()
+        assert r.n_union_sketch == 0
+        assert r.est_union == 0.0
+        assert r.jaccard_est is None
+        assert r.est_intersection == 0.0
+
     def test_null_items_ignored(self, spark):
         from pyspark.sql import functions as F
 
