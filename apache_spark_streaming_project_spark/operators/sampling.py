@@ -66,11 +66,22 @@ def mixture_resample(
     WindowGroupLimit... bounded by quota per stratum per task, and the
     corpus never shuffles beyond the ranked survivors."""
     sw = weights.agg(F.sum("weight").alias("_sw"))
+    # an all-zero or empty weight table must fail LOUDLY, not as an ANSI
+    # DIVIDE_BY_ZERO from inside the quota arithmetic (same guard idiom
+    # as lexical.py — when(guard.isNull(), ...) so SimplifyConditionals
+    # cannot fold the assert away)
+    guard = F.assert_true(
+        F.col("_sw") > 0,
+        F.lit("mixture weights must sum to a positive value"),
+    )
     quota = weights.crossJoin(F.broadcast(sw)).select(
         stratum_col,
-        F.floor(F.lit(total_rows) * F.col("weight") / F.col("_sw"))
-        .cast("int")
-        .alias("_quota"),
+        F.when(
+            guard.isNull(),
+            F.floor(
+                F.lit(total_rows) * F.col("weight") / F.col("_sw")
+            ).cast("int"),
+        ).alias("_quota"),
     )
     w = Window.partitionBy(stratum_col).orderBy(order_col.asc())
     return (

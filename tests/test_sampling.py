@@ -160,3 +160,30 @@ def test_time_split_labels_null_timestamps_distinctly(spark):
     }
     assert (True, "null_time") in got
     assert {(False, "train"), (False, "purged"), (False, "test")} <= got
+
+
+def test_mixture_resample_rejects_nonpositive_weight_sum(spark):
+    """An all-zero (or empty) weight table must fail with the loud
+    in-plan assert, not an ANSI DIVIDE_BY_ZERO from the quota arithmetic
+    (round-9 degenerate-input sweep)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 2)) for i in range(10)], "id long, src string"
+    )
+    w = spark.createDataFrame(
+        [("s0", 0.0), ("s1", 0.0)], "src string, weight double"
+    )
+    with _pytest.raises(Exception, match="positive value"):
+        mixture_resample(df, "src", w, 10, F.col("id")).count()
+    # an EMPTY weight table has no rows for the guard to evaluate: the
+    # quota plan is empty, so the sample is empty — consistent "no
+    # strata requested" semantics, not a crash
+    empty_w = spark.createDataFrame([], "src string, weight double")
+    assert mixture_resample(df, "src", empty_w, 10, F.col("id")).count() == 0
