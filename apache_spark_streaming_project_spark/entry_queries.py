@@ -9260,11 +9260,10 @@ def x11_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
       SELECT doc_id,
              unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
-             unnest(list_transform(range(1, len(ts)),
-                                   i -> ts[i] || chr(1) || ts[i+1])) AS bg
+             unnest(list_transform(range(1, len(ts)), i -> ts[i+1])) AS w2
       FROM toks WHERE len(ts) >= 2
     ),
-    bgc AS (SELECT bg, count(*) AS cbg FROM pairs GROUP BY bg),
+    bgc AS (SELECT w1, w2, count(*) AS cbg FROM pairs GROUP BY w1, w2),
     w1c AS (SELECT w1, count(*) AS cw1 FROM pairs GROUP BY w1),
     v AS (
       SELECT count(DISTINCT t) AS v_size
@@ -9276,7 +9275,7 @@ def x11_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(w1c.cw1) AS BIGINT) AS sum_left_count,
            CAST(min(v.v_size) AS BIGINT) AS v_size,
            TRUE AS score_ok
-    FROM pairs p JOIN bgc USING (bg) JOIN w1c USING (w1), v
+    FROM pairs p JOIN bgc USING (w1, w2) JOIN w1c USING (w1), v
     GROUP BY p.doc_id ORDER BY p.doc_id
     """,
     "X4",
@@ -9311,6 +9310,76 @@ def x4_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ~F.isnan("lm_score") & (F.col("lm_score") <= 0.0)
         ).alias("score_ok"),
     ).orderBy("doc_id")
+
+
+@register(
+    "x4_perplexity_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    eligible AS (
+      SELECT lang, count(*) AS n FROM toks WHERE len(ts) >= 2 GROUP BY lang
+    ),
+    b AS (
+      SELECT lang, n, unnest(range(0, 3)) AS bucket_idx FROM eligible
+    )
+    SELECT lang,
+           CAST(bucket_idx AS INT) AS bucket_idx,
+           CASE bucket_idx WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(n // 3 + CASE WHEN bucket_idx < n % 3 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_docs,
+           TRUE AS ordered_ok
+    FROM b
+    WHERE n // 3 + CASE WHEN bucket_idx < n % 3 THEN 1 ELSE 0 END > 0
+    ORDER BY lang, bucket_idx
+    """,
+    "X4",
+)
+def x4_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — CCNet head/middle/tail perplexity bucketing (text.py
+    perplexity_buckets): per-language rank thirds over the corpus-trained
+    bigram LM score, completing the published crawl-pipeline battery
+    (C4 line dedup + Gopher rules + CCNet LM scoring -> buckets).
+
+    Oracle design: per-doc bucket MEMBERSHIP rides on a float rank
+    (cross-engine ln is not bit-stable — the x4_bigram_lm measurement),
+    so the hash pins what IS engine-invariant: per-(lang, bucket)
+    CARDINALITIES, which ntile fixes purely by partition size (the
+    DuckDB mirror derives them arithmetically from the eligible-doc
+    counts, n//k with the first n%k buckets one larger — no score
+    computation at all), plus the Spark-side ``ordered_ok`` boolean
+    gating the semantics the counts can't see: every bucket's minimum
+    score must be >= the next bucket's maximum within its language
+    (ties at the boundary allowed — ntile splits ties by the doc-id
+    tie-break). Per-doc assignment is pytest-pinned against an
+    independent Python reference on a score-separated corpus."""
+    from pyspark.sql import Window
+
+    from apache_spark_streaming_project_spark.operators.text import (
+        perplexity_buckets,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pb = perplexity_buckets(d, "doc_id", "text", lang_col="lang")
+    per = pb.groupBy("lang", "bucket_idx", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("lm_score").alias("_mn"),
+        F.max("lm_score").alias("_mx"),
+    )
+    w = Window.partitionBy("lang").orderBy("bucket_idx")
+    ordered = F.coalesce(F.lag("_mn").over(w) >= F.col("_mx"), F.lit(True))
+    return per.select(
+        "lang",
+        F.col("bucket_idx").cast("int").alias("bucket_idx"),
+        "bucket",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        ordered.alias("ordered_ok"),
+    ).orderBy("lang", "bucket_idx")
 
 
 @register(

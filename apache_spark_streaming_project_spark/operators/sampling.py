@@ -66,12 +66,23 @@ def mixture_resample(
     WindowGroupLimit... bounded by quota per stratum per task, and the
     corpus never shuffles beyond the ranked survivors."""
     sw = weights.agg(F.sum("weight").alias("_sw"))
-    # an all-zero or empty weight table must fail LOUDLY, not as an ANSI
+    # an all-zero or EMPTY weight table must fail LOUDLY, not as an ANSI
     # DIVIDE_BY_ZERO from inside the quota arithmetic (same guard idiom
     # as lexical.py — when(guard.isNull(), ...) so SimplifyConditionals
-    # cannot fold the assert away)
+    # cannot fold the assert away). The guard lives in TWO places: the
+    # per-weight quota projection covers the all-zero case, and a
+    # zero-row union branch over the sw aggregate — which ALWAYS has
+    # exactly one row, even over an empty weight table — covers the
+    # empty case, where the per-weight projection never evaluates at
+    # all (round-10 ADVICE fix). A NULL-stratum sentinel row in the
+    # quota table does NOT work here: with a statically-empty weights
+    # relation, inner-join key constraints plus empty-relation
+    # propagation fold the whole result (sentinel included) away at
+    # optimization time; the union branch sits on the RESULT and its
+    # filter condition contains the non-foldable assert, so it survives
+    # to runtime and evaluates exactly once.
     guard = F.assert_true(
-        F.col("_sw") > 0,
+        F.coalesce(F.col("_sw"), F.lit(0.0)) > 0,
         F.lit("mixture weights must sum to a positive value"),
     )
     quota = weights.crossJoin(F.broadcast(sw)).select(
@@ -84,12 +95,22 @@ def mixture_resample(
         ).alias("_quota"),
     )
     w = Window.partitionBy(stratum_col).orderBy(order_col.asc())
-    return (
+    sampled = (
         df.withColumn("_rn", F.row_number().over(w))
         .join(F.broadcast(quota), stratum_col)
         .filter(F.col("_rn") <= F.col("_quota"))
         .drop("_rn", "_quota")
     )
+    # the filter's pass-value must be DATA-DEPENDENT: a literal False
+    # (or a bare when() whose else is NULL) folds to Filter(false) via
+    # ReplaceNullWithFalseInPredicate + SimplifyConditionals and the
+    # whole guard branch is pruned before it can run. `_sw < -inf` is
+    # always false at runtime but not provably so to Catalyst.
+    never = F.col("_sw") < F.lit(float("-inf"))
+    guard_rows = sw.filter(F.when(guard.isNull(), never)).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in df.schema.fields]
+    )
+    return sampled.unionByName(guard_rows.select(*sampled.columns))
 
 
 def hash_split(

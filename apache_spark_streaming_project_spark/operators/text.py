@@ -748,7 +748,9 @@ def remove_common_lines(
     of full line strings — the scale path when the line-df exchange
     dominates (see BASELINE.md for the measured law). The trade is a
     ~2^-64-per-pair hash-collision chance of removing a non-common
-    line; the default stays exact."""
+    ELIGIBLE line (length >= ``min_line_chars``); lines below the
+    threshold are exactly immune in both modes — they join with a NULL
+    key, so no collision can touch them. The default stays exact."""
     pos_line = df.select(
         key_col,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -764,11 +766,15 @@ def remove_common_lines(
         .filter(F.col("df") >= min_df)
         .select("line_k")
     )
-    # the plain anti-join is sufficient for short lines too: trimmed
-    # equality implies equal length (resp. equal fingerprint), so a line
-    # below min_line_chars can never match a common line (all were
-    # >= min_line_chars when counted) and is kept
-    kept = pos_line.withColumn("line_k", line_key).join(
+    # short lines are immune by CONSTRUCTION, not by key parity: they
+    # get a NULL join key, and NULL never equi-matches, so the anti-join
+    # keeps them unconditionally. (In exact mode trimmed equality alone
+    # already implied immunity; in fingerprint mode it did NOT — an
+    # xxhash64 collision could match a short line to a common line's
+    # fingerprint and delete it. Round-10 ADVICE fix; also skips
+    # hashing short lines at all.)
+    guarded_key = F.when(F.length(line_t) >= min_line_chars, line_key)
+    kept = pos_line.withColumn("line_k", guarded_key).join(
         common, "line_k", "left_anti"
     )
     rebuilt = kept.groupBy(key_col).agg(
@@ -914,7 +920,20 @@ def gopher_quality_flags_df(
     boolean struct) to ``df``; ``keep_arrays=True`` also keeps the
     ``__toks``/``__lines`` columns so callers deriving further token
     metrics (counts, lengths) reuse the materialized arrays instead of
-    re-splitting."""
+    re-splitting.
+
+    Raises if ``__toks``/``__lines``/``out_col`` already exist in
+    ``df.columns`` — silently producing duplicate/ambiguous columns
+    (e.g. on a chained call with ``keep_arrays=True``) would poison
+    every downstream by-name reference (round-10 ADVICE fix)."""
+    clash = {"__toks", "__lines", out_col} & set(df.columns)
+    if clash:
+        raise ValueError(
+            "gopher_quality_flags_df: column(s) "
+            f"{sorted(clash)} already exist in the input; drop or "
+            "rename them first (a prior keep_arrays=True call leaves "
+            "__toks/__lines behind on purpose)"
+        )
     pre = df.select(
         "*",
         tokens(text_col).alias("__toks"),
@@ -1028,7 +1047,14 @@ def bigram_lm_score(
 
     Scale: one bigram explosion (map-side), two count aggregations and
     two joins keyed on token strings (xxhash64-shuffled; broadcast under
-    AQE when small), one per-doc re-aggregation. No Python anywhere."""
+    AQE when small), one per-doc re-aggregation. No Python anywhere.
+
+    Bigrams are keyed by the (w1, w2) PAIR, not a separator-joined
+    concat: tokens come from a whitespace split, so a token can contain
+    any non-space byte, and a concat key would conflate e.g.
+    ('a\\x01b','c') with ('a','b\\x01c') — a collision the oracle could
+    not catch because it would have to mirror the same concat
+    (round-10 ADVICE fix)."""
     toks = tokens(text_col)
     base = df.select(key_col, toks.alias("ts")).filter(F.size("ts") >= 2)
     n = F.size("ts")
@@ -1038,13 +1064,10 @@ def bigram_lm_score(
             F.zip_with(
                 F.slice("ts", F.lit(1), n - 1),
                 F.slice("ts", F.lit(2), n - 1),
-                lambda a, b: F.struct(
-                    a.alias("w1"),
-                    F.concat(a, F.lit("\x01"), b).alias("bg"),
-                ),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("pos", "p"),
-    ).select(key_col, "pos", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+    ).select(key_col, "pos", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     # Two direct aggregations over the pair stream, NOT a shared
     # (w1, bg) contingency table: measured A/B at sf0.1 shows the
     # contingency form is SLOWER (1.48 -> 2.08 s) — map-side partial
@@ -1052,7 +1075,7 @@ def bigram_lm_score(
     # (vocab for w1, vocab^2 for bg), so "one fewer corpus agg" saves
     # nothing while the two-string-key contingency exchange costs more
     # (round-9 honest negative, kept as guidance).
-    bgc = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
+    bgc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg"))
     w1c = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cw1"))
     v = df.select(F.explode(tokens(text_col)).alias("t")).agg(
         F.count_distinct("t").alias("v_size")
@@ -1065,7 +1088,7 @@ def bigram_lm_score(
         )
     )
     scored = (
-        pairs.join(bgc, "bg")
+        pairs.join(bgc, ["w1", "w2"])
         .join(w1c, "w1")
         .crossJoin(v)  # 1-row aggregate
         .select(key_col, "pos", "cbg", "cw1", "v_size", lp.alias("lp"))
@@ -1084,4 +1107,90 @@ def bigram_lm_score(
         F.sum("cw1").alias("sum_left_count"),
         F.min("v_size").alias("v_size"),
         (folded / F.count(F.lit(1)).cast("double")).alias("lm_score"),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = None,
+    n_buckets: int = 3,
+    alpha: float = 0.5,
+    approx_thresholds: bool = False,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus-trained :func:`bigram_lm_score`, then split each language's
+    documents into ``n_buckets`` quality tiers — ``head`` (most fluent
+    under the corpus LM), ``middle``, ``tail`` — the published CCNet
+    recipe (per-language percentile thresholds over an LM score; their
+    KenLM perplexity becomes our add-alpha bigram mean log-prob, with
+    HIGH score = LOW perplexity, so head = highest scores).
+
+    ``lang_col=None`` derives the language with :func:`language_id`;
+    pass a column name to use an upstream label instead. Only documents
+    with >= 2 tokens are scored/bucketed (same eligibility as the LM).
+
+    Returns (key, lang, lm_score, bucket_idx, bucket) with ``bucket_idx``
+    0-based from the head and ``bucket`` the CCNet names for 3 buckets
+    (``b0``..``bk`` otherwise).
+
+    Two bucketing modes:
+
+    - Default (exact): ``ntile(n_buckets)`` over a per-language window
+      ordered by (lm_score DESC, key ASC — deterministic tie-break).
+      Bucket sizes are exact rank thirds. The per-language total sort is
+      fine up to snapshot scale, but a 100 TB single-language corpus
+      serializes into one window partition — use the approx mode there.
+    - ``approx_thresholds=True`` (the scale path): per-language score
+      cut points from ``percentile_approx`` (a mergeable KLL-style
+      sketch — one tiny agg row per language), broadcast back and
+      compared map-side. No total order anywhere; bucket sizes are
+      approximate within the sketch's rank-error bound, which is the
+      published CCNet shape (they too bucket by threshold comparison,
+      not by exact rank). Ties AT a cut point land head-ward (``>=``).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    scored = bigram_lm_score(df, key_col, text_col, alpha)
+    lang_expr = (
+        F.col(lang_col) if lang_col else language_id(F.col(text_col))
+    )
+    langs = df.select(key_col, lang_expr.alias("lang"))
+    j = scored.join(langs, key_col).select(key_col, "lang", "lm_score")
+    if approx_thresholds:
+        fracs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = j.groupBy("lang").agg(
+            F.percentile_approx(
+                "lm_score", [1.0 - f for f in fracs], 10_000
+            ).alias("_cuts")
+        )
+        # _cuts descend from the head cut; bucket_idx = number of cuts
+        # the score fails to reach (score >= cut stays head-ward)
+        idx = F.size(
+            F.filter(F.col("_cuts"), lambda c: F.col("lm_score") < c)
+        )
+        j = j.join(F.broadcast(cuts), "lang").select(
+            key_col, "lang", "lm_score", idx.alias("bucket_idx")
+        )
+    else:
+        w = Window.partitionBy("lang").orderBy(
+            F.col("lm_score").desc(), F.col(key_col).asc()
+        )
+        j = j.select(
+            key_col,
+            "lang",
+            "lm_score",
+            (F.ntile(n_buckets).over(w) - 1).alias("bucket_idx"),
+        )
+    names = (
+        ["head", "middle", "tail"]
+        if n_buckets == 3
+        else [f"b{i}" for i in range(n_buckets)]
+    )
+    label = F.element_at(
+        F.array(*[F.lit(x) for x in names]), F.col("bucket_idx") + 1
+    )
+    return j.select(
+        key_col, "lang", "lm_score", "bucket_idx", label.alias("bucket")
     )

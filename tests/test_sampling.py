@@ -182,8 +182,11 @@ def test_mixture_resample_rejects_nonpositive_weight_sum(spark):
     )
     with _pytest.raises(Exception, match="positive value"):
         mixture_resample(df, "src", w, 10, F.col("id")).count()
-    # an EMPTY weight table has no rows for the guard to evaluate: the
-    # quota plan is empty, so the sample is empty — consistent "no
-    # strata requested" semantics, not a crash
+    # an EMPTY weight table must fail just as loudly: the per-weight
+    # guard never evaluates (zero weight rows), so the sentinel row —
+    # derived from the always-one-row sum aggregate — carries the
+    # assert instead (round-10 ADVICE fix; previously this silently
+    # returned an empty sample)
     empty_w = spark.createDataFrame([], "src string, weight double")
-    assert mixture_resample(df, "src", empty_w, 10, F.col("id")).count() == 0
+    with _pytest.raises(Exception, match="positive value"):
+        mixture_resample(df, "src", empty_w, 10, F.col("id")).count()

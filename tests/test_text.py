@@ -670,7 +670,7 @@ class TestBigramLMScore:
 
         toks = {k: t.split() for k, t in docs}
         pairs = {
-            k: [(ts[i], ts[i] + "\x01" + ts[i + 1]) for i in range(len(ts) - 1)]
+            k: [(ts[i], (ts[i], ts[i + 1])) for i in range(len(ts) - 1)]
             for k, ts in toks.items()
             if len(ts) >= 2
         }
@@ -727,6 +727,39 @@ class TestBigramLMScore:
             assert r.v_size == v
             assert abs(r.lm_score - score) < 1e-12, (k, r.lm_score, score)
 
+    def test_separator_byte_in_token_does_not_collide(self, spark):
+        """Tokens are whitespace-split, so a token may contain ANY
+        non-space byte including \\x01; distinct bigrams ('a\\x01b','c')
+        and ('a','b\\x01c') must keep independent counts (round-10
+        ADVICE: the old concat key conflated them)."""
+        from apache_spark_streaming_project_spark.operators.text import (
+            bigram_lm_score,
+        )
+
+        docs = [
+            (0, "a\x01b c"),
+            (1, "a b\x01c"),
+            (2, "a\x01b c"),  # only doc 0's bigram repeats
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: r
+            for r in bigram_lm_score(df, "doc_id", "text").collect()
+        }
+        want = self._reference(docs)
+        for k, (nb, sbc, slc, v, score) in want.items():
+            r = got[k]
+            assert (r.n_bigrams, r.sum_bigram_count, r.sum_left_count) == (
+                nb,
+                sbc,
+                slc,
+            ), k
+            assert abs(r.lm_score - score) < 1e-12
+        # the decisive counts: ('a\x01b','c') occurs twice, ('a','b\x01c') once
+        assert got[0].sum_bigram_count == 2
+        assert got[1].sum_bigram_count == 1
+        assert got[0].lm_score != got[1].lm_score
+
     def test_fluent_scores_above_rare(self, spark):
         from apache_spark_streaming_project_spark.operators.text import (
             bigram_lm_score,
@@ -764,6 +797,146 @@ class TestBigramLMScore:
         assert one == many  # ordered fold: bit-identical, not just close
 
 
+class TestPerplexityBuckets:
+    """CCNet head/middle/tail bucketing over the corpus bigram LM:
+    per-doc assignment pinned to an independent Python reference
+    (rank thirds, DESC score, doc_id tie-break) on a score-separated
+    corpus; the approx-threshold scale mode must agree away from the
+    cut points."""
+
+    # two languages, score-separated by construction: repeated fluent
+    # docs rank above one-off scrambles under the corpus's own LM
+    DOCS = (
+        [(i, "en", "the cat sat on the mat and the dog ran") for i in range(4)]
+        + [(10 + i, "en", f"odd words {i} go here now then") for i in range(3)]
+        + [(20, "en", "zz qq vv xx yy ww")]
+        + [(30 + i, "fr", "le chat est dans la maison") for i in range(3)]
+        + [(40, "fr", "mx nx ox px qx rx")]
+    )
+
+    def _reference(self, docs, k=3, alpha=0.5):
+        import math
+        from collections import Counter
+
+        toks = {d: t.split() for d, _, t in docs}
+        pairs = {
+            d: [(ts[i], (ts[i], ts[i + 1])) for i in range(len(ts) - 1)]
+            for d, ts in toks.items()
+            if len(ts) >= 2
+        }
+        cbg = Counter(bg for ps in pairs.values() for _, bg in ps)
+        cw1 = Counter(w1 for ps in pairs.values() for w1, _ in ps)
+        v = len({t for ts in toks.values() for t in ts})
+        score = {
+            d: sum(
+                math.log((cbg[bg] + alpha) / (cw1[w1] + alpha * v))
+                for w1, bg in ps
+            )
+            / len(ps)
+            for d, ps in pairs.items()
+        }
+        lang = {d: lg for d, lg, _ in docs}
+        out = {}
+        for lg in sorted({*lang.values()}):
+            members = sorted(
+                (d for d in score if lang[d] == lg),
+                key=lambda d: (-score[d], d),
+            )
+            n = len(members)
+            sizes = [n // k + (1 if i < n % k else 0) for i in range(k)]
+            pos = 0
+            for idx, sz in enumerate(sizes):
+                for d in members[pos : pos + sz]:
+                    out[d] = idx
+                pos += sz
+        return out, score
+
+    def test_matches_python_reference(self, spark):
+        from apache_spark_streaming_project_spark.operators.text import (
+            perplexity_buckets,
+        )
+
+        df = spark.createDataFrame(
+            self.DOCS, "doc_id long, lang string, text string"
+        )
+        got = {
+            r.doc_id: r
+            for r in perplexity_buckets(
+                df, "doc_id", "text", lang_col="lang"
+            ).collect()
+        }
+        want, score = self._reference(self.DOCS)
+        assert set(got) == set(want)
+        names = {0: "head", 1: "middle", 2: "tail"}
+        for d, idx in want.items():
+            assert got[d].bucket_idx == idx, (d, got[d], idx)
+            assert got[d].bucket == names[idx]
+            assert abs(got[d].lm_score - score[d]) < 1e-12
+
+    def test_derived_language_and_ordering(self, spark):
+        from apache_spark_streaming_project_spark.operators.text import (
+            perplexity_buckets,
+        )
+
+        df = spark.createDataFrame(
+            self.DOCS, "doc_id long, lang string, text string"
+        )
+        # lang_col=None derives the language in-plan (stopword argmax)
+        rows = perplexity_buckets(df, "doc_id", "text").collect()
+        assert {r.lang for r in rows} <= {"en", "fr", "und"}
+        # within every (lang, bucket) frontier: head min >= middle max etc.
+        by = {}
+        for r in rows:
+            by.setdefault((r.lang, r.bucket_idx), []).append(r.lm_score)
+        for (lg, idx), scores in by.items():
+            nxt = by.get((lg, idx + 1))
+            if nxt:
+                assert min(scores) >= max(nxt)
+
+    def test_approx_mode_agrees_off_boundary(self, spark):
+        from apache_spark_streaming_project_spark.operators.text import (
+            perplexity_buckets,
+        )
+
+        df = spark.createDataFrame(
+            self.DOCS, "doc_id long, lang string, text string"
+        )
+        exact = {
+            r.doc_id: r.bucket_idx
+            for r in perplexity_buckets(
+                df, "doc_id", "text", lang_col="lang"
+            ).collect()
+        }
+        approx = {
+            r.doc_id: r.bucket_idx
+            for r in perplexity_buckets(
+                df, "doc_id", "text", lang_col="lang", approx_thresholds=True
+            ).collect()
+        }
+        assert set(exact) == set(approx)
+        # threshold comparison can only disagree by one tier, and the
+        # clear cases (the 4 duplicate fluent docs = en head; the 'zz
+        # qq' scramble = en tail) must agree exactly
+        for d in exact:
+            assert abs(exact[d] - approx[d]) <= 1
+        for d in range(4):
+            assert approx[d] == 0
+        assert approx[20] == 2
+
+    def test_rejects_bad_bucket_count(self, spark):
+        import pytest as _pytest
+
+        from apache_spark_streaming_project_spark.operators.text import (
+            perplexity_buckets,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "en", "a b")], "doc_id long, lang string, text string"
+        )
+        with _pytest.raises(ValueError, match="n_buckets"):
+            perplexity_buckets(df, "doc_id", "text", n_buckets=1)
+
+
 def test_gopher_df_form_equals_column_form(spark):
     """gopher_quality_flags_df (arrays materialized once; ~1.5x faster,
     BASELINE-measured) must produce the identical struct to the
@@ -790,3 +963,13 @@ def test_gopher_df_form_equals_column_form(spark):
     # keep_arrays exposes the materialized arrays for derived metrics
     kept = gopher_quality_flags_df(df, "text", keep_arrays=True)
     assert "__toks" in kept.columns and "__lines" in kept.columns
+    # chaining onto a keep_arrays result (or an out_col that already
+    # exists) must fail loudly, not produce ambiguous duplicates
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="__toks"):
+        gopher_quality_flags_df(kept, "text")
+    with _pytest.raises(ValueError, match="flags"):
+        gopher_quality_flags_df(
+            gopher_quality_flags_df(df, "text"), "text"
+        )
