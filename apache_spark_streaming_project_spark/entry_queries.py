@@ -1560,7 +1560,7 @@ def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT SUM(wt) AS sw FROM w),
     quota AS (
-      SELECT source, CAST(FLOOR(200.0 * wt / sw) AS BIGINT) AS q
+      SELECT source, CAST(FLOOR(199.0 * wt / sw) AS BIGINT) AS q
       FROM w, tot
     ),
     ranked AS (
@@ -1580,7 +1580,11 @@ def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x7_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-MIXTURE resampling (operators/sampling.py mixture_resample):
     target per-source weights (derived here from the source id, cycling
-    1..4) become exact floor quotas over a 200-row budget, and each
+    1..4) become exact floor quotas over a 199-row budget — 199 is
+    deliberately chosen so quotas are FRACTIONAL (the round-10 mutation
+    audit found the old 200-row budget divided evenly by the weight sum,
+    making floor vs ceil indistinguishable = the floor semantics
+    untestable) — and each
     source contributes its top-quota rows under a deterministic
     md5-of-key draw — the corpus-assembly op that hits "50% web / 30%
     books / 20% code" mixtures exactly. The SAMPLED ROW SET itself is
@@ -1604,7 +1608,7 @@ def x7_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
     return (
-        mixture_resample(d, "source", weights, 200, order)
+        mixture_resample(d, "source", weights, 199, order)
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
@@ -5032,16 +5036,49 @@ def m5_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "m3_streaming_parity",
     """
-    SELECT CASE WHEN age < 18 THEN 'Under 18'
-                WHEN age < 30 THEN '18-29'
-                WHEN age < 45 THEN '30-44'
-                WHEN age < 65 THEN '45-64'
-                ELSE '65+' END AS age_group,
+    WITH base AS (
+      SELECT CAST(o_orderkey % 74 + 17 AS INT) AS age,
+             CAST(o_orderkey % 80 + 1 AS INT) AS hours,
+             CAST(o_orderkey % 2 AS INT) AS income,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'Male' ELSE 'Female' END
+               AS gender
+      FROM orders WHERE o_orderkey < 40000
+    ),
+    labeled AS (
+      SELECT CASE WHEN age < 18 THEN 'Under 18'
+                  WHEN age < 30 THEN '18-29'
+                  WHEN age < 45 THEN '30-44'
+                  WHEN age < 65 THEN '45-64'
+                  ELSE '65+' END AS age_group,
+             CASE WHEN hours < 20 THEN 'Part-time (<20)'
+                  WHEN hours <= 40 THEN 'Full-time (20-40)'
+                  ELSE 'Overtime (>40)' END AS wh,
+             CASE WHEN income = 1 THEN 'High Income (>50K)'
+                  ELSE 'Low Income (<=50K)' END AS inc,
+             gender, hours
+      FROM base
+    ),
+    stats AS (SELECT {mu_h} AS mu, {sd_h} AS sd FROM labeled)
+    SELECT 'age_group_distribution' AS sink, age_group AS k1, '' AS k2,
            COUNT(*) AS n
-    FROM (SELECT CAST(o_orderkey % 74 + 17 AS INT) AS age
-          FROM orders WHERE o_orderkey < 40000)
-    GROUP BY 1 ORDER BY 1
-    """,
+    FROM labeled GROUP BY 2
+    UNION ALL
+    SELECT 'anomalies', '', '', CAST(COUNT(*) AS BIGINT)
+    FROM labeled, stats WHERE sd > 0 AND abs((hours - mu) / sd) > 3.0
+    UNION ALL
+    SELECT 'education_income', 'HS-grad', inc, COUNT(*)
+    FROM labeled GROUP BY 3
+    UNION ALL
+    SELECT 'gender_income', gender, inc, COUNT(*)
+    FROM labeled GROUP BY 2, 3
+    UNION ALL
+    SELECT 'raw_data', '', '', COUNT(*) FROM labeled
+    UNION ALL
+    SELECT 'work_hours', wh, '', COUNT(*) FROM labeled GROUP BY 2
+    ORDER BY 1, 2, 3
+    """.format(
+        mu_h=avg_exact_sql("hours", 0), sd_h=stddev_exact_sql("hours", 0)
+    ),
     "S1",
     "S2",
     "S3",
@@ -5107,12 +5144,53 @@ def m3_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 max_files_per_trigger=2,
             ),
         )
-    agg = read_result_table(spark, out_dir, "age_group_distribution")
-    return (
-        agg.groupBy("age_group")
-        .agg(F.sum("count").alias("n"))
-        .orderBy("age_group")
-    )
+    # Parity across SIX of the eight sinks, not just one (the round-10
+    # mutation audit found a wrong-group-key mutation in the work_hours
+    # sink survived when only age_group_distribution was read back):
+    # the four grouped-count sinks re-aggregate across epoch snapshots,
+    # raw_data pins the passthrough row count, anomalies pins the
+    # z-score path (this uniform-hours fixture has |z| <= ~1.7, so the
+    # exact expected count is zero — mirrored derivationally in SQL).
+    def _counts(table: str, keys: list[str]) -> DataFrame:
+        t = read_result_table(spark, out_dir, table)
+        gb = t.groupBy(*keys).agg(F.sum("count").alias("n"))
+        k2 = F.col(keys[1]) if len(keys) > 1 else F.lit("")
+        return gb.select(
+            F.lit(table).alias("sink"),
+            F.col(keys[0]).alias("k1"),
+            k2.alias("k2"),
+            F.col("n"),
+        )
+
+    def _rowcount(table: str) -> DataFrame:
+        try:
+            t = read_result_table(spark, out_dir, table)
+        except Exception:
+            # a sink that received zero rows in every epoch has no
+            # parquet files at all (the writer skips empty batches), so
+            # the read cannot infer a schema — that IS the zero count
+            return spark.createDataFrame(
+                [(table, "", "", 0)], "sink string, k1 string, k2 string, n long"
+            )
+        return t.agg(F.count("*").alias("n")).select(
+            F.lit(table).alias("sink"),
+            F.lit("").alias("k1"),
+            F.lit("").alias("k2"),
+            F.col("n"),
+        )
+
+    parts = [
+        _counts("age_group_distribution", ["age_group"]),
+        _counts("work_hours", ["work_hours_category"]),
+        _counts("education_income", ["education", "income_category"]),
+        _counts("gender_income", ["gender", "income_category"]),
+        _rowcount("raw_data"),
+        _rowcount("anomalies"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("sink", "k1", "k2")
 
 
 @register(
@@ -9729,8 +9807,14 @@ def m13_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # waves OVERLAP on purpose (every doc is delivered in two of the
+    # three waves): re-crawls re-deliver old content, and the idempotent
+    # set-merge contract is only actually exercised when the merge sees
+    # duplicates — the round-10 mutation audit found that with disjoint
+    # waves, dropping kmv_merge's distinct() was a fixture no-op.
     for i in range(3):
-        d.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+        m = F.col("doc_id") % 3
+        d.filter((m == i) | (m == (i + 1) % 3)).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(in_dir, f"wave{i}"))
 

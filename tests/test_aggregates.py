@@ -316,3 +316,38 @@ class TestKMVSketch:
         est = kmv_estimate(kmv_sketch(df, ["g"], "item", k=64), ["g"], 64)
         r = est.first()
         assert r.n_sketch == 64  # 100 distinct, k=64: full sketch, no NULL row
+
+
+def test_zscore_flags_both_tails(spark):
+    """|z| must catch NEGATIVE outliers too: the sf0.01 events fixture only
+    has positive-tail outliers, so the oracle gate cannot distinguish
+    abs(z) from one-sided z there (round-10 mutation audit survivor
+    s13_drop_abs) — this pins the two-sided semantics at the unit level."""
+    from apache_spark_streaming_project_spark.operators.anomaly import zscore
+
+    vals = [50.0] * 40 + [49.0] * 40 + [5000.0, -5000.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    got = {r.id for r in zscore(df, "v", threshold=3.0, scale=2).collect()}
+    assert got == {80, 81}  # the high AND the low outlier
+
+
+def test_misra_gries_decrement_is_exact(spark):
+    """Pin the MG compaction decrement to the (candidates+1)-th largest
+    count: with candidates=2 and one batch of A*10, B*9, C*1 the sketch
+    must report exactly {A: 9, B: 8} (decrement by C's count, 1). The
+    oracle-level bound_ok has designed slack (the bound is worst-case),
+    so an over-decrement mutation survives the gate (round-10 mutation
+    audit x11_mg_overcompact) — this is the unit-level kill."""
+    from apache_spark_streaming_project_spark.operators.mergeable import (
+        heavy_hitters,
+    )
+
+    rows = [("g", "A")] * 10 + [("g", "B")] * 9 + [("g", "C")]
+    df = spark.createDataFrame(rows, "g string, item string").coalesce(1)
+    got = {
+        r.item: (r.est_count, r.rank)
+        for r in heavy_hitters(df, ["g"], "item", k=10, candidates=2).collect()
+    }
+    assert got == {"A": (9, 1), "B": (8, 2)}

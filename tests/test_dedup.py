@@ -52,6 +52,20 @@ def test_word_shingles_short_doc_empty(spark):
     assert out.sh == []  # fewer tokens than n -> no shingles (not a DESC sequence)
 
 
+def test_word_shingles_exact_content(spark):
+    """Pin the exact shingle strings (width, order, dedup): the oracle-side
+    MinHash query is a recall CONTRACT with designed slack, so shingle
+    fidelity is enforced here (round-10 mutation audit: a width n-1
+    mutation survives the recall contract but must not survive this)."""
+    df = spark.createDataFrame([(0, "A b c  d b c d")], ["doc_id", "text"])
+    out = df.select(dd.word_shingles("text", 3).alias("sh")).collect()[0]
+    # lowercased, whitespace-run split, width EXACTLY 3, first-seen order,
+    # duplicates ('b c d' appears twice) removed
+    assert out.sh == ["a b c", "b c d", "c d b", "d b c"]
+    out2 = df.select(dd.word_shingles("text", 2).alias("sh")).collect()[0]
+    assert out2.sh == ["a b", "b c", "c d", "d b"]
+
+
 def test_minhash_lsh_finds_near_dups(spark, near_dup_docs):
     pairs = dd.minhash_lsh_candidates(near_dup_docs, "doc_id", "text").collect()
     found = {(r.key_a, r.key_b): r.est_jaccard for r in pairs}

@@ -1,0 +1,392 @@
+"""Mutation audit of the oracle gate (round-10 VERDICT item 1).
+
+The registry's headline claim — N/N queries hash-green against DuckDB —
+is only as strong as the gate's SENSITIVITY: several mirrors are
+identical-transform twins where a shared misunderstanding would hash
+green. This tool measures the gate's kill-rate directly: for a sample of
+queries spanning every family, apply ONE semantic mutation to the Spark
+side (flip a boundary, drop a filter, swap a join type, off-by-one a
+window frame), re-run the driver-contract comparison (row-count + sorted
+schema + order-insensitive value hash, identical to
+``tools/oracle_check.py``), and record whether the gate REDDENS.
+
+Mechanics: each mutation is an exact-match text edit applied to a source
+file (asserted unique before applying, restored in ``finally``); the
+package modules are purged from ``sys.modules`` and re-imported so the
+mutated code is what runs. One Spark session and one DuckDB connection
+are reused across all mutations — a full audit is minutes, not hours.
+
+A mutation can be marked ``probe=True``: a deliberately *weak* mutation
+(e.g. dropping a tie-break the fixture never exercises) included to map
+where the FIXTURE, not the comparator, bounds sensitivity. Probes do not
+count against the kill rate but are reported.
+
+Usage:
+    python tools/mutation_audit.py [sf_dir] [mutation_id ...]
+    # default sf_dir /root/testdata/sf0.01, all mutations
+
+Output: one line per mutation (KILLED <how> / SURVIVED), a summary
+matrix, and ``tools/mutation_audit_results.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+from oracle_check import TABLES, value_hash  # noqa: E402
+
+PKG = "apache_spark_streaming_project_spark"
+
+
+def M(mid, query, file, old, new, kind, note="", probe=False):
+    return dict(
+        id=mid, query=query, file=file, old=old, new=new, kind=kind,
+        note=note, probe=probe,
+    )
+
+
+# ---------------------------------------------------------------------------
+# The mutation sample. One semantic mutation each; `old` must occur exactly
+# once in `file`. Kinds follow the VERDICT taxonomy: boundary, dropped
+# filter/clause, swapped join/agg, off-by-one, wrong-key, constant.
+# ---------------------------------------------------------------------------
+MUTATIONS = [
+    # ----- S family: enrichment bucketing, z-score, exact aggregates -----
+    M("s21_bucket_boundary", "s21_quantity_bucket_counts",
+      f"{PKG}/operators/enrich.py",
+      '.when(c < 25, "Q2 (10-24)")', '.when(c < 26, "Q2 (10-24)")',
+      "boundary", "quantity bucket edge 25 -> 26"),
+    M("s20_bucket_boundary", "s20_totalprice_bucket_counts",
+      f"{PKG}/operators/enrich.py",
+      '.when(c < 150_000, "Mid (50K-150K)")',
+      '.when(c <= 150_000, "Mid (50K-150K)")',
+      "boundary", "totalprice bucket < -> <=", probe=True),
+    M("s13_drop_abs", "s13_value_zscore_anomalies",
+      f"{PKG}/operators/anomaly.py",
+      'z = F.abs((F.col(value_col) - F.col("_mu")) / F.col("_sigma"))',
+      'z = (F.col(value_col) - F.col("_mu")) / F.col("_sigma")',
+      "dropped-clause", "one-sided z-score: the sf0.01 events fixture "
+      "has 0 negative-tail outliers (182 positive), so the gate cannot "
+      "see the difference; killed at unit level by "
+      "test_zscore_flags_both_tails", probe=True),
+    M("s19_population_stddev", "s19_lineitem_summary",
+      f"{PKG}/functions/exact.py",
+      '(nd * sqd - sd * sd) / (nd * (nd - F.lit(1.0))), F.lit(0.0)',
+      '(nd * sqd - sd * sd) / (nd * nd), F.lit(0.0)',
+      "swapped-agg", "sample stddev -> population stddev"),
+    M("s25_count_off_by_one", "s25_priority_stats",
+      f"{PKG}/entry_queries.py",
+      'stddev_exact("o_totalprice", out_alias="stddev_total"),\n            F.count("*").alias("n_orders"),',
+      'stddev_exact("o_totalprice", out_alias="stddev_total"),\n            (F.count("*") - F.lit(1)).alias("n_orders"),',
+      "off-by-one", "grouped count off by one"),
+
+    # ----- D family: read-side query shapes -----
+    M("d1_window_8days", "d1_trailing_window_counts",
+      f"{PKG}/entry_queries.py",
+      'trailing_window(ev, "ts", "7 DAY")',
+      'trailing_window(ev, "ts", "8 DAY")',
+      "constant", "trailing window widened 7 -> 8 days"),
+    M("d1_boundary_gt", "d1_trailing_window_counts",
+      f"{PKG}/operators/readside.py",
+      '.filter(F.col(ts_col) >= F.col("_cutoff"))',
+      '.filter(F.col(ts_col) > F.col("_cutoff"))',
+      "boundary", ">= -> > at the cutoff instant", probe=True),
+    M("d7_grand_total_window", "d7_percent_of_group",
+      f"{PKG}/operators/readside.py",
+      'w = Window.partitionBy(group_col)\n    total = F.sum(count_col).over(w)',
+      'w = Window.partitionBy()\n    total = F.sum(count_col).over(w)',
+      "wrong-key", "percent-of-group -> percent-of-grand-total"),
+    M("d8_second_latest", "d8_latest_event_per_user",
+      f"{PKG}/operators/readside.py",
+      'df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")',
+      'df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 2).drop("_rn")',
+      "off-by-one", "latest-per-group -> second-latest"),
+    M("d13_k_minus_one", "d13_top_users_by_value",
+      f"{PKG}/operators/readside.py",
+      'return df.orderBy(*order_cols).limit(k)',
+      'return df.orderBy(*order_cols).limit(k - 1)',
+      "off-by-one", "top-k -> top-(k-1)"),
+    M("d13_drop_tiebreak", "d13_top_users_by_value",
+      f"{PKG}/entry_queries.py",
+      'return top_k(totals, [F.col("total_value").desc(), F.col("user_id").asc()], 10)',
+      'return top_k(totals, [F.col("total_value").desc()], 10)',
+      "dropped-clause", "tie-break dropped (fixture-sensitivity probe)",
+      probe=True),
+    M("d15_rank_shift", "d15_bucket_rank",
+      f"{PKG}/operators/readside.py",
+      'expr = F.when(c == labels[i], i).otherwise(expr)',
+      'expr = F.when(c == labels[i], i + 1).otherwise(expr)',
+      "off-by-one", "categorical ranks shifted by one"),
+
+    # ----- joins / TPC-H -----
+    M("j4_anti_to_semi", "j4_anti_join_inactive_customers",
+      f"{PKG}/entry_queries.py",
+      'return c.join(o, "c_custkey", "left_anti").orderBy("c_custkey")',
+      'return c.join(o, "c_custkey", "left_semi").orderBy("c_custkey")',
+      "swapped-join", "anti-join -> semi-join (complement set)"),
+
+    # ----- X1/X2: dedup -----
+    M("x2_keep_oldest", "x2_latest_version_dedup",
+      f"{PKG}/operators/dedup.py",
+      'w = Window.partitionBy(*keys).orderBy(*order_cols)\n    return (\n        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")',
+      'w = Window.partitionBy(*keys).orderBy(*order_cols)\n    return (\n        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 2).drop("_rn")',
+      "off-by-one", "latest-version -> second-version"),
+    M("x2_shingle_n_minus_one", "x_minhash_lsh_pairs",
+      f"{PKG}/operators/dedup.py",
+      'F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))',
+      'F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n - 1)))',
+      "off-by-one", "shingle width n -> n-1: the query is a RECALL "
+      "contract (planted pairs stay >= 0.85 Jaccard at either width, "
+      "recall stays >= 95%), so survival is the contract's designed "
+      "slack; exact shingle content is pinned by pytest instead",
+      probe=True),
+
+    # ----- X3: similarity / lexical retrieval -----
+    M("x3_cosine_unnormalized", "x3_bruteforce_top10",
+      f"{PKG}/functions/vector.py",
+      'return F.when(denom > 0, d / denom).otherwise(F.lit(None).cast("double"))',
+      'return F.when(denom > 0, d).otherwise(F.lit(None).cast("double"))',
+      "dropped-clause", "cosine -> raw dot product (normalization dropped)"),
+    M("x3_bm25_k1_bump", "x3_bm25_top10",
+      f"{PKG}/operators/lexical.py",
+      '_TF_NUM = 22', '_TF_NUM = 23',
+      "constant", "BM25 k1 saturation constant perturbed"),
+
+    # ----- X1/X10: dedup / decontamination -----
+    M("x1_fp_keep_max", "x1_fingerprint_dedup",
+      f"{PKG}/operators/dedup.py",
+      'w = Window.partitionBy(h).orderBy(F.col(key_col).asc())',
+      'w = Window.partitionBy(h).orderBy(F.col(key_col).desc())',
+      "swapped-agg", "dedup survivor min-key -> max-key"),
+    M("x10_wrong_split", "x_decontamination",
+      f"{PKG}/operators/dedup.py",
+      'grams.filter(F.col("_train"))\n        .filter(F.col("gram").isNotNull())\n        .select("gram")\n        .distinct()\n        .withColumn("_hit", F.lit(1))',
+      'grams.filter(~F.col("_train"))\n        .filter(F.col("gram").isNotNull())\n        .select("gram")\n        .distinct()\n        .withColumn("_hit", F.lit(1))',
+      "wrong-key", "contamination checked against the EVAL split"),
+
+    # ----- X4: text curation -----
+    M("x4_reassemble_by_line", "x4_remove_common_lines",
+      f"{PKG}/operators/text.py",
+      'F.array_sort(F.collect_list(F.struct("pos", "line")))',
+      'F.array_sort(F.collect_list(F.struct("line", "pos")))',
+      "wrong-key", "line reassembly ordered by text, not position"),
+    M("x4_paragraphs_no_dedup", "x4_dedup_paragraphs",
+      f"{PKG}/operators/text.py",
+      'return F.array_join(F.array_distinct(F.split(x, sep)), sep)',
+      'return F.array_join(F.split(x, sep), sep)',
+      "dropped-clause", "paragraph dedup dropped entirely"),
+    M("x4_gopher_wordcount_51", "x4_gopher_flags",
+      f"{PKG}/operators/text.py",
+      '((n_words >= 50) & (n_words <= 100_000)).alias("word_count_ok")',
+      '((n_words >= 51) & (n_words <= 100_000)).alias("word_count_ok")',
+      "boundary", "Gopher min word count 50 -> 51"),
+
+    # ----- X5: multimodal -----
+    M("x5_feature_mass_off", "x5_image_features",
+      f"{PKG}/operators/multimodal.py",
+      'None if h is None else [c / max(sum(h), 1) for c in h]',
+      'None if h is None else [c / max(sum(h) + 1, 1) for c in h]',
+      "off-by-one", "feature normalization mass off by one: the float "
+      "feature column is OUTSIDE the hash by the float-exclusion "
+      "design (only integer hist bins are mirrored); pinned by "
+      "test_multimodal_real sum==1.0 tests (both modes)", probe=True),
+
+    # ----- X6: semantic dedup -----
+    M("x6_semantic_threshold", "x_semantic_dedup",
+      f"{PKG}/entry_queries.py",
+      'threshold=0.95,', 'threshold=0.45,',
+      "constant", "semantic-dup cosine threshold 0.95 -> 0.45 "
+      "(below the isotropic originals' ~0.5 max non-self cosine)"),
+
+    # ----- X9: profiling -----
+    M("x9_histogram_ceil", "x_histogram",
+      f"{PKG}/operators/profile.py",
+      'F.floor((x - F.lit(float(lo))) / F.lit(width)),',
+      'F.ceil((x - F.lit(float(lo))) / F.lit(width)),',
+      "swapped-agg", "histogram bucket floor -> ceil"),
+
+    # ----- X11: sketches -----
+    M("x11_mg_overcompact", "x11_heavy_hitters",
+      f"{PKG}/operators/mergeable.py",
+      'vc = vc - int(vc.iloc[candidates])  # MG compaction',
+      'vc = vc - int(vc.iloc[candidates - 1])  # MG compaction',
+      "off-by-one", "Misra-Gries decrement uses the c-th largest: "
+      "bound_ok encodes the WORST-CASE MG bound, which has slack on "
+      "this data, so the gate cannot see the over-decrement; killed at "
+      "unit level by test_misra_gries_decrement_is_exact", probe=True),
+    M("x11_kmv_k_off", "x11_kmv_overlap",
+      f"{PKG}/operators/mergeable.py",
+      'distinct.withColumn("_rk", F.row_number().over(w))\n        .filter(F.col("_rk") <= k)',
+      'distinct.withColumn("_rk", F.row_number().over(w))\n        .filter(F.col("_rk") <= k - 1)',
+      "off-by-one", "KMV keeps k-1 hashes: estimates shift within the "
+      "query's tolerance contract (exact counts are computed "
+      "independently), so survival maps the contract's designed slack",
+      probe=True),
+
+    # ----- streaming -----
+    M("m3_wrong_group_key", "m3_streaming_parity",
+      f"{PKG}/streaming/pipeline.py",
+      '"work_hours": grouped_counts(enriched, "work_hours_category"),',
+      '"work_hours": grouped_counts(enriched, "age_group"),',
+      "wrong-key", "work-hours sink grouped on the wrong column"),
+    M("m13_merge_keeps_dups", "m13_streaming_kmv",
+      f"{PKG}/operators/mergeable.py",
+      'sketches.select(*group_cols, "hv")\n        .distinct()\n        .withColumn("_rk", F.row_number().over(w))',
+      'sketches.select(*group_cols, "hv")\n        .withColumn("_rk", F.row_number().over(w))',
+      "dropped-clause", "sketch merge keeps duplicate hashes across epochs"),
+
+    # ----- TPC-H -----
+    M("tpch_q6_qty_25", "sql_tpch_q6",
+      f"{PKG}/entry_queries.py",
+      '& (F.col("l_quantity") < 24)',
+      '& (F.col("l_quantity") < 25)',
+      "boundary", "Q6 quantity predicate 24 -> 25"),
+
+    # ----- X7: sampling / layout -----
+    M("x7_zorder_concat", "x7_zorder_clustering",
+      f"{PKG}/operators/layout.py",
+      'z = z.bitwiseOR(F.shiftleft(bit, i * n + j))',
+      'z = z.bitwiseOR(F.shiftleft(bit, j * bits + i))',
+      "wrong-key", "Morton interleave -> per-column bit concatenation"),
+
+    M("x7_stratified_off_by_one", "x_stratified_sample",
+      f"{PKG}/operators/sampling.py",
+      '.filter(F.col("_rn") <= n_per_stratum)',
+      '.filter(F.col("_rn") < n_per_stratum)',
+      "boundary", "n per stratum -> n-1"),
+    M("x7_split_salt", "x_hash_split_contract",
+      f"{PKG}/operators/sampling.py",
+      'bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(buckets))',
+      'bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(salt + "x")), F.lit(buckets))',
+      "constant", "split hash salt perturbed: assignments are not "
+      "SQL-mirrorable (DuckDB has no xxhash64), so the oracle checks "
+      "the contract only; killed at unit level by the golden "
+      "assignments in test_hash_split_partition_properties", probe=True),
+    M("x7_quota_ceil", "x7_mixture_resample",
+      f"{PKG}/operators/sampling.py",
+      'F.floor(\n                F.lit(total_rows) * F.col("weight") / F.col("_sw")\n            ).cast("int")',
+      'F.ceil(\n                F.lit(total_rows) * F.col("weight") / F.col("_sw")\n            ).cast("int")',
+      "swapped-agg", "mixture quota floor -> ceil"),
+]
+
+
+def purge_modules():
+    for name in list(sys.modules):
+        if name == "__spark_entry__" or name.startswith(PKG):
+            del sys.modules[name]
+
+
+def run_one(spark, con, sf_dir, query):
+    """Run query on the CURRENT source tree, compare to its oracle.
+    Returns (status, detail): status in hash/rows/schema/spark-error/
+    duckdb-error/ok."""
+    purge_modules()
+    try:
+        import __spark_entry__ as entry_mod
+
+        fn = entry_mod.queries()[query]
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        sql = entry_mod.oracle_sql().get(query)
+    except Exception as e:  # noqa: BLE001
+        return "spark-error", str(e)[:200]
+    if sql is None:
+        return "no-oracle", ""
+    try:
+        cur = con.execute(sql)
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+    except Exception as e:  # noqa: BLE001
+        return "duckdb-error", str(e)[:200]
+    if len(srows) != len(orows):
+        return "rows", f"spark={len(srows)} oracle={len(orows)}"
+    if sorted(scols) != sorted(ocols):
+        return "schema", f"{sorted(scols)} vs {sorted(ocols)}"
+    if value_hash(scols, srows) != value_hash(ocols, orows):
+        return "hash", ""
+    return "ok", ""
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = {a for a in args if "/" not in a}
+
+    ids = [m["id"] for m in MUTATIONS]
+    assert len(ids) == len(set(ids)), "duplicate mutation ids"
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("mutation_audit")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    results = []
+    for m in MUTATIONS:
+        if only and m["id"] not in only:
+            continue
+        path = REPO / m["file"]
+        src = path.read_text()
+        n_occ = src.count(m["old"])
+        if n_occ != 1:
+            results.append({**m, "status": "BAD-MUTATION",
+                            "detail": f"old text occurs {n_occ} times"})
+            print(f"BAD   {m['id']}: old text occurs {n_occ} times")
+            continue
+        t0 = time.time()
+        try:
+            path.write_text(src.replace(m["old"], m["new"]))
+            status, detail = run_one(spark, con, sf_dir, m["query"])
+        finally:
+            path.write_text(src)
+            purge_modules()
+        dt = time.time() - t0
+        killed = status not in ("ok", "no-oracle")
+        verdict = f"KILLED({status})" if killed else (
+            "NO-ORACLE" if status == "no-oracle" else "SURVIVED")
+        tag = " [probe]" if m["probe"] else ""
+        print(f"{'OK  ' if killed else 'WARN'}  {m['id']}: {verdict}"
+              f" {m['kind']}{tag} [{dt:.1f}s] {detail}")
+        results.append({**m, "status": status, "killed": killed,
+                        "seconds": round(dt, 1)})
+
+    hard = [r for r in results if not r.get("probe") and "killed" in r]
+    probes = [r for r in results if r.get("probe") and "killed" in r]
+    kills = sum(r["killed"] for r in hard)
+    print(f"\nkill rate (non-probe): {kills}/{len(hard)}")
+    if probes:
+        pk = sum(r["killed"] for r in probes)
+        print(f"probe kills: {pk}/{len(probes)} "
+              "(probes map fixture sensitivity, not gate defects)")
+    out = REPO / "tools" / "mutation_audit_results.json"
+    out.write_text(json.dumps(
+        {"sf_dir": sf_dir, "results": results,
+         "kill_rate": f"{kills}/{len(hard)}"}, indent=1))
+    print(f"wrote {out}")
+    survivors = [r for r in hard if not r["killed"]]
+    return 1 if survivors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
