@@ -9734,7 +9734,10 @@ def x7_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst-dimension comparison the narrative rests on. At 100 TB the
     key feeds repartitionByRange(...).write: layout cost is one range
     shuffle at ingest, repaid by footer-level pruning on every
-    subsequent multi-dimensional scan."""
+    subsequent multi-dimensional scan — no longer argued from the
+    metric alone: tests/test_zorder_pruning.py writes both layouts and
+    counts row groups a min/max-stats reader must touch (y-slab: 11/64
+    z-ordered vs 64/64 x-sorted; BASELINE.md round-10)."""
     from apache_spark_streaming_project_spark.operators.layout import (
         cluster_extents,
         zorder_key,
