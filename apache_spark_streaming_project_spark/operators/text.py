@@ -26,7 +26,14 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 def tokens(c: Column | str, pattern: str = r"\s+") -> Column:
     """Whitespace tokenization: split on runs of whitespace, drop empties
-    (split of a leading/trailing separator yields '' elements)."""
+    (split of a leading/trailing separator yields '' elements).
+
+    Mirror caveat (round-10 fourteenth review pass, recorded not fixed):
+    Java's ``\\s`` is ``[ \\t\\n\\x0B\\f\\r]`` while DuckDB/RE2's is
+    ``[ \\t\\n\\f\\r]`` — a document containing a VERTICAL TAB tokenizes
+    differently across the oracle boundary. No fixture contains \\x0B and
+    real text essentially never does; callers mirroring against RE2
+    engines on adversarial bytes should pre-normalize \\x0B."""
     c = F.col(c) if isinstance(c, str) else c
     return F.filter(F.split(F.trim(c), pattern), lambda t: t != "")
 
