@@ -9460,6 +9460,249 @@ def x4_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "bucket_idx")
 
 
+
+
+_GREP_SENT = "the quick brown fox jumps over the lazy dog again and again"
+_GREP_DUPLINE = "this exact line repeats inside half the documents"
+_GREP_PARAR = (
+    "repeated paragraph marker block with deliberately many padding "
+    "words to dominate character budgets"
+)
+_GREP_TEXT_SQL = (
+    f"substr(text, 1, 40) || chr(10) || '{_GREP_DUPLINE}' || chr(10) || "
+    "substr(text, 41, 40) || chr(10) || "
+    f"CASE WHEN doc_id % 2 = 0 THEN '{_GREP_DUPLINE}' "
+    "ELSE 'unique tail ' || substr(text, 81, 40) END || "
+    "chr(10) || chr(10) || "
+    f"'{_GREP_SENT} {_GREP_SENT} buy now buy now buy now' || "
+    "chr(10) || chr(10) || "
+    f"CASE WHEN doc_id % 3 = 0 THEN '{_GREP_PARAR}' "
+    "ELSE 'normal closing paragraph ' || substr(text, 1, 40) END || "
+    f"chr(10) || chr(10) || '{_GREP_PARAR}'"
+)
+
+_GREP_INT_COLS = (
+    ["n_tokens", "total_chars", "n_lines", "dup_lines", "line_chars",
+     "dup_line_chars", "n_paras", "dup_paras", "para_chars",
+     "dup_para_chars"]
+    + [f"top_{n}gram_chars" for n in (2, 3, 4)]
+    + [f"dup_{n}gram_chars" for n in range(5, 11)]
+)
+
+
+def _grep_oracle_sql() -> str:
+    """DuckDB mirror of the full Gopher-repetition integer skeleton —
+    an independent SQL implementation (list lambdas + gaps-and-islands
+    windows), not a shared AST with the Spark plan."""
+    cov_cases = ",\n        ".join(
+        f"CAST(coalesce(max(CASE WHEN n = {n} THEN cc END), 0) AS BIGINT)"
+        f" AS dup_{n}gram_chars"
+        for n in range(5, 11)
+    )
+    top_cases = ",\n        ".join(
+        f"CAST(coalesce(max(CASE WHEN n = {n} THEN tc END), 0) AS BIGINT)"
+        f" AS top_{n}gram_chars"
+        for n in (2, 3, 4)
+    )
+    flag_sql = ",\n      ".join(
+        [
+            "dup_lines * 100 <= 30 * n_lines AS dup_line_frac_ok",
+            "dup_paras * 100 <= 30 * n_paras AS dup_para_frac_ok",
+            "dup_line_chars * 100 <= 20 * line_chars AS dup_line_char_ok",
+            "dup_para_chars * 100 <= 20 * para_chars AS dup_para_char_ok",
+        ]
+        + [
+            f"top_{n}gram_chars * 100 <= {p} * total_chars"
+            f" AS top_{n}gram_ok"
+            for n, p in ((2, 20), (3, 18), (4, 16))
+        ]
+        + [
+            f"dup_{n}gram_chars * 100 <= {p} * total_chars"
+            f" AS dup_{n}gram_ok"
+            for n, p in ((5, 15), (6, 14), (7, 13), (8, 12), (9, 11), (10, 10))
+        ]
+    )
+    return f"""
+    WITH d2 AS (
+      SELECT doc_id, {_GREP_TEXT_SQL} AS text FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    t -> t <> '') AS ts,
+        list_filter(list_transform(string_split(text, chr(10)),
+                                   l -> trim(l)), l -> l <> '') AS lines,
+        list_filter(list_transform(string_split(text, chr(10) || chr(10)),
+                                   l -> trim(l)), l -> l <> '') AS paras
+      FROM d2
+    ),
+    stats AS (
+      SELECT doc_id,
+        CAST(len(ts) AS BIGINT) AS n_tokens,
+        CAST(coalesce(list_sum(list_transform(ts, t -> length(t))), 0)
+             AS BIGINT) AS total_chars,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS dup_lines,
+        CAST(coalesce(list_sum(list_transform(lines, l -> length(l))), 0)
+             AS BIGINT) AS line_chars,
+        CAST(coalesce(list_sum(list_transform(lines, l -> length(l))), 0)
+             - coalesce(list_sum(list_transform(list_distinct(lines),
+                                                l -> length(l))), 0)
+             AS BIGINT) AS dup_line_chars,
+        CAST(len(paras) AS BIGINT) AS n_paras,
+        CAST(len(paras) - len(list_distinct(paras)) AS BIGINT) AS dup_paras,
+        CAST(coalesce(list_sum(list_transform(paras, l -> length(l))), 0)
+             AS BIGINT) AS para_chars,
+        CAST(coalesce(list_sum(list_transform(paras, l -> length(l))), 0)
+             - coalesce(list_sum(list_transform(list_distinct(paras),
+                                                l -> length(l))), 0)
+             AS BIGINT) AS dup_para_chars
+      FROM tok
+    ),
+    occ AS (
+      SELECT doc_id, gg.n AS n, gg.pos AS pos, gg.gram AS gram
+      FROM (
+        SELECT doc_id,
+          unnest(flatten(list_transform([2, 3, 4, 5, 6, 7, 8, 9, 10], nn ->
+            list_transform(range(1, greatest(len(ts) - nn + 1, 0) + 1),
+                           ii -> struct_pack(
+                             n := nn, pos := ii,
+                             gram := array_to_string(
+                               list_slice(ts, ii, ii + nn - 1), ' ')))))
+          ) AS gg
+        FROM tok
+      )
+    ),
+    counts AS (
+      SELECT doc_id, n, gram, count(*) AS cnt
+      FROM occ GROUP BY doc_id, n, gram
+    ),
+    topc AS (
+      SELECT doc_id, n, cnt * (length(gram) - (n - 1)) AS tc,
+        row_number() OVER (
+          PARTITION BY doc_id, n
+          ORDER BY cnt DESC, length(gram) - (n - 1) DESC, gram ASC) AS rn
+      FROM counts WHERE n <= 4
+    ),
+    topg AS (
+      SELECT doc_id,
+        {top_cases}
+      FROM topc WHERE rn = 1 GROUP BY doc_id
+    ),
+    dup AS (
+      SELECT doc_id, n, gram FROM counts WHERE n >= 5 AND cnt >= 2
+    ),
+    ivs AS (
+      SELECT o.doc_id, o.n, o.pos AS s, o.pos + o.n - 1 AS e
+      FROM occ o JOIN dup USING (doc_id, n, gram)
+    ),
+    marked AS (
+      SELECT doc_id, n, s, e,
+        CASE WHEN s > coalesce(max(e) OVER (
+               PARTITION BY doc_id, n ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS new_i
+      FROM ivs
+    ),
+    isl AS (
+      SELECT doc_id, n, s, e,
+        sum(new_i) OVER (PARTITION BY doc_id, n ORDER BY s, e
+                         ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    islands AS (
+      SELECT doc_id, n, min(s) AS s, max(e) AS e
+      FROM isl GROUP BY doc_id, n, island
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(ts) AS tk,
+             unnest(range(1, len(ts) + 1)) AS p
+      FROM tok
+    ),
+    covn AS (
+      SELECT i.doc_id, i.n, sum(length(t.tk)) AS cc
+      FROM islands i
+      JOIN tokpos t ON t.doc_id = i.doc_id AND t.p BETWEEN i.s AND i.e
+      GROUP BY i.doc_id, i.n
+    ),
+    covg AS (
+      SELECT doc_id,
+        {cov_cases}
+      FROM covn GROUP BY doc_id
+    ),
+    skel AS (
+      SELECT s.doc_id,
+        s.n_tokens, s.total_chars, s.n_lines, s.dup_lines, s.line_chars,
+        s.dup_line_chars, s.n_paras, s.dup_paras, s.para_chars,
+        s.dup_para_chars,
+        CAST(coalesce(t.top_2gram_chars, 0) AS BIGINT) AS top_2gram_chars,
+        CAST(coalesce(t.top_3gram_chars, 0) AS BIGINT) AS top_3gram_chars,
+        CAST(coalesce(t.top_4gram_chars, 0) AS BIGINT) AS top_4gram_chars,
+        CAST(coalesce(c.dup_5gram_chars, 0) AS BIGINT) AS dup_5gram_chars,
+        CAST(coalesce(c.dup_6gram_chars, 0) AS BIGINT) AS dup_6gram_chars,
+        CAST(coalesce(c.dup_7gram_chars, 0) AS BIGINT) AS dup_7gram_chars,
+        CAST(coalesce(c.dup_8gram_chars, 0) AS BIGINT) AS dup_8gram_chars,
+        CAST(coalesce(c.dup_9gram_chars, 0) AS BIGINT) AS dup_9gram_chars,
+        CAST(coalesce(c.dup_10gram_chars, 0) AS BIGINT) AS dup_10gram_chars
+      FROM stats s
+      LEFT JOIN topg t USING (doc_id)
+      LEFT JOIN covg c USING (doc_id)
+    )
+    SELECT *,
+      {flag_sql}
+    FROM skel ORDER BY doc_id
+    """
+
+
+@register(
+    "x4_gopher_repetition",
+    _grep_oracle_sql(),
+    "X4",
+)
+def x4_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the published Gopher/MassiveText REPETITION filter table
+    (Rae et al. 2021 table A1's other half; text.py
+    gopher_repetition_flags_df), completing the crawl battery: C4 line
+    dedup + Gopher quality rules + Gopher repetition rules + CCNet LM
+    buckets. Every document gets planted repetition whose intensity
+    varies by doc_id — a line duplicated in half the docs, a paragraph
+    duplicated in every third doc (and a second always-duplicated
+    paragraph), a 12-token sentence repeated back-to-back (lighting up
+    the 5..10-gram overlap-aware coverage), and a 'buy now' triple (the
+    top-2gram) — so both flag outcomes occur for most signals and every
+    numerator moves with the underlying text. The oracle hash-checks the
+    FULL integer skeleton (all 19 numerator/denominator columns) plus
+    the 13 threshold booleans, both derived by an independent DuckDB
+    implementation (list lambdas for the map-side stats, the same
+    gaps-and-islands window shape for overlap merging, a position
+    range-join for covered characters where Spark sums map-side)."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        gopher_repetition_flags_df,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    s1 = F.substring("text", 1, 40)
+    s2 = F.substring("text", 41, 40)
+    s3 = F.substring("text", 81, 40)
+    p1 = F.concat_ws(
+        "\n",
+        s1,
+        F.lit(_GREP_DUPLINE),
+        s2,
+        F.when(F.col("doc_id") % 2 == 0, F.lit(_GREP_DUPLINE)).otherwise(
+            F.concat(F.lit("unique tail "), s3)
+        ),
+    )
+    p2 = F.lit(f"{_GREP_SENT} {_GREP_SENT} buy now buy now buy now")
+    p3 = F.when(F.col("doc_id") % 3 == 0, F.lit(_GREP_PARAR)).otherwise(
+        F.concat(F.lit("normal closing paragraph "), s1)
+    )
+    text2 = F.concat_ws("\n\n", p1, p2, p3, F.lit(_GREP_PARAR))
+    d2 = d.select("doc_id", text2.alias("text"))
+    out = gopher_repetition_flags_df(d2)
+    return out.select("doc_id", *_GREP_INT_COLS, "flags.*").orderBy("doc_id")
+
+
 @register(
     "m12_streaming_sessions",
     """

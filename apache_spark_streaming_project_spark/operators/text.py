@@ -1201,3 +1201,309 @@ def perplexity_buckets(
     return j.select(
         key_col, "lang", "lm_score", "bucket_idx", label.alias("bucket")
     )
+
+
+# Rae et al. 2021 (Gopher/MassiveText) table A1, repetition section:
+# max allowed fraction per signal, as integer percents so every flag is
+# an integer cross-multiplication (numerator*100 <= pct*denominator) —
+# exactly hashable cross-engine, no float division anywhere.
+GOPHER_REPETITION_MAX_PCT: dict[str, int] = {
+    "dup_line_frac": 30,
+    "dup_para_frac": 30,
+    "dup_line_char_frac": 20,
+    "dup_para_char_frac": 20,
+    "top_2gram_char_frac": 20,
+    "top_3gram_char_frac": 18,
+    "top_4gram_char_frac": 16,
+    "dup_5gram_char_frac": 15,
+    "dup_6gram_char_frac": 14,
+    "dup_7gram_char_frac": 13,
+    "dup_8gram_char_frac": 12,
+    "dup_9gram_char_frac": 11,
+    "dup_10gram_char_frac": 10,
+}
+
+
+def _char_sum(arr: Column) -> Column:
+    """Sum of element string lengths of an array column (long)."""
+    return F.aggregate(
+        F.transform(arr, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def gopher_repetition_flags_df(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The published Gopher/MassiveText REPETITION filters (Rae et al.
+    2021, table A1's other half — :func:`gopher_quality_flags` covers the
+    quality rules), completing the battery: a document is repetitious
+    when too much of it is duplicated lines/paragraphs or repeated word
+    n-grams.
+
+    Signals (thresholds in :data:`GOPHER_REPETITION_MAX_PCT`):
+
+    - ``dup_line_frac`` / ``dup_para_frac``: fraction of line/paragraph
+      occurrences beyond the first of each distinct unit (<= 30%).
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: the same
+      duplicates weighted by characters (<= 20%).
+    - ``top_{2,3,4}gram_char_frac``: characters claimed by the single
+      most frequent n-gram — ``count * token_chars(gram)`` over the
+      document's total token characters (<= 20/18/16%).
+    - ``dup_{5..10}gram_char_frac``: characters covered by ANY word
+      n-gram occurring more than once, counted overlap-aware (each
+      token position counts once per n even when several duplicated
+      n-grams cover it — the paper's "take care not to count characters
+      more than once" rule) (<= 15/14/13/12/11/10%).
+
+    Measurement conventions (documented because the paper leaves them
+    open; the DuckDB mirror reproduces them exactly):
+
+    - tokens are :func:`tokens` (whitespace runs, no case folding);
+      lines split on ``\\n``, paragraphs on ``\\n\\n``, each trimmed
+      with empties dropped;
+    - every character denominator is whitespace-free: total token
+      characters for the n-gram signals, summed unit characters for the
+      line/paragraph signals;
+    - the top n-gram tie-break is (count DESC, token chars DESC, gram
+      ASC) — deterministic cross-engine;
+    - empty denominators pass (0 <= 0): an empty document is not
+      *repetitious* (the quality battery rejects it instead).
+
+    Returns one row per input row: the key, the full INTEGER skeleton
+    (every numerator/denominator as bigint — the oracle-hashable
+    surface), and a ``flags`` struct of the 13 booleans.
+
+    Plan shape (the 100 TB lens): line/paragraph stats and the
+    per-``n`` gram arrays are map-side array built-ins; per-gram counts
+    are one (key, n, gram)-keyed partial agg; the top-gram pick is a
+    map-side WindowGroupLimit (row_number = 1 over groups that already
+    live on their shuffle partition); duplicate-gram coverage joins
+    occurrences back on 8-byte xxhash64 gram keys, merges overlap
+    islands with the two-window gaps-and-islands pass from
+    :func:`duplicate_span_coverage`, then sums covered token characters
+    MAP-SIDE against the doc's own token array (no position-join
+    exchange). Everything JVM-side; no Python anywhere."""
+    key = F.col(key_col)
+    trimmed_units = lambda sep: F.filter(  # noqa: E731
+        F.transform(F.split(F.col(text_col), sep), lambda u: F.trim(u)),
+        lambda u: u != "",
+    )
+    base = df.select(
+        key.alias("_doc"),
+        tokens(text_col).alias("_ts"),
+        trimmed_units("\n").alias("_lines"),
+        trimmed_units("\n\n").alias("_paras"),
+    )
+
+    def unit_stats(arr: str, prefix: str) -> list[Column]:
+        a = F.col(arr)
+        d = F.array_distinct(a)
+        return [
+            F.size(a).cast("bigint").alias(f"n_{prefix}s"),
+            (F.size(a) - F.size(d)).cast("bigint").alias(f"dup_{prefix}s"),
+            _char_sum(a).alias(f"{prefix}_chars"),
+            (_char_sum(a) - _char_sum(d)).alias(f"dup_{prefix}_chars"),
+        ]
+
+    stats = base.select(
+        "_doc",
+        "_ts",
+        F.size("_ts").cast("bigint").alias("n_tokens"),
+        _char_sum(F.col("_ts")).alias("total_chars"),
+        *unit_stats("_lines", "line"),
+        *unit_stats("_paras", "para"),
+    )
+
+    def gram_structs(n: int) -> Column:
+        k = F.size("_ts") - (n - 1)
+        idx = F.when(k > 0, F.sequence(F.lit(1), k)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                i.alias("pos"),
+                F.concat_ws(" ", F.slice("_ts", i, n)).alias("gram"),
+            ),
+        )
+
+    def occ_for(ns: range) -> DataFrame:
+        # each consumer branch explodes ONLY its own n values — the two
+        # branches are separate subtrees anyway (Catalyst does not share
+        # the Generate), so a combined explode would just be re-filtered
+        # on both sides
+        return base.select(
+            "_doc",
+            F.explode(
+                F.flatten(F.array(*[gram_structs(n) for n in ns]))
+            ).alias("_g"),
+        ).select(
+            "_doc",
+            F.col("_g.n").alias("_n"),
+            F.col("_g.pos").alias("_pos"),
+            F.col("_g.gram").alias("_gram"),
+        )
+
+    # top n-gram (n=2..4): per-(doc, n) counts, then the map-side
+    # WindowGroupLimit top-1 with the deterministic tie-break
+    cnt_top = (
+        occ_for(range(2, 5))
+        .groupBy("_doc", "_n", "_gram")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    tok_chars = F.length("_gram") - (F.col("_n") - 1)
+    w_top = Window.partitionBy("_doc", "_n").orderBy(
+        F.col("_cnt").desc(), tok_chars.desc(), F.col("_gram").asc()
+    )
+    topg = (
+        cnt_top.withColumn("_rn", F.row_number().over(w_top))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "_doc",
+            "_n",
+            (F.col("_cnt") * tok_chars).cast("bigint").alias("_top_chars"),
+        )
+        .groupBy("_doc")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("_n") == n, F.col("_top_chars"))
+                ).alias(f"top_{n}gram_chars")
+                for n in (2, 3, 4)
+            ]
+        )
+    )
+
+    # duplicate n-gram coverage (n=5..10): gram identity travels as
+    # xxhash64 (the duplicate_span_coverage trade — output never exposes
+    # gram text, 2^-64 per-pair collision odds)
+    occ_dup = occ_for(range(5, 11)).select(
+        "_doc", "_n", "_pos", F.xxhash64("_gram").alias("_gh")
+    )
+    dup_grams = (
+        occ_dup.groupBy("_doc", "_n", "_gh")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= 2)
+        .select("_doc", "_n", "_gh")
+    )
+    iv = occ_dup.join(dup_grams, ["_doc", "_n", "_gh"]).select(
+        "_doc",
+        "_n",
+        F.col("_pos").alias("_s"),
+        (F.col("_pos") + F.col("_n") - 1).alias("_e"),
+    )
+    w_order = Window.partitionBy("_doc", "_n").orderBy("_s", "_e")
+    prev_max_end = F.max("_e").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        iv.withColumn(
+            "_new",
+            F.when(
+                prev_max_end.isNull() | (F.col("_s") > prev_max_end), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_new").over(
+                w_order.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("_doc", "_n", "_isl")
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+        .groupBy("_doc", "_n")
+        .agg(
+            F.collect_list(F.struct("_s", "_e")).alias("_ivs")
+        )
+    )
+    # covered characters map-side against the doc's own token array:
+    # islands are disjoint by construction, so per-island char sums add
+    cov = (
+        islands.join(base.select("_doc", "_ts"), "_doc")
+        .select(
+            "_doc",
+            "_n",
+            F.aggregate(
+                "_ivs",
+                F.lit(0).cast("long"),
+                lambda acc, r: acc
+                + _char_sum(
+                    F.slice("_ts", r["_s"], r["_e"] - r["_s"] + 1)
+                ),
+            ).alias("_cov_chars"),
+        )
+        .groupBy("_doc")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("_n") == n, F.col("_cov_chars"))
+                ).alias(f"dup_{n}gram_chars")
+                for n in range(5, 11)
+            ]
+        )
+    )
+
+    j = (
+        stats.drop("_ts")
+        .join(topg, "_doc", "left")
+        .join(cov, "_doc", "left")
+    )
+    z = F.lit(0).cast("bigint")
+    num_cols = [f"top_{n}gram_chars" for n in (2, 3, 4)] + [
+        f"dup_{n}gram_chars" for n in range(5, 11)
+    ]
+    j = j.select(
+        F.col("_doc").alias(key_col),
+        "n_tokens",
+        "total_chars",
+        "n_lines",
+        "dup_lines",
+        "line_chars",
+        "dup_line_chars",
+        "n_paras",
+        "dup_paras",
+        "para_chars",
+        "dup_para_chars",
+        *[F.coalesce(F.col(c), z).alias(c) for c in num_cols],
+    )
+
+    def ok(num: str, den: str, pct: int) -> Column:
+        return F.col(num) * 100 <= F.lit(pct) * F.col(den)
+
+    t = GOPHER_REPETITION_MAX_PCT
+    flags = F.struct(
+        ok("dup_lines", "n_lines", t["dup_line_frac"]).alias(
+            "dup_line_frac_ok"
+        ),
+        ok("dup_paras", "n_paras", t["dup_para_frac"]).alias(
+            "dup_para_frac_ok"
+        ),
+        ok("dup_line_chars", "line_chars", t["dup_line_char_frac"]).alias(
+            "dup_line_char_ok"
+        ),
+        ok("dup_para_chars", "para_chars", t["dup_para_char_frac"]).alias(
+            "dup_para_char_ok"
+        ),
+        *[
+            ok(
+                f"top_{n}gram_chars",
+                "total_chars",
+                t[f"top_{n}gram_char_frac"],
+            ).alias(f"top_{n}gram_ok")
+            for n in (2, 3, 4)
+        ],
+        *[
+            ok(
+                f"dup_{n}gram_chars",
+                "total_chars",
+                t[f"dup_{n}gram_char_frac"],
+            ).alias(f"dup_{n}gram_ok")
+            for n in range(5, 11)
+        ],
+    )
+    return j.select("*", flags.alias("flags"))

@@ -973,3 +973,163 @@ def test_gopher_df_form_equals_column_form(spark):
         gopher_quality_flags_df(
             gopher_quality_flags_df(df, "text"), "text"
         )
+
+
+def test_gopher_repetition_hand_computed(spark):
+    """gopher_repetition_flags_df against fully hand-computed expected
+    integers on adversarial shapes: pure alternation (overlapping top
+    n-grams), all-distinct tokens, duplicated lines, the empty document,
+    and a sentence repeated with period 7 (every 5..7-gram duplicated,
+    no 8..10-gram — the overlap-aware island merge must count each
+    token position once)."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        gopher_repetition_flags_df,
+    )
+
+    rows = [
+        (1, "a b a b a b"),
+        (2, "x y z w v u t s r q p o"),
+        (3, "hello world\nhello world\nbye"),
+        (4, ""),
+        (5, "the cat sat on the mat here the cat sat on the mat here"),
+        (6, "para one\n\npara one\n\npara two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition_flags_df(df).collect()
+    }
+
+    # doc 1: "a b" x3. top2 = 3 occurrences x 2 token chars; top4
+    # "a b a b" occurs twice (overlapping) = 2 x 4; nothing >= 5 repeats
+    d1 = got[1]
+    assert (d1["n_tokens"], d1["total_chars"]) == (6, 6)
+    assert d1["top_2gram_chars"] == 6
+    assert d1["top_3gram_chars"] == 6  # tie: "a b a" before "b a b"
+    assert d1["top_4gram_chars"] == 8
+    assert d1["dup_5gram_chars"] == 0
+    assert not d1["flags"]["top_2gram_ok"]
+
+    # doc 2: all distinct — every top gram is a single occurrence
+    d2 = got[2]
+    assert d2["top_2gram_chars"] == 2
+    assert d2["dup_lines"] == 0 and d2["dup_5gram_chars"] == 0
+
+    # doc 3: one duplicated 11-char line of three
+    d3 = got[3]
+    assert (d3["n_lines"], d3["dup_lines"]) == (3, 1)
+    assert (d3["line_chars"], d3["dup_line_chars"]) == (25, 11)
+    assert not d3["flags"]["dup_line_frac_ok"]  # 1/3 > 30%
+    assert d3["top_2gram_chars"] == 20  # "hello world" x2, 10 chars
+
+    # doc 4: empty — all zero, all flags pass (0 <= 0)
+    d4 = got[4]
+    assert d4["total_chars"] == 0 and d4["n_lines"] == 0
+    assert all(d4["flags"].asDict().values())
+
+    # doc 5: period-7 repeat, 14 tokens / 42 chars: every 5..7-gram at
+    # pos i equals pos i+7 -> islands [1,7]+[8,14] cover ALL chars;
+    # at n=8 the window outgrows the period -> zero
+    d5 = got[5]
+    for n in (5, 6, 7):
+        assert d5[f"dup_{n}gram_chars"] == 42, n
+        assert not d5["flags"][f"dup_{n}gram_ok"]
+    for n in (8, 9, 10):
+        assert d5[f"dup_{n}gram_chars"] == 0, n
+
+    # doc 6: duplicated paragraph (8 chars each), 2 dup of 3 units --
+    # NOTE lines and paragraphs coincide here except the separator
+    d6 = got[6]
+    assert (d6["n_paras"], d6["dup_paras"]) == (3, 1)
+    assert (d6["para_chars"], d6["dup_para_chars"]) == (24, 8)
+    assert not d6["flags"]["dup_para_frac_ok"]  # 1/3 > 30%
+
+
+def test_gopher_repetition_python_reference(spark):
+    """Independent row-at-a-time Python reference (Counter + interval
+    union over character-weighted token positions) must agree with the
+    distributed plan on every integer for a randomized corpus."""
+    import random
+    from collections import Counter
+
+    from apache_spark_streaming_project_spark.operators.text import (
+        gopher_repetition_flags_df,
+    )
+
+    rng = random.Random(42)
+    vocab = ["alpha", "bb", "c", "dddd", "ee", "fff", "gg", "hhhhh"]
+    rows = []
+    for i in range(30):
+        n = rng.randint(0, 40)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        # inject a run repeat in a third of docs
+        if i % 3 == 0 and n >= 12:
+            toks[6:12] = toks[0:6]
+        lines = []
+        while toks:
+            k = rng.randint(1, 6)
+            lines.append(" ".join(toks[:k]))
+            toks = toks[k:]
+        sep = ["\n", "\n\n"]
+        text = ""
+        for j, ln in enumerate(lines):
+            text += ln + (sep[j % 2] if j < len(lines) - 1 else "")
+        rows.append((i, text))
+
+    def ref(text):
+        ts = [t for t in text.split() if t]
+        total = sum(len(t) for t in ts)
+        out = {"n_tokens": len(ts), "total_chars": total}
+        for name, sepstr in (("line", "\n"), ("para", "\n\n")):
+            units = [u.strip() for u in text.split(sepstr)]
+            units = [u for u in units if u]
+            seen = set()
+            dup_n = dup_c = 0
+            for u in units:
+                if u in seen:
+                    dup_n += 1
+                    dup_c += len(u)
+                else:
+                    seen.add(u)
+            out[f"n_{name}s"] = len(units)
+            out[f"dup_{name}s"] = dup_n
+            out[f"{name}_chars"] = sum(len(u) for u in units)
+            out[f"dup_{name}_chars"] = dup_c
+        for n in (2, 3, 4):
+            grams = [
+                " ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)
+            ]
+            if not grams:
+                out[f"top_{n}gram_chars"] = 0
+                continue
+            cnt = Counter(grams)
+            best = max(
+                cnt.items(),
+                key=lambda kv: (kv[1], len(kv[0]) - (n - 1), _neg(kv[0])),
+            )
+            out[f"top_{n}gram_chars"] = best[1] * (len(best[0]) - (n - 1))
+        for n in range(5, 11):
+            grams = [
+                " ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)
+            ]
+            cnt = Counter(grams)
+            covered = set()
+            for i, g in enumerate(grams):
+                if cnt[g] >= 2:
+                    covered.update(range(i, i + n))
+            out[f"dup_{n}gram_chars"] = sum(len(ts[p]) for p in covered)
+        return out
+
+    def _neg(s):
+        # max() needs an inverted string key for the ASC tie-break
+        return [-ord(ch) for ch in s]
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition_flags_df(df).collect()
+    }
+    for i, text in rows:
+        expected = ref(text)
+        actual = {k: got[i][k] for k in expected}
+        assert actual == expected, f"doc {i}: {actual} != {expected}"

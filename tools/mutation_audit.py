@@ -277,6 +277,25 @@ MUTATIONS = [
       'F.floor(\n                F.lit(total_rows) * F.col("weight") / F.col("_sw")\n            ).cast("int")',
       'F.ceil(\n                F.lit(total_rows) * F.col("weight") / F.col("_sw")\n            ).cast("int")',
       "swapped-agg", "mixture quota floor -> ceil"),
+
+    # ----- round-10 registration: Gopher repetition battery -----
+    M("x4_rep_interval_end", "x4_gopher_repetition",
+      f"{PKG}/operators/text.py",
+      '(F.col("_pos") + F.col("_n") - 1).alias("_e"),',
+      '(F.col("_pos") + F.col("_n")).alias("_e"),',
+      "off-by-one", "duplicate-gram interval end pos+n-1 -> pos+n "
+      "(coverage one token too wide)"),
+    M("x4_rep_dup_threshold", "x4_gopher_repetition",
+      f"{PKG}/operators/text.py",
+      '.filter(F.col("_cnt") >= 2)',
+      '.filter(F.col("_cnt") >= 3)',
+      "boundary", "duplicate n-gram means cnt >= 2, mutated to >= 3"),
+    M("x4_rep_tiebreak", "x4_gopher_repetition",
+      f"{PKG}/operators/text.py",
+      'F.col("_cnt").desc(), tok_chars.desc(), F.col("_gram").asc()',
+      'F.col("_cnt").desc(), tok_chars.desc(), F.col("_gram").desc()',
+      "swapped-agg", "top-gram tie-break ASC -> DESC (fixture has "
+      "count+length ties among substr-derived grams)", probe=True),
 ]
 
 
