@@ -9703,6 +9703,134 @@ def x4_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", *_GREP_INT_COLS, "flags.*").orderBy("doc_id")
 
 
+
+
+_RDS_BOIL = (
+    "Shared boilerplate sentence appearing in every single document "
+    "alpha beta gamma"
+)
+_RDS_TEXT_SQL = (
+    f"substr(text, 1, 40) || ' ' || '{_RDS_BOIL}' || ' ' || "
+    "substr(text, 41, 40) || "
+    "CASE WHEN doc_id % 4 = 0 THEN ' ' || substr(text, 41, 40) "
+    "ELSE ' closing unique ' || substr(text, 81, 40) END"
+)
+
+
+@register(
+    "x4_remove_duplicate_spans",
+    f"""
+    WITH d2 AS (
+      SELECT doc_id, {_RDS_TEXT_SQL} AS text FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    t -> t <> '') AS ts
+      FROM d2
+    ),
+    occ AS (
+      SELECT doc_id, gg.pos AS pos, gg.gram AS gram
+      FROM (
+        SELECT doc_id,
+          unnest(list_transform(
+            range(1, greatest(len(ts) - 5, 0) + 1),
+            ii -> struct_pack(
+              pos := ii,
+              gram := array_to_string(
+                list_transform(list_slice(ts, ii, ii + 5),
+                               w -> lower(w)), ' ')))) AS gg
+        FROM tok
+      )
+    ),
+    dup AS (
+      SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2
+    ),
+    iv AS (
+      SELECT o.doc_id, o.pos AS s, o.pos + 5 AS e
+      FROM occ o JOIN dup USING (gram)
+    ),
+    marked AS (
+      SELECT doc_id, s, e,
+        CASE WHEN s > coalesce(max(e) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS new_i
+      FROM iv
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+        sum(new_i) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    islands AS (
+      SELECT doc_id, min(s) AS s, max(e) AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(ts) AS tk,
+             unnest(range(1, len(ts) + 1)) AS p
+      FROM tok
+    ),
+    kept AS (
+      SELECT t.doc_id, t.p, t.tk
+      FROM tokpos t LEFT JOIN islands i
+        ON i.doc_id = t.doc_id AND t.p BETWEEN i.s AND i.e
+      WHERE i.doc_id IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS kept_tokens,
+             string_agg(tk, ' ' ORDER BY p) AS text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT tok.doc_id,
+           CAST(len(tok.ts) AS BIGINT) AS n_tokens,
+           CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           coalesce(r.text, '') AS text
+    FROM tok LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY doc_id
+    """,
+    "X4",
+    "X1",
+)
+def x4_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X1 — exact-substring dedup as a TRANSFORM (text.py
+    remove_duplicate_spans; Lee et al. 2022's ExactSubstr pass): every
+    token position covered by a 6-gram occurring >= 2 times in the
+    corpus is dropped and the document rebuilt from the survivors.
+    Planted fixture: a boilerplate sentence inserted into EVERY
+    document (corpus-wide duplicated span — must vanish everywhere,
+    plus whatever real text-derived 6-grams genuinely repeat), and
+    every fourth document repeats its own middle slice back-to-back
+    (the within-document repetition case: occurrence COUNT, not
+    document frequency, decides). The oracle rebuilds the text
+    independently in DuckDB (gram counts on the lowercased grams,
+    gaps-and-islands merge, positional anti-join, string_agg by
+    position) and the hash pins the full rebuilt TEXT of all 500
+    documents plus the kept/total token counts."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    s1 = F.substring("text", 1, 40)
+    s2 = F.substring("text", 41, 40)
+    s3 = F.substring("text", 81, 40)
+    text2 = F.concat(
+        s1,
+        F.lit(f" {_RDS_BOIL} "),
+        s2,
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(F.lit(" "), s2)
+        ).otherwise(F.concat(F.lit(" closing unique "), s3)),
+    )
+    d2 = d.select("doc_id", text2.alias("text"))
+    return remove_duplicate_spans(d2, "doc_id", "text", n=6).orderBy(
+        "doc_id"
+    )
+
+
 @register(
     "m12_streaming_sessions",
     """

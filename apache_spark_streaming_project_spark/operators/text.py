@@ -1507,3 +1507,132 @@ def gopher_repetition_flags_df(
         ],
     )
     return j.select("*", flags.alias("flags"))
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring deduplication as a TRANSFORM (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr pass, re-expressed relationally): drop every token
+    position covered by a word ``n``-gram whose lowercased form occurs
+    >= ``min_count`` times in the corpus (within- OR cross-document),
+    then rebuild the document from the surviving tokens. The removal
+    companion to :func:`duplicate_span_coverage`, which only measures.
+
+    Semantics, pinned for the oracle:
+
+    - gram identity is the LOWERCASED token n-gram (the dedup-pipeline
+      tokenizer, same as ``word_shingles``); removal rebuilds from the
+      ORIGINAL tokens, so case is preserved in what survives;
+    - ALL occurrences of a duplicated span are removed — the
+      conservative variant of the paper's pass (their released tool
+      does the same; keeping one canonical occurrence would make the
+      output depend on a corpus-global occurrence order, which no
+      longer partitions);
+    - the rebuilt text joins surviving tokens with single spaces
+      (whitespace is canonicalized by the tokenizer, as in every
+      rebuild-from-tokens operator here);
+    - overlapping duplicated grams merge into islands first, so each
+      position is dropped once no matter how many grams cover it.
+
+    Returns ``(key, n_tokens, kept_tokens, text)``.
+
+    Plan shape (100 TB lens): one map-side gram explosion; one
+    corpus-global count agg keyed on the 8-byte ``xxhash64`` of the
+    gram (the only corpus-sized exchange — same trade as
+    decontamination; 2^-64 per-pair collision odds, documented); the
+    occurrence join back is on the same 8-byte key; islands merge with
+    the two-window gaps-and-islands pass per doc; the final rebuild is
+    a map-side HOF filter against the doc's own (collected, disjoint,
+    <= n_tokens/n) island list. No Python anywhere."""
+    key = F.col(key_col)
+    base = df.select(key.alias("_doc"), tokens(text_col).alias("_ts"))
+
+    k = F.size("_ts") - (n - 1)
+    idx = F.when(k > 0, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram_lower = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.transform(F.slice("_ts", i, n), lambda t: F.lower(t)),
+    )
+    occ = base.select(
+        "_doc",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"), F.xxhash64(gram_lower(i)).alias("gh")
+                ),
+            )
+        ).alias("_g"),
+    ).select("_doc", F.col("_g.pos").alias("_pos"), F.col("_g.gh").alias("_gh"))
+
+    dup = (
+        occ.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("_gh")
+    )
+    iv = occ.join(dup, "_gh").select(
+        "_doc",
+        F.col("_pos").alias("_s"),
+        (F.col("_pos") + (n - 1)).alias("_e"),
+    )
+    w_order = Window.partitionBy("_doc").orderBy("_s", "_e")
+    prev_max_end = F.max("_e").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        iv.withColumn(
+            "_new",
+            F.when(
+                prev_max_end.isNull() | (F.col("_s") > prev_max_end), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_new").over(
+                w_order.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("_doc", "_isl")
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+        .groupBy("_doc")
+        .agg(F.collect_list(F.struct("_s", "_e")).alias("_ivs"))
+    )
+
+    ivs = F.coalesce(
+        F.col("_ivs"),
+        F.array().cast("array<struct<_s:int,_e:int>>"),
+    )
+    pos_idx = F.when(
+        F.size("_ts") > 0, F.sequence(F.lit(1), F.size("_ts"))
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            pos_idx,
+            lambda i: F.struct(
+                i.alias("i"), F.element_at("_ts", i).alias("t")
+            ),
+        ),
+        lambda s: ~F.exists(
+            ivs, lambda r: (s["i"] >= r["_s"]) & (s["i"] <= r["_e"])
+        ),
+    )
+    return (
+        base.join(islands, "_doc", "left")
+        .select(
+            F.col("_doc").alias(key_col),
+            F.size("_ts").cast("bigint").alias("n_tokens"),
+            F.size(kept).cast("bigint").alias("kept_tokens"),
+            F.array_join(
+                F.transform(kept, lambda s: s["t"]), " "
+            ).alias("text"),
+        )
+    )

@@ -1133,3 +1133,98 @@ def test_gopher_repetition_python_reference(spark):
         expected = ref(text)
         actual = {k: got[i][k] for k in expected}
         assert actual == expected, f"doc {i}: {actual} != {expected}"
+
+
+def test_remove_duplicate_spans_hand_computed(spark):
+    """remove_duplicate_spans: cross-doc shared 6-gram removal (case-
+    insensitive identity, original-case rebuild), within-doc period
+    repeats (occurrence count, not document frequency), untouched docs,
+    and the empty doc."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over a different ending"),
+        (3, "x1 x2 x3 x4 x5 x6 x1 x2 x3 x4 x5 x6"),
+        (4, "totally unique words here only once appearing"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_spans(df, n=6).collect()
+    }
+    # docs 1+2 share the lowercased 6-gram "the quick brown fox jumps
+    # over" -> positions 1..6 drop in BOTH; doc 1 keeps its second
+    # (lowercase) "the" because rebuild uses ORIGINAL tokens
+    assert got[1] == {
+        "doc_id": 1, "n_tokens": 9, "kept_tokens": 3,
+        "text": "the lazy dog",
+    }
+    assert got[2] == {
+        "doc_id": 2, "n_tokens": 9, "kept_tokens": 3,
+        "text": "a different ending",
+    }
+    # within-doc period-6 repeat: gram p1 == p7 -> islands [1,6]+[7,12]
+    assert got[3] == {
+        "doc_id": 3, "n_tokens": 12, "kept_tokens": 0, "text": "",
+    }
+    assert got[4]["kept_tokens"] == 7
+    assert got[4]["text"] == rows[3][1]
+    assert got[5] == {
+        "doc_id": 5, "n_tokens": 0, "kept_tokens": 0, "text": "",
+    }
+
+
+def test_remove_duplicate_spans_python_reference(spark):
+    """Randomized corpus vs an independent Python reference (Counter
+    over lowercased grams + positional mark-and-sweep)."""
+    import random
+
+    from apache_spark_streaming_project_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    rng = random.Random(7)
+    vocab = ["Apple", "banana", "Cherry", "date", "Elder", "fig", "grape"]
+    n = 4
+    rows = []
+    shared = ["copy", "me", "exactly", "four", "times", "ok"]
+    for i in range(25):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 20))]
+        if i % 3 == 0:
+            at = rng.randint(0, len(toks))
+            toks = toks[:at] + shared + toks[at:]
+        rows.append((i, " ".join(toks)))
+
+    from collections import Counter
+
+    def ref(all_texts, text):
+        cnt = Counter()
+        for t in all_texts:
+            ts = [w.lower() for w in t.split()]
+            for j in range(len(ts) - n + 1):
+                cnt[" ".join(ts[j : j + n])] += 1
+        ts_orig = text.split()
+        ts_low = [w.lower() for w in ts_orig]
+        drop = set()
+        for j in range(len(ts_low) - n + 1):
+            if cnt[" ".join(ts_low[j : j + n])] >= 2:
+                drop.update(range(j, j + n))
+        kept = [t for p, t in enumerate(ts_orig) if p not in drop]
+        return len(ts_orig), len(kept), " ".join(kept)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_spans(df, n=n).collect()
+    }
+    texts = [t for _, t in rows]
+    for i, text in rows:
+        nt, kt, out = ref(texts, text)
+        g = got[i]
+        assert (g["n_tokens"], g["kept_tokens"], g["text"]) == (
+            nt, kt, out,
+        ), i

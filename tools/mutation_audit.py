@@ -296,6 +296,18 @@ MUTATIONS = [
       'F.col("_cnt").desc(), tok_chars.desc(), F.col("_gram").desc()',
       "swapped-agg", "top-gram tie-break ASC -> DESC (fixture has "
       "count+length ties among substr-derived grams)", probe=True),
+    M("x4_rds_inverted_keep", "x4_remove_duplicate_spans",
+      f"{PKG}/operators/text.py",
+      'lambda s: ~F.exists(\n            ivs, lambda r: (s["i"] >= r["_s"]) & (s["i"] <= r["_e"])\n        ),',
+      'lambda s: F.exists(\n            ivs, lambda r: (s["i"] >= r["_s"]) & (s["i"] <= r["_e"])\n        ),',
+      "dropped-clause", "keep-filter inverted: rebuild keeps only the "
+      "duplicated spans instead of dropping them"),
+    M("x4_rds_island_end", "x4_remove_duplicate_spans",
+      f"{PKG}/operators/text.py",
+      '(F.col("_pos") + (n - 1)).alias("_e"),',
+      '(F.col("_pos") + n).alias("_e"),',
+      "off-by-one", "duplicated-span interval end pos+n-1 -> pos+n "
+      "(every removal eats one extra token)"),
 ]
 
 
