@@ -1277,16 +1277,27 @@ def gopher_repetition_flags_df(
     (every numerator/denominator as bigint — the oracle-hashable
     surface), and a ``flags`` struct of the 13 booleans.
 
-    Plan shape (the 100 TB lens): line/paragraph stats and the
-    per-``n`` gram arrays are map-side array built-ins; per-gram counts
-    are one (key, n, gram)-keyed partial agg; the top-gram pick is a
-    map-side WindowGroupLimit (row_number = 1 over groups that already
-    live on their shuffle partition); duplicate-gram coverage joins
-    occurrences back on 8-byte xxhash64 gram keys, merges overlap
-    islands with the two-window gaps-and-islands pass from
-    :func:`duplicate_span_coverage`, then sums covered token characters
-    MAP-SIDE against the doc's own token array (no position-join
-    exchange). Everything JVM-side; no Python anywhere."""
+    Plan shape (the 100 TB lens): the ENTIRE battery is ONE map-side
+    projection — zero shuffle, zero joins, zero Python. Every signal
+    here is within-document, so corpus machinery is never needed: the
+    per-``n`` gram array is sorted per doc (``array_sort`` on
+    (gram, pos) structs), run-lengths over the sorted array give exact
+    per-gram counts (the top-gram pick folds over runs with the
+    count/chars/lexicographic tie-break — runs arrive in ascending gram
+    order, so keeping the earlier run on ties IS the ASC tie-break),
+    duplicated occurrences are the entries with an equal sorted
+    neighbor, and overlap-aware character coverage folds over the
+    sorted duplicate positions with a (chars, last_covered_end)
+    accumulator. Per doc per n that is O(G log G) — embarrassingly
+    parallel at any corpus size.
+
+    The first implementation shuffled: per-(doc, n, gram) count aggs +
+    WindowGroupLimit + an occurrence join + gaps-and-islands windows.
+    Measured A/B at sf0.1 (BASELINE.md round-10): the map-only rewrite
+    produces the identical output (same oracle hash, same pytest
+    references) with the 8-exchange plan replaced by one Project — the
+    recorded reminder that within-row aggregation should never leave
+    the row."""
     key = F.col(key_col)
     trimmed_units = lambda sep: F.filter(  # noqa: E731
         F.transform(F.split(F.col(text_col), sep), lambda u: F.trim(u)),
@@ -1309,167 +1320,130 @@ def gopher_repetition_flags_df(
             (_char_sum(a) - _char_sum(d)).alias(f"dup_{prefix}_chars"),
         ]
 
-    stats = base.select(
-        "_doc",
-        "_ts",
-        F.size("_ts").cast("bigint").alias("n_tokens"),
-        _char_sum(F.col("_ts")).alias("total_chars"),
-        *unit_stats("_lines", "line"),
-        *unit_stats("_paras", "para"),
-    )
-
-    def gram_structs(n: int) -> Column:
+    def sorted_grams(n: int) -> Column:
+        # array<struct<g, p>> sorted by (gram, pos): equal grams are
+        # adjacent, runs in ascending gram order
         k = F.size("_ts") - (n - 1)
         idx = F.when(k > 0, F.sequence(F.lit(1), k)).otherwise(
             F.array().cast("array<int>")
         )
-        return F.transform(
-            idx,
-            lambda i: F.struct(
-                F.lit(n).alias("n"),
-                i.alias("pos"),
-                F.concat_ws(" ", F.slice("_ts", i, n)).alias("gram"),
-            ),
-        )
-
-    def occ_for(ns: range) -> DataFrame:
-        # each consumer branch explodes ONLY its own n values — the two
-        # branches are separate subtrees anyway (Catalyst does not share
-        # the Generate), so a combined explode would just be re-filtered
-        # on both sides
-        return base.select(
-            "_doc",
-            F.explode(
-                F.flatten(F.array(*[gram_structs(n) for n in ns]))
-            ).alias("_g"),
-        ).select(
-            "_doc",
-            F.col("_g.n").alias("_n"),
-            F.col("_g.pos").alias("_pos"),
-            F.col("_g.gram").alias("_gram"),
-        )
-
-    # top n-gram (n=2..4): per-(doc, n) counts, then the map-side
-    # WindowGroupLimit top-1 with the deterministic tie-break
-    cnt_top = (
-        occ_for(range(2, 5))
-        .groupBy("_doc", "_n", "_gram")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-    )
-    tok_chars = F.length("_gram") - (F.col("_n") - 1)
-    w_top = Window.partitionBy("_doc", "_n").orderBy(
-        F.col("_cnt").desc(), tok_chars.desc(), F.col("_gram").asc()
-    )
-    topg = (
-        cnt_top.withColumn("_rn", F.row_number().over(w_top))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "_doc",
-            "_n",
-            (F.col("_cnt") * tok_chars).cast("bigint").alias("_top_chars"),
-        )
-        .groupBy("_doc")
-        .agg(
-            *[
-                F.max(
-                    F.when(F.col("_n") == n, F.col("_top_chars"))
-                ).alias(f"top_{n}gram_chars")
-                for n in (2, 3, 4)
-            ]
-        )
-    )
-
-    # duplicate n-gram coverage (n=5..10): gram identity travels as
-    # xxhash64 (the duplicate_span_coverage trade — output never exposes
-    # gram text, 2^-64 per-pair collision odds)
-    occ_dup = occ_for(range(5, 11)).select(
-        "_doc", "_n", "_pos", F.xxhash64("_gram").alias("_gh")
-    )
-    dup_grams = (
-        occ_dup.groupBy("_doc", "_n", "_gh")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .filter(F.col("_cnt") >= 2)
-        .select("_doc", "_n", "_gh")
-    )
-    iv = occ_dup.join(dup_grams, ["_doc", "_n", "_gh"]).select(
-        "_doc",
-        "_n",
-        F.col("_pos").alias("_s"),
-        (F.col("_pos") + F.col("_n") - 1).alias("_e"),
-    )
-    w_order = Window.partitionBy("_doc", "_n").orderBy("_s", "_e")
-    prev_max_end = F.max("_e").over(
-        w_order.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    islands = (
-        iv.withColumn(
-            "_new",
-            F.when(
-                prev_max_end.isNull() | (F.col("_s") > prev_max_end), 1
-            ).otherwise(0),
-        )
-        .withColumn(
-            "_isl",
-            F.sum("_new").over(
-                w_order.rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-        .groupBy("_doc", "_n", "_isl")
-        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
-        .groupBy("_doc", "_n")
-        .agg(
-            F.collect_list(F.struct("_s", "_e")).alias("_ivs")
-        )
-    )
-    # covered characters map-side against the doc's own token array:
-    # islands are disjoint by construction, so per-island char sums add
-    cov = (
-        islands.join(base.select("_doc", "_ts"), "_doc")
-        .select(
-            "_doc",
-            "_n",
-            F.aggregate(
-                "_ivs",
-                F.lit(0).cast("long"),
-                lambda acc, r: acc
-                + _char_sum(
-                    F.slice("_ts", r["_s"], r["_e"] - r["_s"] + 1)
+        return F.array_sort(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.concat_ws(" ", F.slice("_ts", i, n)).alias("g"),
+                    i.alias("p"),
                 ),
-            ).alias("_cov_chars"),
+            )
         )
-        .groupBy("_doc")
-        .agg(
-            *[
-                F.max(
-                    F.when(F.col("_n") == n, F.col("_cov_chars"))
-                ).alias(f"dup_{n}gram_chars")
-                for n in range(5, 11)
-            ]
-        )
-    )
 
-    j = (
-        stats.drop("_ts")
-        .join(topg, "_doc", "left")
-        .join(cov, "_doc", "left")
-    )
-    z = F.lit(0).cast("bigint")
-    num_cols = [f"top_{n}gram_chars" for n in (2, 3, 4)] + [
-        f"dup_{n}gram_chars" for n in range(5, 11)
-    ]
-    j = j.select(
+    def bind(arr: Column, fn) -> Column:
+        # single-binding trick: evaluate `arr` once per row, not once
+        # per reference inside the lambda body
+        return F.element_at(F.transform(F.array(arr), fn), 1)
+
+    def top_chars(n: int) -> Column:
+        # fold over runs of the sorted gram array: running count resets
+        # on gram change and peaks at the run's true count; best updates
+        # only on a STRICT (count, token_chars) improvement, so ties
+        # keep the earlier = lexicographically smaller gram (ASC)
+        def inner(sg: Column) -> Column:
+            init = F.struct(
+                F.lit("").alias("cur_g"),
+                F.lit(0).cast("long").alias("cur_c"),
+                F.lit(0).cast("long").alias("best_c"),
+                F.lit(0).cast("long").alias("best_w"),
+            )
+
+            def step(acc: Column, s: Column) -> Column:
+                cur_c = F.when(
+                    s["g"] == acc["cur_g"], acc["cur_c"] + 1
+                ).otherwise(F.lit(1).cast("long"))
+                w = (F.length(s["g"]) - F.lit(n - 1)).cast("long")
+                better = (cur_c > acc["best_c"]) | (
+                    (cur_c == acc["best_c"]) & (w > acc["best_w"])
+                )
+                return F.struct(
+                    s["g"].alias("cur_g"),
+                    cur_c.alias("cur_c"),
+                    F.when(better, cur_c)
+                    .otherwise(acc["best_c"])
+                    .alias("best_c"),
+                    F.when(better, w).otherwise(acc["best_w"]).alias("best_w"),
+                )
+
+            return F.aggregate(
+                sg, init, step, lambda acc: acc["best_c"] * acc["best_w"]
+            )
+
+        return bind(sorted_grams(n), inner)
+
+    def dup_chars(n: int) -> Column:
+        # duplicated occurrences = entries with an equal sorted
+        # neighbor (prev OR next); overlap-aware char coverage folds
+        # over their ascending positions with a last-covered-end
+        # accumulator so overlapping [p, p+n-1] windows never double
+        # count (the guards keep element_at indices in 1..m under ANSI)
+        def inner(sg: Column) -> Column:
+            m = F.size(sg)
+            dup_pos = F.array_sort(
+                F.transform(
+                    F.filter(
+                        F.transform(
+                            sg,
+                            lambda s, i: F.struct(
+                                s["p"].alias("p"),
+                                (
+                                    F.when(
+                                        i > 0,
+                                        F.element_at(sg, i)["g"] == s["g"],
+                                    ).otherwise(F.lit(False))
+                                    | F.when(
+                                        i < m - 1,
+                                        F.element_at(sg, i + 2)["g"]
+                                        == s["g"],
+                                    ).otherwise(F.lit(False))
+                                ).alias("d"),
+                            ),
+                        ),
+                        lambda s: s["d"],
+                    ),
+                    lambda s: s["p"],
+                )
+            )
+            init = F.struct(
+                F.lit(0).cast("long").alias("chars"),
+                F.lit(0).alias("last"),
+            )
+
+            def step(acc: Column, p: Column) -> Column:
+                start = F.greatest(p, acc["last"] + 1)
+                end = p + F.lit(n - 1)
+                ln = F.greatest(end - start + 1, F.lit(0))
+                add = _char_sum(F.slice("_ts", start, ln))
+                return F.struct(
+                    (acc["chars"] + add).alias("chars"),
+                    F.greatest(acc["last"], end).alias("last"),
+                )
+
+            return F.aggregate(dup_pos, init, step, lambda a: a["chars"])
+
+        return bind(sorted_grams(n), inner)
+
+    j = base.select(
         F.col("_doc").alias(key_col),
-        "n_tokens",
-        "total_chars",
-        "n_lines",
-        "dup_lines",
-        "line_chars",
-        "dup_line_chars",
-        "n_paras",
-        "dup_paras",
-        "para_chars",
-        "dup_para_chars",
-        *[F.coalesce(F.col(c), z).alias(c) for c in num_cols],
+        F.size("_ts").cast("bigint").alias("n_tokens"),
+        _char_sum(F.col("_ts")).alias("total_chars"),
+        *unit_stats("_lines", "line"),
+        *unit_stats("_paras", "para"),
+        *[
+            top_chars(n).cast("bigint").alias(f"top_{n}gram_chars")
+            for n in (2, 3, 4)
+        ],
+        *[
+            dup_chars(n).cast("bigint").alias(f"dup_{n}gram_chars")
+            for n in range(5, 11)
+        ],
     )
 
     def ok(num: str, den: str, pct: int) -> Column:

@@ -281,21 +281,24 @@ MUTATIONS = [
     # ----- round-10 registration: Gopher repetition battery -----
     M("x4_rep_interval_end", "x4_gopher_repetition",
       f"{PKG}/operators/text.py",
-      '(F.col("_pos") + F.col("_n") - 1).alias("_e"),',
-      '(F.col("_pos") + F.col("_n")).alias("_e"),',
-      "off-by-one", "duplicate-gram interval end pos+n-1 -> pos+n "
-      "(coverage one token too wide)"),
+      'end = p + F.lit(n - 1)',
+      'end = p + F.lit(n)',
+      "off-by-one", "duplicate-gram coverage window end pos+n-1 -> "
+      "pos+n (every covered span eats one extra token)"),
     M("x4_rep_dup_threshold", "x4_gopher_repetition",
       f"{PKG}/operators/text.py",
-      '.filter(F.col("_cnt") >= 2)',
-      '.filter(F.col("_cnt") >= 3)',
-      "boundary", "duplicate n-gram means cnt >= 2, mutated to >= 3"),
+      'F.when(\n                                        i > 0,\n                                        F.element_at(sg, i)["g"] == s["g"],\n                                    )',
+      'F.when(\n                                        i > 1,\n                                        F.element_at(sg, i)["g"] == s["g"],\n                                    )',
+      "boundary", "sorted-neighbor duplicate detection: prev-neighbor "
+      "guard off by one (element at sorted slot 1 loses its only "
+      "equal-prev witness)"),
     M("x4_rep_tiebreak", "x4_gopher_repetition",
       f"{PKG}/operators/text.py",
-      'F.col("_cnt").desc(), tok_chars.desc(), F.col("_gram").asc()',
-      'F.col("_cnt").desc(), tok_chars.desc(), F.col("_gram").desc()',
-      "swapped-agg", "top-gram tie-break ASC -> DESC (fixture has "
-      "count+length ties among substr-derived grams)", probe=True),
+      'better = (cur_c > acc["best_c"]) | (\n                    (cur_c == acc["best_c"]) & (w > acc["best_w"])\n                )',
+      'better = (cur_c > acc["best_c"]) | (\n                    (cur_c == acc["best_c"]) & (w >= acc["best_w"])\n                )',
+      "swapped-agg", "top-gram tie-break: strict-improvement keeps the "
+      "lexicographically smaller run (ASC); >= hands ties to the later "
+      "= larger gram (the DESC flip)", probe=True),
     M("x4_rds_inverted_keep", "x4_remove_duplicate_spans",
       f"{PKG}/operators/text.py",
       'lambda s: ~F.exists(\n            ivs, lambda r: (s["i"] >= r["_s"]) & (s["i"] <= r["_e"])\n        ),',
