@@ -8735,7 +8735,7 @@ _STRIP_HTML_DOC_SQL = (
     '<script type="text/javascript">var x = "<p>not text</p>";</script>'
     "<ul><li>alpha &amp; beta</li><li>1 &lt; 2 &gt; 0</li></ul>"
     "<DIV>&quot;quoted&quot; &#39;apos&#39;&nbsp;and &amp;lt;literal</DIV>"
-    "<table><tr><td>cell</td></tr></table></body></html>'"
+    "<table><tr><td>cell</td></tr></table>flush<em>inline</em>tags</body></html>'"
 )
 
 
@@ -8772,7 +8772,7 @@ def x4_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
             "</script><ul><li>alpha &amp; beta</li><li>1 &lt; 2 &gt; 0</li>"
             "</ul><DIV>&quot;quoted&quot; &#39;apos&#39;&nbsp;and "
             "&amp;lt;literal</DIV><table><tr><td>cell</td></tr></table>"
-            "</body></html>"
+            "flush<em>inline</em>tags</body></html>"
         ),
     )
     return d.select("doc_id", strip_html(html).alias("text")).orderBy("doc_id")

@@ -311,6 +311,52 @@ MUTATIONS = [
       '(F.col("_pos") + n).alias("_e"),',
       "off-by-one", "duplicated-span interval end pos+n-1 -> pos+n "
       "(every removal eats one extra token)"),
+
+    # ----- ORACLE-side mutations: mutate the DuckDB SQL instead of the
+    # Spark plan. Kills here prove the comparison actually consults the
+    # mirror's output — the symmetric half of the identical-chain-mirror
+    # concern (a gate whose oracle side were dead would survive these).
+    M("oracle_rep_dup_threshold", "x4_gopher_repetition",
+      f"{PKG}/entry_queries.py",
+      'FROM counts WHERE n >= 5 AND cnt >= 2',
+      'FROM counts WHERE n >= 5 AND cnt >= 3',
+      "boundary", "MIRROR-side duplicate threshold 2 -> 3"),
+    M("oracle_rds_threshold", "x4_remove_duplicate_spans",
+      f"{PKG}/entry_queries.py",
+      'GROUP BY gram HAVING count(*) >= 2',
+      'GROUP BY gram HAVING count(*) >= 3',
+      "boundary", "MIRROR-side duplicate-span threshold 2 -> 3"),
+    M("oracle_ntile_arith", "x4_perplexity_buckets",
+      f"{PKG}/entry_queries.py",
+      'CAST(n // 3 + CASE WHEN bucket_idx < n % 3 THEN 1 ELSE 0 END\n                AS BIGINT) AS n_docs',
+      'CAST(n // 3 + CASE WHEN bucket_idx <= n % 3 THEN 1 ELSE 0 END\n                AS BIGINT) AS n_docs',
+      "boundary", "MIRROR-side ntile count arithmetic < -> <="),
+    M("oracle_strip_html_pad", "x4_strip_html",
+      f"{PKG}/entry_queries.py",
+      'x = f"regexp_replace({x}, \'(?s)<[^>]+>\', \' \', \'g\')"',
+      'x = f"regexp_replace({x}, \'(?s)<[^>]+>\', \'\', \'g\')"',
+      "constant", "MIRROR-side generic-tag replacement \' \' -> \'\' "
+      "(the identical-chain mirror the r9 verdict flagged). The FIRST "
+      "run SURVIVED: the chain's whitespace-normalization tail masks "
+      "pad-vs-empty anywhere a tag is not flush between word chars, and "
+      "no fixture site was — fixed by planting flush<em>inline</em>tags "
+      "in the wrapped page; kills now"),
+    M("oracle_kmv_split", "x11_kmv_overlap",
+      f"{PKG}/entry_queries.py",
+      'WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 < 2),',
+      'WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 <= 2),',
+      "boundary", "MIRROR-side split predicate < -> <= (set a becomes "
+      "the whole corpus)"),
+    M("oracle_m13_distinct", "m13_streaming_kmv",
+      f"{PKG}/entry_queries.py",
+      'SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact,',
+      'SELECT CAST(COUNT(text) AS BIGINT) AS n_exact,',
+      "dropped-clause", "MIRROR-side DISTINCT dropped from the exact "
+      "cardinality: SURVIVES because sf0.01 documents.text is "
+      "all-distinct (COUNT == COUNT DISTINCT there) — fixture geometry; "
+      "the Spark side's distinct() semantics are exercised by the "
+      "OVERLAPPING waves (every doc delivered twice), whose dedup the "
+      "in-plan merge-theorem check pins", probe=True),
 ]
 
 
