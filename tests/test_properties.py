@@ -1019,3 +1019,100 @@ def test_histogram_quantiles_contain_exact_values(spark, values, qs):
         r = got[q]
         assert r.rank == rank and r.n_total == len(svals)
         assert r.bucket_lo <= exact < r.bucket_hi, (q, exact, r)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(st.lists(
+    st.text(alphabet="ab \n", min_size=0, max_size=60),
+    min_size=1, max_size=10,
+))
+def test_gopher_repetition_invariants(spark, texts):
+    """Structural invariants of the repetition battery on adversarial
+    tiny-alphabet docs (maximal collision pressure):
+
+    - every char numerator is bounded by its denominator EXCEPT the top
+      n-gram one, which counts occurrences x chars and may exceed 100%
+      on overlapping self-repeats (documented convention);
+    - dup_{n}gram coverage is NON-INCREASING in n (theorem: a
+      duplicated (n+1)-gram's two occurrences contain duplicated
+      n-grams covering a superset of its positions);
+    - self-concatenation makes every n <= tokens fully covered."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        gopher_repetition_flags_df,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in gopher_repetition_flags_df(df).collect()}
+    for i, _t in rows:
+        g = got[i]
+        assert g["dup_lines"] <= g["n_lines"]
+        assert g["dup_line_chars"] <= g["line_chars"]
+        assert g["dup_paras"] <= g["n_paras"]
+        assert g["dup_para_chars"] <= g["para_chars"]
+        cov = [g[f"dup_{n}gram_chars"] for n in range(5, 11)]
+        assert all(c <= g["total_chars"] for c in cov), (i, cov)
+        assert all(a >= b for a, b in zip(cov, cov[1:])), (i, cov)
+
+    # self-concatenation: "t t" duplicates every window of t
+    doubled = [(i, f"{t} {t}") for i, t in enumerate(texts) if t.split()]
+    if doubled:
+        df2 = spark.createDataFrame(doubled, "doc_id long, text string")
+        got2 = {r["doc_id"]: r.asDict()
+                for r in gopher_repetition_flags_df(df2).collect()}
+        for i, t2 in doubled:
+            g = got2[i]
+            n_tok = len(t2.split())
+            for n in range(5, 11):
+                if n <= n_tok // 2:
+                    assert g[f"dup_{n}gram_chars"] == g["total_chars"], (
+                        i, n, g)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(st.lists(
+    st.text(alphabet="abc ", min_size=0, max_size=50),
+    min_size=2, max_size=12,
+))
+def test_remove_duplicate_spans_invariants(spark, texts):
+    """remove_duplicate_spans invariants on a high-collision corpus:
+
+    - output tokens are a SUBSEQUENCE of the input tokens;
+    - kept_tokens equals the output's token count and never exceeds
+      n_tokens;
+    - a corpus where every doc is unique-and-short (< n tokens) passes
+      through untouched (canonicalized whitespace);
+    - duplicating the whole corpus under fresh keys removes EVERY
+      n-token-or-longer doc entirely."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    n = 3
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in remove_duplicate_spans(df, n=n).collect()}
+
+    def is_subseq(sub, full):
+        it = iter(full)
+        return all(tok in it for tok in sub)
+
+    for i, t in rows:
+        g = got[i]
+        toks_in = t.split()
+        toks_out = g["text"].split() if g["text"] else []
+        assert g["n_tokens"] == len(toks_in)
+        assert g["kept_tokens"] == len(toks_out) <= len(toks_in)
+        assert is_subseq(toks_out, toks_in), (i, toks_out, toks_in)
+
+    # corpus doubled under fresh keys: every doc with >= n tokens is a
+    # full duplicate span and must vanish from BOTH copies
+    rows2 = rows + [(1000 + i, t) for i, t in rows]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got2 = {r["doc_id"]: r.asDict()
+            for r in remove_duplicate_spans(df2, n=n).collect()}
+    for i, t in rows2:
+        if len(t.split()) >= n:
+            assert got2[i]["kept_tokens"] == 0, (i, t, got2[i])
