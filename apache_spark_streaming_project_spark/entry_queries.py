@@ -10143,7 +10143,9 @@ def x7_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "m13_streaming_kmv",
     """
-    SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact,
+    SELECT CAST(COUNT(DISTINCT CASE WHEN doc_id % 7 = 0
+           THEN 'planted shared text so distinct-vs-count is load-bearing'
+           ELSE text END) AS BIGINT) AS n_exact,
            TRUE AS merge_exact, TRUE AS est_ok
     FROM documents
     """,
@@ -10165,7 +10167,7 @@ def m13_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-plan as merge_exact), its estimate must land within the measured
     KMV margin of the exact distinct count (est_ok; k=256 over ~500
     distinct texts — the estimator path, not the exact sub-k path), and
-    the exact count itself is hash-checked against the oracle."""
+    the exact count itself is hash-checked against the oracle. Every seventh doc shares one planted text, so the corpus has genuine duplicate TEXTS and DISTINCT is load-bearing on both engines (oracle-side mutation audit requirement)."""
     import os
 
     from apache_spark_streaming_project_spark.operators.mergeable import (
@@ -10180,7 +10182,18 @@ def m13_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = os.path.join(base, "sketch_state")
     ckpt = os.path.join(base, "ckpt")
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # every seventh document shares ONE planted text: without
+    # corpus-level duplicate TEXTS the oracle's COUNT(DISTINCT ...) is
+    # indistinguishable from COUNT(...) (the round-10 ORACLE-side
+    # mutation audit caught exactly that surviving), and the sketch
+    # never sees two docs hashing to the same value
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.lit("planted shared text so distinct-vs-count is load-bearing"),
+    ).otherwise(F.col("text"))
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", planted.alias("text")
+    )
     # waves OVERLAP on purpose (every doc is delivered in two of the
     # three waves): re-crawls re-deliver old content, and the idempotent
     # set-merge contract is only actually exercised when the merge sees

@@ -349,14 +349,12 @@ MUTATIONS = [
       "the whole corpus)"),
     M("oracle_m13_distinct", "m13_streaming_kmv",
       f"{PKG}/entry_queries.py",
-      'SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact,',
-      'SELECT CAST(COUNT(text) AS BIGINT) AS n_exact,',
+      'SELECT CAST(COUNT(DISTINCT CASE WHEN doc_id % 7 = 0',
+      'SELECT CAST(COUNT(CASE WHEN doc_id % 7 = 0',
       "dropped-clause", "MIRROR-side DISTINCT dropped from the exact "
-      "cardinality: SURVIVES because sf0.01 documents.text is "
-      "all-distinct (COUNT == COUNT DISTINCT there) — fixture geometry; "
-      "the Spark side's distinct() semantics are exercised by the "
-      "OVERLAPPING waves (every doc delivered twice), whose dedup the "
-      "in-plan merge-theorem check pins", probe=True),
+      "cardinality. First run SURVIVED: sf0.01 documents.text was "
+      "all-distinct, so COUNT == COUNT DISTINCT — fixed by planting one "
+      "shared text in every seventh doc (both sides); kills now"),
 ]
 
 
