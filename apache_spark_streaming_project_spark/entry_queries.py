@@ -233,7 +233,8 @@ def s21_quantity_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s20_totalprice_bucket_counts",
     f"""
     SELECT {_TOTALPRICE_BUCKET_SQL} AS totalprice_bucket, COUNT(*) AS count
-    FROM orders GROUP BY 1
+    FROM (SELECT o_totalprice FROM orders UNION ALL SELECT 150000.0)
+    GROUP BY 1
     """,
     "S10",
     "S12",
@@ -241,10 +242,18 @@ def s21_quantity_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s20_totalprice_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10/S12+S20 analogue: price-band bucketing -> counts. Mirrors
-    income_category distribution (reference spark_streaming.py:57-59,94)."""
-    o = _t(spark, sf_dir, "orders")
+    income_category distribution (reference spark_streaming.py:57-59,94).
+
+    Boundary fixture (round-11 verdict item 4): the continuous TPC-H price
+    distribution never lands EXACTLY on the 150,000 bucket edge, so the
+    `< -> <=` audit mutation used to survive as a probe. One planted row at
+    exactly 150000.0 (mirrored in the oracle SQL) makes the strict-< edge
+    load-bearing: correct = High, mutated = Mid -> hash kill."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    planted = spark.range(1).select(F.lit(150000.0).alias("o_totalprice"))
     return (
-        o.withColumn("totalprice_bucket", enrich.totalprice_bucket())
+        o.unionByName(planted)
+        .withColumn("totalprice_bucket", enrich.totalprice_bucket())
         .groupBy("totalprice_bucket")
         .count()
     )
@@ -331,9 +340,14 @@ def s13_value_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d1_trailing_window_counts",
     """
-    WITH cutoff AS (SELECT max(ts) - INTERVAL 7 DAY AS c FROM events)
+    WITH base AS (
+      SELECT ts, event_type, value FROM events
+      UNION ALL
+      SELECT max(ts) - INTERVAL 7 DAY, 'boundary_probe', 0.0 FROM events
+    ),
+    cutoff AS (SELECT max(ts) - INTERVAL 7 DAY AS c FROM base)
     SELECT event_type, COUNT(*) AS count, {sum_value} AS sum_value
-    FROM events, cutoff
+    FROM base, cutoff
     WHERE ts >= c
     GROUP BY event_type
     """.format(sum_value=sum_money_sql("value")),
@@ -343,12 +357,27 @@ def s13_value_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d1_trailing_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 — trailing-window range predicate ('last 7 days' relative to the
     data's max ts for determinism) + D5 re-aggregation. The comparison is a
-    pushable range predicate -> parquet row-group pruning at scale."""
+    pushable range predicate -> parquet row-group pruning at scale.
+
+    Boundary fixture (round-11 verdict item 4): the microsecond-resolution
+    events fixture never has a row EXACTLY at the `max(ts) - 7 DAY` cutoff
+    instant, so the `>= -> >` audit mutation used to survive as a probe. One
+    sentinel event ('boundary_probe', value 0) planted exactly at the cutoff
+    (mirrored in the oracle SQL; it cannot move the max, so the cutoff is
+    unchanged) sits ON the boundary: included under >=, dropped under > ->
+    a whole output group appears/disappears -> row-count kill. The original
+    7-vs-8-day sensitivity still rides on the real rows."""
     from apache_spark_streaming_project_spark.operators.readside import trailing_window
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    planted = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("ts"),
+        F.lit("boundary_probe").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    base = ev.unionByName(planted)
     return (
-        trailing_window(ev, "ts", "7 DAY")
+        trailing_window(base, "ts", "7 DAY")
         .groupBy("event_type")
         .agg(F.count("*").alias("count"), sum_money("value", out_alias="sum_value"))
     )
@@ -463,8 +492,22 @@ def d10_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d13_top_users_by_value",
     """
-    SELECT user_id, {total} AS total_value, COUNT(*) AS n_events
-    FROM events GROUP BY user_id
+    WITH totals AS (
+      SELECT user_id, {total} AS total_value, COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    v10 AS (
+      SELECT min(total_value) AS v FROM (
+        SELECT total_value FROM totals
+        ORDER BY total_value DESC, user_id ASC LIMIT 10)
+    ),
+    all_t AS (
+      SELECT user_id, total_value, n_events FROM totals
+      UNION ALL
+      SELECT 1000000 + i, v, CAST(1 AS BIGINT)
+      FROM v10, (SELECT unnest([1, 2, 3]) AS i)
+    )
+    SELECT user_id, total_value, n_events FROM all_t
     ORDER BY total_value DESC, user_id ASC LIMIT 10
     """.format(total=sum_money_sql("value")),
     "D13",
@@ -472,7 +515,16 @@ def d10_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d13_top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D13/D14 — top-10 users by exact total value; user_id tie-break makes
-    the k-set deterministic (SURVEY.md §7.5 risk 1)."""
+    the k-set deterministic (SURVEY.md §7.5 risk 1).
+
+    Boundary fixture (round-11 verdict item 4): exact-decimal totals over a
+    continuous value column never tie, so the dropped-tie-break audit
+    mutation used to survive as a probe. Three planted users (ids 1000001-3,
+    mirrored in the oracle SQL) tie EXACTLY at the rank-10 total, making the
+    k-boundary a 4-way tie. The CORRECT output is unchanged — the tie-break
+    (total desc, user_id asc) excludes all three planted ids, so the real
+    top-10 wins — but with the tie-break dropped the heap's pick among the
+    tied four is arbitrary, and any planted survivor reddens the hash."""
     from apache_spark_streaming_project_spark.operators.readside import top_k
 
     ev = _t(spark, sf_dir, "events")
@@ -480,7 +532,16 @@ def d13_top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_money("value", out_alias="total_value"),
         F.count("*").alias("n_events"),
     )
-    return top_k(totals, [F.col("total_value").desc(), F.col("user_id").asc()], 10)
+    order = [F.col("total_value").desc(), F.col("user_id").asc()]
+    v10 = top_k(totals, order, 10).agg(F.min("total_value").alias("_v"))
+    planted = v10.select(
+        F.explode(
+            F.array(*[F.lit(i).cast("bigint") for i in (1000001, 1000002, 1000003)])
+        ).alias("user_id"),
+        F.col("_v").alias("total_value"),
+        F.lit(1).cast("bigint").alias("n_events"),
+    )
+    return top_k(totals.unionByName(planted), order, 10)
 
 
 # ---------------------------------------------------------------------------
@@ -3467,6 +3528,84 @@ def s_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_rank_distributions_partitioned",
+    """
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER w AS global_rank,
+           NTILE(10) OVER w AS decile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    "§2.5",
+)
+def s_rank_distributions_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 verdict item 5: the SCALE path for exact global ranks —
+    `partitioned_global_ranks` (operators/rank.py) replaces the
+    single-partition global window with sketch cut points -> per-bucket
+    ranking windows (parallel) -> broadcast prefix offsets, and this
+    registration proves the composition reproduces the single-window
+    ROW_NUMBER/NTILE/PERCENT_RANK/CUME_DIST semantics bit-for-bit
+    (the oracle IS the single-window formulation)."""
+    from apache_spark_streaming_project_spark.operators.rank import (
+        partitioned_global_ranks,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    r = partitioned_global_ranks(
+        o, "o_totalprice", ["o_orderkey"], num_buckets=32, ntile=10
+    )
+    return r.select(
+        "o_orderkey",
+        F.col("row_number").alias("global_rank"),
+        F.col("ntile").alias("decile"),
+        F.col("percent_rank").alias("pct_rank"),
+        F.col("cume_dist").alias("cume"),
+    )
+
+
+@register(
+    "s_rank_partitioned_ties",
+    """
+    SELECT o_orderkey, band,
+           RANK() OVER (ORDER BY band ASC) AS band_rank,
+           DENSE_RANK() OVER (ORDER BY band ASC) AS band_dense_rank,
+           CUME_DIST() OVER (ORDER BY band ASC) AS band_cume
+    FROM (SELECT o_orderkey,
+                 CAST(FLOOR(o_totalprice / 10000) AS INT) AS band
+          FROM orders)
+    """,
+    "§2.5",
+)
+def s_rank_partitioned_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tie-group half of the round-11 rank composition proof: RANK /
+    DENSE_RANK / CUME_DIST over a heavily-tied integer band (~50 distinct
+    values, hundreds of rows per tie group at sf0.01). Equal keys never
+    straddle a bucket (bucket = #cuts strictly below v), so local rank +
+    prefix count and local dense_rank + prefix distinct-count reconstruct
+    the exact global values — which only holds if the containment
+    invariant holds, making this the registration that would redden if it
+    ever broke."""
+    from apache_spark_streaming_project_spark.operators.rank import (
+        partitioned_global_ranks,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") / 10000).cast("int").alias("band"),
+    )
+    r = partitioned_global_ranks(o, "band", num_buckets=32)
+    return r.select(
+        "o_orderkey",
+        "band",
+        F.col("rank").alias("band_rank"),
+        F.col("dense_rank").alias("band_dense_rank"),
+        F.col("cume_dist").alias("band_cume"),
+    )
+
+
+@register(
     "x_robust_outliers",
     """
     WITH med AS (
@@ -5173,15 +5312,25 @@ def m3_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _rowcount(table: str) -> DataFrame:
-        try:
-            t = read_result_table(spark, out_dir, table)
-        except Exception:
-            # a sink that received zero rows in every epoch has no
-            # parquet files at all (the writer skips empty batches), so
-            # the read cannot infer a schema — that IS the zero count
+        # A sink that received zero rows in every epoch has no parquet
+        # files at all (the writer skips empty batches) — that IS the
+        # zero count. Check for files explicitly instead of catching the
+        # read error: a blanket except here would map ANY read/IO/schema
+        # failure to 0, which for the anomalies sink is exactly what the
+        # oracle expects, making the parity check vacuously green.
+        import glob as _glob
+        import os as _os
+
+        has_files = any(
+            _os.path.getsize(p) > 0
+            for p in _glob.glob(_os.path.join(out_dir, table, "**", "*.parquet"),
+                                recursive=True)
+        )
+        if not has_files:
             return spark.createDataFrame(
                 [(table, "", "", 0)], "sink string, k1 string, k2 string, n long"
             )
+        t = read_result_table(spark, out_dir, table)
         return t.agg(F.count("*").alias("n")).select(
             F.lit(table).alias("sink"),
             F.lit("").alias("k1"),
@@ -9708,7 +9857,24 @@ def x4_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("normal closing paragraph "), s1)
     )
     text2 = F.concat_ws("\n\n", p1, p2, p3, F.lit(_GREP_PARAR))
-    d2 = d.select("doc_id", text2.alias("text"))
+    # Materialize the planted corpus ONCE before the battery (round-11
+    # verdict item 1). Two separate costs hide in the naive
+    # `d.select(text2)` feed: (a) CollapseProject inlines the
+    # substring/concat construction into every `text` reference inside
+    # the battery's HOF expression tree, and HOF subexpressions are not
+    # CSE'd, so the fixture construction re-evaluates many times per
+    # row; (b) the sf0.1 documents table is a single parquet split, so
+    # the map-only battery otherwise runs as ONE task on a 32-core box.
+    # A scratch-parquet round-trip makes `text` a stored column and the
+    # repartition gives the battery its natural map-side parallelism —
+    # measured 27-39 s -> single-digit s at sf0.1, identical oracle
+    # hash. On a real corpus neither applies (text arrives stored and
+    # multi-split), which is why the operator's own decade law was
+    # already linear.
+    fix_dir = _scratch_dir("gopher_repetition_fixture_")
+    d2 = d.select("doc_id", text2.alias("text")).repartition(32)
+    d2.write.mode("overwrite").parquet(fix_dir)
+    d2 = spark.read.parquet(fix_dir)
     out = gopher_repetition_flags_df(d2)
     return out.select("doc_id", *_GREP_INT_COLS, "flags.*").orderBy("doc_id")
 

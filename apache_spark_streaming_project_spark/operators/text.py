@@ -24,16 +24,20 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
-def tokens(c: Column | str, pattern: str = r"\s+") -> Column:
-    """Whitespace tokenization: split on runs of whitespace, drop empties
-    (split of a leading/trailing separator yields '' elements).
+# Explicit whitespace class shared by the Spark and DuckDB tokenizers.
+# Java's ``\s`` is ``[ \t\n\x0B\f\r]`` while RE2 (DuckDB)'s is
+# ``[ \t\n\f\r]`` — splitting on the explicit class makes a VERTICAL TAB
+# a token character on BOTH engines, closing the latent divergence
+# instead of documenting it (round-11, ADVICE item 3; pinned by
+# tests/test_text.py::test_tokens_vertical_tab_matches_duckdb).
+WS_PATTERN = "[ \t\n\f\r]+"
 
-    Mirror caveat (round-10 fourteenth review pass, recorded not fixed):
-    Java's ``\\s`` is ``[ \\t\\n\\x0B\\f\\r]`` while DuckDB/RE2's is
-    ``[ \\t\\n\\f\\r]`` — a document containing a VERTICAL TAB tokenizes
-    differently across the oracle boundary. No fixture contains \\x0B and
-    real text essentially never does; callers mirroring against RE2
-    engines on adversarial bytes should pre-normalize \\x0B."""
+
+def tokens(c: Column | str, pattern: str = WS_PATTERN) -> Column:
+    """Whitespace tokenization: split on runs of whitespace, drop empties
+    (split of a leading/trailing separator yields '' elements). The
+    default pattern is the explicit RE2-equivalent class, NOT ``\\s`` —
+    see ``WS_PATTERN``."""
     c = F.col(c) if isinstance(c, str) else c
     return F.filter(F.split(F.trim(c), pattern), lambda t: t != "")
 
@@ -1588,25 +1592,28 @@ def remove_duplicate_spans(
     pos_idx = F.when(
         F.size("_ts") > 0, F.sequence(F.lit(1), F.size("_ts"))
     ).otherwise(F.array().cast("array<int>"))
-    kept = F.filter(
-        F.transform(
-            pos_idx,
-            lambda i: F.struct(
-                i.alias("i"), F.element_at("_ts", i).alias("t")
-            ),
-        ),
-        lambda s: ~F.exists(
-            ivs, lambda r: (s["i"] >= r["_s"]) & (s["i"] <= r["_e"])
-        ),
+    # Linear rebuild: islands are disjoint and sorted, so the covered
+    # positions expand to exactly sum(_e - _s + 1) ints; array_except
+    # (hash-set membership) keeps the surviving positions in document
+    # order. The earlier per-position F.exists over the island array was
+    # O(n_tokens x islands) — quadratic-ish on long highly-duplicated
+    # documents; this is O(n_tokens + coverage).
+    covered = F.flatten(
+        F.transform(ivs, lambda r: F.sequence(r["_s"], r["_e"]))
     )
+    kept_idx = F.array_except(pos_idx, covered)
     return (
         base.join(islands, "_doc", "left")
+        .withColumn("_kept_idx", kept_idx)
         .select(
             F.col("_doc").alias(key_col),
             F.size("_ts").cast("bigint").alias("n_tokens"),
-            F.size(kept).cast("bigint").alias("kept_tokens"),
+            F.size("_kept_idx").cast("bigint").alias("kept_tokens"),
             F.array_join(
-                F.transform(kept, lambda s: s["t"]), " "
+                F.transform(
+                    "_kept_idx", lambda i: F.element_at("_ts", i)
+                ),
+                " ",
             ).alias("text"),
         )
     )

@@ -1228,3 +1228,26 @@ def test_remove_duplicate_spans_python_reference(spark):
         assert (g["n_tokens"], g["kept_tokens"], g["text"]) == (
             nt, kt, out,
         ), i
+
+
+def test_tokens_vertical_tab_matches_duckdb(spark):
+    """\\x0B pin (round-11 ADVICE item 3): Java's \\s includes vertical
+    tab, RE2/DuckDB's does not. tokens() splits on the explicit class
+    WS_PATTERN, so a \\x0B byte is a TOKEN CHARACTER on both engines —
+    assert the Spark token array equals DuckDB's \\s+ split exactly."""
+    import duckdb
+
+    raw = "alpha\x0bbeta gamma\tdelta\x0b \x0bepsilon"
+    df = spark.createDataFrame([(raw,)], ["text"])
+    got = df.select(tx.tokens("text").alias("ts")).collect()[0]["ts"]
+
+    con = duckdb.connect()
+    ref = con.execute(
+        r"""
+        SELECT list_filter(string_split_regex(trim(?), '\s+'),
+                           t -> t <> '') AS ts
+        """,
+        [raw],
+    ).fetchone()[0]
+    con.close()
+    assert got == ref == ["alpha\x0bbeta", "gamma", "delta\x0b", "\x0bepsilon"]

@@ -70,7 +70,8 @@ MUTATIONS = [
       f"{PKG}/operators/enrich.py",
       '.when(c < 150_000, "Mid (50K-150K)")',
       '.when(c <= 150_000, "Mid (50K-150K)")',
-      "boundary", "totalprice bucket < -> <=", probe=True),
+      "boundary", "totalprice bucket < -> <= (round-11: planted row at "
+      "exactly 150000.0 makes the edge load-bearing)"),
     M("s13_drop_abs", "s13_value_zscore_anomalies",
       f"{PKG}/operators/anomaly.py",
       'z = F.abs((F.col(value_col) - F.col("_mu")) / F.col("_sigma"))',
@@ -100,7 +101,8 @@ MUTATIONS = [
       f"{PKG}/operators/readside.py",
       '.filter(F.col(ts_col) >= F.col("_cutoff"))',
       '.filter(F.col(ts_col) > F.col("_cutoff"))',
-      "boundary", ">= -> > at the cutoff instant", probe=True),
+      "boundary", ">= -> > at the cutoff instant (round-11: sentinel "
+      "event planted exactly at the cutoff)"),
     M("d7_grand_total_window", "d7_percent_of_group",
       f"{PKG}/operators/readside.py",
       'w = Window.partitionBy(group_col)\n    total = F.sum(count_col).over(w)',
@@ -118,10 +120,11 @@ MUTATIONS = [
       "off-by-one", "top-k -> top-(k-1)"),
     M("d13_drop_tiebreak", "d13_top_users_by_value",
       f"{PKG}/entry_queries.py",
-      'return top_k(totals, [F.col("total_value").desc(), F.col("user_id").asc()], 10)',
-      'return top_k(totals, [F.col("total_value").desc()], 10)',
-      "dropped-clause", "tie-break dropped (fixture-sensitivity probe)",
-      probe=True),
+      'order = [F.col("total_value").desc(), F.col("user_id").asc()]',
+      'order = [F.col("total_value").desc()]',
+      "dropped-clause", "tie-break dropped (round-11: three planted users "
+      "tie exactly at the rank-10 total, so the k-boundary pick without "
+      "the tie-break admits a planted id)"),
     M("d15_rank_shift", "d15_bucket_rank",
       f"{PKG}/operators/readside.py",
       'expr = F.when(c == labels[i], i).otherwise(expr)',
@@ -312,6 +315,27 @@ MUTATIONS = [
       "off-by-one", "duplicated-span interval end pos+n-1 -> pos+n "
       "(every removal eats one extra token)"),
 
+    # ----- rank composition (round-11: partitioned_global_ranks) -----
+    M("rank_prefix_off_by_one", "s_rank_distributions_partitioned",
+      f"{PKG}/operators/rank.py",
+      'wpre = Window.orderBy(_B).rowsBetween(Window.unboundedPreceding, -1)',
+      'wpre = Window.orderBy(_B).rowsBetween(Window.unboundedPreceding, Window.currentRow)',
+      "off-by-one", "prefix offset includes own bucket: every global "
+      "rank past bucket 0 shifts by its bucket's size"),
+    M("rank_peers_drop_tiebreaks", "s_rank_distributions_partitioned",
+      f"{PKG}/operators/rank.py",
+      'wtie = Window.partitionBy(_B, value_col, *tiebreaks)',
+      'wtie = Window.partitionBy(_B, value_col)',
+      "wrong-key", "peer group defined on value only instead of the "
+      "full order key — the exact bug the first draft of the operator "
+      "had (cume_dist inflates wherever totalprice ties)"),
+    M("rank_dense_offset_uses_count", "s_rank_partitioned_ties",
+      f"{PKG}/operators/rank.py",
+      'dense = (F.col("_rk_doff") + F.col("_rk_ldr")).alias("dense_rank")',
+      'dense = (F.col("_rk_off") + F.col("_rk_ldr")).alias("dense_rank")',
+      "wrong-key", "dense_rank offset uses row counts instead of "
+      "distinct-key counts — composes wrong wherever a bucket holds ties"),
+
     # ----- ORACLE-side mutations: mutate the DuckDB SQL instead of the
     # Spark plan. Kills here prove the comparison actually consults the
     # mirror's output — the symmetric half of the identical-chain-mirror
@@ -355,6 +379,12 @@ MUTATIONS = [
       "cardinality. First run SURVIVED: sf0.01 documents.text was "
       "all-distinct, so COUNT == COUNT DISTINCT — fixed by planting one "
       "shared text in every seventh doc (both sides); kills now"),
+    M("oracle_rank_cume_to_pct", "s_rank_partitioned_ties",
+      f"{PKG}/entry_queries.py",
+      'CUME_DIST() OVER (ORDER BY band ASC) AS band_cume',
+      'PERCENT_RANK() OVER (ORDER BY band ASC) AS band_cume',
+      "swapped-agg", "MIRROR-side cume_dist -> percent_rank (window "
+      "mirror family, round-11)"),
 ]
 
 
