@@ -972,8 +972,11 @@ def x4_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x4_quality_scores",
     f"""
-    WITH base AS (
-      SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT -1, 'abcdefghi abcdefghij'
+    ), base AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks FROM docs
     ), sig AS (
       SELECT doc_id,
              CAST(len(toks) AS DOUBLE) AS n_tok,
@@ -997,10 +1000,22 @@ def x4_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x4_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 — composite quality score per document (length / punctuation /
-    token-shape signals combined with fixed weights)."""
+    token-shape signals combined with fixed weights).
+
+    Boundary fixture (round-11, found BY the oracle-side mutation audit):
+    no sf0.01 document has mean token length in (9, 10], so the mirror's
+    mtl-band upper edge was dead weight the gate could not see. One
+    planted doc (tokens of length 9 and 10 -> mtl 9.5, mirrored in the
+    SQL) makes the <= 10 edge load-bearing; the 10 -> 9 mirror mutation
+    now kills."""
     from apache_spark_streaming_project_spark.operators import text as tx
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.range(1).select(
+            F.lit(-1).cast("bigint").alias("doc_id"),
+            F.lit("abcdefghi abcdefghij").alias("text"),
+        )
+    )
     m = tx.token_metrics("text")
     p = tx.punct_ratio("text")
     n_tok = m["n_tokens"].cast("double")
@@ -7275,8 +7290,8 @@ def x3_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT query_id, doc_id, rrf_score,
              row_number() OVER (PARTITION BY query_id
                  ORDER BY rrf_score DESC, doc_id ASC) AS rank
-      FROM fused
-    ) WHERE rank <= 10 ORDER BY query_id, rank
+      FROM fused QUALIFY rank <= 10
+    ) ORDER BY query_id, rank
     """.format(
         dot=_DOT_FOLD.format(a="e.embedding", b="q.qe"),
         na=_DOT_FOLD.format(a="e.embedding", b="e.embedding"),

@@ -7,12 +7,20 @@ sorts the entire input, which is the one shape that cannot survive a
 ``s_rank_distributions`` docstring names as alternative (b):
 
 1. **Cut points** — one ``percentile_approx`` sketch aggregate over the
-   rank key (a single 1-row result, broadcast back in-plan; no driver
-   round-trip). The sketch only has to SPLIT the data, not be accurate:
-   any monotone cut-point set yields exact ranks.
-2. **Bucket id, map-side** — ``#cuts strictly below v``. Rows with EQUAL
-   keys always land in the same bucket, so a tie group never straddles a
-   bucket boundary — the property that makes rank/dense_rank compose.
+   rank key, collected in ONE bounded driver action (``<= num_buckets``
+   scalars — the same trust boundary as a broadcast variable). The
+   sketch only has to SPLIT the data, not be accurate: any monotone
+   cut-point set yields exact ranks.
+2. **Bucket id, map-side** — ``#cuts strictly below v``, compiled as a
+   balanced literal CASE tree: O(log num_buckets) whole-stage-codegen
+   comparisons per row. (The first draft kept the cuts in-plan as an
+   array and counted them with a ``filter`` HOF — O(num_buckets)
+   INTERPRETED lambda calls per row, which at 150M rows x 64 cuts was
+   ~10^10 closure evaluations and dominated the decade probe; the
+   literal tree removed it. Measured: 199 s -> see probe_rank_scale.)
+   Rows with EQUAL keys always land in the same bucket, so a tie group
+   never straddles a bucket boundary — the property that makes
+   rank/dense_rank compose.
 3. **Per-bucket local ranks** — ONE full-data shuffle (hash on bucket
    id), then ordinary ranking windows run in parallel across buckets.
 4. **Prefix offsets** — per-bucket ``count`` and ``countDistinct`` roll
@@ -54,6 +62,26 @@ from pyspark.sql import functions as F
 _B = "_rk_bkt"
 
 
+def _bucket_tree(cuts: list, v: Column) -> Column:
+    """``#cuts strictly below v`` as a balanced CASE tree over LITERAL
+    cut points — O(log len(cuts)) codegen comparisons per row, each
+    literal referenced exactly once (no expression-duplication blowup).
+    NULL v descends the not-greater branch everywhere -> bucket 0,
+    matching Spark's NULLS FIRST window order."""
+
+    def build(lo: int, hi: int) -> Column:
+        # answer (count of cuts < v) is known to lie in [lo, hi]
+        if lo >= hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2  # test the (mid+1)-th cut, 0-indexed cuts[mid]
+        return (
+            F.when(v > F.lit(cuts[mid]), build(mid + 1, hi))
+            .otherwise(build(lo, mid))
+        )
+
+    return build(0, len(cuts))
+
+
 def partitioned_global_ranks(
     df: DataFrame,
     value_col: str,
@@ -74,45 +102,55 @@ def partitioned_global_ranks(
     tiebreaks = list(tiebreak_cols or [])
     v = F.col(value_col)
 
-    # -- 1. cut points: 1-row sketch agg, broadcast back in-plan --------
+    # -- 1. cut points: 1-row sketch agg, ONE bounded driver action -----
     probs = [i / num_buckets for i in range(1, num_buckets)]
-    cuts = df.agg(
+    raw = df.agg(
         F.percentile_approx(value_col, probs, accuracy).alias("_rk_cuts")
-    )
-    t = df.crossJoin(F.broadcast(cuts))
+    ).first()["_rk_cuts"]
+    # dedup: the sketch repeats a cut under skew; a duplicate would not
+    # break correctness (equal keys still co-bucket) but collapsing it
+    # avoids empty buckets. An all-NULL key column sketches to NULL ->
+    # no cuts -> everything in bucket 0.
+    cuts = sorted(set(raw)) if raw else []
 
     # -- 2. bucket id, map-side: #cuts strictly below v ------------------
-    # array_distinct: percentile_approx may repeat a cut under skew; the
-    # duplicate would not break correctness (equal keys still co-bucket)
-    # but collapsing it avoids empty buckets. NULL v -> predicate NULL ->
-    # filtered out -> bucket 0 (Spark's NULLS FIRST).
-    # coalesce: an all-NULL key column sketches to a NULL cuts array;
-    # bucket 0 keeps those rows joinable instead of dropping them on a
-    # NULL join key.
-    bucket = F.coalesce(
-        F.size(F.filter(F.array_distinct("_rk_cuts"), lambda c: c < v)),
-        F.lit(0),
-    )
-    t = t.withColumn(_B, bucket).drop("_rk_cuts")
+    t = df.withColumn(_B, _bucket_tree(cuts, v))
 
     # -- 3. per-bucket local ranks (the ONE full shuffle) ----------------
     # Peers (for cume_dist / dense_rank) are rows equal on the FULL
     # order key — value plus tiebreaks — exactly as SQL defines them.
+    # With tiebreaks the order is TOTAL: every row is its own peer
+    # group, so rank == dense_rank == row_number and the peer window
+    # plus the per-bucket distinct-count (a full-width hash aggregate —
+    # the dominant 100x cost in the first draft of this operator) are
+    # skipped entirely; one window function remains.
     order = [v.asc()] + [F.col(c).asc() for c in tiebreaks]
     wloc = Window.partitionBy(_B).orderBy(*order)
-    wtie = Window.partitionBy(_B, value_col, *tiebreaks)
-    t = (
-        t.withColumn("_rk_lrn", F.row_number().over(wloc))
-        .withColumn("_rk_lrk", F.rank().over(wloc))
-        .withColumn("_rk_ldr", F.dense_rank().over(wloc))
-        # last local position of my tie group = cume_dist numerator part
-        .withColumn("_rk_lcume", F.max("_rk_lrn").over(wtie))
-    )
+    t = t.withColumn("_rk_lrn", F.row_number().over(wloc))
+    if tiebreaks:
+        t = (
+            t.withColumn("_rk_lrk", F.col("_rk_lrn"))
+            .withColumn("_rk_ldr", F.col("_rk_lrn"))
+            .withColumn("_rk_lcume", F.col("_rk_lrn"))
+        )
+    else:
+        wtie = Window.partitionBy(_B, value_col)
+        t = (
+            t.withColumn("_rk_lrk", F.rank().over(wloc))
+            .withColumn("_rk_ldr", F.dense_rank().over(wloc))
+            # last local position of my tie group = cume numerator part
+            .withColumn("_rk_lcume", F.max("_rk_lrn").over(wtie))
+        )
 
     # -- 4. prefix offsets: tiny (<= num_buckets rows) -------------------
+    dk = (
+        F.count("*")
+        if tiebreaks
+        else F.countDistinct(value_col)
+    )
     stats = t.groupBy(_B).agg(
         F.count("*").alias("_rk_n"),
-        F.countDistinct(value_col, *tiebreaks).alias("_rk_nd"),
+        dk.alias("_rk_nd"),
     )
     wpre = Window.orderBy(_B).rowsBetween(Window.unboundedPreceding, -1)
     wall = Window.orderBy(_B).rowsBetween(

@@ -157,8 +157,10 @@ def test_rank_plan_no_fulldata_single_partition_window(spark):
     import re
 
     # textual pin: the plan contains a hashpartitioning(_rk_bkt...) and
-    # any SinglePartition lines belong to (partial_)aggregate subtrees.
+    # any SinglePartition exchange feeds from an aggregate subtree (its
+    # CHILD, printed after it) — i.e. it carries <= num_buckets rows,
+    # never the input relation.
     assert "hashpartitioning(_rk_bkt" in plan
     for m in re.finditer(r"SinglePartition", plan):
-        ctx = plan[max(0, m.start() - 2000): m.start()]
-        assert "percentile_approx" in ctx or "partial_count" in ctx or "HashAggregate" in ctx
+        child = plan[m.start(): m.start() + 2000]
+        assert "HashAggregate" in child or "partial_count" in child

@@ -324,11 +324,11 @@ MUTATIONS = [
       "rank past bucket 0 shifts by its bucket's size"),
     M("rank_peers_drop_tiebreaks", "s_rank_distributions_partitioned",
       f"{PKG}/operators/rank.py",
-      'wtie = Window.partitionBy(_B, value_col, *tiebreaks)',
-      'wtie = Window.partitionBy(_B, value_col)',
+      '.withColumn("_rk_lcume", F.col("_rk_lrn"))',
+      '.withColumn("_rk_lcume", F.max("_rk_lrn").over(Window.partitionBy(_B, value_col)))',
       "wrong-key", "peer group defined on value only instead of the "
-      "full order key — the exact bug the first draft of the operator "
-      "had (cume_dist inflates wherever totalprice ties)"),
+      "full (total) order key — the exact bug the first draft of the "
+      "operator had (cume_dist inflates wherever totalprice ties)"),
     M("rank_dense_offset_uses_count", "s_rank_partitioned_ties",
       f"{PKG}/operators/rank.py",
       'dense = (F.col("_rk_doff") + F.col("_rk_ldr")).alias("dense_rank")',
@@ -385,6 +385,66 @@ MUTATIONS = [
       'PERCENT_RANK() OVER (ORDER BY band ASC) AS band_cume',
       "swapped-agg", "MIRROR-side cume_dist -> percent_rank (window "
       "mirror family, round-11)"),
+
+    # Round-11 verdict item 7: one oracle-side mutation per remaining
+    # mirror FAMILY, so every distinct mirror style has at least one
+    # demonstrated mirror-side kill.
+    M("oracle_cc_min_to_max", "x_dedup_clusters",
+      f"{PKG}/entry_queries.py",
+      'MIN(r) AS cluster_id', 'MAX(r) AS cluster_id',
+      "swapped-agg", "MIRROR-side recursive-CTE family: connected-"
+      "component label min -> max reachable id"),
+    M("oracle_top_tokens_k", "x4_top_tokens",
+      f"{PKG}/entry_queries.py",
+      'ORDER BY count DESC, token ASC\n    LIMIT 20',
+      'ORDER BY count DESC, token ASC\n    LIMIT 19',
+      "off-by-one", "MIRROR-side unnest-tokenizer family: top-k 20 -> 19"),
+    M("oracle_quality_band", "x4_quality_scores",
+      f"{PKG}/entry_queries.py",
+      '(CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.6 END) * 0.3',
+      '(CASE WHEN mtl >= 3.0 AND mtl <= 9.0 THEN 1.0 ELSE 0.6 END) * 0.3',
+      "boundary", "MIRROR-side list-lambda family: mean-token-length "
+      "quality band upper edge 10 -> 9"),
+    M("oracle_rrf_qualify_k", "x3_hybrid_rrf",
+      f"{PKG}/entry_queries.py",
+      'FROM lex_scored QUALIFY rank <= 20',
+      'FROM lex_scored QUALIFY rank <= 19',
+      "off-by-one", "MIRROR-side lexical candidate pool 20 -> 19 before "
+      "fusion. SURVIVES BY DESIGN: a pool edge (k_pool=20) is insulated "
+      "from a final top-10 — the rank-20 lexical-only candidate scores "
+      "1/(60+20), the fused floor, and cannot enter any query's top-10 "
+      "here; the mutation is result-invisible, not gate-invisible. The "
+      "load-bearing QUALIFY kill is oracle_rrf_final_qualify_k",
+      probe=True),
+    M("oracle_rrf_final_qualify_k", "x3_hybrid_rrf",
+      f"{PKG}/entry_queries.py",
+      'FROM fused QUALIFY rank <= 10',
+      'FROM fused QUALIFY rank <= 9',
+      "off-by-one", "MIRROR-side QUALIFY family: final fused top-k "
+      "10 -> 9 (row-count kill)"),
+    M("oracle_quantile_values", "x11_histogram_quantiles",
+      f"{PKG}/entry_queries.py",
+      '(VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) qs(q)',
+      '(VALUES (0.25),(0.5),(0.75),(0.95),(0.99)) qs(q)',
+      "constant", "MIRROR-side VALUES-plant family: quantile probe "
+      "0.9 -> 0.95"),
+    M("oracle_tumbling_interval", "m4_tumbling_windows",
+      f"{PKG}/entry_queries.py",
+      "date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end",
+      "date_trunc('hour', ts) + INTERVAL 2 HOUR AS window_end",
+      "constant", "MIRROR-side INTERVAL family: tumbling window_end "
+      "+1h -> +2h"),
+    M("oracle_minhash_jac_threshold", "x_minhash_lsh_pairs",
+      f"{PKG}/entry_queries.py",
+      'WHEN jac >= 0.85', 'WHEN jac >= 0.9',
+      "boundary", "MIRROR-side shingle/zipped family: eligibility "
+      "Jaccard threshold 0.85 -> 0.9"),
+    M("oracle_stddev_population", "s19_lineitem_summary",
+      f"{PKG}/functions/exact.py",
+      ' - 1.0))"', ' - 0.0))"',
+      "swapped-agg", "MIRROR-side exact-decimal skeleton family: the "
+      "SQL builder's sample-variance denominator n-1 -> n (symmetric "
+      "to the Spark-side s19_population_stddev kill)"),
 ]
 
 
