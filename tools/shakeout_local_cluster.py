@@ -56,6 +56,20 @@ def run_side(master: str, names: list[str], sf_dir: str) -> dict[str, dict]:
         builder = builder.config("spark.executor.memory", "6g")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if master.startswith("local-cluster"):
+        # Real executors do not share the driver's cwd/PYTHONPATH: any
+        # Pandas-UDF closure that references the package needs it SHIPPED,
+        # exactly like --py-files on a real cluster. (Found by this
+        # shakeout: 19/20 heavy-tail queries are pure JVM expressions and
+        # pass without this; x8_ivfpq_batch_retrieval's Arrow kernel was
+        # the one ModuleNotFoundError.)
+        import shutil
+        import tempfile
+
+        pkg = REPO / "apache_spark_streaming_project_spark"
+        zip_base = Path(tempfile.mkdtemp(prefix="shakeout_pkg_")) / "pkg"
+        shutil.make_archive(str(zip_base), "zip", REPO, pkg.name)
+        spark.sparkContext.addPyFile(str(zip_base) + ".zip")
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
