@@ -10453,3 +10453,211 @@ def m13_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_ok"),
         )
     )
+
+
+_M14_ALPHA = (
+    "shared template alpha navigation boilerplate recurring across"
+    " recrawled pages"
+)
+_M14_ALPHA_TRUNC = (
+    "shared template alpha navigation boilerplate recurring across"
+    " recrawled"
+)
+_M14_BETA = (
+    "another planted beta template text shared across documents for"
+    " the index"
+)
+
+
+@register(
+    "m14_streaming_lsh_dedup",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, doc_id % 3 AS epoch,
+             CASE WHEN doc_id % 11 = 0 THEN '{_M14_ALPHA}'
+                  WHEN doc_id % 13 = 5 THEN '{_M14_BETA}'
+                  WHEN doc_id % 17 = 2 THEN '{_M14_ALPHA_TRUNC}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, epoch,
+             list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM (SELECT doc_id, epoch,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               x -> x <> '') AS t
+            FROM docs)
+    ),
+    ranked AS (
+      SELECT doc_id, epoch,
+             CASE WHEN len(s) = 0 THEN 1
+                  ELSE row_number() OVER (
+                    PARTITION BY array_to_string(list_sort(s), chr(31))
+                    ORDER BY epoch, doc_id) END AS rn
+      FROM sh
+    )
+    SELECT doc_id, CAST(epoch AS BIGINT) AS epoch
+    FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+    "S6",
+    "X2",
+)
+def m14_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup dedup with a PERSISTED LSH band index (S6 x X2):
+    the continuous-crawl shape none of the batch dedup registrations
+    cover. The corpus arrives as three disjoint epochs
+    (maxFilesPerTrigger=1 -> one micro-batch each); each batch MinHashes
+    its documents (minhash_signatures_df), bands the signatures
+    (lsh_band_rows), probes a persisted parquet band index for earlier
+    docs sharing any band bucket, verifies every candidate pair by EXACT
+    shingle-set equality against the persisted kept-corpus texts
+    (shingle_sets_equal — re-crawled/reformatted exact copies, the
+    case/whitespace-insensitive identity), drops verified duplicates,
+    and appends the survivors' rows + band rows to the two stores
+    (append-only two-phase publish: new files only, never
+    read-and-overwrite — the upsert.py seam rule).
+
+    Determinism/oracle story: the drop rule is exact set equality, so
+    LSH is pure ACCELERATION — equal shingle sets give equal signatures
+    give equal hashes in EVERY band, recall 1 by construction; false
+    bucket collisions are killed by verification. The DuckDB mirror is
+    therefore the full ground truth (keep the first (epoch, doc_id) per
+    shingle-set equivalence class; unsignable sub-n-token docs are
+    unique by definition), hash-checked over the whole kept set — not a
+    weaker planted-recall contract. Planted fixture: every 11th doc is
+    an exact template copy (alpha), every (13k+5)th a second template
+    (beta) — cross-epoch duplicates exercising the persisted index —
+    and every (17k+2)th carries alpha MINUS its final word: a strict
+    shingle SUBSET (est Jaccard ~0.9) that deterministically
+    band-collides with alpha yet must be KEPT, pinning verification to
+    set EQUALITY, not containment (the audit mutation that drops one
+    array_except arm reddens exactly here).
+
+    At 100 TB: the band index is the only corpus-lifetime state and
+    carries (band, hash, epoch, key) rows — bounded by kept docs x
+    bands, partition-prunable by band; each batch's work is its own
+    size plus index probes on (band, band_hash) join keys. Candidate
+    verification re-reads only the matched reps' texts. Reference has
+    no streaming dedup at all (parity: extension surface, SURVEY §2
+    X2/S6)."""
+    import os
+
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        lsh_band_rows,
+        minhash_signatures_df,
+        shingle_sets_equal,
+        word_shingles,
+    )
+
+    base = _scratch_dir("m14_lsh_dedup_")
+    in_dir = os.path.join(base, "in")
+    band_store = os.path.join(base, "band_store")
+    corpus_store = os.path.join(base, "corpus_store")
+    ckpt = os.path.join(base, "ckpt")
+
+    planted = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit(_M14_ALPHA))
+        .when(F.col("doc_id") % 13 == 5, F.lit(_M14_BETA))
+        .when(F.col("doc_id") % 17 == 2, F.lit(_M14_ALPHA_TRUNC))
+        .otherwise(F.col("text"))
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 3).alias("epoch"),
+        planted.alias("text"),
+    )
+    # disjoint epoch waves, written (and therefore streamed) in epoch
+    # order — streaming dedup keeps the first ARRIVAL of a class and
+    # never retracts, so arrival order IS the tie-break the mirror
+    # reproduces as ORDER BY epoch, doc_id
+    for i in range(3):
+        d.filter(F.col("epoch") == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(in_dir, f"wave{i}"))
+
+    def dedup_batch(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        b = batch_df.select("doc_id", "epoch", "text")
+        sig = minhash_signatures_df(b, "doc_id", "text", 32, 3)
+        bands = (
+            lsh_band_rows(sig, 32, 8)
+            .select(F.col("_key").alias("doc_id"), "band", "band_hash")
+            .join(b.select("doc_id", "epoch"), "doc_id")
+        )
+        if os.path.isdir(band_store):
+            prior = ss.read.parquet(band_store)
+        else:
+            prior = ss.createDataFrame(
+                [], "band int, band_hash long, rep_epoch long, rep_doc_id long"
+            )
+        self_reps = bands.select(
+            "band",
+            "band_hash",
+            F.col("epoch").alias("rep_epoch"),
+            F.col("doc_id").alias("rep_doc_id"),
+        )
+        index = prior.unionByName(self_reps)
+        cand = (
+            bands.join(index, ["band", "band_hash"])
+            .filter(
+                (F.col("rep_epoch") < F.col("epoch"))
+                | (
+                    (F.col("rep_epoch") == F.col("epoch"))
+                    & (F.col("rep_doc_id") < F.col("doc_id"))
+                )
+            )
+            .select("doc_id", "rep_doc_id")
+            .distinct()
+        )
+        if os.path.isdir(corpus_store):
+            kept_corpus = ss.read.parquet(corpus_store).select(
+                "doc_id", "text"
+            )
+        else:
+            kept_corpus = ss.createDataFrame([], "doc_id long, text string")
+        rep_texts = kept_corpus.unionByName(b.select("doc_id", "text"))
+        dropped = (
+            cand.join(
+                b.select("doc_id", word_shingles("text").alias("_sa")),
+                "doc_id",
+            )
+            .join(
+                rep_texts.select(
+                    F.col("doc_id").alias("rep_doc_id"),
+                    word_shingles("text").alias("_sb"),
+                ),
+                "rep_doc_id",
+            )
+            .filter(shingle_sets_equal(F.col("_sa"), F.col("_sb")))
+            .select("doc_id")
+            .distinct()
+        )
+        kept = b.join(dropped, "doc_id", "left_anti")
+        kept.write.mode("append").parquet(corpus_store)
+        bands.join(dropped, "doc_id", "left_anti").select(
+            "band",
+            "band_hash",
+            F.col("epoch").alias("rep_epoch"),
+            F.col("doc_id").alias("rep_doc_id"),
+        ).write.mode("append").parquet(band_store)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "wave*"))
+    )
+    with _stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(dedup_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return (
+        spark.read.parquet(corpus_store)
+        .select("doc_id", F.col("epoch").cast("bigint").alias("epoch"))
+        .orderBy("doc_id")
+    )

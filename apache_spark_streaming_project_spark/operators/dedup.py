@@ -422,6 +422,54 @@ def minhash_signatures_df(
     )
 
 
+def lsh_band_rows(
+    sig: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Band a (_key, _sig) MinHash signature table into LSH bucket rows
+    ``(_key, _sig, band, band_hash)`` — band_hash = xxhash64 over that
+    band's signature slice. Shared by the batch candidate self-join
+    (:func:`minhash_lsh_candidates`) and the streaming persisted band
+    index (m14): equal signatures produce equal hashes in EVERY band, so
+    exact-duplicate recall through the index is 1 by construction."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "_key",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("_sig", b * rows_per_band + i + 1)
+                                    for i in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_key", "_sig", "_b.band", "_b.band_hash")
+
+
+def shingle_sets_equal(a: Column, b: Column) -> Column:
+    """TRUE iff two (distinct-element) shingle arrays are the same SET and
+    non-empty — the content-identity predicate for the dedup verifiers
+    (case/whitespace-insensitive exact duplicate: re-crawls, reformatted
+    copies). Empty sets never verify: an unsignable (sub-n-token) doc is
+    unique by definition, not a duplicate of every other short doc."""
+    return (
+        (F.size(F.array_except(a, b)) == 0)
+        & (F.size(F.array_except(b, a)) == 0)
+        & (F.size(a) > 0)
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -460,29 +508,7 @@ def minhash_lsh_candidates(
     sig = minhash_signatures_df(
         df, key_col, text_col, num_hashes, shingle_n, max_shingle_df
     ).cache()
-    banded = sig.select(
-        "_key",
-        "_sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("_sig", b * rows_per_band + i + 1)
-                                    for i in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_b"),
-    ).select("_key", "_sig", "_b.band", "_b.band_hash")
+    banded = lsh_band_rows(sig, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -32,6 +32,7 @@ EXECUTING = {
     "m7_streaming_sessions",
     "m12_streaming_sessions",
     "m13_streaming_kmv",
+    "m14_streaming_lsh_dedup",
     "m8_streaming_tumbling",
     "m4_stateful_running_anomalies",
     "j5_bucketed_cojoin",

@@ -439,6 +439,28 @@ MUTATIONS = [
       'WHEN jac >= 0.85', 'WHEN jac >= 0.9',
       "boundary", "MIRROR-side shingle/zipped family: eligibility "
       "Jaccard threshold 0.85 -> 0.9"),
+    # ----- m14: streaming LSH-indexed dedup (round-11) -----
+    M("m14_no_prior_index", "m14_streaming_lsh_dedup",
+      f"{PKG}/entry_queries.py",
+      'index = prior.unionByName(self_reps)',
+      'index = self_reps',
+      "dropped-clause", "persisted band index ignored: cross-epoch "
+      "template copies are never candidates, later epochs keep their "
+      "duplicates (row-count kill)"),
+    M("m14_containment_verify", "m14_streaming_lsh_dedup",
+      f"{PKG}/operators/dedup.py",
+      '& (F.size(F.array_except(b, a)) == 0)\n        & (F.size(a) > 0)',
+      '& (F.size(a) > 0)',
+      "dropped-clause", "verification degrades to one-sided containment: "
+      "the truncated-alpha plants (strict shingle SUBSET of alpha, "
+      "deterministically band-colliding) get wrongly dropped"),
+    M("oracle_m14_rep_order", "m14_streaming_lsh_dedup",
+      f"{PKG}/entry_queries.py",
+      'ORDER BY epoch, doc_id) END AS rn',
+      'ORDER BY epoch, doc_id DESC) END AS rn',
+      "swapped-agg", "MIRROR-side representative pick: first arrival -> "
+      "last doc of the first epoch"),
+
     M("oracle_stddev_population", "s19_lineitem_summary",
       f"{PKG}/functions/exact.py",
       ' - 1.0))"', ' - 0.0))"',
