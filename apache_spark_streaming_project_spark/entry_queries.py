@@ -10661,3 +10661,137 @@ def m14_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("epoch").cast("bigint").alias("epoch"))
         .orderBy("doc_id")
     )
+
+
+# DSIR shared oracle core: hashed-gram explosion, the two corpus counts,
+# the smoothed per-bucket likelihood ratio, and the per-candidate-doc
+# aggregation with the position-ordered double fold. The ratio column is
+# built from IEEE + * / only, every intermediate computed in the same
+# order as the Spark plan, so the double is bit-identical cross-engine
+# and sits INSIDE the value hash (the BM25-odds-form move; the paper's
+# ln-based log-weight mode is pytest-pinned instead — see
+# operators/sampling.py:dsir_importance_weights).
+_DSIR_CORE_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             list_concat(ts, list_transform(range(1, len(ts)),
+                                            i -> ts[i] || ' ' || ts[i+1])) AS gs
+      FROM toks WHERE len(ts) >= 1
+    ),
+    bks AS (
+      SELECT doc_id, is_t,
+             list_transform(gs, g -> CAST(list_reduce(
+                 list_transform(range(1, length(g)+1),
+                                i -> CAST(ascii(g[i]) AS BIGINT)),
+                 (acc, x) -> (acc * 31 + x) % 2147483647) % 4096 AS INT)) AS bs
+      FROM grams
+    ),
+    ex AS (
+      SELECT doc_id, is_t, unnest(bs) AS b, unnest(range(1, len(bs)+1)) AS pos
+      FROM bks
+    ),
+    rawc AS (SELECT b, count(*) AS tq FROM ex GROUP BY b),
+    tgtc AS (SELECT b, count(*) AS tp FROM ex WHERE is_t GROUP BY b),
+    tot AS (SELECT sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS gtp,
+                   count(*) AS gtq FROM ex),
+    scored AS (
+      SELECT ex.doc_id, ex.pos, ex.b, coalesce(tgtc.tp, 0) AS tp, rawc.tq,
+             ((CAST(coalesce(tgtc.tp, 0) AS DOUBLE) + 1.0)
+                * (CAST(tot.gtq AS DOUBLE) + 4096.0))
+             / ((CAST(rawc.tq AS DOUBLE) + 1.0)
+                * (CAST(tot.gtp AS DOUBLE) + 4096.0)) AS r
+      FROM ex JOIN rawc USING (b) LEFT JOIN tgtc USING (b), tot
+      WHERE NOT ex.is_t
+    ),
+    dsir_weights AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(DISTINCT b) AS BIGINT) AS n_buckets_hit,
+             CAST(sum(tp) AS BIGINT) AS sum_target_count,
+             CAST(sum(tq) AS BIGINT) AS sum_raw_count,
+             list_reduce(
+                 list_prepend(0.0, list_transform(
+                     list_sort(list(struct_pack(pos := pos, r := r))),
+                     s -> s.r)),
+                 (acc, x) -> acc + x) / CAST(count(*) AS DOUBLE) AS dsir_score
+      FROM scored
+      GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "x12_dsir_weights",
+    _DSIR_CORE_SQL
+    + """
+    SELECT * FROM dsir_weights ORDER BY doc_id
+    """,
+    "X7",
+)
+def x12_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7/X12 — DSIR importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    non-English document by how target(=English)-like its hashed
+    unigram+bigram bag is, as the add-1-smoothed mean per-gram
+    likelihood ratio over 4096 hashed feature buckets
+    (operators/sampling.py:dsir_importance_weights, score_mode="ratio").
+
+    The FULL row is hash-checked, double score included: the ratio form
+    uses IEEE + * / only, folded in gram-position order on both engines
+    (the BM25 odds-form precedent). The integer skeleton (n_grams,
+    n_buckets_hit, and the two count-sums) additionally pins
+    tokenization, bigram construction, the polynomial bucket hash, both
+    corpus aggregations and the broadcast join on its own. The paper's
+    ln-based log-weight mode is pytest-pinned to a Python reference at
+    1e-12 (tests/test_dsir.py) because cross-engine ln is not
+    bit-stable (BASELINE.md ulp measurement).
+
+    Scale: the lambda table is <= 4096 rows and broadcast; the only
+    corpus-sized exchange is the per-doc regroup. No Python, no global
+    window, no driver loop.
+    """
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        d, F.col("lang") == F.lit("en"), "text", "doc_id", 4096, "ratio"
+    ).orderBy("doc_id")
+
+
+@register(
+    "x12_dsir_select",
+    _DSIR_CORE_SQL
+    + """
+    SELECT doc_id, n_grams, dsir_score
+    FROM dsir_weights
+    QUALIFY row_number() OVER (ORDER BY dsir_score DESC, doc_id) <= 25
+    ORDER BY doc_id
+    """,
+    "X7",
+)
+def x12_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7/X12 — DSIR selection: the 25 most English-like non-English
+    documents by importance weight, deterministic tie-break on doc_id
+    (operators/sampling.py:dsir_select). Compiles to
+    TakeOrderedAndProject — per-partition top-k, never a global sort.
+    The paper's Gumbel-top-k resampling variant is one deterministic
+    noise column away but rides on ln, so it stays pytest territory
+    (see dsir_select docstring)."""
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        dsir_select,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        dsir_select(d, F.col("lang") == F.lit("en"), 25, "text", "doc_id", 4096)
+        .select("doc_id", "n_grams", "dsir_score")
+        .orderBy("doc_id")
+    )

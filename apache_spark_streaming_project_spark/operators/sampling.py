@@ -360,3 +360,188 @@ def negative_sample(
             F.col("_cand").alias("neg_id"),
         )
     )
+
+
+def dsir_hashed_grams(
+    text_col: Column | str, num_buckets: int = 4096
+) -> Column:
+    """Hashed n-gram feature stream for DSIR-style data selection: the
+    document's unigrams followed by its space-joined bigrams (both over
+    lowercased whitespace tokens), each mapped to a bucket in
+    ``[0, num_buckets)`` by the repo's polynomial rolling hash
+    (``text.rolling_fingerprint`` — left fold ``h = h*31 + code mod
+    2^31-1`` over char codes). Returns an ``array<int>`` of bucket ids
+    in POSITION ORDER (all unigrams, then all bigrams), which is what
+    makes downstream per-document folds deterministic.
+
+    The polynomial hash (not ``xxhash64``) is deliberate: DSIR is
+    hash-agnostic — any fixed map of grams to ``m`` buckets yields the
+    same estimator family (Xie et al. 2023, §3: hashed n-gram features)
+    — and the polynomial fold is the one hash both engines of the
+    oracle contract compute bit-identically. A production deployment
+    could swap ``xxhash64(gram) pmod m`` for a faster bucket map without
+    changing any downstream semantics.
+    """
+    from .text import rolling_fingerprint, tokens
+
+    ts = tokens(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col))
+    n = F.size(ts)
+    bigrams = F.zip_with(
+        F.slice(ts, F.lit(1), n - 1),
+        F.slice(ts, F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = F.when(n >= 2, F.concat(ts, bigrams)).otherwise(ts)
+    return F.transform(
+        grams,
+        lambda g: (rolling_fingerprint(g) % F.lit(num_buckets)).cast("int"),
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    score_mode: str = "ratio",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    score each CANDIDATE document (``is_target`` false) by how likely its
+    hashed n-gram bag is under the TARGET domain's gram distribution
+    relative to the RAW corpus distribution, using add-1-smoothed bucket
+    frequencies over ``num_buckets`` hashed unigram+bigram features.
+
+    Two score modes:
+
+    * ``"log"`` — the paper's log importance weight
+      ``log w_i = sum_j c_ij (log p_j - log q_j)`` with
+      ``p_j = (tp_j + 1) / (TP + m)`` (target) and
+      ``q_j = (tq_j + 1) / (TQ + m)`` (raw). Production mode; NOT
+      cross-engine bit-stable (``ln`` differs from libm in the last ulp
+      on ~1.5% of inputs — the bigram-LM / BM25-odds measurement), so it
+      is pytest-pinned against a Python reference instead of
+      oracle-hashed.
+    * ``"ratio"`` — the deterministic-contract sibling (the same move
+      that put BM25 into odds form): the MEAN per-gram likelihood ratio
+      ``(1/n_i) sum_j c_ij (p_j / q_j)``, folded in gram-position order.
+      Built from IEEE ``+ * /`` only, every intermediate computed in the
+      same order on both engines, so the double is bit-identical and
+      sits INSIDE the oracle value hash. Monotone in target-likeness
+      per gram (arithmetic instead of geometric mean), numerically safe
+      where the product form would underflow on long documents.
+
+    Output: one row per candidate document with >= 1 token —
+    ``(id_col, n_grams, n_buckets_hit, sum_target_count, sum_raw_count,
+    dsir_score)``. The four integer columns are the relational skeleton
+    (they pin tokenization, bigram construction, bucket hashing, both
+    corpus aggregations and the join) and are exact in both modes.
+
+    Scale shape (the 100 TB lens): one map-side gram explosion carrying
+    ONLY ``(id, pos, bucket:int)``; two partial-aggregated counts keyed
+    on the int bucket (result <= num_buckets rows each); the
+    lambda table is broadcast back (never a corpus-sized shuffle); one
+    per-document re-aggregation keyed on ``id_col``. No Python, no
+    window over the corpus, no driver loop; the only corpus-sized
+    exchange is the per-doc regroup, which any per-document scorer
+    needs.
+    """
+    if score_mode not in ("ratio", "log"):
+        raise ValueError(f"score_mode must be 'ratio' or 'log': {score_mode!r}")
+    m = float(num_buckets)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        is_target.alias("_t"),
+        dsir_hashed_grams(text_col, num_buckets).alias("_bs"),
+    ).filter(F.size("_bs") > 0)
+    ex = base.select("_id", "_t", F.posexplode("_bs").alias("_pos", "_b"))
+    raw = ex.groupBy("_b").agg(F.count(F.lit(1)).alias("_tq"))
+    tgt = (
+        ex.filter(F.col("_t"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_tp"))
+    )
+    lam = (
+        raw.join(tgt, "_b", "left")
+        .na.fill({"_tp": 0})
+        # 1-row totals aggregate, broadcast by AQE (bigram_lm precedent)
+        .crossJoin(
+            ex.agg(
+                F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_gtp"),
+                F.count(F.lit(1)).alias("_gtq"),
+            )
+        )
+    )
+    p_over_q_num = (F.col("_tp").cast("double") + F.lit(1.0)) * (
+        F.col("_gtq").cast("double") + F.lit(m)
+    )
+    p_over_q_den = (F.col("_tq").cast("double") + F.lit(1.0)) * (
+        F.col("_gtp").cast("double") + F.lit(m)
+    )
+    ratio = p_over_q_num / p_over_q_den
+    term = F.ln(ratio) if score_mode == "log" else ratio
+    # Loud guard (the mixture_resample / lexical.py idiom): an is_target
+    # predicate that selects no tokenized documents leaves the target
+    # gram distribution undefined — every score would be the same
+    # contentless constant. assert_true returns NULL on success, so
+    # when(guard.isNull(), term) evaluates term exactly when the guard
+    # passes and SimplifyConditionals cannot fold the assert away.
+    guard = F.assert_true(
+        F.col("_gtp") > 0,
+        F.lit(
+            "dsir_importance_weights: is_target selects no documents with"
+            " >= 1 token — the target gram distribution is undefined"
+        ),
+    )
+    term = F.when(guard.isNull(), term)
+    scored = (
+        ex.filter(~F.col("_t"))
+        .join(F.broadcast(lam), "_b")
+        .select("_id", "_pos", "_b", "_tp", "_tq", term.alias("_r"))
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_r"))),
+            lambda s: s["_r"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n_grams = F.count(F.lit(1))
+    score = folded if score_mode == "log" else folded / n_grams.cast("double")
+    return scored.groupBy("_id").agg(
+        n_grams.alias("n_grams"),
+        F.count_distinct("_b").alias("n_buckets_hit"),
+        F.sum("_tp").alias("sum_target_count"),
+        F.sum("_tq").alias("sum_raw_count"),
+        score.alias("dsir_score"),
+    ).withColumnRenamed("_id", id_col)
+
+
+def dsir_select(
+    df: DataFrame,
+    is_target: Column,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    score_mode: str = "ratio",
+) -> DataFrame:
+    """DSIR selection: the top-``k`` candidate documents by importance
+    weight, deterministic tie-break on ``id_col``. Compiles to
+    ``TakeOrderedAndProject`` (a per-partition top-k then a k-row merge
+    on the driver side of the exchange — never a global sort of the
+    corpus).
+
+    The paper resamples WITHOUT replacement proportionally to ``w_i``
+    (Gumbel top-k: ``argtop-k(log w_i + g_i)``, ``g_i`` standard
+    Gumbel). That is one extra deterministic column away — e.g.
+    ``g_i = -ln(-ln((xxhash64(id) mod 2^31 + 0.5) / 2^31))`` — but it
+    rides on ``ln``, so like ``score_mode="log"`` it is pytest
+    territory, not oracle-hash territory; the registered contract keeps
+    the deterministic hard top-k.
+    """
+    w = dsir_importance_weights(
+        df, is_target, text_col, id_col, num_buckets, score_mode
+    )
+    return w.orderBy(F.desc("dsir_score"), F.asc(id_col)).limit(k)

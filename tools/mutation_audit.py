@@ -467,6 +467,34 @@ MUTATIONS = [
       "swapped-agg", "MIRROR-side exact-decimal skeleton family: the "
       "SQL builder's sample-variance denominator n-1 -> n (symmetric "
       "to the Spark-side s19_population_stddev kill)"),
+
+    # ----- x12: DSIR importance resampling (round-11) -----
+    M("x12_smoothing_constant", "x12_dsir_weights",
+      f"{PKG}/operators/sampling.py",
+      'p_over_q_num = (F.col("_tp").cast("double") + F.lit(1.0)) * (',
+      'p_over_q_num = (F.col("_tp").cast("double") + F.lit(2.0)) * (',
+      "constant", "add-1 smoothing -> add-2 on the target side only: "
+      "every ratio term shifts, the bit-exact double score reddens"),
+    M("x12_bigram_separator", "x12_dsir_weights",
+      f"{PKG}/operators/sampling.py",
+      'lambda a, b: F.concat(a, F.lit(" "), b),',
+      'lambda a, b: F.concat(a, b),',
+      "wrong-key", "bigram feature key loses its separator: different "
+      "gram strings -> different buckets -> skeleton count-sums and "
+      "score both redden"),
+    M("oracle_x12_smoothing", "x12_dsir_weights",
+      f"{PKG}/entry_queries.py",
+      "((CAST(coalesce(tgtc.tp, 0) AS DOUBLE) + 1.0)",
+      "((CAST(coalesce(tgtc.tp, 0) AS DOUBLE) + 2.0)",
+      "constant", "MIRROR-side DSIR family: the same add-1 -> add-2 "
+      "smoothing shift applied to the DuckDB ratio (symmetric to "
+      "x12_smoothing_constant)"),
+    M("x12_select_rank_asc", "x12_dsir_select",
+      f"{PKG}/operators/sampling.py",
+      'return w.orderBy(F.desc("dsir_score"), F.asc(id_col)).limit(k)',
+      'return w.orderBy(F.asc("dsir_score"), F.asc(id_col)).limit(k)',
+      "swapped-agg", "top-k by importance weight -> bottom-k: the "
+      "selected 25-doc set inverts"),
 ]
 
 
