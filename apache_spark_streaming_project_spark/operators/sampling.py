@@ -526,6 +526,7 @@ def dsir_select(
     id_col: str = "doc_id",
     num_buckets: int = 4096,
     score_mode: str = "ratio",
+    gumbel_seed: int | None = None,
 ) -> DataFrame:
     """DSIR selection: the top-``k`` candidate documents by importance
     weight, deterministic tie-break on ``id_col``. Compiles to
@@ -533,15 +534,36 @@ def dsir_select(
     on the driver side of the exchange — never a global sort of the
     corpus).
 
-    The paper resamples WITHOUT replacement proportionally to ``w_i``
-    (Gumbel top-k: ``argtop-k(log w_i + g_i)``, ``g_i`` standard
-    Gumbel). That is one extra deterministic column away — e.g.
-    ``g_i = -ln(-ln((xxhash64(id) mod 2^31 + 0.5) / 2^31))`` — but it
-    rides on ``ln``, so like ``score_mode="log"`` it is pytest
-    territory, not oracle-hash territory; the registered contract keeps
-    the deterministic hard top-k.
+    ``gumbel_seed`` enables the paper's resampling mode: sampling
+    WITHOUT replacement proportionally to ``w_i`` via Gumbel top-k
+    (``argtop-k(log w_i + g_i)``, ``g_i`` standard Gumbel — Vieira
+    2014; Xie et al. 2023 §3). The noise is fully deterministic and
+    reproducible across runs and machines — no RNG state:
+    ``u_i = (xxhash64(id, seed) mod 2^31 + 0.5) / 2^31`` then
+    ``g_i = -ln(-ln(u_i))``. With ``gumbel_seed`` set, ``score_mode``
+    is forced to ``"log"`` (Gumbel noise perturbs LOG weights; adding
+    it to a ratio-scale score would sample from a different
+    distribution). Because it rides on ``ln``, the Gumbel path is
+    pytest territory (tests/test_dsir.py pins it to a pure-Python
+    reference), not oracle-hash territory; the registered contract
+    keeps the deterministic hard top-k (``gumbel_seed=None``).
     """
+    if gumbel_seed is not None:
+        score_mode = "log"
     w = dsir_importance_weights(
         df, is_target, text_col, id_col, num_buckets, score_mode
     )
-    return w.orderBy(F.desc("dsir_score"), F.asc(id_col)).limit(k)
+    key = F.col("dsir_score")
+    if gumbel_seed is not None:
+        u = (
+            (F.pmod(F.xxhash64(F.col(id_col), F.lit(gumbel_seed)), F.lit(2**31)))
+            .cast("double")
+            + F.lit(0.5)
+        ) / F.lit(float(2**31))
+        key = key + (-F.ln(-F.ln(u)))
+    return (
+        w.withColumn("_key", key)
+        .orderBy(F.desc("_key"), F.asc(id_col))
+        .limit(k)
+        .drop("_key")
+    )

@@ -168,3 +168,35 @@ def test_plan_shape(spark, docs_df):
     sel = dsir_select(docs_df, F.col("lang") == "en", 2, num_buckets=64)
     splan = sel._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in splan
+
+
+def test_gumbel_topk_matches_python_composition(spark, docs_df):
+    """The Gumbel path pinned against a Python composition: Spark's
+    xxhash64 is collected as a primitive, then u -> g = -ln(-ln(u)) and
+    the top-k over log-weight + g are recomputed with math.log."""
+    seed = 7
+    w = dsir_importance_weights(
+        docs_df, F.col("lang") == "en", num_buckets=64, score_mode="log"
+    )
+    hashed = {
+        r["doc_id"]: r["h"]
+        for r in docs_df.select(
+            "doc_id",
+            F.pmod(F.xxhash64("doc_id", F.lit(seed)), F.lit(2**31)).alias("h"),
+        ).collect()
+    }
+    expect = []
+    for r in w.collect():
+        u = (hashed[r["doc_id"]] + 0.5) / 2**31
+        expect.append((-(r["dsir_score"] + -math.log(-math.log(u))), r["doc_id"]))
+    expect_ids = [i for _, i in sorted(expect)[:3]]
+    got = dsir_select(
+        docs_df, F.col("lang") == "en", 3, num_buckets=64, gumbel_seed=seed
+    )
+    assert [r["doc_id"] for r in got.collect()] == expect_ids
+    # deterministic: same seed -> same selection, and no _key leaks out
+    again = dsir_select(
+        docs_df, F.col("lang") == "en", 3, num_buckets=64, gumbel_seed=seed
+    )
+    assert [r["doc_id"] for r in again.collect()] == expect_ids
+    assert "_key" not in got.columns
