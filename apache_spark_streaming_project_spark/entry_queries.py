@@ -10795,3 +10795,227 @@ def x12_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_grams", "dsir_score")
         .orderBy("doc_id")
     )
+
+
+# Winnowing shared oracle core (Schleimer et al. 2003): normalization,
+# char-8-gram polynomial hashes, rightmost-min selection per window of 5,
+# consecutive-pick dedup. All integer arithmetic — the full fingerprint
+# table is hash-checked with no float caveats.
+_WINNOW_CORE_SQL = r"""
+    WITH norm AS (
+      -- doc_id -1 is an in-plan PLANT (both engines): periodic text puts
+      -- EQUAL gram hashes inside one winnowing window, making the
+      -- robust-winnowing rightmost-min tie-break load-bearing in the
+      -- registered output (mutation x4w_leftmost_min kills on fp_pos)
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g') AS s
+      FROM (SELECT doc_id, text FROM documents
+            UNION ALL SELECT -1, 'tie probe aaaaaaaaaaaaaaaa end')
+    ),
+    codes AS (
+      SELECT doc_id, list_transform(range(1, length(s)+1),
+                                    i -> CAST(ascii(s[i]) AS BIGINT)) AS cs
+      FROM norm
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, len(cs) - 8 + 2),
+                 i -> list_reduce(list_slice(cs, i, i + 7),
+                                  (a, x) -> (a*31 + x) % 2147483647)) AS hs
+      FROM codes WHERE len(cs) >= 8
+    ),
+    sel AS (
+      -- the rightmost-min pick folds over (h, p) structs; the pick list
+      -- is then ENCODED h * 2^31 + p into one BIGINT because DuckDB's
+      -- list_distinct is unimplemented for struct elements (h < 2^31 by
+      -- the modulus, so the encoding is injective and decoded exactly)
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 list_transform(
+                     range(1, greatest(len(hs) - 5 + 1, 1) + 1),
+                     j -> list_reduce(
+                            list_prepend(
+                                struct_pack(h := CAST(2147483648 AS BIGINT),
+                                            p := 0),
+                                list_transform(
+                                    range(j, least(j + 4, len(hs)) + 1),
+                                    i -> struct_pack(h := hs[i],
+                                                     p := CAST(i AS INT)))),
+                            (a, x) -> CASE WHEN x.h <= a.h
+                                           THEN x ELSE a END)),
+                 s -> s.h * 2147483648 + s.p)) AS fps
+      FROM grams
+    ),
+    winnow_fps AS (
+      SELECT doc_id, CAST(fp % 2147483648 AS INT) AS fp_pos,
+             fp // 2147483648 AS fp_hash
+      FROM (SELECT doc_id, unnest(fps) AS fp FROM sel)
+    )
+"""
+
+
+@register(
+    "x4_winnow_fingerprints",
+    _WINNOW_CORE_SQL
+    + """
+    SELECT doc_id, fp_pos, fp_hash FROM winnow_fps
+    ORDER BY doc_id, fp_pos
+    """,
+    "X4",
+)
+def x4_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    MOSS), operators/text.py:winnow_fingerprints: per document the
+    rightmost-min char-8-gram hash of every 5-gram-hash window, the
+    LOCAL fingerprinting guarantee (any shared >= k+w-1 = 12-char run
+    yields a shared fingerprint at expected density 2/(w+1)) that
+    complements whole-document MinHash/SimHash. Entirely integer
+    arithmetic; the FULL exploded fingerprint table is hash-checked.
+    Map-only plan: ONE Project, zero exchanges, zero Python (the
+    gopher-repetition shape)."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.range(1).select(
+            F.lit(-1).cast("bigint").alias("doc_id"),
+            F.lit("tie probe aaaaaaaaaaaaaaaa end").alias("text"),
+        )
+    )
+    # the stored documents table is a single parquet split at bench
+    # scale; one bounded exchange buys the map-only battery its natural
+    # parallelism (the gopher-repetition fixture-economics lesson) —
+    # a real multi-split corpus needs no repartition
+    return winnow_fingerprints(d.repartition(32), k=8, w=5).orderBy(
+        "doc_id", "fp_pos"
+    )
+
+
+@register(
+    "x4_winnow_shared_pairs",
+    _WINNOW_CORE_SQL
+    + """
+    , fpd AS (SELECT DISTINCT doc_id, fp_hash FROM winnow_fps),
+    kept AS (
+      SELECT fp_hash FROM fpd GROUP BY fp_hash HAVING count(*) <= 50
+    )
+    SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM fpd a JOIN fpd b USING (fp_hash) JOIN kept USING (fp_hash)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 25
+    ORDER BY key_a, key_b
+    """,
+    "X4",
+)
+def x4_winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — MOSS match detection: document pairs sharing >= 25 distinct
+    winnowed fingerprint hashes (operators/text.py:winnow_shared_pairs,
+    max_fp_df=50 — the LSH-style document-frequency cap that keeps the
+    postings self-join linear under Zipfian gram frequencies; a pair
+    with 25 RARE shared hashes is unaffected by dropping ubiquitous
+    ones). Postings join bucketed by hash, never all-pairs."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        winnow_shared_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.range(1).select(
+            F.lit(-1).cast("bigint").alias("doc_id"),
+            F.lit("tie probe aaaaaaaaaaaaaaaa end").alias("text"),
+        )
+    )
+    return winnow_shared_pairs(
+        d.repartition(32), k=8, w=5, min_shared=25, max_fp_df=50
+    ).orderBy("key_a", "key_b")
+
+
+@register(
+    "m15_streaming_dsir",
+    _DSIR_CORE_SQL
+    + """
+    SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS epoch, n_grams,
+           n_buckets_hit, sum_target_count, sum_raw_count, dsir_score
+    FROM dsir_weights ORDER BY doc_id
+    """,
+    "S6",
+    "X7",
+)
+def m15_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DSIR scoring (S6 x X7/X12) — the deployment half of
+    importance resampling, run as it actually deploys at 100 TB: the
+    lambda table (dsir_lambda_table — <= 4096 rows, the FROZEN model
+    artifact) is computed ONCE offline from the static corpus and
+    written to parquet; candidate documents then arrive as three
+    micro-batch waves and every batch is scored map-side against the
+    frozen table (dsir_score_against: broadcast join + per-doc regroup,
+    stateless across batches — no streaming state at all), appended to
+    a parquet sink exactly-once via the checkpointed availableNow
+    lifecycle.
+
+    Contract: because scoring is per-document given the frozen lambda,
+    the streamed scores must be BIT-IDENTICAL to the batch scorer's —
+    the oracle is literally the same DuckDB DSIR program as
+    x12_dsir_weights (plus the wave key as `epoch`), double score
+    inside the hash. The classic deployment bug this pins: recomputing
+    the model per batch (each wave's own lambda) changes every score —
+    mutation m15_per_batch_lambda kills on hash."""
+    import os
+
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        dsir_lambda_table,
+        dsir_score_against,
+    )
+
+    base = _scratch_dir("m15_dsir_")
+    in_dir = os.path.join(base, "in")
+    lam_dir = os.path.join(base, "lambda_frozen")
+    sink = os.path.join(base, "scored")
+    ckpt = os.path.join(base, "ckpt")
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # offline: freeze the model artifact
+    dsir_lambda_table(d, F.col("lang") == F.lit("en"), "text", 4096).coalesce(
+        1
+    ).write.mode("overwrite").parquet(lam_dir)
+    # candidates arrive in three waves
+    cands = d.filter(F.col("lang") != F.lit("en")).select("doc_id", "text")
+    for i in range(3):
+        cands.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(in_dir, f"wave{i}"))
+
+    def score_batch(batch_df, batch_id):
+        lam_b = batch_df.sparkSession.read.parquet(lam_dir)
+        out = dsir_score_against(batch_df, lam_b, "text", "doc_id", 4096)
+        out.write.mode("append").parquet(sink)
+
+    stream = (
+        spark.readStream.schema(cands.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "wave*"))
+    )
+    with _stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(score_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return (
+        spark.read.parquet(sink)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 3).cast("bigint").alias("epoch"),
+            "n_grams",
+            "n_buckets_hit",
+            "sum_target_count",
+            "sum_raw_count",
+            "dsir_score",
+        )
+        .orderBy("doc_id")
+    )

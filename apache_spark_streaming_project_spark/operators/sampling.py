@@ -446,32 +446,83 @@ def dsir_importance_weights(
     exchange is the per-doc regroup, which any per-document scorer
     needs.
     """
-    if score_mode not in ("ratio", "log"):
-        raise ValueError(f"score_mode must be 'ratio' or 'log': {score_mode!r}")
-    m = float(num_buckets)
+    lam = dsir_lambda_table(df, is_target, text_col, num_buckets)
+    return dsir_score_against(
+        df.filter(~is_target), lam, text_col, id_col, num_buckets, score_mode
+    )
+
+
+def dsir_lambda_table(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    num_buckets: int = 4096,
+) -> DataFrame:
+    """The DSIR MODEL: per-bucket target and raw gram counts
+    ``(bucket, target_count, raw_count)`` over the hashed feature space
+    — at most ``num_buckets`` rows regardless of corpus size. This is
+    the artifact a production deployment freezes offline and broadcasts
+    to score new data at ingest (see ``dsir_score_against`` and the
+    m15 streaming registration); the totals the smoothed ratio needs
+    are exact integer sums over this table, so the table alone fully
+    determines the scorer."""
     base = df.select(
-        F.col(id_col).alias("_id"),
         is_target.alias("_t"),
         dsir_hashed_grams(text_col, num_buckets).alias("_bs"),
     ).filter(F.size("_bs") > 0)
-    ex = base.select("_id", "_t", F.posexplode("_bs").alias("_pos", "_b"))
+    ex = base.select("_t", F.explode("_bs").alias("_b"))
     raw = ex.groupBy("_b").agg(F.count(F.lit(1)).alias("_tq"))
     tgt = (
         ex.filter(F.col("_t"))
         .groupBy("_b")
         .agg(F.count(F.lit(1)).alias("_tp"))
     )
-    lam = (
+    return (
         raw.join(tgt, "_b", "left")
         .na.fill({"_tp": 0})
-        # 1-row totals aggregate, broadcast by AQE (bigram_lm precedent)
-        .crossJoin(
-            ex.agg(
-                F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_gtp"),
-                F.count(F.lit(1)).alias("_gtq"),
-            )
+        .select(
+            F.col("_b").alias("bucket"),
+            F.col("_tp").alias("target_count"),
+            F.col("_tq").alias("raw_count"),
         )
     )
+
+
+def dsir_score_against(
+    df: DataFrame,
+    lam: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    score_mode: str = "ratio",
+) -> DataFrame:
+    """Score EVERY document of ``df`` against a (typically frozen)
+    ``dsir_lambda_table`` — the deployment half of DSIR: the lambda
+    table is <= ``num_buckets`` rows and broadcast, so scoring is
+    map-side + one per-doc regroup, stateless across batches (the m15
+    streaming registration scores micro-batches exactly like this).
+    Grams hashing to a bucket absent from the lambda table (possible
+    when scoring NEW data against a frozen model) count as unseen on
+    both sides: ``tp = tq = 0``, ratio ``(TQ+m)/(TP+m)`` — add-1
+    smoothing doing exactly its job."""
+    if score_mode not in ("ratio", "log"):
+        raise ValueError(f"score_mode must be 'ratio' or 'log': {score_mode!r}")
+    m = float(num_buckets)
+    lam = lam.select(
+        F.col("bucket").alias("_b"),
+        F.col("target_count").alias("_tp"),
+        F.col("raw_count").alias("_tq"),
+    )
+    # exact integer totals derived from the table itself — the frozen
+    # artifact is self-contained (1-row aggregate, broadcast by AQE)
+    totals = lam.agg(
+        F.sum("_tp").alias("_gtp"), F.sum("_tq").alias("_gtq")
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        dsir_hashed_grams(text_col, num_buckets).alias("_bs"),
+    ).filter(F.size("_bs") > 0)
+    ex = base.select("_id", F.posexplode("_bs").alias("_pos", "_b"))
     p_over_q_num = (F.col("_tp").cast("double") + F.lit(1.0)) * (
         F.col("_gtq").cast("double") + F.lit(m)
     )
@@ -480,12 +531,12 @@ def dsir_importance_weights(
     )
     ratio = p_over_q_num / p_over_q_den
     term = F.ln(ratio) if score_mode == "log" else ratio
-    # Loud guard (the mixture_resample / lexical.py idiom): an is_target
-    # predicate that selects no tokenized documents leaves the target
-    # gram distribution undefined — every score would be the same
-    # contentless constant. assert_true returns NULL on success, so
-    # when(guard.isNull(), term) evaluates term exactly when the guard
-    # passes and SimplifyConditionals cannot fold the assert away.
+    # Loud guard (the mixture_resample / lexical.py idiom): a lambda
+    # table with no target grams leaves the target distribution
+    # undefined — every score would be the same contentless constant.
+    # assert_true returns NULL on success, so when(guard.isNull(), term)
+    # evaluates term exactly when the guard passes and
+    # SimplifyConditionals cannot fold the assert away.
     guard = F.assert_true(
         F.col("_gtp") > 0,
         F.lit(
@@ -495,8 +546,9 @@ def dsir_importance_weights(
     )
     term = F.when(guard.isNull(), term)
     scored = (
-        ex.filter(~F.col("_t"))
-        .join(F.broadcast(lam), "_b")
+        ex.join(F.broadcast(lam), "_b", "left")
+        .na.fill({"_tp": 0, "_tq": 0})
+        .crossJoin(F.broadcast(totals))
         .select("_id", "_pos", "_b", "_tp", "_tq", term.alias("_r"))
     )
     folded = F.aggregate(

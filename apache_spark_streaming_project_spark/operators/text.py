@@ -343,6 +343,178 @@ def rolling_fingerprint(c: Column | str, base: int = 31, mod: int = 2**31 - 1) -
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    base: int = 31,
+    mod: int = 2**31 - 1,
+) -> DataFrame:
+    """X4 — winnowing document fingerprints (Schleimer, Wilkerson,
+    Aiken 2003 — the MOSS algorithm): local fingerprint selection with
+    a GUARANTEE the global schemes (MinHash, SimHash) cannot give — any
+    shared substring of length >= ``k + w - 1`` between two documents
+    produces at least one shared selected fingerprint, while at most
+    one fingerprint is selected per window of ``w`` consecutive grams
+    (expected density ``2/(w+1)``).
+
+    Pipeline, all map-side (ONE Project, zero exchanges, zero Python —
+    the gopher-repetition plan shape): normalize (lowercase, whitespace
+    runs -> single space), char ``k``-gram polynomial hashes
+    (``h = fold h*base + code mod m`` — the rolling_fingerprint
+    primitive, bit-identical in DuckDB), then per window of ``w``
+    consecutive gram hashes select the minimum, ties broken by the
+    RIGHTMOST position (robust winnowing: <= on a left-to-right fold),
+    and de-duplicate consecutive windows that select the same (hash,
+    position). Documents with fewer than ``k`` normalized chars have no
+    gram and drop out; documents with 1 <= n_grams < w form a single
+    truncated window (one fingerprint).
+
+    Returns exploded rows ``(key_col, fp_pos, fp_hash)`` — ``fp_pos``
+    the 1-based gram position. Every value is integer arithmetic, so
+    the ENTIRE fingerprint table is oracle-hashable (no float caveats).
+
+    Scale: fingerprinting is embarrassingly parallel (per-document HOF
+    in whole-stage codegen, O(n*k) hash work + O(n_windows*w) fold work
+    per doc); the output is ~``2/(w+1)`` rows per gram, the bounded
+    input to :func:`winnow_shared_pairs`.
+    """
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col(text_col))), "[ \t\n\f\r]+", " "
+    )
+    codes = F.transform(
+        F.split(norm, ""), lambda ch: F.ascii(ch).cast("long")
+    )
+    enc_base = mod + 1  # 2^31 for the default modulus
+    pos_max = F.lit(mod).cast("long")
+
+    def _enc_hashes(cs: Column) -> Column:
+        """Gram hash and 1-based position ENCODED into one long:
+        ``enc_i = h_i * (mod+1) + (mod - i)``. Minimizing ``enc`` over a
+        window IS robust winnowing's pick — smallest hash first, and on
+        equal hashes the RIGHTMOST position (largest ``i`` gives the
+        smallest ``mod - i``) — so the per-window selection becomes a
+        native ``array_min`` over a slice with ZERO per-window lambdas
+        (structs + a rightmost-min fold measured ~10x slower at sf0.1).
+        ``h <= mod - 1 < 2^31`` keeps the encoding injective and inside
+        a long."""
+        n_grams = F.size(cs) - F.lit(k) + F.lit(1)
+        # sequence(1, stop) DESCENDS when stop < 1 — guard short docs to
+        # empty (the word_shingles lesson)
+        gram_idx = F.when(
+            n_grams >= 1, F.sequence(F.lit(1), n_grams)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            gram_idx,
+            lambda i: F.aggregate(
+                F.sequence(i, i + F.lit(k - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, ix: (acc * base + F.element_at(cs, ix))
+                % F.lit(mod).cast("long"),
+            )
+            * F.lit(enc_base).cast("long")
+            + (pos_max - i),
+        )
+
+    def _fps(hs: Column) -> Column:
+        m = F.size(hs)
+        n_windows = F.greatest(m - F.lit(w) + F.lit(1), F.lit(1))
+        picks = F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(hs, j, F.lit(w))),
+        )
+        # m == 0 would make sequence(1, n_windows=1) pick over an empty
+        # slice — return empty instead
+        return F.when(m >= 1, F.array_distinct(picks)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    # Both the code array and the encoded-hash array are bound ONCE as
+    # lambda variables (nested singleton-array trick — dedup.
+    # word_shingles): HOF subexpressions are not CSE'd, so inlining
+    # `codes` into the per-gram fold makes Spark re-split the text per
+    # gram position — O(chars^2) per document (measured 88 s at sf0.1
+    # for the whole fingerprint query; ~1 s bound + encoded).
+    fps = F.element_at(
+        F.transform(
+            F.array(codes),
+            lambda cs: F.element_at(
+                F.transform(F.array(_enc_hashes(cs)), _fps), 1
+            ),
+        ),
+        1,
+    )
+    return (
+        df.select(F.col(key_col), fps.alias("_fps"))
+        .filter(F.size("_fps") > 0)
+        .select(
+            key_col,
+            F.explode("_fps").alias("_enc"),
+        )
+        .select(
+            key_col,
+            (pos_max - F.col("_enc") % F.lit(enc_base)).cast("int").alias(
+                "fp_pos"
+            ),
+            # SQL `div`, NOT `/`: Column `/` is double division, and enc
+            # is up to ~2^62 — past double's 2^53 exact-integer range
+            F.expr(f"_enc div {enc_base}L").alias("fp_hash"),
+        )
+    )
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 3,
+    max_fp_df: int | None = 50,
+) -> DataFrame:
+    """X4 — document pairs sharing >= ``min_shared`` distinct winnowed
+    fingerprint HASHES — the MOSS match-detection join. Because
+    winnowing guarantees a shared fingerprint for any shared run of
+    ``k + w - 1`` chars, this finds local plagiarism/quotation overlap
+    that whole-document MinHash misses on mostly-different documents.
+
+    ``max_fp_df`` drops fingerprint hashes appearing in more than that
+    many documents before the pair join — the same df-cap defense as
+    ``minhash_lsh_candidates(max_shingle_df=...)``: ubiquitous grams
+    ("the and ") would otherwise quadratically explode the per-hash
+    candidate lists under Zipfian text (measured for the LSH path in
+    BASELINE.md round-10; the identical failure mode applies to any
+    postings self-join). Dropping them cannot lose a pair with
+    ``min_shared`` RARE shared hashes, which is what plagiarism
+    detection keys on.
+
+    Output: ``(key_a, key_b, shared_fps)`` with ``key_a < key_b``.
+    Scale: postings self-join bucketed by fingerprint hash, each
+    posting list bounded by ``max_fp_df`` — never all-pairs.
+    """
+    fps = winnow_fingerprints(df, key_col, text_col, k, w).select(
+        F.col(key_col).alias("_k"), "fp_hash"
+    ).distinct()
+    if max_fp_df is not None:
+        over = (
+            fps.groupBy("fp_hash")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_fp_df)
+        )
+        fps = fps.join(over, "fp_hash", "left_anti")
+    a = fps.select(F.col("_k").alias("key_a"), "fp_hash")
+    b = fps.select(F.col("_k").alias("key_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def token_metrics(c: Column | str, lang: str = "en") -> Column:
     """All token-derived X4 metrics in ONE pass over the token array.
 

@@ -200,3 +200,66 @@ def test_gumbel_topk_matches_python_composition(spark, docs_df):
     )
     assert [r["doc_id"] for r in again.collect()] == expect_ids
     assert "_key" not in got.columns
+
+
+def test_lambda_table_and_frozen_scoring(spark, docs_df):
+    """dsir_lambda_table + dsir_score_against compose to exactly
+    dsir_importance_weights, and a frozen table round-tripped through
+    parquet scores new data with unseen buckets falling back to the
+    smoothed (TQ+m)/(TP+m) ratio."""
+    import tempfile
+
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        dsir_lambda_table,
+        dsir_score_against,
+    )
+
+    is_t = F.col("lang") == "en"
+    lam = dsir_lambda_table(docs_df, is_t, num_buckets=64)
+    composed = {
+        r["doc_id"]: r
+        for r in dsir_score_against(
+            docs_df.filter(~is_t), lam, num_buckets=64
+        ).collect()
+    }
+    direct = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(
+            docs_df, is_t, num_buckets=64
+        ).collect()
+    }
+    assert set(composed) == set(direct)
+    for i in direct:
+        assert composed[i]["dsir_score"] == direct[i]["dsir_score"]  # bitwise
+
+    # frozen round-trip scoring NEW text: expected score recomputed in
+    # Python from the frozen table (new grams may or may not collide
+    # into occupied buckets — the reference handles both; buckets absent
+    # from the table count as tp = tq = 0, add-1 smoothing's job)
+    with tempfile.TemporaryDirectory() as tmp:
+        lam.write.mode("overwrite").parquet(tmp + "/lam")
+        frozen = spark.read.parquet(tmp + "/lam")
+        table = {
+            r["bucket"]: (r["target_count"], r["raw_count"])
+            for r in frozen.collect()
+        }
+        tp_tot = sum(v[0] for v in table.values())
+        tq_tot = sum(v[1] for v in table.values())
+        new_text = "qqqq wwww eeee rrrr"
+        new = spark.createDataFrame(
+            [(100, new_text)], "doc_id long, text string"
+        )
+        got = dsir_score_against(new, frozen, num_buckets=64).collect()[0]
+        bs = [_bucket(g, 64) for g in _grams(new_text)]
+        ratios = [
+            ((table.get(b, (0, 0))[0] + 1.0) * (tq_tot + 64.0))
+            / ((table.get(b, (0, 0))[1] + 1.0) * (tp_tot + 64.0))
+            for b in bs
+        ]
+        assert got["sum_target_count"] == sum(
+            table.get(b, (0, 0))[0] for b in bs
+        )
+        assert got["sum_raw_count"] == sum(table.get(b, (0, 0))[1] for b in bs)
+        assert got["dsir_score"] == pytest.approx(
+            sum(ratios) / len(bs), abs=1e-12
+        )

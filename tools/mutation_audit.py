@@ -495,6 +495,61 @@ MUTATIONS = [
       'return w.orderBy(F.asc("dsir_score"), F.asc(id_col)).limit(k)',
       "swapped-agg", "top-k by importance weight -> bottom-k: the "
       "selected 25-doc set inverts"),
+
+    # ----- x4 winnowing fingerprints (round-11) -----
+    M("oracle_x4w_leftmost_min", "x4_winnow_fingerprints",
+      f"{PKG}/entry_queries.py",
+      '(a, x) -> CASE WHEN x.h <= a.h',
+      '(a, x) -> CASE WHEN x.h < a.h',
+      "boundary", "MIRROR-side robust-winnowing tie-break: rightmost-"
+      "min -> leftmost-min in the DuckDB pick fold. Killable because "
+      "of the in-plan doc_id=-1 periodic-text plant (equal gram hashes "
+      "inside one window); the Spark side cannot express this mutation "
+      "single-site — its hash*2^31+(mod-pos) ENCODING makes array_min "
+      "pick rightmost BY CONSTRUCTION, coupling tie-break to position "
+      "decode"),
+    M("x4w_no_pick_dedup", "x4_winnow_fingerprints",
+      f"{PKG}/operators/text.py",
+      'return F.when(m >= 1, F.array_distinct(picks)).otherwise(',
+      'return F.when(m >= 1, picks).otherwise(',
+      "dropped-clause", "consecutive windows selecting the same (hash, "
+      "pos) are no longer de-duplicated: fingerprint table row-count "
+      "explodes"),
+    M("oracle_x4w_window", "x4_winnow_fingerprints",
+      f"{PKG}/entry_queries.py",
+      'range(j, least(j + 4, len(hs)) + 1),',
+      'range(j, least(j + 3, len(hs)) + 1),',
+      "constant", "MIRROR-side winnow family: window width w=5 -> 4 "
+      "inside the DuckDB pick fold"),
+    M("x4w_min_shared_boundary", "x4_winnow_shared_pairs",
+      f"{PKG}/operators/text.py",
+      '.filter(F.col("shared_fps") >= min_shared)',
+      '.filter(F.col("shared_fps") > min_shared)',
+      "boundary", ">= -> > at min_shared: the sf0.01 corpus has two "
+      "pairs at exactly 25 shared fingerprints"),
+    # ----- m15: streaming DSIR with a frozen lambda table (round-11) -----
+    M("m15_per_batch_lambda", "m15_streaming_dsir",
+      f"{PKG}/entry_queries.py",
+      '        lam_b = batch_df.sparkSession.read.parquet(lam_dir)',
+      '        lam_b = dsir_lambda_table(batch_df.limit(50), F.lit(True), '
+      '"text", 4096)',
+      "wrong-key", "the classic deployment bug the registration pins: "
+      "the frozen offline model is replaced by a per-batch "
+      "'retrained' lambda — every score shifts (hash kill)"),
+    M("m15_sink_overwrite", "m15_streaming_dsir",
+      f"{PKG}/entry_queries.py",
+      '        out.write.mode("append").parquet(sink)',
+      '        out.write.mode("overwrite").parquet(sink)',
+      "dropped-clause", "exactly-once append sink degraded to "
+      "overwrite: only the last wave's scores survive (row-count "
+      "kill)"),
+    M("x4w_df_cap_inert", "x4_winnow_shared_pairs",
+      f"{PKG}/entry_queries.py",
+      'd.repartition(32), k=8, w=5, min_shared=25, max_fp_df=50',
+      'd.repartition(32), k=8, w=5, min_shared=25, max_fp_df=5000',
+      "constant", "document-frequency cap made inert (50 -> 5000): "
+      "ubiquitous-gram postings re-enter the self-join and the pair "
+      "set explodes"),
 ]
 
 
