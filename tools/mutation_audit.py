@@ -94,8 +94,8 @@ MUTATIONS = [
     # ----- D family: read-side query shapes -----
     M("d1_window_8days", "d1_trailing_window_counts",
       f"{PKG}/entry_queries.py",
-      'trailing_window(ev, "ts", "7 DAY")',
-      'trailing_window(ev, "ts", "8 DAY")',
+      'trailing_window(base, "ts", "7 DAY")',
+      'trailing_window(base, "ts", "8 DAY")',
       "constant", "trailing window widened 7 -> 8 days"),
     M("d1_boundary_gt", "d1_trailing_window_counts",
       f"{PKG}/operators/readside.py",
@@ -304,10 +304,11 @@ MUTATIONS = [
       "= larger gram (the DESC flip)", probe=True),
     M("x4_rds_inverted_keep", "x4_remove_duplicate_spans",
       f"{PKG}/operators/text.py",
-      'lambda s: ~F.exists(\n            ivs, lambda r: (s["i"] >= r["_s"]) & (s["i"] <= r["_e"])\n        ),',
-      'lambda s: F.exists(\n            ivs, lambda r: (s["i"] >= r["_s"]) & (s["i"] <= r["_e"])\n        ),',
-      "dropped-clause", "keep-filter inverted: rebuild keeps only the "
-      "duplicated spans instead of dropping them"),
+      'kept_idx = F.array_except(pos_idx, covered)',
+      'kept_idx = F.array_except(pos_idx, F.array_except(pos_idx, covered))',
+      "dropped-clause", "keep-filter inverted on the LINEARIZED rebuild "
+      "(set intersection instead of set difference): the rebuilt text "
+      "keeps only the duplicated spans instead of dropping them"),
     M("x4_rds_island_end", "x4_remove_duplicate_spans",
       f"{PKG}/operators/text.py",
       '(F.col("_pos") + (n - 1)).alias("_e"),',
@@ -491,8 +492,8 @@ MUTATIONS = [
       "x12_smoothing_constant)"),
     M("x12_select_rank_asc", "x12_dsir_select",
       f"{PKG}/operators/sampling.py",
-      'return w.orderBy(F.desc("dsir_score"), F.asc(id_col)).limit(k)',
-      'return w.orderBy(F.asc("dsir_score"), F.asc(id_col)).limit(k)',
+      '.orderBy(F.desc("_key"), F.asc(id_col))',
+      '.orderBy(F.asc("_key"), F.asc(id_col))',
       "swapped-agg", "top-k by importance weight -> bottom-k: the "
       "selected 25-doc set inverts"),
 
@@ -646,19 +647,29 @@ def main() -> int:
 
     hard = [r for r in results if not r.get("probe") and "killed" in r]
     probes = [r for r in results if r.get("probe") and "killed" in r]
+    # A catalog entry whose `old` text no longer matches the source is a
+    # DEAD mutation: the kill it advertises never ran. Silently dropping
+    # it from the denominator is exactly the silent-cap anti-pattern the
+    # repo forbids — three entries went stale across refactors before
+    # this became loud (round-11 code-review finding).
+    bad = [r for r in results if r.get("status") == "BAD-MUTATION"]
     kills = sum(r["killed"] for r in hard)
     print(f"\nkill rate (non-probe): {kills}/{len(hard)}")
     if probes:
         pk = sum(r["killed"] for r in probes)
         print(f"probe kills: {pk}/{len(probes)} "
               "(probes map fixture sensitivity, not gate defects)")
+    if bad:
+        print(f"BAD-MUTATION (stale catalog entries, FIX THESE): "
+              f"{[r['id'] for r in bad]}")
     out = REPO / "tools" / "mutation_audit_results.json"
     out.write_text(json.dumps(
         {"sf_dir": sf_dir, "results": results,
-         "kill_rate": f"{kills}/{len(hard)}"}, indent=1))
+         "kill_rate": f"{kills}/{len(hard)}",
+         "bad_mutations": [r["id"] for r in bad]}, indent=1))
     print(f"wrote {out}")
     survivors = [r for r in hard if not r["killed"]]
-    return 1 if survivors else 0
+    return 1 if survivors or bad else 0
 
 
 if __name__ == "__main__":
