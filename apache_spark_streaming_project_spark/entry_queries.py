@@ -10808,7 +10808,7 @@ _WINNOW_CORE_SQL = r"""
       -- robust-winnowing rightmost-min tie-break load-bearing in the
       -- registered output (mutation x4w_leftmost_min kills on fp_pos)
       SELECT doc_id,
-             regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g') AS s
+             trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')) AS s
       FROM (SELECT doc_id, text FROM documents
             UNION ALL SELECT -1, 'tie probe aaaaaaaaaaaaaaaa end')
     ),

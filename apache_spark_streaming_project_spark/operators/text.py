@@ -381,8 +381,13 @@ def winnow_fingerprints(
     per doc); the output is ~``2/(w+1)`` rows per gram, the bounded
     input to :func:`winnow_shared_pairs`.
     """
-    norm = F.regexp_replace(
-        F.lower(F.trim(F.col(text_col))), "[ \t\n\f\r]+", " "
+    # Collapse whitespace runs FIRST, then trim: SQL trim (Spark and
+    # DuckDB alike) strips SPACES ONLY, so trim-then-collapse leaves a
+    # phantom edge space when the text starts/ends with \t\n\f\r —
+    # found by the hypothesis differential (both engines agreed, so the
+    # oracle alone could not see it).
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[ \t\n\f\r]+", " ")
     )
     codes = F.transform(
         F.split(norm, ""), lambda ch: F.ascii(ch).cast("long")

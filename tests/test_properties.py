@@ -1116,3 +1116,81 @@ def test_remove_duplicate_spans_invariants(spark, texts):
     for i, t in rows2:
         if len(t.split()) >= n:
             assert got2[i]["kept_tokens"] == 0, (i, t, got2[i])
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab \t\n"), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([(3, 2), (5, 4), (4, 1)]),
+)
+def test_winnow_matches_python_reference_random(spark, texts, kw):
+    """winnow_fingerprints == the pure-Python robust-winnowing reference
+    on randomized whitespace-heavy two-letter texts (maximum hash-tie
+    density — the adversarial case for the rightmost-min encoding)."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        winnow_fingerprints,
+    )
+    from tests.test_winnow import ref_fps
+
+    k, w = kw
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, list] = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], []).append((r["fp_pos"], r["fp_hash"]))
+    for i, t in rows:
+        assert sorted(got.get(i, [])) == sorted(ref_fps(t, k, w)), (i, t)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.sampled_from("xy z"), min_size=1, max_size=30
+            ),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=10,
+    ).filter(
+        lambda rows: any(t for _, t in rows)
+        and any(s.strip() for s, t in rows if t)
+        and any(not t and s.strip() for s, t in rows)
+    ),
+)
+def test_dsir_matches_python_reference_random(spark, rows):
+    """dsir_importance_weights (both modes) == the pure-Python DSIR
+    reference on randomized tiny-vocabulary corpora (maximum bucket
+    collision density)."""
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+    from tests.test_dsir import _reference
+
+    docs = [(i, s, t) for i, (s, t) in enumerate(rows)]
+    ref = _reference(docs, 16)
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang boolean")
+    for mode, idx in (("log", 4), ("ratio", 5)):
+        got = {
+            r["doc_id"]: r
+            for r in dsir_importance_weights(
+                df, F.col("lang"), num_buckets=16, score_mode=mode
+            ).collect()
+        }
+        assert set(got) == set(ref)
+        for i, exp in ref.items():
+            r = got[i]
+            assert (
+                r["n_grams"],
+                r["n_buckets_hit"],
+                r["sum_target_count"],
+                r["sum_raw_count"],
+            ) == exp[:4]
+            assert abs(r["dsir_score"] - exp[idx]) < 1e-9

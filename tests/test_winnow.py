@@ -19,7 +19,8 @@ MOD = 2**31 - 1
 def ref_fps(text: str, k: int, w: int) -> list[tuple[int, int]]:
     """Pure-Python robust winnowing: (pos, hash) picks, first-occurrence
     de-duplicated, rightmost-min (<= on a left-to-right scan)."""
-    s = re.sub(r"[ \t\n\f\r]+", " ", text.strip().lower())
+    # collapse-then-trim, matching the operator (SQL trim is space-only)
+    s = re.sub(r"[ \t\n\f\r]+", " ", text.lower()).strip(" ")
     if len(s) < k:
         return []
     hs = []

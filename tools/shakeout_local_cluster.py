@@ -32,7 +32,7 @@ sys.path.insert(0, str(REPO / "tools"))
 
 from oracle_check import value_hash  # noqa: E402
 
-MEDIANS = REPO / "tools" / "bench_r10_medians.json"
+MEDIANS = REPO / "tools" / "bench_r11b_medians.json"
 
 
 def top_queries(n: int) -> list[str]:
