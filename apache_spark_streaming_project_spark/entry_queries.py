@@ -10990,7 +10990,14 @@ def m15_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score_batch(batch_df, batch_id):
         lam_b = batch_df.sparkSession.read.parquet(lam_dir)
         out = dsir_score_against(batch_df, lam_b, "text", "doc_id", 4096)
-        out.write.mode("append").parquet(sink)
+        # idempotent per-batch publish: a blind append would double rows
+        # if the engine replays a batch after a failure between sink
+        # write and checkpoint commit (foreachBatch is at-least-once);
+        # overwriting a deterministic batch-keyed directory makes replay
+        # a no-op — the m13/m14 exactly-once discipline
+        out.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch={int(batch_id)}")
+        )
 
     stream = (
         spark.readStream.schema(cands.schema)

@@ -539,11 +539,12 @@ MUTATIONS = [
       "'retrained' lambda — every score shifts (hash kill)"),
     M("m15_sink_overwrite", "m15_streaming_dsir",
       f"{PKG}/entry_queries.py",
-      '        out.write.mode("append").parquet(sink)',
-      '        out.write.mode("overwrite").parquet(sink)',
-      "dropped-clause", "exactly-once append sink degraded to "
-      "overwrite: only the last wave's scores survive (row-count "
-      "kill)"),
+      'os.path.join(sink, f"batch={int(batch_id)}")',
+      'os.path.join(sink, "batch=0")',
+      "dropped-clause", "idempotent publish path loses its batch key: "
+      "every wave overwrites the same directory, only the last "
+      "survives (row-count kill) — the non-unique-publish-path bug "
+      "class the batch-keyed overwrite exists to prevent"),
     M("x4w_df_cap_inert", "x4_winnow_shared_pairs",
       f"{PKG}/entry_queries.py",
       'd.repartition(32), k=8, w=5, min_shared=25, max_fp_df=50',
