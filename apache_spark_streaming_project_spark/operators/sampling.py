@@ -471,20 +471,19 @@ def dsir_lambda_table(
         dsir_hashed_grams(text_col, num_buckets).alias("_bs"),
     ).filter(F.size("_bs") > 0)
     ex = base.select("_t", F.explode("_bs").alias("_b"))
-    raw = ex.groupBy("_b").agg(F.count(F.lit(1)).alias("_tq"))
-    tgt = (
-        ex.filter(F.col("_t"))
-        .groupBy("_b")
-        .agg(F.count(F.lit(1)).alias("_tp"))
-    )
-    return (
-        raw.join(tgt, "_b", "left")
-        .na.fill({"_tp": 0})
-        .select(
-            F.col("_b").alias("bucket"),
-            F.col("_tp").alias("target_count"),
-            F.col("_tq").alias("raw_count"),
-        )
+    # ONE aggregation with a conditional count, not separate raw/target
+    # aggs: both are keyed on the same int bucket, so two aggs means
+    # evaluating the gram-hash stream twice for identical integers
+    # (measured ~1 s of the 2.2 s lambda phase at sf0.1). Unlike the
+    # bigram-LM contingency negative, the keys here are THE SAME — the
+    # fusion is unambiguous.
+    return ex.groupBy("_b").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0))
+        .cast("long")
+        .alias("target_count"),
+        F.count(F.lit(1)).alias("raw_count"),
+    ).select(
+        F.col("_b").alias("bucket"), "target_count", "raw_count"
     )
 
 

@@ -79,3 +79,20 @@ def test_oracle_columns_match_spark_columns(spark, duck):
         if sorted(oracle_cols) != sorted(spark_cols):
             mismatches.append((name, sorted(oracle_cols), sorted(spark_cols)))
     assert not mismatches, mismatches
+
+
+def test_mutation_catalog_is_not_stale():
+    """Every mutation-audit catalog entry must still match the source it
+    targets (three entries went silently stale across refactors before
+    round 11; this pins the static check into the suite)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "mutation_audit.py"), "--check"],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr

@@ -593,10 +593,30 @@ def run_one(spark, con, sf_dir, query):
     return "ok", ""
 
 
+def check_catalog() -> int:
+    """Static catalog validation — no Spark, sub-second. Every
+    mutation's `old` text must occur EXACTLY once in its file; a
+    refactor that strands an entry fails here instead of surfacing as
+    BAD-MUTATION in a 10-minute full run (three entries went stale
+    silently before round 11 made this loud — run this in the same
+    breath as pytest)."""
+    bad = 0
+    for m in MUTATIONS:
+        src = (REPO / m["file"]).read_text()
+        n = src.count(m["old"])
+        if n != 1:
+            print(f"STALE {m['id']}: old text occurs {n} times in {m['file']}")
+            bad += 1
+    print(f"catalog check: {len(MUTATIONS)} mutations, {bad} stale")
+    return 1 if bad else 0
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
     args = sys.argv[1:]
+    if "--check" in args:
+        return check_catalog()
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = {a for a in args if "/" not in a}
 
