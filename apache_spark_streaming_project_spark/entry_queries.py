@@ -10966,7 +10966,7 @@ def m15_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from apache_spark_streaming_project_spark.operators.sampling import (
         dsir_lambda_table,
-        dsir_score_against,
+        dsir_publish_scored_batch,
     )
 
     base = _scratch_dir("m15_dsir_")
@@ -10988,16 +10988,9 @@ def m15_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(os.path.join(in_dir, f"wave{i}"))
 
     def score_batch(batch_df, batch_id):
-        lam_b = batch_df.sparkSession.read.parquet(lam_dir)
-        out = dsir_score_against(batch_df, lam_b, "text", "doc_id", 4096)
-        # idempotent per-batch publish: a blind append would double rows
-        # if the engine replays a batch after a failure between sink
-        # write and checkpoint commit (foreachBatch is at-least-once);
-        # overwriting a deterministic batch-keyed directory makes replay
-        # a no-op — the m13/m14 exactly-once discipline
-        out.write.mode("overwrite").parquet(
-            os.path.join(sink, f"batch={int(batch_id)}")
-        )
+        # idempotent batch-keyed publish — the helper is importable so
+        # tests/test_streaming_dsir.py replays the PRODUCTION body
+        dsir_publish_scored_batch(batch_df, lam_dir, sink, batch_id)
 
     stream = (
         spark.readStream.schema(cands.schema)
@@ -11013,11 +11006,19 @@ def m15_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
+    # epoch comes from the DISCOVERED batch partition column — the
+    # directory the row was actually published into. The oracle expects
+    # epoch = doc_id % 3 (the wave key), so the hash now verifies wave
+    # ROUTING end-to-end instead of restating the formula (round-11
+    # code-review finding: the re-derived column was tautological).
+    # Wave order is deterministic: waves are written sequentially, and
+    # availableNow with maxFilesPerTrigger=1 drains them in write order
+    # (the same ordering m14's keep-first-epoch semantics rely on).
     return (
         spark.read.parquet(sink)
         .select(
             "doc_id",
-            (F.col("doc_id") % 3).cast("bigint").alias("epoch"),
+            F.col("batch").cast("bigint").alias("epoch"),
             "n_grams",
             "n_buckets_hit",
             "sum_target_count",

@@ -618,3 +618,30 @@ def dsir_select(
         .limit(k)
         .drop("_key")
     )
+
+
+def dsir_publish_scored_batch(
+    batch_df: DataFrame,
+    lam_dir: str,
+    sink_dir: str,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+) -> None:
+    """The m15 foreachBatch body, importable so the replay pytest pins
+    the PRODUCTION publish (not a test-local copy): score the batch
+    against the frozen lambda parquet, then publish with an IDEMPOTENT
+    batch-keyed overwrite — foreachBatch is at-least-once, and a blind
+    append would double every row the engine re-delivers after a
+    failure between sink write and checkpoint commit. Replaying a batch
+    overwrites its own directory: a no-op."""
+    import os
+
+    lam = batch_df.sparkSession.read.parquet(lam_dir)
+    out = dsir_score_against(
+        batch_df, lam, text_col, id_col, num_buckets
+    )
+    out.write.mode("overwrite").parquet(
+        os.path.join(sink_dir, f"batch={int(batch_id)}")
+    )

@@ -8,14 +8,12 @@ no-op; a blind append would double every replayed row.
 
 from __future__ import annotations
 
-import os
-
 import pytest
 from pyspark.sql import functions as F
 
 from apache_spark_streaming_project_spark.operators.sampling import (
     dsir_lambda_table,
-    dsir_score_against,
+    dsir_publish_scored_batch,
 )
 
 
@@ -36,11 +34,11 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
         "overwrite"
     ).parquet(lam_dir)
 
+    # the PRODUCTION publish body (round-11 review: a test-local copy
+    # would keep passing if the real sink regressed to blind append)
     def score_batch(batch_df, batch_id):
-        lam_b = batch_df.sparkSession.read.parquet(lam_dir)
-        out = dsir_score_against(batch_df, lam_b, "text", "doc_id", 64)
-        out.write.mode("overwrite").parquet(
-            os.path.join(sink, f"batch={int(batch_id)}")
+        dsir_publish_scored_batch(
+            batch_df, lam_dir, sink, batch_id, num_buckets=64
         )
 
     cands = docs.filter(F.col("lang") != "en")

@@ -46,6 +46,24 @@ sys.path.insert(0, str(REPO / "tools"))
 from oracle_check import TABLES, value_hash  # noqa: E402
 
 PKG = "apache_spark_streaming_project_spark"
+# Held (with the writer's PID) while a full audit is mutating sources in
+# place, so the static --check cannot race it and report false STALEs
+# (round-11 review finding — reproduced live during a concurrent run).
+LOCK = REPO / "tools" / ".mutation_audit.lock"
+
+
+def _audit_in_progress() -> bool:
+    if not LOCK.exists():
+        return False
+    try:
+        pid = int(LOCK.read_text().strip())
+        os.kill(pid, 0)
+        return True
+    except PermissionError:
+        return True  # process exists, owned by someone else
+    except (ValueError, ProcessLookupError):
+        LOCK.unlink(missing_ok=True)  # stale lock from a crashed run
+        return False
 
 
 def M(mid, query, file, old, new, kind, note="", probe=False):
@@ -530,17 +548,17 @@ MUTATIONS = [
       "pairs at exactly 25 shared fingerprints"),
     # ----- m15: streaming DSIR with a frozen lambda table (round-11) -----
     M("m15_per_batch_lambda", "m15_streaming_dsir",
-      f"{PKG}/entry_queries.py",
-      '        lam_b = batch_df.sparkSession.read.parquet(lam_dir)',
-      '        lam_b = dsir_lambda_table(batch_df.limit(50), F.lit(True), '
-      '"text", 4096)',
+      f"{PKG}/operators/sampling.py",
+      '    lam = batch_df.sparkSession.read.parquet(lam_dir)',
+      '    lam = dsir_lambda_table(batch_df.limit(50), F.lit(True), '
+      'text_col, num_buckets)',
       "wrong-key", "the classic deployment bug the registration pins: "
       "the frozen offline model is replaced by a per-batch "
       "'retrained' lambda — every score shifts (hash kill)"),
     M("m15_sink_overwrite", "m15_streaming_dsir",
-      f"{PKG}/entry_queries.py",
-      'os.path.join(sink, f"batch={int(batch_id)}")',
-      'os.path.join(sink, "batch=0")',
+      f"{PKG}/operators/sampling.py",
+      'os.path.join(sink_dir, f"batch={int(batch_id)}")',
+      'os.path.join(sink_dir, "batch=0")',
       "dropped-clause", "idempotent publish path loses its batch key: "
       "every wave overwrites the same directory, only the last "
       "survives (row-count kill) — the non-unique-publish-path bug "
@@ -600,6 +618,11 @@ def check_catalog() -> int:
     BAD-MUTATION in a 10-minute full run (three entries went stale
     silently before round 11 made this loud — run this in the same
     breath as pytest)."""
+    if _audit_in_progress():
+        print("catalog check: SKIPPED — a full mutation audit is running "
+              "and sources are transiently mutated (lock: tools/"
+              ".mutation_audit.lock)")
+        return 0
     bad = 0
     for m in MUTATIONS:
         src = (REPO / m["file"]).read_text()
@@ -637,6 +660,7 @@ def main() -> int:
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    LOCK.write_text(str(os.getpid()))
     results = []
     for m in MUTATIONS:
         if only and m["id"] not in only:
@@ -666,6 +690,7 @@ def main() -> int:
         results.append({**m, "status": status, "killed": killed,
                         "seconds": round(dt, 1)})
 
+    LOCK.unlink(missing_ok=True)
     hard = [r for r in results if not r.get("probe") and "killed" in r]
     probes = [r for r in results if r.get("probe") and "killed" in r]
     # A catalog entry whose `old` text no longer matches the source is a
