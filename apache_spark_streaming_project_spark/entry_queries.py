@@ -10871,8 +10871,11 @@ def x4_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields a shared fingerprint at expected density 2/(w+1)) that
     complements whole-document MinHash/SimHash. Entirely integer
     arithmetic; the FULL exploded fingerprint table is hash-checked.
-    Map-only plan: ONE Project, zero exchanges, zero Python (the
-    gopher-repetition shape)."""
+    Map-side plan: ONE Project, zero Python (the gopher-repetition
+    shape), plus one bounded round-robin repartition exchange that
+    exists only for fixture economics — the sf parquet is a single
+    split, so the repartition buys parallelism; a real multi-split
+    corpus needs no exchange at all."""
     from apache_spark_streaming_project_spark.operators.text import (
         winnow_fingerprints,
     )
@@ -10983,9 +10986,21 @@ def m15_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidates arrive in three waves
     cands = d.filter(F.col("lang") != F.lit("en")).select("doc_id", "text")
     for i in range(3):
+        wave_dir = os.path.join(in_dir, f"wave{i}")
         cands.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(os.path.join(in_dir, f"wave{i}"))
+        ).parquet(wave_dir)
+        # FileStreamSource orders new files by modification time, and on
+        # coarse-mtime filesystems three tiny sequential writes can land
+        # in the same tick with contractually-undefined tie order. Pin
+        # strictly increasing mtimes so wave drain order — which the
+        # oracle's epoch = doc_id % 3 expectation rides on — is explicit,
+        # not an accident of write latency (round-12 ADVICE).
+        wave_ts = 1_600_000_000.0 + 60.0 * i
+        for fn in os.listdir(wave_dir):
+            fp = os.path.join(wave_dir, fn)
+            if os.path.isfile(fp):
+                os.utime(fp, (wave_ts, wave_ts))
 
     def score_batch(batch_df, batch_id):
         # idempotent batch-keyed publish — the helper is importable so
@@ -11011,9 +11026,10 @@ def m15_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     # epoch = doc_id % 3 (the wave key), so the hash now verifies wave
     # ROUTING end-to-end instead of restating the formula (round-11
     # code-review finding: the re-derived column was tautological).
-    # Wave order is deterministic: waves are written sequentially, and
-    # availableNow with maxFilesPerTrigger=1 drains them in write order
-    # (the same ordering m14's keep-first-epoch semantics rely on).
+    # Wave order is deterministic: each wave's part files carry an
+    # explicitly pinned, strictly increasing mtime (os.utime above), and
+    # FileStreamSource with maxFilesPerTrigger=1 drains by mtime — so
+    # drain order no longer depends on filesystem timestamp granularity.
     return (
         spark.read.parquet(sink)
         .select(

@@ -95,4 +95,9 @@ def test_mutation_catalog_is_not_stale():
         capture_output=True,
         text=True,
     )
+    if r.returncode == 2:
+        # Distinct skip code: a full audit is live and sources are
+        # transiently mutated. Mapping this to SKIPPED (not PASSED)
+        # keeps the gate honest — rc 0 now always means "checked clean".
+        pytest.skip("full mutation audit in progress: " + r.stdout.strip())
     assert r.returncode == 0, r.stdout + r.stderr

@@ -58,12 +58,24 @@ def _audit_in_progress() -> bool:
     try:
         pid = int(LOCK.read_text().strip())
         os.kill(pid, 0)
-        return True
     except PermissionError:
         return True  # process exists, owned by someone else
     except (ValueError, ProcessLookupError):
         LOCK.unlink(missing_ok=True)  # stale lock from a crashed run
         return False
+    # PID is alive — but a stranded lock whose PID got recycled must not
+    # suppress the staleness gate forever, so verify the process actually
+    # IS a mutation audit (round-12 ADVICE: lock-PID recycling).
+    try:
+        cmdline = Path(f"/proc/{pid}/cmdline").read_bytes().replace(
+            b"\0", b" "
+        ).decode(errors="replace")
+    except OSError:
+        return True  # no /proc (non-linux) — keep the conservative answer
+    if "mutation_audit" in cmdline:
+        return True
+    LOCK.unlink(missing_ok=True)  # recycled PID — stale lock
+    return False
 
 
 def M(mid, query, file, old, new, kind, note="", probe=False):
@@ -619,10 +631,14 @@ def check_catalog() -> int:
     silently before round 11 made this loud — run this in the same
     breath as pytest)."""
     if _audit_in_progress():
+        # Exit 2, not 0: callers (the pytest pin) must be able to tell
+        # "skipped because an audit is live" from "checked and clean",
+        # otherwise a stranded lock silently greenlights stale entries
+        # forever (round-12 ADVICE).
         print("catalog check: SKIPPED — a full mutation audit is running "
               "and sources are transiently mutated (lock: tools/"
               ".mutation_audit.lock)")
-        return 0
+        return 2
     bad = 0
     for m in MUTATIONS:
         src = (REPO / m["file"]).read_text()
@@ -662,35 +678,38 @@ def main() -> int:
 
     LOCK.write_text(str(os.getpid()))
     results = []
-    for m in MUTATIONS:
-        if only and m["id"] not in only:
-            continue
-        path = REPO / m["file"]
-        src = path.read_text()
-        n_occ = src.count(m["old"])
-        if n_occ != 1:
-            results.append({**m, "status": "BAD-MUTATION",
-                            "detail": f"old text occurs {n_occ} times"})
-            print(f"BAD   {m['id']}: old text occurs {n_occ} times")
-            continue
-        t0 = time.time()
-        try:
-            path.write_text(src.replace(m["old"], m["new"]))
-            status, detail = run_one(spark, con, sf_dir, m["query"])
-        finally:
-            path.write_text(src)
-            purge_modules()
-        dt = time.time() - t0
-        killed = status not in ("ok", "no-oracle")
-        verdict = f"KILLED({status})" if killed else (
-            "NO-ORACLE" if status == "no-oracle" else "SURVIVED")
-        tag = " [probe]" if m["probe"] else ""
-        print(f"{'OK  ' if killed else 'WARN'}  {m['id']}: {verdict}"
-              f" {m['kind']}{tag} [{dt:.1f}s] {detail}")
-        results.append({**m, "status": status, "killed": killed,
-                        "seconds": round(dt, 1)})
-
-    LOCK.unlink(missing_ok=True)
+    try:
+        for m in MUTATIONS:
+            if only and m["id"] not in only:
+                continue
+            path = REPO / m["file"]
+            src = path.read_text()
+            n_occ = src.count(m["old"])
+            if n_occ != 1:
+                results.append({**m, "status": "BAD-MUTATION",
+                                "detail": f"old text occurs {n_occ} times"})
+                print(f"BAD   {m['id']}: old text occurs {n_occ} times")
+                continue
+            t0 = time.time()
+            try:
+                path.write_text(src.replace(m["old"], m["new"]))
+                status, detail = run_one(spark, con, sf_dir, m["query"])
+            finally:
+                path.write_text(src)
+                purge_modules()
+            dt = time.time() - t0
+            killed = status not in ("ok", "no-oracle")
+            verdict = f"KILLED({status})" if killed else (
+                "NO-ORACLE" if status == "no-oracle" else "SURVIVED")
+            tag = " [probe]" if m["probe"] else ""
+            print(f"{'OK  ' if killed else 'WARN'}  {m['id']}: {verdict}"
+                  f" {m['kind']}{tag} [{dt:.1f}s] {detail}")
+            results.append({**m, "status": status, "killed": killed,
+                            "seconds": round(dt, 1)})
+    finally:
+        # KeyboardInterrupt or any post-loop error must not strand the
+        # lock — a live lock suppresses the staleness gate (ADVICE r12).
+        LOCK.unlink(missing_ok=True)
     hard = [r for r in results if not r.get("probe") and "killed" in r]
     probes = [r for r in results if r.get("probe") and "killed" in r]
     # A catalog entry whose `old` text no longer matches the source is a
