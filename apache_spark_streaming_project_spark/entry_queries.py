@@ -71,6 +71,7 @@ def _epoch_micros(col_name: str):
 
 import atexit
 import contextlib
+import os
 import shutil
 import tempfile
 
@@ -85,6 +86,22 @@ def _scratch_dir(prefix: str) -> str:
     path = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
+
+
+def _pin_wave_mtime(wave_dir: str, wave: int) -> None:
+    """Pin a strictly increasing, wave-indexed mtime on every file in a
+    streaming input wave directory. FileStreamSource orders newly
+    discovered files by modification time with contractually-undefined
+    tie order; on coarse-mtime filesystems several tiny sequential wave
+    writes can share a tick, so any registration whose oracle depends on
+    wave DRAIN order (m14/m14b keep-first arrival, m15 epoch routing)
+    must pin the order explicitly rather than ride on write latency
+    (round-12 ADVICE)."""
+    wave_ts = 1_600_000_000.0 + 60.0 * wave
+    for fn in os.listdir(wave_dir):
+        fp = os.path.join(wave_dir, fn)
+        if os.path.isfile(fp):
+            os.utime(fp, (wave_ts, wave_ts))
 
 
 @contextlib.contextmanager
@@ -10570,11 +10587,14 @@ def m14_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # disjoint epoch waves, written (and therefore streamed) in epoch
     # order — streaming dedup keeps the first ARRIVAL of a class and
     # never retracts, so arrival order IS the tie-break the mirror
-    # reproduces as ORDER BY epoch, doc_id
+    # reproduces as ORDER BY epoch, doc_id; drain order is pinned by
+    # explicit strictly-increasing mtimes, not write latency
     for i in range(3):
+        wave_dir = os.path.join(in_dir, f"wave{i}")
         d.filter(F.col("epoch") == i).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(os.path.join(in_dir, f"wave{i}"))
+        ).parquet(wave_dir)
+        _pin_wave_mtime(wave_dir, i)
 
     def dedup_batch(batch_df, batch_id):
         ss = batch_df.sparkSession
@@ -10658,6 +10678,259 @@ def m14_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         spark.read.parquet(corpus_store)
+        .select("doc_id", F.col("epoch").cast("bigint").alias("epoch"))
+        .orderBy("doc_id")
+    )
+
+
+# m14b threshold-dedup plants. The token strings were searched offline so
+# that each pair deterministically shares an LSH (band, band_hash) bucket
+# under the fixed xxhash64 seeds (32 hashes / 8 bands / word-3-gram
+# shingles) — the threshold comparator is therefore always REACHED, and a
+# mutated comparator flips keep/drop (ROUND12_NOTES.md records the
+# search). HALF: J = 2/4 = 0.5 exactly (drop at >=, keep at >). SUB:
+# J = 3/7 ~ 0.429 (keep at t=0.5, drop at t=0.4). The two families use
+# disjoint vocabularies so they never interact with each other, the m14
+# templates, or the natural corpus.
+_M14B_HALF_A = "plantp plantq plantr plants plantt"
+_M14B_HALF_B = "plantp plantq plantr plants planta"
+_M14B_SUB_A = "seedk seedl seedm seedn seedo seedq seedr"
+_M14B_SUB_B = "seedk seedl seedm seedn seedo seedu seedt"
+# Exact word-3-gram Jaccard drop threshold (the LSH operating point whose
+# corpus-wide recall is oracle-proven by x_minhash_verified_pairs).
+_M14B_T = 0.5
+
+
+@register(
+    "m14b_streaming_threshold_dedup",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, doc_id % 3 AS epoch,
+             CASE WHEN doc_id % 11 = 0 THEN '{_M14_ALPHA}'
+                  WHEN doc_id % 13 = 5 THEN '{_M14_BETA}'
+                  WHEN doc_id % 17 = 2 THEN '{_M14_ALPHA_TRUNC}'
+                  ELSE text END AS text
+      FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES
+        (CAST(-9 AS BIGINT), CAST(0 AS BIGINT), '{_M14B_HALF_A}'),
+        (-8, 1, '{_M14B_HALF_B}'),
+        (-6, 0, '{_M14B_SUB_A}'),
+        (-5, 2, '{_M14B_SUB_B}')
+      ) AS plants(doc_id, epoch, text)
+    ),
+    sh AS (
+      SELECT doc_id, epoch,
+             list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM (SELECT doc_id, epoch,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               x -> x <> '') AS t
+            FROM docs)
+    ),
+    dropped AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh b JOIN sh a
+        ON (a.epoch < b.epoch OR (a.epoch = b.epoch AND a.doc_id < b.doc_id))
+      WHERE len(a.s) + len(b.s)
+              - len(list_filter(a.s, x -> list_contains(b.s, x))) > 0
+        AND CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+              / CAST(len(a.s) + len(b.s)
+                     - len(list_filter(a.s, x -> list_contains(b.s, x)))
+                     AS DOUBLE)
+            >= 0.5  -- m14b threshold
+    )
+    SELECT d.doc_id, CAST(d.epoch AS BIGINT) AS epoch
+    FROM docs d ANTI JOIN dropped USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    "S6",
+    "X2",
+)
+def m14b_streaming_threshold_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING fuzzy near-dup dedup at an exact-Jaccard THRESHOLD — the
+    published crawl-pipeline shape (MinHash dedup at J >= t, e.g. Gopher /
+    RefinedWeb / Lee et al. 2022 dedup at 0.8, here t=0.5 to inherit the
+    recall point x_minhash_verified_pairs proves corpus-wide) with m14's
+    persisted band index as the candidate generator and the batch path's
+    exact word-3-gram Jaccard verify (operators/dedup.py:
+    ngram_jaccard_pairs' kernel) replacing m14's set-equality check.
+
+    SEMANTICS — the pairwise keep-first rule, made incremental: a doc is
+    dropped iff SOME earlier arrival (order = (epoch, doc_id); kept OR
+    dropped) has exact Jaccard >= t with it. This is the standard batch
+    LSH dedup rule ("verify candidate pairs, drop the later side of every
+    verified pair") applied per micro-batch, and it admits a FULL
+    ground-truth oracle: NOT EXISTS over exact all-pairs Jaccard — no
+    recursion, no recall caveat beyond LSH completeness, which the plants
+    below pin. The alternative greedy-vs-kept-corpus rule (drop only on
+    similarity to a KEPT doc) was rejected deliberately: its kept set is
+    a sequential fixpoint (chains A~B~C keep {A, C}) that no
+    order-insensitive SQL mirror can state exactly, and a transitive-
+    closure oracle models NEITHER rule once a later doc bridges two
+    earlier components (CC would retract an already-kept doc — streaming
+    never retracts). Consequence of the pair rule: BOTH stores index
+    every arrival, kept and dropped (a later doc similar only to an
+    already-dropped one is still a dup), so the band index is bounded by
+    corpus x bands rather than kept x bands; at 100 TB the text store is
+    logically the raw corpus itself (pointers), not a second copy.
+
+    Verified-pair scoring reads ONLY matched reps' texts: candidates
+    semi-join the text store before shingling, so the per-batch verify
+    cost is O(candidate reps), not O(corpus) — tighter than m14's
+    formulation, where the shingle projection sat corpus-side.
+
+    Plants: m14's template families (alpha J=1 copies, beta copies, and
+    alpha-trunc at J=6/7 — KEPT under m14's equality semantics, DROPPED
+    here: the registration pair is a live A/B of the two contracts) plus
+    two threshold-edge pairs searched to band-collide deterministically:
+    HALF at J=0.5 exactly (kills >= -> >) and SUB at J=3/7 (kills a
+    lowered threshold and a verification-bypass). Reference has no
+    streaming dedup at all (parity: extension surface, SURVEY §2 X2/S6).
+    """
+    import os
+
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        lsh_band_rows,
+        minhash_signatures_df,
+        word_shingles,
+    )
+
+    base = _scratch_dir("m14b_thresh_dedup_")
+    in_dir = os.path.join(base, "in")
+    band_store = os.path.join(base, "band_store")
+    text_store = os.path.join(base, "text_store")
+    ckpt = os.path.join(base, "ckpt")
+
+    planted = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit(_M14_ALPHA))
+        .when(F.col("doc_id") % 13 == 5, F.lit(_M14_BETA))
+        .when(F.col("doc_id") % 17 == 2, F.lit(_M14_ALPHA_TRUNC))
+        .otherwise(F.col("text"))
+    )
+    naturals = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 3).alias("epoch"),
+        planted.alias("text"),
+    )
+    plants = spark.createDataFrame(
+        [
+            (-9, 0, _M14B_HALF_A),
+            (-8, 1, _M14B_HALF_B),
+            (-6, 0, _M14B_SUB_A),
+            (-5, 2, _M14B_SUB_B),
+        ],
+        "doc_id long, epoch long, text string",
+    )
+    d = naturals.unionByName(plants)
+    for i in range(3):
+        wave_dir = os.path.join(in_dir, f"wave{i}")
+        d.filter(F.col("epoch") == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(wave_dir)
+        _pin_wave_mtime(wave_dir, i)
+
+    def dedup_batch(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        b = batch_df.select("doc_id", "epoch", "text")
+        sig = minhash_signatures_df(b, "doc_id", "text", 32, 3)
+        batch_bands = (
+            lsh_band_rows(sig, 32, 8)
+            .select(F.col("_key").alias("doc_id"), "band", "band_hash")
+            .join(b.select("doc_id", "epoch"), "doc_id")
+        )
+        if os.path.isdir(band_store):
+            prior_rows = ss.read.parquet(band_store)
+        else:
+            prior_rows = ss.createDataFrame(
+                [], "band int, band_hash long, rep_epoch long, rep_doc_id long"
+            )
+        batch_reps = batch_bands.select(
+            "band",
+            "band_hash",
+            F.col("epoch").alias("rep_epoch"),
+            F.col("doc_id").alias("rep_doc_id"),
+        )
+        idx = prior_rows.unionByName(batch_reps)
+        cand = (
+            batch_bands.join(idx, ["band", "band_hash"])
+            .filter(
+                (F.col("rep_epoch") < F.col("epoch"))
+                | (
+                    (F.col("rep_epoch") == F.col("epoch"))
+                    & (F.col("rep_doc_id") < F.col("doc_id"))
+                )
+            )
+            .select("doc_id", "rep_doc_id")
+            .distinct()
+        )
+        if os.path.isdir(text_store):
+            earlier_texts = ss.read.parquet(text_store).select(
+                "doc_id", "text"
+            )
+        else:
+            earlier_texts = ss.createDataFrame([], "doc_id long, text string")
+        all_texts = earlier_texts.unionByName(b.select("doc_id", "text"))
+        # verify reads ONLY matched reps' texts: semi-join narrows the
+        # store BEFORE the shingle projection, so shingling cost is
+        # O(candidate reps), never O(corpus)
+        rep_texts = all_texts.join(
+            cand.select(F.col("rep_doc_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        inter = F.size(F.array_intersect("_sa", "_sb"))
+        un = F.size(F.array_union("_sa", "_sb"))
+        dropped = (
+            cand.join(
+                b.select("doc_id", word_shingles("text").alias("_sa")),
+                "doc_id",
+            )
+            .join(
+                rep_texts.select(
+                    F.col("doc_id").alias("rep_doc_id"),
+                    word_shingles("text").alias("_sb"),
+                ),
+                "rep_doc_id",
+            )
+            .filter(
+                (un > 0)
+                & (inter.cast("double") / un.cast("double")
+                   >= F.lit(_M14B_T))
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        flagged = b.join(
+            dropped.withColumn("_dropped", F.lit(True)), "doc_id", "left"
+        )
+        # the pair rule indexes EVERY arrival: both stores append the
+        # whole batch (kept flag on the text store), append-only two-phase
+        # publish, never read-and-overwrite (the upsert.py seam rule)
+        flagged.withColumn("kept", F.col("_dropped").isNull()).drop(
+            "_dropped"
+        ).write.mode("append").parquet(text_store)
+        batch_reps.write.mode("append").parquet(band_store)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "wave*"))
+    )
+    with _stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(dedup_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return (
+        spark.read.parquet(text_store)
+        .filter(F.col("kept"))
         .select("doc_id", F.col("epoch").cast("bigint").alias("epoch"))
         .orderBy("doc_id")
     )
@@ -10990,17 +11263,10 @@ def m15_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
             "overwrite"
         ).parquet(wave_dir)
-        # FileStreamSource orders new files by modification time, and on
-        # coarse-mtime filesystems three tiny sequential writes can land
-        # in the same tick with contractually-undefined tie order. Pin
-        # strictly increasing mtimes so wave drain order — which the
+        # pin strictly increasing mtimes so wave drain order — which the
         # oracle's epoch = doc_id % 3 expectation rides on — is explicit,
-        # not an accident of write latency (round-12 ADVICE).
-        wave_ts = 1_600_000_000.0 + 60.0 * i
-        for fn in os.listdir(wave_dir):
-            fp = os.path.join(wave_dir, fn)
-            if os.path.isfile(fp):
-                os.utime(fp, (wave_ts, wave_ts))
+        # not an accident of write latency (round-12 ADVICE)
+        _pin_wave_mtime(wave_dir, i)
 
     def score_batch(batch_df, batch_id):
         # idempotent batch-keyed publish — the helper is importable so

@@ -113,3 +113,66 @@ def test_m14_end_to_end_matches_python_ground_truth(spark):
     assert len(kept_ids & set(alphas)) == 1
     assert len(kept_ids & set(betas)) == 1
     assert len(kept_ids & set(truncs)) == 1  # kept despite band collisions
+
+
+def test_m14b_end_to_end_matches_python_ground_truth(spark):
+    """m14b (round-12): threshold dedup under the pairwise keep-first
+    rule — dropped iff SOME earlier arrival (kept or dropped) has exact
+    word-3-gram Jaccard >= 0.5. Pure-Python replay of the declared
+    semantics over the planted fixture, including the two threshold-edge
+    plants (J = 0.5 exactly -> dropped; J = 3/7 -> kept)."""
+    from apache_spark_streaming_project_spark.entry_queries import (
+        _M14_ALPHA,
+        _M14_ALPHA_TRUNC,
+        _M14_BETA,
+        _M14B_HALF_A,
+        _M14B_HALF_B,
+        _M14B_SUB_A,
+        _M14B_SUB_B,
+        _t,
+    )
+
+    out = QUERIES["m14b_streaming_threshold_dedup"].fn(spark, SF_DIR).collect()
+    kept = [(r["doc_id"], r["epoch"]) for r in out]
+
+    docs = _t(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    fixture = [
+        (-9, 0, _M14B_HALF_A),
+        (-8, 1, _M14B_HALF_B),
+        (-6, 0, _M14B_SUB_A),
+        (-5, 2, _M14B_SUB_B),
+    ]
+    for r in docs:
+        i = r["doc_id"]
+        text = (
+            _M14_ALPHA
+            if i % 11 == 0
+            else _M14_BETA
+            if i % 13 == 5
+            else _M14_ALPHA_TRUNC
+            if i % 17 == 2
+            else r["text"]
+        )
+        fixture.append((i, i % 3, text))
+
+    def jac(a: frozenset[str], b: frozenset[str]) -> float:
+        u = len(a | b)
+        return (len(a & b) / u) if u else 0.0
+
+    ordered = sorted(fixture, key=lambda t: (t[1], t[0]))
+    shingles = [(i, e, _py_shingle_set(t)) for i, e, t in ordered]
+    want = []
+    for pos, (i, e, s) in enumerate(shingles):
+        if not any(jac(s, s2) >= 0.5 for _, _, s2 in shingles[:pos]):
+            want.append((i, e))
+    assert kept == sorted(want)
+
+    kept_ids = {k for k, _ in kept}
+    # threshold edges: HALF-B dropped at exactly 0.5, SUB-B kept at 3/7
+    assert -9 in kept_ids and -6 in kept_ids and -5 in kept_ids
+    assert -8 not in kept_ids
+    # the equality-vs-threshold contrast with m14: truncated alpha is a
+    # strict shingle subset (J = 6/7 >= 0.5) so the WHOLE trunc class is
+    # deduped here, while m14's set-equality semantics kept one
+    truncs = [i for i, _, t in fixture if t == _M14_ALPHA_TRUNC and i >= 0]
+    assert truncs and not (kept_ids & set(truncs))

@@ -491,6 +491,34 @@ MUTATIONS = [
       'ORDER BY epoch, doc_id DESC) END AS rn',
       "swapped-agg", "MIRROR-side representative pick: first arrival -> "
       "last doc of the first epoch"),
+    M("m14b_threshold_exclusive", "m14b_streaming_threshold_dedup",
+      f"{PKG}/entry_queries.py",
+      '>= F.lit(_M14B_T)',
+      '> F.lit(_M14B_T)',
+      "off-by-one", "drop comparator >= t -> > t: the planted HALF pair "
+      "sits at J = 0.5 EXACTLY (band-collision searched offline), so "
+      "doc -8 is wrongly kept (row-count kill)"),
+    M("m14b_threshold_lowered", "m14b_streaming_threshold_dedup",
+      f"{PKG}/entry_queries.py",
+      '_M14B_T = 0.5',
+      '_M14B_T = 0.4',
+      "off-by-one", "drop threshold 0.5 -> 0.4: the planted SUB pair at "
+      "J = 3/7 ~ 0.429 (deterministically band-colliding, so the "
+      "comparator is reached) wrongly drops doc -5 (row-count kill)"),
+    M("m14b_no_prior_index", "m14b_streaming_threshold_dedup",
+      f"{PKG}/entry_queries.py",
+      'idx = prior_rows.unionByName(batch_reps)',
+      'idx = batch_reps',
+      "dropped-clause", "persisted band index ignored: cross-epoch "
+      "template copies (and the cross-epoch HALF pair) are never "
+      "candidates, later epochs keep their near-dups (row-count kill)"),
+    M("oracle_m14b_threshold", "m14b_streaming_threshold_dedup",
+      f"{PKG}/entry_queries.py",
+      '>= 0.5  -- m14b threshold',
+      '> 0.5  -- m14b threshold',
+      "off-by-one", "MIRROR-side threshold comparator: the oracle keeps "
+      "the exactly-at-threshold HALF doc the engine drops (row-count "
+      "kill; the mirror family's oracle-side kill for m14b)"),
 
     M("oracle_stddev_population", "s19_lineitem_summary",
       f"{PKG}/functions/exact.py",
