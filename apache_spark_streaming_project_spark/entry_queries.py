@@ -907,6 +907,105 @@ def x4_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle_ctes() -> str:
+    """DuckDB mirror of the frozen-merge BPE encoder
+    (functions/bpe.py): the spaced-string form makes one ranked merge
+    exactly one non-overlapping replace(), so the whole encoder is a
+    nested replace chain over a column reference — staged CTEs because
+    inlining the lambda-bearing spaced expression twice trips a DuckDB
+    internal assertion. Token counts are pure integers, so they sit
+    INSIDE the value hash (the bigram-LM integer-skeleton move, upgraded:
+    here the full kernel is mirrored, not just its count inputs)."""
+    from apache_spark_streaming_project_spark.functions.bpe import (
+        MARKER,
+        SEP,
+        load_merges,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    sep2 = SEP + SEP
+    chain = "spaced"
+    for a, b in load_merges():
+        chain = (
+            f"replace({chain}, '{q(SEP + a + SEP + SEP + b + SEP)}', "
+            f"'{q(SEP + a + b + SEP)}')"
+        )
+    return f"""
+    w AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(
+                 replace(replace(text, '{q(SEP)}', ''),
+                         '{q(MARKER)}', ''))),
+                 '\\s+'), x -> x <> '') AS words
+      FROM documents),
+    sp AS (
+      SELECT doc_id, lang, coalesce(len(words), 0) AS n_words,
+             '{q(sep2)}' || array_to_string(list_transform(words, w ->
+                 array_to_string(list_transform(range(1, length(w)+1),
+                                                i -> w[i]), '{q(sep2)}')
+                 || '{q(sep2)}' || '{q(MARKER)}'), '{q(sep2)}')
+               || '{q(sep2)}' AS spaced
+      FROM w),
+    m AS (SELECT doc_id, lang, n_words, {chain} AS merged FROM sp),
+    bpe AS (
+      SELECT doc_id, lang,
+             CASE WHEN n_words = 0 THEN 0
+                  ELSE CAST((length(merged)
+                             - length(replace(merged, '{q(SEP)}', '')))
+                            / 2 - 1 AS BIGINT) END AS n_tokens_bpe
+      FROM m)
+    """
+
+
+@register(
+    "x4_bpe_packing",
+    f"""
+    WITH {_bpe_oracle_ctes()}
+    SELECT lang, doc_id, n_tokens_bpe,
+           CAST(greatest(
+             floor((SUM(n_tokens_bpe) OVER (
+                      PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - 1) / 256.0), 0) AS BIGINT) AS pack_id
+    FROM bpe ORDER BY lang, doc_id
+    """,
+    "X4",
+)
+def x4_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing against a REAL subword budget: per-doc BPE token
+    counts from the frozen checked-in merge table (functions/bpe.py,
+    trained once by tools/train_bpe.py per Sennrich et al. 2016) fill
+    256-token context windows per language shard — the production form of
+    x4_sequence_packing, whose regex count is a heuristic stand-in.
+
+    The n_tokens_bpe column is HASH-CHECKED: the oracle replays the
+    encoder itself (spaced-string form, one replace per ranked merge —
+    semantics verified identical between Python str.replace and DuckDB
+    replace, including the adjacent-repeat and leftmost-greedy edges), so
+    a wrong merge application reddens the gate, not just a pytest. The
+    Arrow-batched kernel memoizes per distinct word; the merge table
+    ships in the closure (kilobytes). Scale: one mapInPandas projection
+    plus the same per-shard window scan as x4_sequence_packing — no
+    global sort, packs local to each language shard."""
+    from apache_spark_streaming_project_spark.functions.bpe import (
+        bpe_token_counts,
+    )
+    from apache_spark_streaming_project_spark.operators.text import (
+        pack_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    counts = bpe_token_counts(d, "doc_id", "text")
+    j = d.select("doc_id", "lang").join(counts, "doc_id")
+    return (
+        pack_documents(j, "n_tokens_bpe", 256, "doc_id", "lang")
+        .select("lang", "doc_id", "n_tokens_bpe", "pack_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
 @register(
     "x4_edit_distance",
     """

@@ -1,0 +1,158 @@
+"""Byte-pair-encoding subword tokenization with a FROZEN merge table.
+
+Real training-data pipelines budget sequences in model tokens, not
+whitespace words; this module makes the BPE token count a first-class
+column. The merge table (fixtures/bpe_merges.json, trained once by
+tools/train_bpe.py per Sennrich, Haddow & Birch 2016 and checked in) is a
+frozen artifact like a shipped tokenizer — query-time code only APPLIES
+it, never retrains.
+
+Encoding is defined by the SPACED-STRING form so that one ranked merge is
+EXACTLY one non-overlapping left-to-right string replace — the semantics
+Python ``str.replace``, DuckDB ``replace()`` and every mainstream engine
+share. A word becomes::
+
+    SEP SEP c1 SEP SEP c2 ... SEP SEP MARKER SEP SEP
+
+(double separators between symbols), and merge (a, b) is
+``replace(SEP+a+SEP+SEP+b+SEP, SEP+ab+SEP)``. The double separator is
+load-bearing: adjacent pair occurrences share a boundary, and a
+single-separator pattern would consume it, silently skipping every other
+merge in a repeat run ("a a a a" must become "aa aa", and leftmost-greedy
+must leave the odd third "a" single — both verified against DuckDB).
+Applying the chain to a whole document (words joined by the same double
+separator) equals per-word application: a learned pair's left symbol
+never ends with MARKER (MARKER is always word-final in training), while
+the symbol left of every word boundary always does — so no merge can
+span words. The token count needs no parsing: symbols never contain SEP,
+so ``n_tokens = sep_chars/2 - 1``.
+
+The two control characters are reserved: input text has them STRIPPED
+before tokenization (both engine and every SQL mirror), so collisions
+with content are impossible by construction.
+
+Reference: the reference repo has no subword tokenization at all
+(extension surface, SURVEY §2 X4); whitespace + BPE-ish regex counting
+lives in operators/text.py, and x4_sequence_packing consumes either.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import lru_cache
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"  # U+001F unit separator — symbol delimiter
+MARKER = "\x17"  # U+0017 end-of-word symbol
+_FIXTURE = Path(__file__).resolve().parent.parent / (
+    "fixtures/bpe_merges.json"
+)
+
+
+def load_merges(path: str | Path | None = None) -> list[tuple[str, str]]:
+    """The frozen, rank-ordered merge table."""
+    raw = json.loads(Path(path or _FIXTURE).read_text())
+    return [(a, b) for a, b in raw]
+
+
+def spaced_word(word: str) -> str:
+    """The spaced-string form of one whitespace token (chars + MARKER,
+    double-SEP delimited)."""
+    sep2 = SEP + SEP
+    return sep2 + sep2.join(list(word) + [MARKER]) + sep2
+
+
+def apply_merges_spaced(spaced: str, merges: list[tuple[str, str]]) -> str:
+    """Apply the ranked merge chain — one replace per merge, the exact
+    operation every SQL mirror replays."""
+    for a, b in merges:
+        spaced = spaced.replace(
+            f"{SEP}{a}{SEP}{SEP}{b}{SEP}", f"{SEP}{a}{b}{SEP}"
+        )
+    return spaced
+
+
+def count_symbols(spaced: str) -> int:
+    """Symbols in a spaced string: SEP never occurs inside a symbol, so
+    n = sep_chars/2 - 1."""
+    return spaced.count(SEP) // 2 - 1
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """BPE symbols of one word (chars + end-of-word MARKER merged by the
+    frozen ranks). The replace-based application; the pure list-based
+    reference in tests/test_bpe.py must agree exactly."""
+    out = apply_merges_spaced(spaced_word(word), merges)
+    return [s for s in out.split(SEP) if s]
+
+
+def words_of(text: str) -> list[str]:
+    """The module's pre-tokenization: reserved chars stripped, then
+    whitespace tokens of lower(trim(text)) — the repo's standard token
+    rule (operators/text.py)."""
+    if not isinstance(text, str):
+        return []
+    t = text.replace(SEP, "").replace(MARKER, "")
+    return [w for w in t.strip().lower().split() if w]
+
+
+def bpe_token_count_text(text: str, merges: list[tuple[str, str]]) -> int:
+    """Pure reference: BPE token count of a whole document."""
+    n = 0
+    for w in words_of(text):
+        n += count_symbols(apply_merges_spaced(spaced_word(w), merges))
+    return n
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """``(key, n_tokens_bpe)`` for every document — the first-class
+    subword-budget column for sequence packing.
+
+    Arrow-batched ``mapInPandas`` kernel (no Spark built-in applies an
+    ordered merge table; a row-at-a-time Python UDF is the forbidden slow
+    path). Per-word ``lru_cache`` makes the amortized cost one dict hit
+    per word: natural-language corpora repeat words heavily, so the
+    ~len(merges) C-level ``str.replace`` calls run only once per DISTINCT
+    word per executor. The merge table ships in the task closure —
+    kilobytes, the broadcast-small-side rule (and the round-11 lesson:
+    cluster deployments need the package on executors via addPyFile,
+    already handled by session.py).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    frozen = tuple(merges if merges is not None else load_merges())
+    key_field = df.schema[key_col].dataType.simpleString()
+
+    def _count_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        merge_list = list(frozen)
+
+        @lru_cache(maxsize=1 << 20)
+        def word_tokens(w: str) -> int:
+            return count_symbols(apply_merges_spaced(spaced_word(w), merge_list))
+
+        for pdf in batches:
+            counts = [
+                sum(word_tokens(w) for w in words_of(t))
+                for t in pdf["_text"]
+            ]
+            yield pd.DataFrame(
+                {"_key": pdf["_key"], "n_tokens_bpe": counts}
+            )
+
+    return df.select(
+        F.col(key_col).alias("_key"), F.col(text_col).alias("_text")
+    ).mapInPandas(
+        _count_batches, schema=f"_key {key_field}, n_tokens_bpe long"
+    ).select(F.col("_key").alias(key_col), "n_tokens_bpe")

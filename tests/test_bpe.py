@@ -1,0 +1,157 @@
+"""functions/bpe.py (round-12): frozen-merge BPE token counting.
+
+The oracle for x4_bpe_packing replays the replace-based encoder in
+DuckDB, so a both-engines-agree bug in the ENCODING DEFINITION would be
+invisible to the gate (the winnow phantom-space lesson). These tests pin
+the replace-based encoder against an INDEPENDENT list-based BPE
+implementation (the textbook formulation: scan the symbol list left to
+right per ranked merge, merging non-overlapping adjacent pairs), with a
+Hypothesis differential over adversarial alphabets (repeats, multi-char
+overlap chains)."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from apache_spark_streaming_project_spark.functions.bpe import (
+    MARKER,
+    SEP,
+    apply_merges_spaced,
+    bpe_token_count_text,
+    bpe_token_counts,
+    encode_word,
+    load_merges,
+    spaced_word,
+    words_of,
+)
+
+MERGES = load_merges()
+
+
+def list_bpe(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Independent reference: classic per-rank leftmost non-overlapping
+    merging on a symbol LIST (Sennrich's formulation), no strings."""
+    sym = list(word) + [MARKER]
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2  # non-overlapping: consume both
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def test_known_encodings():
+    # 'the' is a whole-word token in the frozen table; an out-of-vocab
+    # word stays character-level (plus the end-of-word marker)
+    assert encode_word("the", MERGES) == ["the" + MARKER]
+    assert len(encode_word("zzzq", MERGES)) == 5
+
+
+def test_adjacent_repeats_and_leftmost_greedy():
+    merges = [("a", "a")]
+    # even run: all pairs merge in one pass; odd run: third stays single
+    assert encode_word("aaaa", merges) == ["aa", "aa", MARKER]
+    assert encode_word("aaa", merges) == ["aa", "a", MARKER]
+    assert list_bpe("aaaa", merges) == ["aa", "aa", MARKER]
+    assert list_bpe("aaa", merges) == ["aa", "a", MARKER]
+
+
+def test_rank_order_is_load_bearing():
+    # (a,b) before (b,c): "abc" -> ab c; reversed: a bc
+    m1 = [("a", "b"), ("b", "c")]
+    m2 = [("b", "c"), ("a", "b")]
+    assert encode_word("abc", m1) == ["ab", "c", MARKER]
+    assert encode_word("abc", m2) == ["a", "bc", MARKER]
+
+
+def test_reserved_chars_stripped_and_empty():
+    assert words_of(f"a{SEP}b {MARKER}c") == ["ab", "c"]
+    assert words_of(None) == []
+    assert bpe_token_count_text("", MERGES) == 0
+    assert bpe_token_count_text("   ", MERGES) == 0
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="ab", min_size=1, max_size=12),
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=2),
+            st.text(alphabet="ab", min_size=1, max_size=2),
+        ),
+        max_size=6,
+    ),
+)
+def test_differential_replace_vs_list_tiny_alphabet(word, raw_merges):
+    """Adversarial two-letter alphabet: maximal overlap/repeat pressure.
+    Merge lists are made BPE-valid the way training produces them: each
+    merge's sides must be existing symbols (chars or earlier merges)."""
+    known = {"a", "b", MARKER}
+    merges = []
+    for a, b in raw_merges:
+        if a in known and b in known and b != MARKER:
+            merges.append((a, b))
+            known.add(a + b)
+    assert encode_word(word, merges) == list_bpe(word, merges)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=string.ascii_lowercase + "'-", min_size=1,
+               max_size=20))
+def test_differential_frozen_table(word):
+    assert encode_word(word, MERGES) == list_bpe(word, MERGES)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=string.ascii_lowercase + " \t\n.'", max_size=120))
+def test_count_identity(text):
+    """count = sum over words of len(chars)+1 - merges_applied, and the
+    spaced form always ends with intact double separators."""
+    total = 0
+    for w in words_of(text):
+        enc = encode_word(w, MERGES)
+        assert "".join(enc) == w + MARKER  # lossless segmentation
+        total += len(enc)
+    assert bpe_token_count_text(text, MERGES) == total
+
+
+def test_kernel_matches_reference(spark):
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(100)
+    )
+    got = {
+        r["doc_id"]: r["n_tokens_bpe"]
+        for r in bpe_token_counts(d, "doc_id", "text").collect()
+    }
+    for r in d.collect():
+        assert got[r["doc_id"]] == bpe_token_count_text(r["text"], MERGES)
+
+
+def test_text_level_equals_word_level():
+    """Applying the chain to a whole spaced document equals per-word
+    application (no merge spans a word boundary) — the property the
+    oracle's text-level mirror rides on."""
+    text = "the quick the quick brown"
+    words = words_of(text)
+    sep2 = SEP + SEP
+    doc_spaced = sep2 + sep2.join(
+        sep2.join(list(w) + [MARKER]) for w in words
+    ) + sep2
+    merged = apply_merges_spaced(doc_spaced, MERGES)
+    n_text = merged.count(SEP) // 2 - 1
+    n_words = sum(
+        apply_merges_spaced(spaced_word(w), MERGES).count(SEP) // 2 - 1
+        for w in words
+    )
+    assert n_text == n_words == bpe_token_count_text(text, MERGES)

@@ -512,6 +512,27 @@ MUTATIONS = [
       "dropped-clause", "persisted band index ignored: cross-epoch "
       "template copies (and the cross-epoch HALF pair) are never "
       "candidates, later epochs keep their near-dups (row-count kill)"),
+    M("bpe_marker_dropped", "x4_bpe_packing",
+      f"{PKG}/functions/bpe.py",
+      'list(word) + [MARKER]',
+      'list(word)',
+      "dropped-clause", "end-of-word marker omitted: every word loses "
+      "its marker symbol and all end-of-word merges no-op — token "
+      "counts shift corpus-wide (hash kill; counts are inside the "
+      "hash)"),
+    M("bpe_chain_truncated", "x4_bpe_packing",
+      f"{PKG}/functions/bpe.py",
+      'for a, b in merges:\n        spaced = spaced.replace(',
+      'for a, b in merges[:1]:\n        spaced = spaced.replace(',
+      "dropped-clause", "merge chain truncated to rank 1: counts "
+      "degrade toward chars+1 per word on all 500 docs (hash kill)"),
+    M("oracle_bpe_rank_order", "x4_bpe_packing",
+      f"{PKG}/entry_queries.py",
+      'for a, b in load_merges():',
+      'for a, b in reversed(load_merges()):',
+      "swapped-agg", "MIRROR-side merge RANK ORDER reversed: BPE rank "
+      "priority is load-bearing (verified: all 500 doc counts change), "
+      "the oracle's replace chain diverges (hash kill)"),
     M("oracle_m14b_threshold", "m14b_streaming_threshold_dedup",
       f"{PKG}/entry_queries.py",
       '>= 0.5  -- m14b threshold',
