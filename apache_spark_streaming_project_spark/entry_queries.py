@@ -320,8 +320,13 @@ def s24_returnflag_linestatus_counts(spark: SparkSession, sf_dir: str) -> DataFr
 # ---------------------------------------------------------------------------
 
 _EVENTS_STATS_CTE = """
-    WITH stats AS (
-      SELECT {mu} AS mu, {sigma} AS sigma FROM events
+    WITH base AS (
+      SELECT event_id, value FROM events
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), CAST(-500.0 AS DOUBLE)
+    ),
+    stats AS (
+      SELECT {mu} AS mu, {sigma} AS sigma FROM base
     )
 """.format(mu=avg_exact_sql("value"), sigma=stddev_exact_sql("value"))
 
@@ -331,7 +336,7 @@ _EVENTS_STATS_CTE = """
     _EVENTS_STATS_CTE
     + """
     SELECT event_id, value, abs((value - mu) / sigma) AS z_score
-    FROM events, stats
+    FROM base, stats
     WHERE sigma > 0 AND abs((value - mu) / sigma) > 3
     """,
     "S13",
@@ -341,11 +346,25 @@ _EVENTS_STATS_CTE = """
 )
 def s13_value_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13-S16 analogue: |z| > 3 outliers on events.value, fully lazy —
-    1-row stats agg broadcast back (no driver round-trip; SURVEY.md §4.3-5)."""
+    1-row stats agg broadcast back (no driver round-trip; SURVEY.md §4.3-5).
+
+    Negative-tail fixture (round-12, the last designed-slack audit probe
+    converted): events.value is nonnegative by construction (min z ~
+    -1.0), so the `abs` in the z-score was unreachable on the natural
+    data and the one-sided-z audit mutation could only be killed at unit
+    level. One sentinel event (event_id -1, value -500.0 — exactly
+    representable, z ~ -11 after its own negligible effect on the stats)
+    planted on BOTH engines puts a real row in the negative tail: present
+    under |z| > 3, absent under one-sided z > 3 — a row-count kill (the
+    d1 boundary_probe move)."""
     from apache_spark_streaming_project_spark.operators.anomaly import zscore
 
     ev = _t(spark, sf_dir, "events").select("event_id", "value")
-    return zscore(ev, "value", threshold=3.0, scale=2)
+    planted = spark.range(1).select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        F.lit(-500.0).alias("value"),
+    )
+    return zscore(ev.unionByName(planted), "value", threshold=3.0, scale=2)
 
 
 # ---------------------------------------------------------------------------

@@ -106,10 +106,11 @@ MUTATIONS = [
       f"{PKG}/operators/anomaly.py",
       'z = F.abs((F.col(value_col) - F.col("_mu")) / F.col("_sigma"))',
       'z = (F.col(value_col) - F.col("_mu")) / F.col("_sigma")',
-      "dropped-clause", "one-sided z-score: the sf0.01 events fixture "
-      "has 0 negative-tail outliers (182 positive), so the gate cannot "
-      "see the difference; killed at unit level by "
-      "test_zscore_flags_both_tails", probe=True),
+      "dropped-clause", "one-sided z-score: events.value is nonnegative "
+      "so the natural negative tail is empty, but the round-12 planted "
+      "sentinel (event_id -1, value -500, z ~ -11, mirrored in the "
+      "oracle) sits squarely in it — dropping abs loses the row "
+      "(row-count kill; was a designed-slack probe through round 11)"),
     M("s19_population_stddev", "s19_lineitem_summary",
       f"{PKG}/functions/exact.py",
       '(nd * sqd - sd * sd) / (nd * (nd - F.lit(1.0))), F.lit(0.0)',
