@@ -10679,10 +10679,7 @@ def m14_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from apache_spark_streaming_project_spark.operators.dedup import (
-        lsh_band_rows,
-        minhash_signatures_df,
-        shingle_sets_equal,
-        word_shingles,
+        streaming_lsh_dedup_batch,
     )
 
     base = _scratch_dir("m14_lsh_dedup_")
@@ -10691,94 +10688,15 @@ def m14_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_store = os.path.join(base, "corpus_store")
     ckpt = os.path.join(base, "ckpt")
 
-    planted = (
-        F.when(F.col("doc_id") % 11 == 0, F.lit(_M14_ALPHA))
-        .when(F.col("doc_id") % 13 == 5, F.lit(_M14_BETA))
-        .when(F.col("doc_id") % 17 == 2, F.lit(_M14_ALPHA_TRUNC))
-        .otherwise(F.col("text"))
-    )
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        (F.col("doc_id") % 3).alias("epoch"),
-        planted.alias("text"),
-    )
-    # disjoint epoch waves, written (and therefore streamed) in epoch
-    # order — streaming dedup keeps the first ARRIVAL of a class and
-    # never retracts, so arrival order IS the tie-break the mirror
-    # reproduces as ORDER BY epoch, doc_id; drain order is pinned by
-    # explicit strictly-increasing mtimes, not write latency
-    for i in range(3):
-        wave_dir = os.path.join(in_dir, f"wave{i}")
-        d.filter(F.col("epoch") == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(wave_dir)
-        _pin_wave_mtime(wave_dir, i)
+    d = _m14_docs(spark, sf_dir)
+    _write_epoch_waves(d, in_dir)
 
     def dedup_batch(batch_df, batch_id):
-        ss = batch_df.sparkSession
-        b = batch_df.select("doc_id", "epoch", "text")
-        sig = minhash_signatures_df(b, "doc_id", "text", 32, 3)
-        bands = (
-            lsh_band_rows(sig, 32, 8)
-            .select(F.col("_key").alias("doc_id"), "band", "band_hash")
-            .join(b.select("doc_id", "epoch"), "doc_id")
-        )
-        if os.path.isdir(band_store):
-            prior = ss.read.parquet(band_store)
-        else:
-            prior = ss.createDataFrame(
-                [], "band int, band_hash long, rep_epoch long, rep_doc_id long"
-            )
-        self_reps = bands.select(
-            "band",
-            "band_hash",
-            F.col("epoch").alias("rep_epoch"),
-            F.col("doc_id").alias("rep_doc_id"),
-        )
-        index = prior.unionByName(self_reps)
-        cand = (
-            bands.join(index, ["band", "band_hash"])
-            .filter(
-                (F.col("rep_epoch") < F.col("epoch"))
-                | (
-                    (F.col("rep_epoch") == F.col("epoch"))
-                    & (F.col("rep_doc_id") < F.col("doc_id"))
-                )
-            )
-            .select("doc_id", "rep_doc_id")
-            .distinct()
-        )
-        if os.path.isdir(corpus_store):
-            kept_corpus = ss.read.parquet(corpus_store).select(
-                "doc_id", "text"
-            )
-        else:
-            kept_corpus = ss.createDataFrame([], "doc_id long, text string")
-        rep_texts = kept_corpus.unionByName(b.select("doc_id", "text"))
-        dropped = (
-            cand.join(
-                b.select("doc_id", word_shingles("text").alias("_sa")),
-                "doc_id",
-            )
-            .join(
-                rep_texts.select(
-                    F.col("doc_id").alias("rep_doc_id"),
-                    word_shingles("text").alias("_sb"),
-                ),
-                "rep_doc_id",
-            )
-            .filter(shingle_sets_equal(F.col("_sa"), F.col("_sb")))
-            .select("doc_id")
-            .distinct()
-        )
-        kept = b.join(dropped, "doc_id", "left_anti")
-        kept.write.mode("append").parquet(corpus_store)
-        bands.join(dropped, "doc_id", "left_anti").select(
-            "band",
-            "band_hash",
-            F.col("epoch").alias("rep_epoch"),
-            F.col("doc_id").alias("rep_doc_id"),
-        ).write.mode("append").parquet(band_store)
+        # one-liner wrapper: the production body is importable
+        # (operators/dedup.py) so tests and the streaming-tax probe
+        # replay EXACTLY this code path (the dsir_publish_scored_batch
+        # precedent; also the round-11 addPyFile closure lesson)
+        streaming_lsh_dedup_batch(batch_df, band_store, corpus_store)
 
     stream = (
         spark.readStream.schema(d.schema)
@@ -10817,6 +10735,52 @@ _M14B_SUB_B = "seedk seedl seedm seedn seedo seedu seedt"
 # Exact word-3-gram Jaccard drop threshold (the LSH operating point whose
 # corpus-wide recall is oracle-proven by x_minhash_verified_pairs).
 _M14B_T = 0.5
+
+
+def _m14_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The m14 planted corpus: epoch = doc_id % 3, template plants
+    (alpha copies / beta copies / alpha-minus-last-word). Shared by the
+    m14 registration and the streaming-tax probe (tools/streaming_tax.py)
+    so the batch-equivalent measurement runs the IDENTICAL fixture."""
+    planted = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit(_M14_ALPHA))
+        .when(F.col("doc_id") % 13 == 5, F.lit(_M14_BETA))
+        .when(F.col("doc_id") % 17 == 2, F.lit(_M14_ALPHA_TRUNC))
+        .otherwise(F.col("text"))
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 3).alias("epoch"),
+        planted.alias("text"),
+    )
+
+
+def _m14b_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m14's corpus plus the two threshold-edge plant pairs."""
+    plants = spark.createDataFrame(
+        [
+            (-9, 0, _M14B_HALF_A),
+            (-8, 1, _M14B_HALF_B),
+            (-6, 0, _M14B_SUB_A),
+            (-5, 2, _M14B_SUB_B),
+        ],
+        "doc_id long, epoch long, text string",
+    )
+    return _m14_docs(spark, sf_dir).unionByName(plants)
+
+
+def _write_epoch_waves(d: DataFrame, in_dir: str) -> None:
+    """Write the three disjoint epoch waves. Streaming dedup keeps the
+    first ARRIVAL of a class and never retracts, so arrival order IS the
+    tie-break the mirrors reproduce as ORDER BY epoch, doc_id; drain
+    order is pinned by explicit strictly-increasing mtimes, not write
+    latency."""
+    for i in range(3):
+        wave_dir = os.path.join(in_dir, f"wave{i}")
+        d.filter(F.col("epoch") == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(wave_dir)
+        _pin_wave_mtime(wave_dir, i)
 
 
 @register(
@@ -10911,9 +10875,7 @@ def m14b_streaming_threshold_dedup(
     import os
 
     from apache_spark_streaming_project_spark.operators.dedup import (
-        lsh_band_rows,
-        minhash_signatures_df,
-        word_shingles,
+        streaming_threshold_dedup_batch,
     )
 
     base = _scratch_dir("m14b_thresh_dedup_")
@@ -10922,115 +10884,16 @@ def m14b_streaming_threshold_dedup(
     text_store = os.path.join(base, "text_store")
     ckpt = os.path.join(base, "ckpt")
 
-    planted = (
-        F.when(F.col("doc_id") % 11 == 0, F.lit(_M14_ALPHA))
-        .when(F.col("doc_id") % 13 == 5, F.lit(_M14_BETA))
-        .when(F.col("doc_id") % 17 == 2, F.lit(_M14_ALPHA_TRUNC))
-        .otherwise(F.col("text"))
-    )
-    naturals = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        (F.col("doc_id") % 3).alias("epoch"),
-        planted.alias("text"),
-    )
-    plants = spark.createDataFrame(
-        [
-            (-9, 0, _M14B_HALF_A),
-            (-8, 1, _M14B_HALF_B),
-            (-6, 0, _M14B_SUB_A),
-            (-5, 2, _M14B_SUB_B),
-        ],
-        "doc_id long, epoch long, text string",
-    )
-    d = naturals.unionByName(plants)
-    for i in range(3):
-        wave_dir = os.path.join(in_dir, f"wave{i}")
-        d.filter(F.col("epoch") == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(wave_dir)
-        _pin_wave_mtime(wave_dir, i)
+    d = _m14b_docs(spark, sf_dir)
+    _write_epoch_waves(d, in_dir)
 
     def dedup_batch(batch_df, batch_id):
-        ss = batch_df.sparkSession
-        b = batch_df.select("doc_id", "epoch", "text")
-        sig = minhash_signatures_df(b, "doc_id", "text", 32, 3)
-        batch_bands = (
-            lsh_band_rows(sig, 32, 8)
-            .select(F.col("_key").alias("doc_id"), "band", "band_hash")
-            .join(b.select("doc_id", "epoch"), "doc_id")
+        # one-liner wrapper over the importable production body
+        # (operators/dedup.py): tests and the streaming-tax probe replay
+        # EXACTLY this code path
+        streaming_threshold_dedup_batch(
+            batch_df, band_store, text_store, _M14B_T
         )
-        if os.path.isdir(band_store):
-            prior_rows = ss.read.parquet(band_store)
-        else:
-            prior_rows = ss.createDataFrame(
-                [], "band int, band_hash long, rep_epoch long, rep_doc_id long"
-            )
-        batch_reps = batch_bands.select(
-            "band",
-            "band_hash",
-            F.col("epoch").alias("rep_epoch"),
-            F.col("doc_id").alias("rep_doc_id"),
-        )
-        idx = prior_rows.unionByName(batch_reps)
-        cand = (
-            batch_bands.join(idx, ["band", "band_hash"])
-            .filter(
-                (F.col("rep_epoch") < F.col("epoch"))
-                | (
-                    (F.col("rep_epoch") == F.col("epoch"))
-                    & (F.col("rep_doc_id") < F.col("doc_id"))
-                )
-            )
-            .select("doc_id", "rep_doc_id")
-            .distinct()
-        )
-        if os.path.isdir(text_store):
-            earlier_texts = ss.read.parquet(text_store).select(
-                "doc_id", "text"
-            )
-        else:
-            earlier_texts = ss.createDataFrame([], "doc_id long, text string")
-        all_texts = earlier_texts.unionByName(b.select("doc_id", "text"))
-        # verify reads ONLY matched reps' texts: semi-join narrows the
-        # store BEFORE the shingle projection, so shingling cost is
-        # O(candidate reps), never O(corpus)
-        rep_texts = all_texts.join(
-            cand.select(F.col("rep_doc_id").alias("doc_id")).distinct(),
-            "doc_id",
-            "left_semi",
-        )
-        inter = F.size(F.array_intersect("_sa", "_sb"))
-        un = F.size(F.array_union("_sa", "_sb"))
-        dropped = (
-            cand.join(
-                b.select("doc_id", word_shingles("text").alias("_sa")),
-                "doc_id",
-            )
-            .join(
-                rep_texts.select(
-                    F.col("doc_id").alias("rep_doc_id"),
-                    word_shingles("text").alias("_sb"),
-                ),
-                "rep_doc_id",
-            )
-            .filter(
-                (un > 0)
-                & (inter.cast("double") / un.cast("double")
-                   >= F.lit(_M14B_T))
-            )
-            .select("doc_id")
-            .distinct()
-        )
-        flagged = b.join(
-            dropped.withColumn("_dropped", F.lit(True)), "doc_id", "left"
-        )
-        # the pair rule indexes EVERY arrival: both stores append the
-        # whole batch (kept flag on the text store), append-only two-phase
-        # publish, never read-and-overwrite (the upsert.py seam rule)
-        flagged.withColumn("kept", F.col("_dropped").isNull()).drop(
-            "_dropped"
-        ).write.mode("append").parquet(text_store)
-        batch_reps.write.mode("append").parquet(band_store)
 
     stream = (
         spark.readStream.schema(d.schema)

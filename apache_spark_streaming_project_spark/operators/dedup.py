@@ -1317,3 +1317,184 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["key_a", "key_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup per-batch bodies (m14 / m14b)
+# ---------------------------------------------------------------------------
+# Importable so that (a) tests and the streaming-tax probe replay the
+# PRODUCTION body — the dsir_publish_scored_batch precedent: a batch
+# driven directly and a batch driven by foreachBatch run the same code
+# path, so the probe's "batch equivalent" cannot drift — and (b) the
+# foreachBatch closure in entry_queries stays a one-liner (the round-11
+# addPyFile lesson: module-level functions ship with the package, not in
+# a pickled closure).
+
+
+def streaming_lsh_dedup_batch(
+    batch_df, band_store: str, corpus_store: str
+) -> None:
+    """m14 per-batch body: EXACT (shingle-set equality) streaming dedup
+    against a persisted band index. See m14_streaming_lsh_dedup
+    (entry_queries.py) for the full semantics/scale story; kept-only
+    rows are appended to both stores."""
+    import os
+
+    ss = batch_df.sparkSession
+    b = batch_df.select("doc_id", "epoch", "text")
+    sig = minhash_signatures_df(b, "doc_id", "text", 32, 3)
+    # the band table feeds the candidate probe AND the survivor append:
+    # without a persist the whole shingle->minhash->band pipeline runs
+    # once per consumer (streaming-tax probe, round 12: the batch bodies
+    # are operator-dominated, tax is 16%, so this is the lever)
+    bands = (
+        lsh_band_rows(sig, 32, 8)
+        .select(F.col("_key").alias("doc_id"), "band", "band_hash")
+        .join(b.select("doc_id", "epoch"), "doc_id")
+    ).persist()
+    if os.path.isdir(band_store):
+        prior = ss.read.parquet(band_store)
+    else:
+        prior = ss.createDataFrame(
+            [], "band int, band_hash long, rep_epoch long, rep_doc_id long"
+        )
+    self_reps = bands.select(
+        "band",
+        "band_hash",
+        F.col("epoch").alias("rep_epoch"),
+        F.col("doc_id").alias("rep_doc_id"),
+    )
+    index = prior.unionByName(self_reps)
+    cand = (
+        bands.join(index, ["band", "band_hash"])
+        .filter(
+            (F.col("rep_epoch") < F.col("epoch"))
+            | (
+                (F.col("rep_epoch") == F.col("epoch"))
+                & (F.col("rep_doc_id") < F.col("doc_id"))
+            )
+        )
+        .select("doc_id", "rep_doc_id")
+        .distinct()
+    )
+    if os.path.isdir(corpus_store):
+        kept_corpus = ss.read.parquet(corpus_store).select("doc_id", "text")
+    else:
+        kept_corpus = ss.createDataFrame([], "doc_id long, text string")
+    rep_texts = kept_corpus.unionByName(b.select("doc_id", "text"))
+    dropped = (
+        cand.join(
+            b.select("doc_id", word_shingles("text").alias("_sa")),
+            "doc_id",
+        )
+        .join(
+            rep_texts.select(
+                F.col("doc_id").alias("rep_doc_id"),
+                word_shingles("text").alias("_sb"),
+            ),
+            "rep_doc_id",
+        )
+        .filter(shingle_sets_equal(F.col("_sa"), F.col("_sb")))
+        .select("doc_id")
+        .distinct()
+    )
+    kept = b.join(dropped, "doc_id", "left_anti")
+    kept.write.mode("append").parquet(corpus_store)
+    bands.join(dropped, "doc_id", "left_anti").select(
+        "band",
+        "band_hash",
+        F.col("epoch").alias("rep_epoch"),
+        F.col("doc_id").alias("rep_doc_id"),
+    ).write.mode("append").parquet(band_store)
+    bands.unpersist()
+
+
+def streaming_threshold_dedup_batch(
+    batch_df, band_store: str, text_store: str, threshold: float
+) -> None:
+    """m14b per-batch body: THRESHOLD (exact word-3-gram Jaccard >= t)
+    streaming dedup under the pairwise keep-first rule. Both stores index
+    EVERY arrival (kept flag on the text store); see
+    m14b_streaming_threshold_dedup (entry_queries.py)."""
+    import os
+
+    ss = batch_df.sparkSession
+    b = batch_df.select("doc_id", "epoch", "text")
+    sig = minhash_signatures_df(b, "doc_id", "text", 32, 3)
+    # consumed three times (candidate probe via idx, batch_reps union,
+    # batch_reps append) — persist or the minhash pipeline runs thrice
+    batch_bands = (
+        lsh_band_rows(sig, 32, 8)
+        .select(F.col("_key").alias("doc_id"), "band", "band_hash")
+        .join(b.select("doc_id", "epoch"), "doc_id")
+    ).persist()
+    if os.path.isdir(band_store):
+        prior_rows = ss.read.parquet(band_store)
+    else:
+        prior_rows = ss.createDataFrame(
+            [], "band int, band_hash long, rep_epoch long, rep_doc_id long"
+        )
+    batch_reps = batch_bands.select(
+        "band",
+        "band_hash",
+        F.col("epoch").alias("rep_epoch"),
+        F.col("doc_id").alias("rep_doc_id"),
+    )
+    idx = prior_rows.unionByName(batch_reps)
+    cand = (
+        batch_bands.join(idx, ["band", "band_hash"])
+        .filter(
+            (F.col("rep_epoch") < F.col("epoch"))
+            | (
+                (F.col("rep_epoch") == F.col("epoch"))
+                & (F.col("rep_doc_id") < F.col("doc_id"))
+            )
+        )
+        .select("doc_id", "rep_doc_id")
+        .distinct()
+    ).persist()  # feeds the reps semi-join AND the verify join
+    if os.path.isdir(text_store):
+        earlier_texts = ss.read.parquet(text_store).select("doc_id", "text")
+    else:
+        earlier_texts = ss.createDataFrame([], "doc_id long, text string")
+    all_texts = earlier_texts.unionByName(b.select("doc_id", "text"))
+    # verify reads ONLY matched reps' texts: semi-join narrows the store
+    # BEFORE the shingle projection — O(candidate reps), never O(corpus)
+    rep_texts = all_texts.join(
+        cand.select(F.col("rep_doc_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    un = F.size(F.array_union("_sa", "_sb"))
+    dropped = (
+        cand.join(
+            b.select("doc_id", word_shingles("text").alias("_sa")),
+            "doc_id",
+        )
+        .join(
+            rep_texts.select(
+                F.col("doc_id").alias("rep_doc_id"),
+                word_shingles("text").alias("_sb"),
+            ),
+            "rep_doc_id",
+        )
+        .filter(
+            (un > 0)
+            & (inter.cast("double") / un.cast("double")
+               >= F.lit(threshold))
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    flagged = b.join(
+        dropped.withColumn("_dropped", F.lit(True)), "doc_id", "left"
+    )
+    # the pair rule indexes EVERY arrival: both stores append the whole
+    # batch (kept flag on the text store), append-only two-phase publish
+    flagged.withColumn("kept", F.col("_dropped").isNull()).drop(
+        "_dropped"
+    ).write.mode("append").parquet(text_store)
+    batch_reps.write.mode("append").parquet(band_store)
+    cand.unpersist()
+    batch_bands.unpersist()

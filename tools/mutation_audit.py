@@ -473,7 +473,7 @@ MUTATIONS = [
       "Jaccard threshold 0.85 -> 0.9"),
     # ----- m14: streaming LSH-indexed dedup (round-11) -----
     M("m14_no_prior_index", "m14_streaming_lsh_dedup",
-      f"{PKG}/entry_queries.py",
+      f"{PKG}/operators/dedup.py",
       'index = prior.unionByName(self_reps)',
       'index = self_reps',
       "dropped-clause", "persisted band index ignored: cross-epoch "
@@ -493,9 +493,9 @@ MUTATIONS = [
       "swapped-agg", "MIRROR-side representative pick: first arrival -> "
       "last doc of the first epoch"),
     M("m14b_threshold_exclusive", "m14b_streaming_threshold_dedup",
-      f"{PKG}/entry_queries.py",
-      '>= F.lit(_M14B_T)',
-      '> F.lit(_M14B_T)',
+      f"{PKG}/operators/dedup.py",
+      '>= F.lit(threshold)',
+      '> F.lit(threshold)',
       "off-by-one", "drop comparator >= t -> > t: the planted HALF pair "
       "sits at J = 0.5 EXACTLY (band-collision searched offline), so "
       "doc -8 is wrongly kept (row-count kill)"),
@@ -507,7 +507,7 @@ MUTATIONS = [
       "J = 3/7 ~ 0.429 (deterministically band-colliding, so the "
       "comparator is reached) wrongly drops doc -5 (row-count kill)"),
     M("m14b_no_prior_index", "m14b_streaming_threshold_dedup",
-      f"{PKG}/entry_queries.py",
+      f"{PKG}/operators/dedup.py",
       'idx = prior_rows.unionByName(batch_reps)',
       'idx = batch_reps',
       "dropped-clause", "persisted band index ignored: cross-epoch "

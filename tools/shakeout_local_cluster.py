@@ -16,8 +16,11 @@ normalization as tools/oracle_check.py). Streaming/foreachBatch
 lifecycles are INCLUDED deliberately — checkpoint commit and
 availableNow restart across real executors is half the point.
 
-Usage: python tools/shakeout_local_cluster.py [sf_dir] [n_queries]
-Writes tools/shakeout_local_cluster.json.
+Usage: python tools/shakeout_local_cluster.py [sf_dir] [n_queries|all]
+Writes tools/shakeout_local_cluster.json. ``all`` (round-12 verdict item
+6) runs the ENTIRE registry — the top-20 shakeout caught the one
+Pandas-UDF deployment seam; the long tail holds the other
+Python-touching paths (pydatasource, stateful kernels, multimodal).
 """
 
 from __future__ import annotations
@@ -91,9 +94,16 @@ def run_side(master: str, names: list[str], sf_dir: str) -> dict[str, dict]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    names = top_queries(n)
-    print(f"heavy tail ({n}): {names}")
+    arg = sys.argv[2] if len(sys.argv) > 2 else "20"
+    if arg == "all":
+        import __spark_entry__ as entry_mod
+
+        names = sorted(entry_mod.queries())
+        print(f"FULL registry: {len(names)} queries")
+    else:
+        n = int(arg)
+        names = top_queries(n)
+        print(f"heavy tail ({n}): {names}")
 
     local = run_side("local[8]", names, sf_dir)
     cluster = run_side("local-cluster[2,8,8192]", names, sf_dir)
