@@ -10783,9 +10783,11 @@ def _write_epoch_waves(d: DataFrame, in_dir: str) -> None:
         _pin_wave_mtime(wave_dir, i)
 
 
-@register(
-    "m14b_streaming_threshold_dedup",
-    f"""
+# Shared by m14b (streaming) and m16 (maintenance): the kept set of the
+# pairwise keep-first threshold dedup is the FULL ground truth both must
+# reproduce — m16 additionally compacts the stores mid-run, and hashing
+# against the SAME oracle proves maintenance is semantically transparent.
+_M14B_ORACLE_SQL = f"""
     WITH docs AS (
       SELECT doc_id, doc_id % 3 AS epoch,
              CASE WHEN doc_id % 11 = 0 THEN '{_M14_ALPHA}'
@@ -10825,7 +10827,12 @@ def _write_epoch_waves(d: DataFrame, in_dir: str) -> None:
     SELECT d.doc_id, CAST(d.epoch AS BIGINT) AS epoch
     FROM docs d ANTI JOIN dropped USING (doc_id)
     ORDER BY d.doc_id
-    """,
+    """
+
+
+@register(
+    "m14b_streaming_threshold_dedup",
+    _M14B_ORACLE_SQL,
     "S6",
     "X2",
 )
@@ -10911,6 +10918,75 @@ def m14b_streaming_threshold_dedup(
 
     return (
         spark.read.parquet(text_store)
+        .filter(F.col("kept"))
+        .select("doc_id", F.col("epoch").cast("bigint").alias("epoch"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "m16_store_maintenance",
+    _M14B_ORACLE_SQL,
+    "S6",
+    "S7",
+    "X2",
+    "X7",
+)
+def m16_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table MAINTENANCE under a live streaming dedup (S7 x X7 on the
+    m14b stores): drive epochs 0-1 through the PRODUCTION threshold-dedup
+    batch body, COMPACT both corpus-lifetime stores mid-run
+    (sources/partitioned.py:compact_parquet — coalesce rewrite into
+    fresh directories, the swap pattern), then ingest epoch 2 against
+    the compacted stores and return the kept set.
+
+    The oracle is IDENTICAL to m14b's full ground truth: hash equality
+    proves mid-stream compaction is semantically transparent — no row
+    lost, duplicated, or re-adjudicated — which is the invariant that
+    lets a 100 TB deployment run compaction as a background job between
+    micro-batches instead of quiescing the stream. The engine also
+    asserts (loudly, not hashed) that fragmentation actually happened
+    and the rewrite actually compacted; a silent no-op cannot pass off
+    as maintenance. Measured law: 10 epochs at 10x fragment the band
+    index into 100 part files; compaction to 8 costs 0.41 s and makes
+    the per-batch probe 1.31x faster (BASELINE.md round-12 compaction
+    evidence; file-listing cost grows with file count, so the win
+    compounds with epoch count)."""
+    import glob
+    import os
+
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        streaming_threshold_dedup_batch,
+    )
+    from apache_spark_streaming_project_spark.sources.partitioned import (
+        compact_parquet,
+    )
+
+    base = _scratch_dir("m16_maint_")
+    band, text = os.path.join(base, "band"), os.path.join(base, "text")
+    band_c = os.path.join(base, "band_c")
+    text_c = os.path.join(base, "text_c")
+
+    d = _m14b_docs(spark, sf_dir)
+    for i in (0, 1):
+        streaming_threshold_dedup_batch(
+            d.filter(F.col("epoch") == i), band, text, _M14B_T
+        )
+    n_frag = len(glob.glob(band + "/part-*"))
+    if n_frag < 2:
+        raise RuntimeError(
+            f"maintenance fixture degenerate: band store has {n_frag} "
+            "part files after two appends — nothing to compact"
+        )
+    compact_parquet(spark, band, band_c, 1)
+    compact_parquet(spark, text, text_c, 1)
+    if len(glob.glob(band_c + "/part-*")) != 1:
+        raise RuntimeError("band-store compaction did not produce 1 file")
+    streaming_threshold_dedup_batch(
+        d.filter(F.col("epoch") == 2), band_c, text_c, _M14B_T
+    )
+    return (
+        spark.read.parquet(text_c)
         .filter(F.col("kept"))
         .select("doc_id", F.col("epoch").cast("bigint").alias("epoch"))
         .orderBy("doc_id")

@@ -534,6 +534,13 @@ MUTATIONS = [
       "swapped-agg", "MIRROR-side merge RANK ORDER reversed: BPE rank "
       "priority is load-bearing (verified: all 500 doc counts change), "
       "the oracle's replace chain diverges (hash kill)"),
+    M("m16_publish_preswap", "m16_store_maintenance",
+      f"{PKG}/entry_queries.py",
+      'streaming_threshold_dedup_batch(\n        d.filter(F.col("epoch") == 2), band_c, text_c, _M14B_T\n    )',
+      'streaming_threshold_dedup_batch(\n        d.filter(F.col("epoch") == 2), band_c, text, _M14B_T\n    )',
+      "wrong-key", "the classic compaction-swap bug: the post-compaction "
+      "batch publishes into the PRE-swap text directory, so the swapped-"
+      "in store silently misses the whole epoch (row-count kill)"),
     M("oracle_m14b_threshold", "m14b_streaming_threshold_dedup",
       f"{PKG}/entry_queries.py",
       '>= 0.5  -- m14b threshold',
