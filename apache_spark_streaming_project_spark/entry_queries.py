@@ -10993,6 +10993,88 @@ def m16_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "m17_streaming_packing",
+    """
+    WITH {bpe}
+    SELECT lang, doc_id, n_tokens_bpe,
+           CAST(greatest(
+             floor((SUM(n_tokens_bpe) OVER (
+                      PARTITION BY lang
+                      ORDER BY doc_id % 3, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - 1) / 256.0), 0) AS BIGINT) AS pack_id
+    FROM bpe ORDER BY lang, doc_id
+    """.format(bpe=_bpe_oracle_ctes()),
+    "S6",
+    "X4",
+)
+def m17_streaming_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sequence packing against the real BPE budget (S6 x X4):
+    the continuous form of x4_bpe_packing. Documents arrive in three
+    waves; each micro-batch computes its docs' frozen-merge BPE token
+    counts (functions/bpe.py kernel), continues the per-language
+    256-token contiguous fill from where the previous batches left off
+    (operators/text.py:streaming_pack_publish — offsets DERIVED from the
+    already-published sink restricted to earlier batches, so the publish
+    is idempotent batch-keyed overwrite with no separate state store),
+    and publishes (lang, doc_id, n_tokens_bpe, pack_id).
+
+    Pack ids are GLOBAL and arrival-ordered, so the oracle is the batch
+    window formula over (arrival key, doc_id) — with the fully mirrored
+    BPE encoder inside the same SQL, every output column including the
+    running-fill pack_id sits in the value hash. At 100 TB the state
+    carried between batches is ONE row per language shard (its token
+    total); packs stay local to each shard exactly as the batch operator
+    documents."""
+    import os
+
+    from apache_spark_streaming_project_spark.functions.bpe import (
+        bpe_token_counts,
+    )
+    from apache_spark_streaming_project_spark.operators.text import (
+        streaming_pack_publish,
+    )
+
+    base = _scratch_dir("m17_pack_")
+    in_dir = os.path.join(base, "in")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        (F.col("doc_id") % 3).alias("epoch"),
+    )
+    _write_epoch_waves(d, in_dir)
+
+    def pack_batch(batch_df, batch_id):
+        counts = bpe_token_counts(batch_df, "doc_id", "text")
+        withc = batch_df.select("doc_id", "lang").join(counts, "doc_id")
+        streaming_pack_publish(withc, sink, batch_id, 256)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "wave*"))
+    )
+    with _stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(pack_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return (
+        spark.read.parquet(sink)
+        .select("lang", "doc_id", "n_tokens_bpe", "pack_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
 # DSIR shared oracle core: hashed-gram explosion, the two corpus counts,
 # the smoothed per-bucket likelihood ratio, and the per-candidate-doc
 # aggregation with the position-ordered double fold. The ratio column is

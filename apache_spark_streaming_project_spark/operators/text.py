@@ -171,6 +171,73 @@ def pack_documents(
     )
 
 
+def streaming_pack_publish(
+    batch_df: DataFrame,
+    sink_dir: str,
+    batch_id: int,
+    budget: int,
+    group_col: str = "lang",
+    token_col: str = "n_tokens_bpe",
+    order_col: str = "doc_id",
+) -> None:
+    """The m17 foreachBatch body, importable for production-body replay
+    (the dsir_publish_scored_batch precedent): continue
+    :func:`pack_documents`'s contiguous token-budget fill ACROSS
+    micro-batches.
+
+    Pack ids are global: each batch computes its local per-group running
+    token sum, then shifts it by the group's total tokens over all
+    PREVIOUSLY published batches — ``pack = floor((offset + local_cum
+    - 1) / budget)`` is exactly the batch formula applied to the
+    arrival-ordered concatenation of batches, so a batch oracle over
+    (arrival_key, order_col) reproduces the streaming output
+    bit-for-bit.
+
+    Exactly-once without a separate state store: the publish is the
+    idempotent batch-keyed overwrite (``batch=<id>`` directory), and the
+    offsets are DERIVED from the sink itself restricted to ``batch <
+    batch_id`` — a replayed batch recomputes identical offsets and
+    overwrites its own directory, a no-op. (Deriving state from earlier
+    output instead of persisting a second table is the same seam rule as
+    m15's publish.)"""
+    import os
+
+    ss = batch_df.sparkSession
+    b = batch_df.select(group_col, order_col, token_col)
+    if os.path.isdir(sink_dir):
+        prior = ss.read.parquet(sink_dir).filter(
+            F.col("batch") < F.lit(int(batch_id))
+        )
+        offsets = prior.groupBy(group_col).agg(
+            F.sum(token_col).alias("_off")
+        )
+    else:
+        offsets = ss.createDataFrame([], f"{group_col} string, _off long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local_cum = F.sum(F.coalesce(F.col(token_col), F.lit(0))).over(w)
+    out = (
+        b.join(F.broadcast(offsets), group_col, "left")
+        .withColumn(
+            "pack_id",
+            F.greatest(
+                F.floor(
+                    (F.coalesce(F.col("_off"), F.lit(0)) + local_cum - 1)
+                    / F.lit(budget)
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        .drop("_off")
+    )
+    out.write.mode("overwrite").parquet(
+        os.path.join(sink_dir, f"batch={int(batch_id)}")
+    )
+
+
 def contrast_top_tokens(
     df: DataFrame, is_a: Column, text_col: str = "text", k: int = 25
 ) -> DataFrame:

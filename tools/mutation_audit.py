@@ -534,6 +534,22 @@ MUTATIONS = [
       "swapped-agg", "MIRROR-side merge RANK ORDER reversed: BPE rank "
       "priority is load-bearing (verified: all 500 doc counts change), "
       "the oracle's replace chain diverges (hash kill)"),
+    M("m17_offset_dropped", "m17_streaming_packing",
+      f"{PKG}/operators/text.py",
+      '(F.coalesce(F.col("_off"), F.lit(0)) + local_cum - 1)',
+      '(local_cum - 1)',
+      "dropped-clause", "cross-batch pack offset ignored: every "
+      "micro-batch restarts the token fill at pack 0, the streaming "
+      "output diverges from the arrival-ordered batch formula (hash "
+      "kill; pack_id is inside the hash)"),
+    M("oracle_m17_arrival_order", "m17_streaming_packing",
+      f"{PKG}/entry_queries.py",
+      'ORDER BY doc_id % 3, doc_id\n                      ROWS BETWEEN',
+      'ORDER BY doc_id\n                      ROWS BETWEEN',
+      "swapped-agg", "MIRROR-side window order drops the arrival key: "
+      "packing is defined over arrival order (wave, then doc_id), not "
+      "doc_id alone — prefix sums shift for every interleaved language "
+      "(hash kill)"),
     M("m16_publish_preswap", "m16_store_maintenance",
       f"{PKG}/entry_queries.py",
       'streaming_threshold_dedup_batch(\n        d.filter(F.col("epoch") == 2), band_c, text_c, _M14B_T\n    )',
