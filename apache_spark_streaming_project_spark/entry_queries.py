@@ -10968,23 +10968,28 @@ def m16_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_c = os.path.join(base, "text_c")
 
     d = _m14b_docs(spark, sf_dir)
-    for i in (0, 1):
+    # same scoped shuffle-partition economics as the streaming drains:
+    # these are 500-doc batches, not corpus-sized exchanges
+    with _stream_shuffle_partitions(spark):
+        for i in (0, 1):
+            streaming_threshold_dedup_batch(
+                d.filter(F.col("epoch") == i), band, text, _M14B_T
+            )
+        n_frag = len(glob.glob(band + "/part-*"))
+        if n_frag < 2:
+            raise RuntimeError(
+                f"maintenance fixture degenerate: band store has {n_frag} "
+                "part files after two appends — nothing to compact"
+            )
+        compact_parquet(spark, band, band_c, 1)
+        compact_parquet(spark, text, text_c, 1)
+        if len(glob.glob(band_c + "/part-*")) != 1:
+            raise RuntimeError(
+                "band-store compaction did not produce 1 file"
+            )
         streaming_threshold_dedup_batch(
-            d.filter(F.col("epoch") == i), band, text, _M14B_T
+            d.filter(F.col("epoch") == 2), band_c, text_c, _M14B_T
         )
-    n_frag = len(glob.glob(band + "/part-*"))
-    if n_frag < 2:
-        raise RuntimeError(
-            f"maintenance fixture degenerate: band store has {n_frag} "
-            "part files after two appends — nothing to compact"
-        )
-    compact_parquet(spark, band, band_c, 1)
-    compact_parquet(spark, text, text_c, 1)
-    if len(glob.glob(band_c + "/part-*")) != 1:
-        raise RuntimeError("band-store compaction did not produce 1 file")
-    streaming_threshold_dedup_batch(
-        d.filter(F.col("epoch") == 2), band_c, text_c, _M14B_T
-    )
     return (
         spark.read.parquet(text_c)
         .filter(F.col("kept"))
