@@ -926,15 +926,11 @@ def x4_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_ctes() -> str:
-    """DuckDB mirror of the frozen-merge BPE encoder
-    (functions/bpe.py): the spaced-string form makes one ranked merge
-    exactly one non-overlapping replace(), so the whole encoder is a
-    nested replace chain over a column reference — staged CTEs because
-    inlining the lambda-bearing spaced expression twice trips a DuckDB
-    internal assertion. Token counts are pure integers, so they sit
-    INSIDE the value hash (the bigram-LM integer-skeleton move, upgraded:
-    here the full kernel is mirrored, not just its count inputs)."""
+def _bpe_chain_parts() -> tuple:
+    """Shared pieces of the DuckDB BPE mirror: the SQL-quote helper, the
+    reserved chars, and the nested replace chain over a ``spaced``
+    column reference (ONE replace per ranked merge — the single place
+    the rank loop exists, so the rank-order mutation stays unique)."""
     from apache_spark_streaming_project_spark.functions.bpe import (
         MARKER,
         SEP,
@@ -944,13 +940,20 @@ def _bpe_oracle_ctes() -> str:
     def q(s: str) -> str:
         return s.replace("'", "''")
 
-    sep2 = SEP + SEP
     chain = "spaced"
     for a, b in load_merges():
         chain = (
             f"replace({chain}, '{q(SEP + a + SEP + SEP + b + SEP)}', "
             f"'{q(SEP + a + b + SEP)}')"
         )
+    return q, SEP, MARKER, SEP + SEP, chain
+
+
+def _bpe_spaced_ctes(source: str) -> str:
+    """w/sp/m CTEs: pre-tokenize ``source``, build the spaced string,
+    apply the merge chain — staged because inlining the lambda-bearing
+    spaced expression twice trips a DuckDB internal assertion."""
+    q, SEP, MARKER, sep2, chain = _bpe_chain_parts()
     return f"""
     w AS (
       SELECT doc_id, lang,
@@ -958,7 +961,7 @@ def _bpe_oracle_ctes() -> str:
                  replace(replace(text, '{q(SEP)}', ''),
                          '{q(MARKER)}', ''))),
                  '\\s+'), x -> x <> '') AS words
-      FROM documents),
+      FROM {source}),
     sp AS (
       SELECT doc_id, lang, coalesce(len(words), 0) AS n_words,
              '{q(sep2)}' || array_to_string(list_transform(words, w ->
@@ -967,7 +970,22 @@ def _bpe_oracle_ctes() -> str:
                  || '{q(sep2)}' || '{q(MARKER)}'), '{q(sep2)}')
                || '{q(sep2)}' AS spaced
       FROM w),
-    m AS (SELECT doc_id, lang, n_words, {chain} AS merged FROM sp),
+    m AS (SELECT doc_id, lang, n_words, {chain} AS merged FROM sp)
+    """
+
+
+def _bpe_oracle_ctes() -> str:
+    """DuckDB mirror of the frozen-merge BPE encoder (functions/bpe.py):
+    the spaced-string form makes one ranked merge exactly one
+    non-overlapping replace(), so the whole encoder is a nested replace
+    chain over a column reference. Token counts are pure integers, so
+    they sit INSIDE the value hash (the bigram-LM integer-skeleton move,
+    upgraded: here the full kernel is mirrored, not just its count
+    inputs)."""
+    q, SEP, _, _, _ = _bpe_chain_parts()
+    return (
+        _bpe_spaced_ctes("documents")
+        + f""",
     bpe AS (
       SELECT doc_id, lang,
              CASE WHEN n_words = 0 THEN 0
@@ -976,6 +994,27 @@ def _bpe_oracle_ctes() -> str:
                             / 2 - 1 AS BIGINT) END AS n_tokens_bpe
       FROM m)
     """
+    )
+
+
+def _bpe_syms_ctes(source: str) -> str:
+    """...plus the exploded symbol stream with 1-based positions — the
+    id-sequence oracle's input."""
+    q, SEP, _, _, _ = _bpe_chain_parts()
+    return (
+        _bpe_spaced_ctes(source)
+        + f""",
+    syms AS (
+      SELECT doc_id,
+             list_filter(string_split(merged, '{q(SEP)}'),
+                         x -> x <> '') AS ss
+      FROM m),
+    ex AS (
+      SELECT doc_id, unnest(ss) AS sym,
+             unnest(range(1, len(ss)+1)) AS pos
+      FROM syms)
+    """
+    )
 
 
 @register(
@@ -1023,6 +1062,73 @@ def x4_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_tokens_bpe", "pack_id")
         .orderBy("lang", "doc_id")
     )
+
+
+def _bpe_vocab_values_sql() -> str:
+    """(id, sym) VALUES rows for the frozen BPE id space — the oracle's
+    twin of functions/bpe.py:load_vocab (same list, same order, id =
+    index)."""
+    from apache_spark_streaming_project_spark.functions.bpe import (
+        load_vocab,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    return ", ".join(
+        f"({i}, '{q(s)}')" for i, s in enumerate(load_vocab())
+    )
+
+
+# OOV plant for x4_bpe_token_ids: 'x' and 'z' are absent from the
+# frozen training character vocabulary, so every symbol containing them
+# must carry id -1 — the contract the OOV mutation flips.
+_BPE_OOV_TEXT = "extra xylophone jazz the"
+
+
+@register(
+    "x4_bpe_token_ids",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT CAST(-2 AS BIGINT), 'en', '{_BPE_OOV_TEXT}'
+    ),
+    {{bpe_syms}}
+    , vocab(id, sym) AS (VALUES {{vocab_rows}})
+    SELECT ex.doc_id, ex.pos,
+           CAST(coalesce(v.id, -1) AS BIGINT) AS token_id
+    FROM ex LEFT JOIN vocab v ON v.sym = ex.sym
+    ORDER BY ex.doc_id, ex.pos
+    """.format(
+        bpe_syms=_bpe_syms_ctes("docs"),
+        vocab_rows=_bpe_vocab_values_sql(),
+    ),
+    "X4",
+)
+def x4_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE ID SEQUENCE of every document (functions/bpe.py:
+    bpe_token_ids): one row per token, stable ids over the frozen vocab
+    (training chars + MARKER + merged symbols in rank order),
+    out-of-vocabulary symbols -1 by contract — exercised by a planted
+    doc whose 'x'/'z' characters are absent from the training alphabet.
+    Every (doc_id, pos, token_id) row is hash-checked: the oracle
+    replays the encoder (the x4_bpe_packing replace chain), splits the
+    merged spaced string back into symbols, and resolves ids against
+    the same VALUES vocab. This is the lookup-table shape an embedding
+    or packing stage consumes; the kernel memoizes the id list per
+    distinct word."""
+    from apache_spark_streaming_project_spark.functions.bpe import (
+        bpe_token_ids,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.range(1).select(
+            F.lit(-2).cast("bigint").alias("doc_id"),
+            F.lit(_BPE_OOV_TEXT).alias("text"),
+        )
+    )
+    return bpe_token_ids(d, "doc_id", "text").orderBy("doc_id", "pos")
 
 
 @register(

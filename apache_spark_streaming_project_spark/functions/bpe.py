@@ -58,6 +58,26 @@ def load_merges(path: str | Path | None = None) -> list[tuple[str, str]]:
     return [(a, b) for a, b in raw]
 
 
+_VOCAB_FIXTURE = Path(__file__).resolve().parent.parent / (
+    "fixtures/bpe_vocab.json"
+)
+
+
+def load_vocab(
+    merges: list[tuple[str, str]] | None = None,
+    path: str | Path | None = None,
+) -> list[str]:
+    """The stable symbol-id space: training-time single characters
+    (sorted), then MARKER, then merged symbols in rank order — id =
+    list index. Characters unseen at training time are OOV by contract
+    (id -1 from :func:`bpe_token_ids`); ids are append-stable under a
+    merge-table EXTENSION, the property an embedding table keyed on
+    them needs."""
+    chars = json.loads(Path(path or _VOCAB_FIXTURE).read_text())["chars"]
+    m = merges if merges is not None else load_merges()
+    return list(chars) + [MARKER] + [a + b for a, b in m]
+
+
 def spaced_word(word: str) -> str:
     """The spaced-string form of one whitespace token (chars + MARKER,
     double-SEP delimited)."""
@@ -156,3 +176,62 @@ def bpe_token_counts(
     ).mapInPandas(
         _count_batches, schema=f"_key {key_field}, n_tokens_bpe long"
     ).select(F.col("_key").alias(key_col), "n_tokens_bpe")
+
+
+def bpe_token_ids(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """``(key, pos, token_id)`` — the full BPE id sequence of every
+    document, exploded one row per token (1-based ``pos`` over the
+    document's whole token stream, end-of-word symbols included like any
+    other token). Out-of-vocabulary symbols (a character unseen at
+    training time blocks every merge that would contain it) map to id
+    -1, the documented OOV contract.
+
+    Same Arrow-batched kernel shape as :func:`bpe_token_counts`, with a
+    per-distinct-word memo of the ID LIST. Emitting rows (not an array
+    column) keeps the output joinable/aggregable without a later
+    posexplode — the shape a packing or embedding-lookup stage consumes.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    frozen = tuple(merges if merges is not None else load_merges())
+    vocab = load_vocab(list(frozen))
+    key_field = df.schema[key_col].dataType.simpleString()
+
+    def _id_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        merge_list = list(frozen)
+        sym_id = {s: i for i, s in enumerate(vocab)}
+
+        @lru_cache(maxsize=1 << 20)
+        def word_ids(w: str) -> tuple[int, ...]:
+            return tuple(
+                sym_id.get(s, -1) for s in encode_word(w, merge_list)
+            )
+
+        for pdf in batches:
+            keys, poss, ids = [], [], []
+            for k, t in zip(pdf["_key"], pdf["_text"]):
+                p = 0
+                for w in words_of(t):
+                    for tid in word_ids(w):
+                        p += 1
+                        keys.append(k)
+                        poss.append(p)
+                        ids.append(tid)
+            yield pd.DataFrame(
+                {"_key": keys, "pos": poss, "token_id": ids}
+            )
+
+    return df.select(
+        F.col(key_col).alias("_key"), F.col(text_col).alias("_text")
+    ).mapInPandas(
+        _id_batches, schema=f"_key {key_field}, pos long, token_id long"
+    ).select(F.col("_key").alias(key_col), "pos", "token_id")

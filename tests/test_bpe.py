@@ -155,3 +155,38 @@ def test_text_level_equals_word_level():
         for w in words
     )
     assert n_text == n_words == bpe_token_count_text(text, MERGES)
+
+
+def test_token_ids_match_reference_and_oov(spark):
+    from apache_spark_streaming_project_spark.functions.bpe import (
+        bpe_token_ids,
+        load_vocab,
+    )
+
+    vocab = load_vocab()
+    sym_id = {s: i for i, s in enumerate(vocab)}
+    # frozen-id stability contract: chars, MARKER, merges in rank order
+    assert vocab[len(vocab) - len(MERGES):] == [a + b for a, b in MERGES]
+    assert "x" not in sym_id and "z" not in sym_id  # OOV chars exist
+
+    texts = [
+        (1, "the quick brown fox"),   # 'x' in fox -> OOV tail
+        (2, "jazz"),                  # 'z' OOV
+        (3, ""),                      # no rows
+        (4, "the the the"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["pos"], r["token_id"])
+        for r in bpe_token_ids(df, "doc_id", "text").collect()
+    )
+    want = []
+    for k, t in texts:
+        p = 0
+        for w in words_of(t):
+            for s in encode_word(w, MERGES):
+                p += 1
+                want.append((k, p, sym_id.get(s, -1)))
+    assert got == sorted(want)
+    assert any(tid == -1 for _, _, tid in got)  # OOV actually exercised
+    assert not [r for r in got if r[0] == 3]    # empty doc -> no rows

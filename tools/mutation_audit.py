@@ -534,6 +534,20 @@ MUTATIONS = [
       "swapped-agg", "MIRROR-side merge RANK ORDER reversed: BPE rank "
       "priority is load-bearing (verified: all 500 doc counts change), "
       "the oracle's replace chain diverges (hash kill)"),
+    M("bpe_oov_zero", "x4_bpe_token_ids",
+      f"{PKG}/functions/bpe.py",
+      'sym_id.get(s, -1)',
+      'sym_id.get(s, 0)',
+      "constant", "OOV contract broken: symbols with characters unseen "
+      "at training time silently take id 0 (a real vocab id) instead "
+      "of -1 — the planted doc's x/z symbols redden the hash"),
+    M("oracle_bpe_vocab_order", "x4_bpe_token_ids",
+      f"{PKG}/entry_queries.py",
+      'enumerate(load_vocab())',
+      'enumerate(reversed(load_vocab()))',
+      "swapped-agg", "MIRROR-side id space reversed: the stable-id "
+      "contract (chars, MARKER, merges in rank order; id = index) is "
+      "load-bearing for any embedding keyed on these ids (hash kill)"),
     M("m17_offset_dropped", "m17_streaming_packing",
       f"{PKG}/operators/text.py",
       '(F.coalesce(F.col("_off"), F.lit(0)) + local_cum - 1)',

@@ -82,8 +82,19 @@ def main() -> None:
         json.dumps([[a, b] for a, b in merges], ensure_ascii=True, indent=0)
         + "\n"
     )
+    # the frozen CHARACTER vocabulary: single-char symbols seen in
+    # training. Together with MARKER and the merged symbols (in rank
+    # order) this defines the stable id space for bpe_token_ids;
+    # characters unseen at training time are OOV (-1) by contract.
+    chars = sorted({c for w in freq for c in w})
+    vocab_out = REPO / (
+        "apache_spark_streaming_project_spark/fixtures/bpe_vocab.json"
+    )
+    vocab_out.write_text(
+        json.dumps({"chars": chars}, ensure_ascii=True) + "\n"
+    )
     print(f"trained {len(merges)} merges from {len(freq)} distinct words "
-          f"-> {out}")
+          f"-> {out}; {len(chars)} chars -> {vocab_out}")
 
 
 if __name__ == "__main__":
