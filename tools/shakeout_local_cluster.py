@@ -100,6 +100,9 @@ def main() -> int:
 
         names = sorted(entry_mod.queries())
         print(f"FULL registry: {len(names)} queries")
+    elif "," in arg or not arg.isdigit():
+        names = arg.split(",")
+        print(f"explicit: {names}")
     else:
         n = int(arg)
         names = top_queries(n)
