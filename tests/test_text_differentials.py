@@ -316,3 +316,48 @@ def test_remove_duplicate_spans_matches_python_reference(
         ).collect()
     }
     assert got == ref_remove_duplicate_spans(docs, n, min_count)
+
+
+# ---------------------------------------------------------------------------
+# dedup_paragraphs
+# ---------------------------------------------------------------------------
+
+
+def ref_dedup_paragraphs(t: str, sep: str = "\n\n") -> str:
+    seen: set[str] = set()
+    out = []
+    for p in t.split(sep):
+        if p not in seen:
+            seen.add(p)
+            out.append(p)
+    return sep.join(out)
+
+
+_PARA = st.sampled_from(
+    ["para one text", "para two", "", " ", "\n", "para one text",
+     "tail.", "  spaced  "]
+)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(st.lists(st.lists(_PARA, max_size=8).map("\n\n".join),
+                min_size=1, max_size=40))
+def test_dedup_paragraphs_matches_python_reference(spark, texts):
+    """Byte-exact first-occurrence paragraph dedup; separator runs
+    produce empty paragraphs which dedup like any value (the '' and
+    single-'\\n' members exercise that edge)."""
+    from apache_spark_streaming_project_spark.operators.text import (
+        dedup_paragraphs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", dedup_paragraphs("text").alias("t")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref_dedup_paragraphs(t), (repr(t), repr(got[i]))
