@@ -104,6 +104,30 @@ def _pin_wave_mtime(wave_dir: str, wave: int) -> None:
             os.utime(fp, (wave_ts, wave_ts))
 
 
+def _drain_waves(spark, in_dir: str, ckpt: str, body, schema) -> None:
+    """The standard wave-drain lifecycle every foreachBatch registration
+    uses: file stream over ``in_dir/wave*`` (one file per micro-batch),
+    ``body(batch_df, batch_id)`` per batch, checkpointed availableNow,
+    scoped shuffle partitions. Factored once (round-12 review: the block
+    was copy-pasted five times; any lifecycle change — a new option, the
+    partition scoping, the mtime-pinning interplay — now edits here)."""
+    import os
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "wave*"))
+    )
+    with _stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(body)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 @contextlib.contextmanager
 def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
     """Scoped shuffle-partition override for the streaming verification
@@ -10653,19 +10677,7 @@ def m13_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         final = batch_df.sparkSession.read.parquet(tmp)
         final.coalesce(1).write.mode("overwrite").parquet(state)
 
-    stream = (
-        spark.readStream.schema(d.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(in_dir, "wave*"))
-    )
-    with _stream_shuffle_partitions(spark):
-        q = (
-            stream.writeStream.foreachBatch(upsert_sketch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drain_waves(spark, in_dir, ckpt, upsert_sketch, d.schema)
 
     stored = spark.read.parquet(state)
     direct = kmv_sketch(
@@ -10804,19 +10816,7 @@ def m14_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # precedent; also the round-11 addPyFile closure lesson)
         streaming_lsh_dedup_batch(batch_df, band_store, corpus_store)
 
-    stream = (
-        spark.readStream.schema(d.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(in_dir, "wave*"))
-    )
-    with _stream_shuffle_partitions(spark):
-        q = (
-            stream.writeStream.foreachBatch(dedup_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drain_waves(spark, in_dir, ckpt, dedup_batch, d.schema)
 
     return (
         spark.read.parquet(corpus_store)
@@ -11008,19 +11008,7 @@ def m14b_streaming_threshold_dedup(
             batch_df, band_store, text_store, _M14B_T
         )
 
-    stream = (
-        spark.readStream.schema(d.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(in_dir, "wave*"))
-    )
-    with _stream_shuffle_partitions(spark):
-        q = (
-            stream.writeStream.foreachBatch(dedup_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drain_waves(spark, in_dir, ckpt, dedup_batch, d.schema)
 
     return (
         spark.read.parquet(text_store)
@@ -11165,19 +11153,7 @@ def m17_streaming_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         withc = batch_df.select("doc_id", "lang").join(counts, "doc_id")
         streaming_pack_publish(withc, sink, batch_id, 256)
 
-    stream = (
-        spark.readStream.schema(d.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(in_dir, "wave*"))
-    )
-    with _stream_shuffle_partitions(spark):
-        q = (
-            stream.writeStream.foreachBatch(pack_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drain_waves(spark, in_dir, ckpt, pack_batch, d.schema)
 
     return (
         spark.read.parquet(sink)
@@ -11523,19 +11499,7 @@ def m15_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tests/test_streaming_dsir.py replays the PRODUCTION body
         dsir_publish_scored_batch(batch_df, lam_dir, sink, batch_id)
 
-    stream = (
-        spark.readStream.schema(cands.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(in_dir, "wave*"))
-    )
-    with _stream_shuffle_partitions(spark):
-        q = (
-            stream.writeStream.foreachBatch(score_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    _drain_waves(spark, in_dir, ckpt, score_batch, cands.schema)
 
     # epoch comes from the DISCOVERED batch partition column — the
     # directory the row was actually published into. The oracle expects

@@ -109,14 +109,35 @@ def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return [s for s in out.split(SEP) if s]
 
 
+_WS_RE = None  # compiled lazily so the module imports without re cost
+
+
 def words_of(text: str) -> list[str]:
-    """The module's pre-tokenization: reserved chars stripped, then
-    whitespace tokens of lower(trim(text)) — the repo's standard token
-    rule (operators/text.py)."""
+    """The module's pre-tokenization: reserved chars stripped, lowercase,
+    then tokens split on the EXPLICIT ASCII whitespace class
+    ``[ \\t\\n\\f\\r]+`` — the repo's WS_PATTERN (operators/text.py), and
+    measured identical to DuckDB's RE2 ``\\s`` (which excludes \\x0b and
+    all Unicode spaces). NOT Python ``str.split()``: that splits on
+    \\xa0/U+2028/U+3000 etc. and would silently diverge from every SQL
+    mirror on any Latin-1 text (round-12 self-review finding — the
+    winnow class, caught before it shipped a round).
+
+    Pinned residual caveat: ``str.lower()`` is Unicode FULL lowercasing
+    (context-aware final sigma, dotted-İ decomposition) while DuckDB's
+    ``lower()`` is simple per-codepoint mapping — measured divergent on
+    'İ' and word-final 'Σ'. The operator contract covers simple-case
+    text (run normalize_unicode first for exotic scripts); the
+    divergence is test-documented, the same move as the ln
+    non-bit-stability note."""
+    global _WS_RE
     if not isinstance(text, str):
         return []
+    if _WS_RE is None:
+        import re
+
+        _WS_RE = re.compile(r"[ \t\n\f\r]+")
     t = text.replace(SEP, "").replace(MARKER, "")
-    return [w for w in t.strip().lower().split() if w]
+    return [w for w in _WS_RE.split(t.lower()) if w]
 
 
 def bpe_token_count_text(text: str, merges: list[tuple[str, str]]) -> int:

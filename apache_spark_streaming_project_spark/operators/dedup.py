@@ -1397,7 +1397,9 @@ def streaming_lsh_dedup_batch(
         .filter(shingle_sets_equal(F.col("_sa"), F.col("_sb")))
         .select("doc_id")
         .distinct()
-    )
+    ).persist()  # feeds BOTH store appends: without this the whole
+    # candidate+verify pipeline (incl. the corpus-store re-read and
+    # shingling) runs twice per micro-batch (round-12 review finding)
     kept = b.join(dropped, "doc_id", "left_anti")
     kept.write.mode("append").parquet(corpus_store)
     bands.join(dropped, "doc_id", "left_anti").select(
@@ -1406,6 +1408,7 @@ def streaming_lsh_dedup_batch(
         F.col("epoch").alias("rep_epoch"),
         F.col("doc_id").alias("rep_doc_id"),
     ).write.mode("append").parquet(band_store)
+    dropped.unpersist()
     bands.unpersist()
 
 

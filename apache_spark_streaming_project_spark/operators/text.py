@@ -204,6 +204,7 @@ def streaming_pack_publish(
 
     ss = batch_df.sparkSession
     b = batch_df.select(group_col, order_col, token_col)
+    group_type = b.schema[group_col].dataType.simpleString()
     if os.path.isdir(sink_dir):
         prior = ss.read.parquet(sink_dir).filter(
             F.col("batch") < F.lit(int(batch_id))
@@ -212,15 +213,25 @@ def streaming_pack_publish(
             F.sum(token_col).alias("_off")
         )
     else:
-        offsets = ss.createDataFrame([], f"{group_col} string, _off long")
+        # schema derived from the batch, not hardcoded: a bigint shard
+        # key must not meet a string-typed empty frame (implicit casts)
+        offsets = ss.createDataFrame(
+            [], f"{group_col} {group_type}, _off long"
+        )
     w = (
         Window.partitionBy(group_col)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local_cum = F.sum(F.coalesce(F.col(token_col), F.lit(0))).over(w)
+    # null-safe equality: partitionBy (and the oracle's PARTITION BY)
+    # treat NULL as one continuing group, but a plain equi-join drops
+    # the NULL-group offset row — its fill would silently restart at 0
+    # every batch (round-12 self-review finding)
+    off = F.broadcast(offsets).withColumnRenamed(group_col, "_grp")
     out = (
-        b.join(F.broadcast(offsets), group_col, "left")
+        b.join(off, F.col(group_col).eqNullSafe(F.col("_grp")), "left")
+        .drop("_grp")
         .withColumn(
             "pack_id",
             F.greatest(

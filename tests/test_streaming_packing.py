@@ -69,3 +69,38 @@ def test_replay_is_idempotent(spark, tmp_path):
     assert _sink_rows(spark, sink) == before
     streaming_pack_publish(_batch(spark, {0, 1, 2}), sink, 0, 256)
     assert _sink_rows(spark, sink) == before
+
+
+def test_null_group_and_nonstring_group(spark, tmp_path):
+    """Round-12 review finds: (a) NULL group values are ONE continuing
+    group across batches (null-safe offsets join — a plain equi-join
+    restarts their fill every batch); (b) a non-string group column must
+    work on the very first batch (offsets schema derives from the
+    batch)."""
+    sink = str(tmp_path / "s1")
+    b1 = spark.createDataFrame(
+        [(None, 0, 200), ("en", 1, 200)],
+        "lang string, doc_id long, n_tokens_bpe long",
+    )
+    b2 = spark.createDataFrame(
+        [(None, 2, 200), ("en", 3, 200)],
+        "lang string, doc_id long, n_tokens_bpe long",
+    )
+    streaming_pack_publish(b1, sink, 0, 256)
+    streaming_pack_publish(b2, sink, 1, 256)
+    got = {
+        (r["lang"], r["doc_id"]): r["pack_id"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    # second-batch rows continue the fill: 200+200=400 -> pack 1
+    assert got[(None, 0)] == 0 and got[(None, 2)] == 1
+    assert got[("en", 1)] == 0 and got[("en", 3)] == 1
+
+    sink2 = str(tmp_path / "s2")
+    big = spark.createDataFrame(
+        [(7, 0, 300), (8, 1, 100)],
+        "shard bigint, doc_id long, n_tokens_bpe long",
+    )
+    streaming_pack_publish(big, sink2, 0, 256, group_col="shard")
+    rows = spark.read.parquet(sink2).collect()
+    assert {r["shard"] for r in rows} == {7, 8}

@@ -122,6 +122,10 @@ def probe_m14(spark, sf_dir: str, name: str) -> dict:
     ts, want = _timed(lambda: _rows(QUERIES[name].fn(spark, sf_dir)))
 
     def batch_run():
+        from apache_spark_streaming_project_spark.entry_queries import (
+            _stream_shuffle_partitions,
+        )
+
         base = tempfile.mkdtemp(prefix=f"tax_{name}_")
         in_dir = os.path.join(base, "in")
         band_store = os.path.join(base, "band_store")
@@ -130,15 +134,19 @@ def probe_m14(spark, sf_dir: str, name: str) -> dict:
             d = _m14_docs(spark, sf_dir)
         else:
             d = _m14b_docs(spark, sf_dir)
-        _write_epoch_waves(d, in_dir)
-        for i in range(3):
-            b = spark.read.parquet(os.path.join(in_dir, f"wave{i}"))
-            if name == "m14_streaming_lsh_dedup":
-                streaming_lsh_dedup_batch(b, band_store, doc_store)
-            else:
-                streaming_threshold_dedup_batch(
-                    b, band_store, doc_store, _M14B_T
-                )
+        # SAME scoped shuffle-partition setting as the streaming drain:
+        # without this the "tax" conflates lifecycle overhead with a
+        # 32-vs-8 partition-count config delta (round-12 review finding)
+        with _stream_shuffle_partitions(spark):
+            _write_epoch_waves(d, in_dir)
+            for i in range(3):
+                b = spark.read.parquet(os.path.join(in_dir, f"wave{i}"))
+                if name == "m14_streaming_lsh_dedup":
+                    streaming_lsh_dedup_batch(b, band_store, doc_store)
+                else:
+                    streaming_threshold_dedup_batch(
+                        b, band_store, doc_store, _M14B_T
+                    )
         out = spark.read.parquet(doc_store)
         if name != "m14_streaming_lsh_dedup":
             out = out.filter(F.col("kept"))
@@ -169,6 +177,10 @@ def probe_m15(spark, sf_dir: str) -> dict:
     ts, want = _timed(lambda: _rows(QUERIES[name].fn(spark, sf_dir)))
 
     def batch_run():
+        from apache_spark_streaming_project_spark.entry_queries import (
+            _stream_shuffle_partitions,
+        )
+
         base = tempfile.mkdtemp(prefix="tax_m15_")
         lam_dir = os.path.join(base, "lam")
         sink = os.path.join(base, "sink")
@@ -179,10 +191,14 @@ def probe_m15(spark, sf_dir: str) -> dict:
         cands = d.filter(F.col("lang") != F.lit("en")).select(
             "doc_id", "text"
         )
-        for i in range(3):
-            dsir_publish_scored_batch(
-                cands.filter(F.col("doc_id") % 3 == i), lam_dir, sink, i
-            )
+        # same shuffle-partition scope as the streaming side (see
+        # probe_m14) — the registered m15 scores inside the drain's
+        # scoped setting
+        with _stream_shuffle_partitions(spark):
+            for i in range(3):
+                dsir_publish_scored_batch(
+                    cands.filter(F.col("doc_id") % 3 == i), lam_dir, sink, i
+                )
         return _rows(
             spark.read.parquet(sink)
             .select(
