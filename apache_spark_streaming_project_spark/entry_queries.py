@@ -11162,6 +11162,133 @@ def m17_streaming_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# m18 plants: a train/eval pair sharing EXACTLY ONE 8-gram, so the
+# kept boundary (n_contaminated == 0) is a crisp single-gram edge — the
+# natural corpus has 6 contaminated train docs but none at exactly one
+# hit. Disjoint vocabulary from every other plant family.
+_M18_EVAL_PLANT = (
+    "decona deconb deconc decond decone deconf decong deconh deconz"
+)
+_M18_TRAIN_PLANT = (
+    "decona deconb deconc decond decone deconf decong deconh tailx taily"
+)
+
+
+@register(
+    "m18_streaming_decontamination",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, doc_id % 3 AS epoch, doc_id % 10 < 8 AS is_train,
+             text
+      FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES
+        (CAST(-4 AS BIGINT), CAST(0 AS BIGINT), FALSE,
+         '{_M18_EVAL_PLANT}'),
+        (-3, 1, TRUE, '{_M18_TRAIN_PLANT}')
+      ) AS plants(doc_id, epoch, is_train, text)
+    ),
+    s AS (
+      SELECT doc_id, epoch, is_train,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 7, 0) + 1),
+               i -> array_to_string(t[i:i+7], ' '))) AS grams
+      FROM (SELECT doc_id, epoch, is_train,
+                   list_filter(string_split_regex(trim(lower(text)),
+                                                  '\\s+'),
+                               x -> x <> '') AS t
+            FROM docs)
+    ),
+    bench AS (SELECT DISTINCT unnest(grams) AS gram FROM s
+              WHERE NOT is_train),
+    ev AS (SELECT doc_id, unnest(grams) AS gram FROM s WHERE is_train),
+    hits AS (
+      SELECT e.doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contaminated
+      FROM ev e LEFT JOIN bench b USING (gram)
+      GROUP BY e.doc_id
+    )
+    SELECT s.doc_id, CAST(s.epoch AS BIGINT) AS epoch,
+           CAST(COALESCE(h.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_contaminated, 0) AS BIGINT)
+             AS n_contaminated,
+           COALESCE(h.n_contaminated, 0) = 0 AS kept
+    FROM s LEFT JOIN hits h USING (doc_id)
+    WHERE s.is_train
+    ORDER BY s.doc_id
+    """,
+    "S6",
+    "X10",
+)
+def m18_streaming_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING decontamination (S6 x X10): the benchmark-leakage gate
+    run WHILE the training corpus is assembled, not as a batch pass
+    afterwards. The benchmark gram table (distinct word 8-grams of the
+    held-out split, doc_id % 10 >= 8 — eval suites are small, so this is
+    broadcast-sized by nature) is precomputed ONCE as a static parquet;
+    each arriving micro-batch of training docs is scored against it
+    (operators/dedup.py:streaming_decontaminate_batch — map-side
+    shingles, broadcast membership probe, batch-keyed idempotent
+    publish) and every doc's (n_grams, n_contaminated, kept) row is
+    hash-checked against the batch formulation. Stateless per batch —
+    the static-reference-set twin of m11's stream-static join, closing
+    the X10 battery's streaming form.
+
+    Plants: a train/eval pair sharing EXACTLY ONE 8-gram (the train
+    plant's first 8 tokens; its other two grams stray off the eval
+    plant's tail), so kept flips on a single-gram edge — the
+    kept-boundary and gram-length mutations redden on it while the 6
+    naturally contaminated train docs pin the bulk path."""
+    import os
+
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        streaming_decontaminate_batch,
+        word_shingles,
+    )
+
+    base = _scratch_dir("m18_decon_")
+    in_dir = os.path.join(base, "in")
+    bench_dir = os.path.join(base, "bench")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 3).alias("epoch"),
+        (F.col("doc_id") % 10 < 8).alias("is_train"),
+        "text",
+    )
+    plants = spark.createDataFrame(
+        [
+            (-4, 0, False, _M18_EVAL_PLANT),
+            (-3, 1, True, _M18_TRAIN_PLANT),
+        ],
+        "doc_id long, epoch long, is_train boolean, text string",
+    )
+    d = d.unionByName(plants)
+    # the static benchmark gram table, built once before the stream
+    d.filter(~F.col("is_train")).select(
+        F.explode(word_shingles("text", 8)).alias("gram")
+    ).distinct().coalesce(1).write.mode("overwrite").parquet(bench_dir)
+
+    train = d.filter(F.col("is_train")).select("doc_id", "epoch", "text")
+    _write_epoch_waves(train, in_dir)
+
+    def decon_batch(batch_df, batch_id):
+        streaming_decontaminate_batch(batch_df, bench_dir, sink, batch_id)
+
+    _drain_waves(spark, in_dir, ckpt, decon_batch, train.schema)
+
+    return (
+        spark.read.parquet(sink)
+        .select("doc_id", "epoch", "n_grams", "n_contaminated", "kept")
+        .orderBy("doc_id")
+    )
+
+
 # DSIR shared oracle core: hashed-gram explosion, the two corpus counts,
 # the smoothed per-bucket likelihood ratio, and the per-candidate-doc
 # aggregation with the position-ordered double fold. The ratio column is

@@ -1501,3 +1501,48 @@ def streaming_threshold_dedup_batch(
     batch_reps.write.mode("append").parquet(band_store)
     cand.unpersist()
     batch_bands.unpersist()
+
+
+def streaming_decontaminate_batch(
+    batch_df,
+    bench_grams_dir: str,
+    sink_dir: str,
+    batch_id: int,
+    n: int = 8,
+) -> None:
+    """m18 per-batch body, importable for production-body replay: score
+    every arriving training document against a STATIC benchmark gram
+    table (the decontamination gate run while the corpus is assembled,
+    instead of as a batch pass afterwards). Emits one row per doc —
+    ``(doc_id, epoch, n_grams, n_contaminated, kept)`` — via the
+    idempotent batch-keyed overwrite publish (the m15/m17 seam).
+
+    Scale shape: shingling is map-only; the benchmark gram table is
+    SMALL by nature (eval suites, not corpora) so the membership probe
+    is a broadcast join — no shuffle of the stream; the per-doc rollup
+    shuffles batch keys only. Exact gram strings here for oracle parity;
+    ``cross_split_contamination(hash_grams=True)`` documents the 8-byte
+    key trade for corpus-scale runs."""
+    import os
+
+    ss = batch_df.sparkSession
+    bench = ss.read.parquet(bench_grams_dir).withColumn("_hit", F.lit(1))
+    g = batch_df.select(
+        "doc_id",
+        "epoch",
+        F.explode_outer(word_shingles("text", n)).alias("gram"),
+    )
+    out = (
+        g.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id", "epoch")
+        .agg(
+            F.count("gram").cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+        .withColumn("kept", F.col("n_contaminated") == F.lit(0))
+    )
+    out.write.mode("overwrite").parquet(
+        os.path.join(sink_dir, f"batch={int(batch_id)}")
+    )

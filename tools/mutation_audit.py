@@ -534,6 +534,27 @@ MUTATIONS = [
       "swapped-agg", "MIRROR-side merge RANK ORDER reversed: BPE rank "
       "priority is load-bearing (verified: all 500 doc counts change), "
       "the oracle's replace chain diverges (hash kill)"),
+    M("m18_gram_length", "m18_streaming_decontamination",
+      f"{PKG}/operators/dedup.py",
+      'F.explode_outer(word_shingles("text", n)).alias("gram")',
+      'F.explode_outer(word_shingles("text", n - 1)).alias("gram")',
+      "off-by-one", "benchmark grams are 8-token but the stream is "
+      "shingled at 7: gram counts and membership shift corpus-wide "
+      "(hash kill; n_grams/n_contaminated are inside the hash)"),
+    M("m18_kept_boundary", "m18_streaming_decontamination",
+      f"{PKG}/operators/dedup.py",
+      'F.col("n_contaminated") == F.lit(0)',
+      'F.col("n_contaminated") <= F.lit(1)',
+      "boundary", "single-hit docs wrongly kept: the planted train doc "
+      "sharing EXACTLY ONE 8-gram with the eval plant flips kept "
+      "(hash kill on a designed single-gram edge)"),
+    M("oracle_m18_kept_boundary", "m18_streaming_decontamination",
+      f"{PKG}/entry_queries.py",
+      'COALESCE(h.n_contaminated, 0) = 0 AS kept',
+      'COALESCE(h.n_contaminated, 0) <= 1 AS kept',
+      "boundary", "MIRROR-side kept boundary: the oracle keeps the "
+      "exactly-one-hit plant the engine drops (the m18 mirror-family "
+      "oracle-side kill)"),
     M("bpe_oov_zero", "x4_bpe_token_ids",
       f"{PKG}/functions/bpe.py",
       'sym_id.get(s, -1)',
