@@ -11269,10 +11269,13 @@ def m18_streaming_decontamination(
         "doc_id long, epoch long, is_train boolean, text string",
     )
     d = d.unionByName(plants)
-    # the static benchmark gram table, built once before the stream
-    d.filter(~F.col("is_train")).select(
-        F.explode(word_shingles("text", 8)).alias("gram")
-    ).distinct().coalesce(1).write.mode("overwrite").parquet(bench_dir)
+    # the static benchmark gram table, built once before the stream —
+    # scoped shuffle partitions: the gram distinct is benchmark-sized,
+    # not corpus-sized (the fixture-economics rule the drains use)
+    with _stream_shuffle_partitions(spark):
+        d.filter(~F.col("is_train")).select(
+            F.explode(word_shingles("text", 8)).alias("gram")
+        ).distinct().coalesce(1).write.mode("overwrite").parquet(bench_dir)
 
     train = d.filter(F.col("is_train")).select("doc_id", "epoch", "text")
     _write_epoch_waves(train, in_dir)
