@@ -96,12 +96,28 @@ def _pin_wave_mtime(wave_dir: str, wave: int) -> None:
     writes can share a tick, so any registration whose oracle depends on
     wave DRAIN order (m14/m14b keep-first arrival, m15 epoch routing)
     must pin the order explicitly rather than ride on write latency
-    (round-12 ADVICE)."""
-    wave_ts = 1_600_000_000.0 + 60.0 * wave
-    for fn in os.listdir(wave_dir):
-        fp = os.path.join(wave_dir, fn)
-        if os.path.isfile(fp):
-            os.utime(fp, (wave_ts, wave_ts))
+    (round-12 ADVICE).
+
+    The base is the wave's own just-written max mtime (i.e. "now"), NOT
+    a fixed past epoch: FileStreamSource silently ignores files older
+    than the newest-seen mtime minus ``maxFileAge`` (default 7 days), so
+    a fixed 2020 pin would be dropped the moment any registration mixed
+    pinned waves with a freshly-written file under the same glob
+    (round-13 close of round-12 ADVICE item 4). ``+60*(wave+1)`` keeps
+    the strictly-increasing per-wave offsets: later waves are written
+    later (equal-or-larger base) and carry a strictly larger wave term,
+    so ordering holds even when a coarse-mtime filesystem gives several
+    waves the same base tick."""
+    files = [
+        os.path.join(wave_dir, fn)
+        for fn in os.listdir(wave_dir)
+        if os.path.isfile(os.path.join(wave_dir, fn))
+    ]
+    if not files:
+        return
+    wave_ts = max(os.path.getmtime(fp) for fp in files) + 60.0 * (wave + 1)
+    for fp in files:
+        os.utime(fp, (wave_ts, wave_ts))
 
 
 def _drain_waves(spark, in_dir: str, ckpt: str, body, schema) -> None:
@@ -10767,9 +10783,14 @@ def m14_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-set equality against the persisted kept-corpus texts
     (shingle_sets_equal — re-crawled/reformatted exact copies, the
     case/whitespace-insensitive identity), drops verified duplicates,
-    and appends the survivors' rows + band rows to the two stores
-    (append-only two-phase publish: new files only, never
-    read-and-overwrite — the upsert.py seam rule).
+    and publishes the survivors' rows + band rows to the two stores via
+    the idempotent batch-keyed overwrite (each micro-batch owns a
+    ``batch-<id>/`` subdirectory: new files only, never
+    read-and-overwrite of live data — the upsert.py seam rule — and an
+    at-least-once foreachBatch retry republishes identical content
+    instead of double-appending; round-13 close of the round-12 ADVICE
+    medium item, pinned by tests/test_store_compaction.py::
+    test_streaming_dedup_replay_is_idempotent).
 
     Determinism/oracle story: the drop rule is exact set equality, so
     LSH is pure ACCELERATION — equal shingle sets give equal signatures
@@ -10814,12 +10835,13 @@ def m14_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (operators/dedup.py) so tests and the streaming-tax probe
         # replay EXACTLY this code path (the dsir_publish_scored_batch
         # precedent; also the round-11 addPyFile closure lesson)
-        streaming_lsh_dedup_batch(batch_df, band_store, corpus_store)
+        streaming_lsh_dedup_batch(batch_df, band_store, corpus_store, batch_id)
 
     _drain_waves(spark, in_dir, ckpt, dedup_batch, d.schema)
 
     return (
-        spark.read.parquet(corpus_store)
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(corpus_store)
         .select("doc_id", F.col("epoch").cast("bigint").alias("epoch"))
         .orderBy("doc_id")
     )
@@ -10893,6 +10915,18 @@ def _write_epoch_waves(d: DataFrame, in_dir: str) -> None:
 # pairwise keep-first threshold dedup is the FULL ground truth both must
 # reproduce — m16 additionally compacts the stores mid-run, and hashing
 # against the SAME oracle proves maintenance is semantically transparent.
+#
+# RECALL DEPENDENCY (round-12 ADVICE item 2): this oracle is exact
+# all-pairs Jaccard, but the engine verifies only LSH band-colliding
+# candidates (32 hashes / 8 bands). Any J>=0.5 pair that misses all 8
+# bands would make the engine keep a doc the oracle drops — the hash is
+# green only while LSH recall holds at this operating point (corpus-wide
+# recall is separately proven by x_minhash_verified_pairs, and the
+# threshold-edge plants band-collide by construction). A fixture change
+# that breaks recall fails with a named diagnosis in
+# tests/test_streaming_lsh_dedup.py::
+# test_m14b_end_to_end_matches_python_ground_truth ("LSH RECALL BREAK"),
+# not as a bare hash mismatch here.
 _M14B_ORACLE_SQL = f"""
     WITH docs AS (
       SELECT doc_id, doc_id % 3 AS epoch,
@@ -11005,13 +11039,14 @@ def m14b_streaming_threshold_dedup(
         # (operators/dedup.py): tests and the streaming-tax probe replay
         # EXACTLY this code path
         streaming_threshold_dedup_batch(
-            batch_df, band_store, text_store, _M14B_T
+            batch_df, band_store, text_store, _M14B_T, batch_id
         )
 
     _drain_waves(spark, in_dir, ckpt, dedup_batch, d.schema)
 
     return (
-        spark.read.parquet(text_store)
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(text_store)
         .filter(F.col("kept"))
         .select("doc_id", F.col("epoch").cast("bigint").alias("epoch"))
         .orderBy("doc_id")
@@ -11067,25 +11102,26 @@ def m16_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_shuffle_partitions(spark):
         for i in (0, 1):
             streaming_threshold_dedup_batch(
-                d.filter(F.col("epoch") == i), band, text, _M14B_T
+                d.filter(F.col("epoch") == i), band, text, _M14B_T, i
             )
-        n_frag = len(glob.glob(band + "/part-*"))
+        n_frag = len(glob.glob(band + "/**/part-*", recursive=True))
         if n_frag < 2:
             raise RuntimeError(
                 f"maintenance fixture degenerate: band store has {n_frag} "
-                "part files after two appends — nothing to compact"
+                "part files after two publishes — nothing to compact"
             )
-        compact_parquet(spark, band, band_c, 1)
-        compact_parquet(spark, text, text_c, 1)
+        compact_parquet(spark, band, band_c, 1, recursive=True)
+        compact_parquet(spark, text, text_c, 1, recursive=True)
         if len(glob.glob(band_c + "/part-*")) != 1:
             raise RuntimeError(
                 "band-store compaction did not produce 1 file"
             )
         streaming_threshold_dedup_batch(
-            d.filter(F.col("epoch") == 2), band_c, text_c, _M14B_T
+            d.filter(F.col("epoch") == 2), band_c, text_c, _M14B_T, 2
         )
     return (
-        spark.read.parquet(text_c)
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(text_c)
         .filter(F.col("kept"))
         .select("doc_id", F.col("epoch").cast("bigint").alias("epoch"))
         .orderBy("doc_id")

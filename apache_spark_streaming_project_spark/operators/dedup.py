@@ -320,9 +320,19 @@ def word_shingles(c: Column | str, n: int = 3) -> Column:
     array trick) before the sliding-window transform. Inlining the
     split/filter expression directly into the window lambda makes Spark
     re-evaluate the full tokenization per shingle position — O(tokens^2)
-    per document (measured ~5x slower on 5k real docs)."""
+    per document (measured ~5x slower on 5k real docs).
+
+    Splits on the explicit ASCII class ``text.WS_PATTERN``, not Java
+    ``\\s`` — Java's class includes ``\\x0B`` (vertical tab) while the
+    RE2 ``\\s`` every DuckDB mirror tokenizes with does not, so ``\\s``
+    here was a latent cross-engine divergence (round-12 ADVICE; the same
+    class ``functions/bpe.py:words_of`` closed explicitly). Pinned by
+    tests/test_dedup.py::test_word_shingles_vertical_tab_matches_duckdb.
+    """
+    from apache_spark_streaming_project_spark.operators.text import WS_PATTERN
+
     c = F.col(c) if isinstance(c, str) else c
-    toks_expr = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+    toks_expr = F.filter(F.split(F.lower(F.trim(c)), WS_PATTERN), lambda t: t != "")
 
     def windows(toks: Column) -> Column:
         k = F.size(toks) - (n - 1)
@@ -1331,15 +1341,43 @@ def embedding_near_dups(
 # a pickled closure).
 
 
+def _read_store(ss, store: str, schema: str):
+    """Read a batch-keyed dedup store (see ``_publish_store_batch``):
+    ``recursiveFileLookup`` picks up every ``batch-<id>/`` subdirectory
+    (and, after compaction, flat part files at the root — mixed layouts
+    are fine because recursive lookup disables partition inference).
+    Falls back to an empty frame before the first publish."""
+    import os
+
+    if os.path.isdir(store):
+        return ss.read.option("recursiveFileLookup", "true").parquet(store)
+    return ss.createDataFrame([], schema)
+
+
+def _publish_store_batch(df, store: str, batch_id: int) -> None:
+    """Idempotent batch-keyed publish for the corpus-lifetime dedup
+    stores: each micro-batch OVERWRITES its own ``batch-<id>/``
+    subdirectory, so an at-least-once foreachBatch retry republishes
+    identical content instead of double-appending (round-12 ADVICE
+    medium item; the m15/m17/m18 seam, here with a plain ``batch-``
+    prefix rather than hive ``batch=`` so a compacted store — flat part
+    files at the root — can keep taking batch publishes under one
+    recursive-lookup read)."""
+    import os
+
+    df.write.mode("overwrite").parquet(
+        os.path.join(store, f"batch-{int(batch_id)}")
+    )
+
+
 def streaming_lsh_dedup_batch(
-    batch_df, band_store: str, corpus_store: str
+    batch_df, band_store: str, corpus_store: str, batch_id: int
 ) -> None:
     """m14 per-batch body: EXACT (shingle-set equality) streaming dedup
     against a persisted band index. See m14_streaming_lsh_dedup
     (entry_queries.py) for the full semantics/scale story; kept-only
-    rows are appended to both stores."""
-    import os
-
+    rows are published to both stores via the idempotent batch-keyed
+    overwrite (``_publish_store_batch``)."""
     ss = batch_df.sparkSession
     b = batch_df.select("doc_id", "epoch", "text")
     sig = minhash_signatures_df(b, "doc_id", "text", 32, 3)
@@ -1352,12 +1390,11 @@ def streaming_lsh_dedup_batch(
         .select(F.col("_key").alias("doc_id"), "band", "band_hash")
         .join(b.select("doc_id", "epoch"), "doc_id")
     ).persist()
-    if os.path.isdir(band_store):
-        prior = ss.read.parquet(band_store)
-    else:
-        prior = ss.createDataFrame(
-            [], "band int, band_hash long, rep_epoch long, rep_doc_id long"
-        )
+    prior = _read_store(
+        ss,
+        band_store,
+        "band int, band_hash long, rep_epoch long, rep_doc_id long",
+    ).select("band", "band_hash", "rep_epoch", "rep_doc_id")
     self_reps = bands.select(
         "band",
         "band_hash",
@@ -1377,10 +1414,9 @@ def streaming_lsh_dedup_batch(
         .select("doc_id", "rep_doc_id")
         .distinct()
     )
-    if os.path.isdir(corpus_store):
-        kept_corpus = ss.read.parquet(corpus_store).select("doc_id", "text")
-    else:
-        kept_corpus = ss.createDataFrame([], "doc_id long, text string")
+    kept_corpus = _read_store(
+        ss, corpus_store, "doc_id long, text string"
+    ).select("doc_id", "text")
     rep_texts = kept_corpus.unionByName(b.select("doc_id", "text"))
     dropped = (
         cand.join(
@@ -1401,26 +1437,30 @@ def streaming_lsh_dedup_batch(
     # candidate+verify pipeline (incl. the corpus-store re-read and
     # shingling) runs twice per micro-batch (round-12 review finding)
     kept = b.join(dropped, "doc_id", "left_anti")
-    kept.write.mode("append").parquet(corpus_store)
-    bands.join(dropped, "doc_id", "left_anti").select(
-        "band",
-        "band_hash",
-        F.col("epoch").alias("rep_epoch"),
-        F.col("doc_id").alias("rep_doc_id"),
-    ).write.mode("append").parquet(band_store)
+    _publish_store_batch(kept, corpus_store, batch_id)
+    _publish_store_batch(
+        bands.join(dropped, "doc_id", "left_anti").select(
+            "band",
+            "band_hash",
+            F.col("epoch").alias("rep_epoch"),
+            F.col("doc_id").alias("rep_doc_id"),
+        ),
+        band_store,
+        batch_id,
+    )
     dropped.unpersist()
     bands.unpersist()
 
 
 def streaming_threshold_dedup_batch(
-    batch_df, band_store: str, text_store: str, threshold: float
+    batch_df, band_store: str, text_store: str, threshold: float,
+    batch_id: int,
 ) -> None:
     """m14b per-batch body: THRESHOLD (exact word-3-gram Jaccard >= t)
     streaming dedup under the pairwise keep-first rule. Both stores index
-    EVERY arrival (kept flag on the text store); see
+    EVERY arrival (kept flag on the text store), published via the
+    idempotent batch-keyed overwrite (``_publish_store_batch``); see
     m14b_streaming_threshold_dedup (entry_queries.py)."""
-    import os
-
     ss = batch_df.sparkSession
     b = batch_df.select("doc_id", "epoch", "text")
     sig = minhash_signatures_df(b, "doc_id", "text", 32, 3)
@@ -1431,12 +1471,11 @@ def streaming_threshold_dedup_batch(
         .select(F.col("_key").alias("doc_id"), "band", "band_hash")
         .join(b.select("doc_id", "epoch"), "doc_id")
     ).persist()
-    if os.path.isdir(band_store):
-        prior_rows = ss.read.parquet(band_store)
-    else:
-        prior_rows = ss.createDataFrame(
-            [], "band int, band_hash long, rep_epoch long, rep_doc_id long"
-        )
+    prior_rows = _read_store(
+        ss,
+        band_store,
+        "band int, band_hash long, rep_epoch long, rep_doc_id long",
+    ).select("band", "band_hash", "rep_epoch", "rep_doc_id")
     batch_reps = batch_bands.select(
         "band",
         "band_hash",
@@ -1456,10 +1495,9 @@ def streaming_threshold_dedup_batch(
         .select("doc_id", "rep_doc_id")
         .distinct()
     ).persist()  # feeds the reps semi-join AND the verify join
-    if os.path.isdir(text_store):
-        earlier_texts = ss.read.parquet(text_store).select("doc_id", "text")
-    else:
-        earlier_texts = ss.createDataFrame([], "doc_id long, text string")
+    earlier_texts = _read_store(
+        ss, text_store, "doc_id long, text string"
+    ).select("doc_id", "text")
     all_texts = earlier_texts.unionByName(b.select("doc_id", "text"))
     # verify reads ONLY matched reps' texts: semi-join narrows the store
     # BEFORE the shingle projection — O(candidate reps), never O(corpus)
@@ -1493,12 +1531,18 @@ def streaming_threshold_dedup_batch(
     flagged = b.join(
         dropped.withColumn("_dropped", F.lit(True)), "doc_id", "left"
     )
-    # the pair rule indexes EVERY arrival: both stores append the whole
-    # batch (kept flag on the text store), append-only two-phase publish
-    flagged.withColumn("kept", F.col("_dropped").isNull()).drop(
-        "_dropped"
-    ).write.mode("append").parquet(text_store)
-    batch_reps.write.mode("append").parquet(band_store)
+    # the pair rule indexes EVERY arrival: both stores publish the whole
+    # batch (kept flag on the text store) into their batch-<id> subdirs —
+    # new files only, never read-and-overwrite of live data, and a
+    # retried micro-batch overwrites its own subdir (replay is a no-op)
+    _publish_store_batch(
+        flagged.withColumn("kept", F.col("_dropped").isNull()).drop(
+            "_dropped"
+        ),
+        text_store,
+        batch_id,
+    )
+    _publish_store_batch(batch_reps, band_store, batch_id)
     cand.unpersist()
     batch_bands.unpersist()
 

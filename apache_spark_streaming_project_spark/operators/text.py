@@ -279,7 +279,7 @@ def contrast_top_tokens(
         is_a.alias("_a"),
         F.explode(
             F.filter(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                F.split(F.lower(F.trim(F.col(text_col))), WS_PATTERN),
                 lambda t: t != "",
             )
         ).alias("token"),
@@ -389,7 +389,7 @@ def repetition_ratio(c: Column | str, n: int = 1) -> Column:
     )
 
     c = F.col(c) if isinstance(c, str) else c
-    toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+    toks = F.filter(F.split(F.lower(F.trim(c)), WS_PATTERN), lambda t: t != "")
     if n == 1:
         total = F.size(toks)
         distinct = F.size(F.array_distinct(toks))
@@ -774,7 +774,7 @@ def positional_shingles(c: Column | str, n: int = 8) -> Column:
     (lower/trim/split), same single-binding trick so the token array is
     computed once per row, not once per shingle."""
     c = F.col(c) if isinstance(c, str) else c
-    toks_expr = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+    toks_expr = F.filter(F.split(F.lower(F.trim(c)), WS_PATTERN), lambda t: t != "")
 
     def windows(toks: Column) -> Column:
         k = F.size(toks) - (n - 1)
@@ -818,7 +818,7 @@ def duplicate_span_coverage(
     that are already shuffled by doc, then one rollup. All JVM-side."""
     doc = F.col(key_col)
     toks_count = F.size(
-        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
+        F.filter(F.split(F.lower(F.trim(F.col(text_col))), WS_PATTERN), lambda t: t != "")
     )
     base = df.select(doc.alias("_doc"), toks_count.alias("n_tokens"),
                      positional_shingles(text_col, n).alias("_sh"))

@@ -36,7 +36,11 @@ def write_partitioned(
 
 
 def compact_parquet(
-    spark: SparkSession, path: str, out_path: str, target_files: int
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_files: int,
+    recursive: bool = False,
 ) -> None:
     """Small-files compaction: rewrite a fragmented parquet directory into
     ``target_files`` dense files. Streaming appends, per-trigger writes
@@ -46,8 +50,19 @@ def compact_parquet(
     ``coalesce`` (not repartition) avoids a shuffle — it merges existing
     partitions in place; use repartition only when the file-size skew
     itself is the problem. Production compacts INTO a new directory then
-    swaps (as here): rewriting a live path in place races readers."""
-    spark.read.parquet(path).coalesce(target_files).write.mode(
+    swaps (as here): rewriting a live path in place races readers.
+
+    ``recursive=True`` reads with ``recursiveFileLookup`` — required for
+    the streaming dedup stores, whose idempotent publish lays each
+    micro-batch down as a ``batch-<id>/`` subdirectory (and disables
+    partition inference, so do NOT use it on hive-partitioned exports
+    whose key columns live in directory names). The compacted output is
+    flat part files; the stores' recursive-lookup readers accept the
+    mixed layout that results once new batches land next to it."""
+    r = spark.read
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    r.parquet(path).coalesce(target_files).write.mode(
         "overwrite"
     ).parquet(out_path)
 

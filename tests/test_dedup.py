@@ -66,6 +66,39 @@ def test_word_shingles_exact_content(spark):
     assert out2.sh == ["a b", "b c", "c d", "d b"]
 
 
+def test_word_shingles_vertical_tab_matches_duckdb(spark):
+    """\\x0B pin (round-12 ADVICE item 3): Java's \\s includes vertical
+    tab, RE2/DuckDB's does not. word_shingles tokenizes on the explicit
+    class text.WS_PATTERN, so a \\x0B byte is a TOKEN CHARACTER on both
+    engines — assert the Spark shingle array equals the exact DuckDB
+    expression every streaming-dedup mirror (m14/m14b/m16) uses."""
+    import duckdb
+
+    raw = "alpha\x0bbeta gamma delta\x0b \x0bepsilon zeta eta"
+    df = spark.createDataFrame([(raw,)], ["text"])
+    got = df.select(dd.word_shingles("text", 3).alias("sh")).collect()[0]["sh"]
+
+    con = duckdb.connect()
+    ref = con.execute(
+        r"""
+        SELECT list_distinct(list_transform(
+                 range(1, greatest(len(t)-2, 0)+1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM (SELECT list_filter(
+                       string_split_regex(trim(lower(?)), '\s+'),
+                       x -> x <> '') AS t)
+        """,
+        [raw],
+    ).fetchone()[0]
+    con.close()
+    # DuckDB's list_distinct does not define element order, and every
+    # mirror consumes the shingle array as a SET (list_sort before
+    # grouping / list_contains membership) — compare sorted.
+    assert sorted(got) == sorted(ref)
+    # the \x0B-glued tokens really are single tokens on both engines
+    assert got[0] == "alpha\x0bbeta gamma delta\x0b"
+
+
 def test_minhash_lsh_finds_near_dups(spark, near_dup_docs):
     pairs = dd.minhash_lsh_candidates(near_dup_docs, "doc_id", "text").collect()
     found = {(r.key_a, r.key_b): r.est_jaccard for r in pairs}

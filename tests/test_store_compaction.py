@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 
 from pyspark.sql import functions as F
 
@@ -32,7 +33,8 @@ SF_DIR = "/root/testdata/sf0.001"
 def _kept(spark, text_store):
     return sorted(
         (r["doc_id"], r["epoch"])
-        for r in spark.read.parquet(text_store)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(text_store)
         .filter(F.col("kept"))
         .collect()
     )
@@ -50,24 +52,26 @@ def test_m14b_stores_compaction_preserves_results(spark, tmp_path):
     # drive three production batches -> fragmented append-only stores
     for i in range(3):
         streaming_threshold_dedup_batch(
-            d.filter(F.col("epoch") == i), frag_band, frag_text, _M14B_T
+            d.filter(F.col("epoch") == i), frag_band, frag_text, _M14B_T, i
         )
     kept_before = _kept(spark, frag_text)
-    n_frag = len(glob.glob(frag_band + "/part-*"))
-    assert n_frag >= 3  # at least one part file per batch append
+    n_frag = len(glob.glob(frag_band + "/**/part-*", recursive=True))
+    assert n_frag >= 3  # at least one part file per batch publish
 
     dense_band = str(tmp_path / "band_c")
     dense_text = str(tmp_path / "text_c")
-    compact_parquet(spark, frag_band, dense_band, 1)
-    compact_parquet(spark, frag_text, dense_text, 1)
+    compact_parquet(spark, frag_band, dense_band, 1, recursive=True)
+    compact_parquet(spark, frag_text, dense_text, 1, recursive=True)
     assert len(glob.glob(dense_band + "/part-*")) == 1
     assert len(glob.glob(dense_text + "/part-*")) == 1
 
     # invariant 1: the kept set is byte-identical after compaction
     assert _kept(spark, dense_text) == kept_before
     # and the band index carries exactly the same rows
-    a = sorted(map(tuple, spark.read.parquet(frag_band).collect()))
-    b = sorted(map(tuple, spark.read.parquet(dense_band).collect()))
+    a = sorted(map(tuple, spark.read.option("recursiveFileLookup", "true")
+                   .parquet(frag_band).collect()))
+    b = sorted(map(tuple, spark.read.option("recursiveFileLookup", "true")
+                   .parquet(dense_band).collect()))
     assert a == b
 
     # invariant 2: continued ingestion on the compacted stores equals
@@ -77,8 +81,12 @@ def test_m14b_stores_compaction_preserves_results(spark, tmp_path):
     wave4 = d.filter(F.col("epoch") == 0).withColumn(
         "epoch", F.lit(3).cast("bigint")
     )
-    streaming_threshold_dedup_batch(wave4, frag_band, frag_text, _M14B_T)
-    streaming_threshold_dedup_batch(wave4, dense_band, dense_text, _M14B_T)
+    streaming_threshold_dedup_batch(
+        wave4, frag_band, frag_text, _M14B_T, 3
+    )
+    streaming_threshold_dedup_batch(
+        wave4, dense_band, dense_text, _M14B_T, 3
+    )
     assert _kept(spark, dense_text) == _kept(spark, frag_text)
     # the re-delivered epoch is entirely deduplicated
     assert not [
@@ -102,12 +110,12 @@ def test_retention_prunes_only_dropped_rows(spark, tmp_path):
     text = str(tmp_path / "text")
     for i in range(3):
         streaming_threshold_dedup_batch(
-            d.filter(F.col("epoch") == i), band, text, _M14B_T
+            d.filter(F.col("epoch") == i), band, text, _M14B_T, i
         )
     kept_before = _kept(spark, text)
 
     pruned = str(tmp_path / "text_pruned")
-    spark.read.parquet(text).filter(
+    spark.read.option("recursiveFileLookup", "true").parquet(text).filter(
         F.col("kept") | (F.col("epoch") > 0)
     ).coalesce(1).write.parquet(pruned)
     assert _kept(spark, pruned) == kept_before
@@ -122,12 +130,82 @@ def test_retention_prunes_only_dropped_rows(spark, tmp_path):
         "epoch", F.lit(3).cast("bigint")
     )
     band2 = str(tmp_path / "band2")
-    for src, dst in ((band, band2),):
-        os.makedirs(dst)
-        for f in glob.glob(src + "/*"):
-            os.link(f, os.path.join(dst, os.path.basename(f)))
-    streaming_threshold_dedup_batch(wave4, band, text, _M14B_T)
-    streaming_threshold_dedup_batch(wave4, band2, pruned, _M14B_T)
+    # hard-link clone of the batch-keyed store tree (subdirs per batch)
+    shutil.copytree(band, band2, copy_function=os.link)
+    streaming_threshold_dedup_batch(wave4, band, text, _M14B_T, 3)
+    streaming_threshold_dedup_batch(wave4, band2, pruned, _M14B_T, 3)
     # epoch-1 re-delivery dedups against epoch-1 originals (kept rows,
     # never pruned) -> identical outcome even after pruning
     assert _kept(spark, pruned) == _kept(spark, text)
+
+
+def _rows(spark, store):
+    return sorted(
+        map(
+            tuple,
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(store)
+            .collect(),
+        )
+    )
+
+
+def test_streaming_dedup_replay_is_idempotent(spark, tmp_path):
+    """Round-12 ADVICE medium item: foreachBatch is at-least-once, so a
+    retried micro-batch re-runs the whole batch body. The batch-keyed
+    overwrite publish must make the retry a no-op — identical store
+    contents, identical kept set — for BOTH streaming dedup bodies,
+    including a retry that arrives AFTER later batches were planned
+    against the first attempt's state (same batch_id -> same subdir)."""
+    from apache_spark_streaming_project_spark.entry_queries import (
+        _M14B_T,
+        _m14b_docs,
+    )
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        streaming_lsh_dedup_batch,
+    )
+
+    d = _m14b_docs(spark, SF_DIR)
+
+    # --- threshold body (m14b) ---
+    band = str(tmp_path / "band")
+    text = str(tmp_path / "text")
+    streaming_threshold_dedup_batch(
+        d.filter(F.col("epoch") == 0), band, text, _M14B_T, 0
+    )
+    streaming_threshold_dedup_batch(
+        d.filter(F.col("epoch") == 1), band, text, _M14B_T, 1
+    )
+    band_once, text_once = _rows(spark, band), _rows(spark, text)
+    # retry batch 1 verbatim (at-least-once redelivery)
+    streaming_threshold_dedup_batch(
+        d.filter(F.col("epoch") == 1), band, text, _M14B_T, 1
+    )
+    assert _rows(spark, band) == band_once
+    assert _rows(spark, text) == text_once
+    # ingestion after the retry matches a never-retried pipeline
+    band2, text2 = str(tmp_path / "band2"), str(tmp_path / "text2")
+    for i in range(2):
+        streaming_threshold_dedup_batch(
+            d.filter(F.col("epoch") == i), band2, text2, _M14B_T, i
+        )
+    streaming_threshold_dedup_batch(
+        d.filter(F.col("epoch") == 2), band, text, _M14B_T, 2
+    )
+    streaming_threshold_dedup_batch(
+        d.filter(F.col("epoch") == 2), band2, text2, _M14B_T, 2
+    )
+    assert _kept(spark, text) == _kept(spark, text2)
+
+    # --- exact body (m14) ---
+    eband = str(tmp_path / "eband")
+    ecorp = str(tmp_path / "ecorp")
+    streaming_lsh_dedup_batch(
+        d.filter(F.col("epoch") == 0), eband, ecorp, 0
+    )
+    eband_once, ecorp_once = _rows(spark, eband), _rows(spark, ecorp)
+    streaming_lsh_dedup_batch(
+        d.filter(F.col("epoch") == 0), eband, ecorp, 0
+    )
+    assert _rows(spark, eband) == eband_once
+    assert _rows(spark, ecorp) == ecorp_once

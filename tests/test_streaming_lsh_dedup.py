@@ -165,6 +165,26 @@ def test_m14b_end_to_end_matches_python_ground_truth(spark):
     for pos, (i, e, s) in enumerate(shingles):
         if not any(jac(s, s2) >= 0.5 for _, _, s2 in shingles[:pos]):
             want.append((i, e))
+    # Diagnosable split of any mismatch (round-12 ADVICE item 2): m14b/
+    # m16 hash against the FULL exact all-pairs oracle while the engine
+    # verifies only LSH band-colliding candidates, so the gate is green
+    # only while LSH recall holds at the operating point. A fixture
+    # change that breaks recall must fail HERE, by name, not as a bare
+    # hash mismatch in the driver gate.
+    over_kept = sorted(set(kept) - set(want))
+    assert not over_kept, (
+        "LSH RECALL BREAK: engine KEPT docs the exact all-pairs Jaccard "
+        f"oracle drops: {over_kept[:10]} — some J>=0.5 pair collided in "
+        "none of the 8 bands (32 hashes / 8 bands / word-3-gram "
+        "operating point). _M14B_ORACLE_SQL's full-ground-truth hash "
+        "depends on this recall; re-tune bands/hashes or the fixture."
+    )
+    over_dropped = sorted(set(want) - set(kept))
+    assert not over_dropped, (
+        "engine DROPPED docs the exact oracle keeps: "
+        f"{over_dropped[:10]} — a verification (Jaccard/threshold) bug, "
+        "not an LSH recall issue"
+    )
     assert kept == sorted(want)
 
     kept_ids = {k for k, _ in kept}

@@ -587,8 +587,8 @@ MUTATIONS = [
       "(hash kill)"),
     M("m16_publish_preswap", "m16_store_maintenance",
       f"{PKG}/entry_queries.py",
-      'streaming_threshold_dedup_batch(\n            d.filter(F.col("epoch") == 2), band_c, text_c, _M14B_T\n        )',
-      'streaming_threshold_dedup_batch(\n            d.filter(F.col("epoch") == 2), band_c, text, _M14B_T\n        )',
+      'streaming_threshold_dedup_batch(\n            d.filter(F.col("epoch") == 2), band_c, text_c, _M14B_T, 2\n        )',
+      'streaming_threshold_dedup_batch(\n            d.filter(F.col("epoch") == 2), band_c, text, _M14B_T, 2\n        )',
       "wrong-key", "the classic compaction-swap bug: the post-compaction "
       "batch publishes into the PRE-swap text directory, so the swapped-"
       "in store silently misses the whole epoch (row-count kill)"),

@@ -56,14 +56,14 @@ def main() -> None:
     t0 = time.time()
     for i in range(epochs):
         streaming_threshold_dedup_batch(
-            docs.filter(F.col("epoch") == i), band, text, 0.5
+            docs.filter(F.col("epoch") == i), band, text, 0.5, i
         )
     build_s = time.time() - t0
-    n_frag = len(glob.glob(band + "/part-*"))
+    n_frag = len(glob.glob(band + "/**/part-*", recursive=True))
 
     dense = f"{base}/band_c"
     t0 = time.time()
-    compact_parquet(spark, band, dense, 8)
+    compact_parquet(spark, band, dense, 8, recursive=True)
     compact_s = time.time() - t0
     n_dense = len(glob.glob(dense + "/part-*"))
 

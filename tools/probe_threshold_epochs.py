@@ -48,10 +48,11 @@ def main() -> None:
     for i in range(epochs):
         t0 = time.time()
         streaming_threshold_dedup_batch(
-            docs.filter(F.col("epoch") == i), band, text, 0.5
+            docs.filter(F.col("epoch") == i), band, text, 0.5, i
         )
         dt = time.time() - t0
-        idx_rows = spark.read.parquet(band).count()
+        idx_rows = (spark.read.option("recursiveFileLookup", "true")
+                    .parquet(band).count())
         rows.append({"epoch": i, "seconds": round(dt, 2),
                      "index_rows_after": idx_rows})
         print(rows[-1])

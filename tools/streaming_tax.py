@@ -142,12 +142,12 @@ def probe_m14(spark, sf_dir: str, name: str) -> dict:
             for i in range(3):
                 b = spark.read.parquet(os.path.join(in_dir, f"wave{i}"))
                 if name == "m14_streaming_lsh_dedup":
-                    streaming_lsh_dedup_batch(b, band_store, doc_store)
+                    streaming_lsh_dedup_batch(b, band_store, doc_store, i)
                 else:
                     streaming_threshold_dedup_batch(
-                        b, band_store, doc_store, _M14B_T
+                        b, band_store, doc_store, _M14B_T, i
                     )
-        out = spark.read.parquet(doc_store)
+        out = spark.read.option("recursiveFileLookup", "true").parquet(doc_store)
         if name != "m14_streaming_lsh_dedup":
             out = out.filter(F.col("kept"))
         return _rows(
