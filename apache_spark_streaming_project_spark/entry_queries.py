@@ -11328,6 +11328,173 @@ def m18_streaming_decontamination(
     )
 
 
+
+# m19 containment plants (disjoint vocabulary per family, disjoint from
+# every other plant family and the natural corpus). Word-8-gram counts
+# are exact by construction: a doc of m all-distinct tokens has m-7
+# grams, and a contiguous L-token run shared with an earlier doc
+# contributes exactly L-7 shared grams.
+_M19_PAGE_A = " ".join(f"conta{i:02d}" for i in range(1, 31))
+_M19_FRAG_B = " ".join(f"conta{i:02d}" for i in range(9, 21))
+_M19_FRAG_C = " ".join(f"contb{i:02d}" for i in range(5, 17))
+_M19_PAGE_D = " ".join(f"contb{i:02d}" for i in range(1, 31))
+_M19_EDGE_E = " ".join(f"contc{i:02d}" for i in range(1, 11))
+_M19_EDGE_F = " ".join(f"contc{i:02d}" for i in range(1, 13))
+_M19_SUB_G = " ".join(f"contd{i:02d}" for i in range(1, 10))
+_M19_SUB_H = _M19_SUB_G + " conte10 conte11 conte12"
+_M19_PAGE_I = " ".join(f"contf{i:02d}" for i in range(1, 31))
+_M19_FRAG_J = " ".join(f"contf{i:02d}" for i in range(5, 17))
+# Containment drop threshold: |S_later ∩ S_earlier| / |S_later| >= t.
+_M19_T = 0.6
+
+
+def _m19_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The m19 planted corpus: natural documents (epoch = doc_id % 3)
+    plus five containment plant families — see the registration
+    docstring for what each pins."""
+    plants = spark.createDataFrame(
+        [
+            (-20, 0, _M19_PAGE_A),
+            (-19, 2, _M19_FRAG_B),
+            (-18, 0, _M19_FRAG_C),
+            (-17, 2, _M19_PAGE_D),
+            (-16, 0, _M19_EDGE_E),
+            (-15, 1, _M19_EDGE_F),
+            (-14, 0, _M19_SUB_G),
+            (-13, 1, _M19_SUB_H),
+            (-12, 2, _M19_PAGE_I),
+            (-11, 2, _M19_FRAG_J),
+        ],
+        "doc_id long, epoch long, text string",
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 3).alias("epoch"), "text"
+    )
+    return d.unionByName(plants)
+
+
+@register(
+    "m19_streaming_containment_dedup",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, doc_id % 3 AS epoch, text FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES
+        (CAST(-20 AS BIGINT), CAST(0 AS BIGINT), '{_M19_PAGE_A}'),
+        (-19, 2, '{_M19_FRAG_B}'),
+        (-18, 0, '{_M19_FRAG_C}'),
+        (-17, 2, '{_M19_PAGE_D}'),
+        (-16, 0, '{_M19_EDGE_E}'),
+        (-15, 1, '{_M19_EDGE_F}'),
+        (-14, 0, '{_M19_SUB_G}'),
+        (-13, 1, '{_M19_SUB_H}'),
+        (-12, 2, '{_M19_PAGE_I}'),
+        (-11, 2, '{_M19_FRAG_J}')
+      ) AS plants(doc_id, epoch, text)
+    ),
+    sh AS (
+      SELECT doc_id, epoch,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 7, 0) + 1),
+               i -> array_to_string(t[i:i+7], ' '))) AS s
+      FROM (SELECT doc_id, epoch,
+                   list_filter(string_split_regex(trim(lower(text)),
+                                                  '\\s+'),
+                               x -> x <> '') AS t
+            FROM docs)
+    ),
+    dropped AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh b JOIN sh a
+        ON (a.epoch < b.epoch OR (a.epoch = b.epoch AND a.doc_id < b.doc_id))
+      WHERE len(b.s) > 0
+        AND CAST(len(list_filter(b.s, x -> list_contains(a.s, x)))
+                 AS DOUBLE)
+              / CAST(len(b.s) AS DOUBLE)
+            >= 0.6  -- m19 threshold
+    )
+    SELECT d.doc_id, CAST(d.epoch AS BIGINT) AS epoch
+    FROM docs d ANTI JOIN dropped USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    "S6",
+    "X2",
+)
+def m19_streaming_containment_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING CONTAINMENT dedup (S6 x X2) — the doc-inside-doc
+    fragment shape under continuous ingest, the one mode round 12
+    explicitly deferred because LSH bands approximate JACCARD and a
+    small fragment inside a large page never band-collides (m14b's
+    candidate generator would be UNSOUND against a containment ground
+    truth; ROUND12_NOTES.md "Considered and rejected"). The honest
+    candidate generator is a persisted PER-SHINGLE inverted index
+    (operators/dedup.py:streaming_containment_dedup_batch): any pair at
+    containment >= t > 0 shares a shingle, so candidate recall is 1 BY
+    CONSTRUCTION and the full all-pairs NOT-EXISTS oracle is exact — the
+    engine carries NO recall caveat here, unlike m14b's documented
+    LSH-recall dependency.
+
+    SEMANTICS — pairwise keep-first, ASYMMETRIC: drop doc B iff some
+    earlier arrival A (order = (epoch, doc_id); kept or dropped) has
+    |S_B ∩ S_A| / |S_B| >= t over distinct word 8-grams; the denominator
+    is the LATER doc's gram count. Fragment-after-page is dropped;
+    page-after-fragment is kept. Sub-8-token docs have no shingles and
+    are kept by definition.
+
+    Plants (each family a disjoint vocabulary): PAGE_A -> FRAG_B, a
+    contiguous slice arriving two epochs later (C = 1, dropped through
+    the persisted index); FRAG_C -> PAGE_D, the REVERSED arrival
+    (C(D) = 5/23 < t, kept — flips to dropped if the denominator
+    mutates to the rep side, pinning asymmetry); EDGE_E -> EDGE_F at
+    C = 3/5 = 0.6 EXACTLY (dropped at >=, kept at >); SUB_G -> SUB_H at
+    C = 2/5 = 0.4 (kept at t = 0.6, dropped if the threshold sags);
+    PAGE_I -> FRAG_J inside ONE epoch (intra-batch self-index arm of
+    the candidate union). Natural corpus: cross-doc duplicated 8-grams
+    exist (the duplicate-span battery measures them), so the bulk path
+    verifies real candidates, not just plants.
+
+    At 100 TB: the gram index shuffles and prunes on 8-byte xxhash64
+    keys; per-batch probe cost is the batch's own gram count joined
+    against a hash-partitioned store. Hot boilerplate grams are the
+    skew axis — production caps per-gram postings (the dedup.py:576
+    DF-cap trade) or AQE-splits them; the registration keeps the index
+    exact so the oracle stays a full ground truth. Reference has no
+    dedup at all (extension surface, SURVEY §2 X2/S6)."""
+    import os
+
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        streaming_containment_dedup_batch,
+    )
+
+    base = _scratch_dir("m19_contain_dedup_")
+    in_dir = os.path.join(base, "in")
+    gram_store = os.path.join(base, "gram_store")
+    text_store = os.path.join(base, "text_store")
+    ckpt = os.path.join(base, "ckpt")
+
+    d = _m19_docs(spark, sf_dir)
+    _write_epoch_waves(d, in_dir)
+
+    def dedup_batch(batch_df, batch_id):
+        # one-liner wrapper over the importable production body
+        # (operators/dedup.py): tests replay EXACTLY this code path
+        streaming_containment_dedup_batch(
+            batch_df, gram_store, text_store, _M19_T, batch_id
+        )
+
+    _drain_waves(spark, in_dir, ckpt, dedup_batch, d.schema)
+
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(text_store)
+        .filter(F.col("kept"))
+        .select("doc_id", F.col("epoch").cast("bigint").alias("epoch"))
+        .orderBy("doc_id")
+    )
+
+
 # DSIR shared oracle core: hashed-gram explosion, the two corpus counts,
 # the smoothed per-bucket likelihood ratio, and the per-candidate-doc
 # aggregation with the position-ordered double fold. The ratio column is

@@ -1547,6 +1547,133 @@ def streaming_threshold_dedup_batch(
     batch_bands.unpersist()
 
 
+def streaming_containment_dedup_batch(
+    batch_df,
+    gram_store: str,
+    text_store: str,
+    threshold: float,
+    batch_id: int,
+    n: int = 8,
+) -> None:
+    """m19 per-batch body: CONTAINMENT-mode streaming dedup — the
+    doc-inside-doc fragment shape (a quoted article, a boilerplate-
+    wrapped page) that Jaccard-threshold dedup (m14b) deliberately does
+    NOT cover, because MinHash-LSH bands approximate Jaccard and a small
+    fragment inside a large page never band-collides (round-12 deferral,
+    ROUND12_NOTES.md "Considered and rejected").
+
+    SEMANTICS — pairwise keep-first, asymmetric: a doc B is dropped iff
+    SOME earlier arrival A (order = (epoch, doc_id); kept or dropped)
+    exactly contains it at level t: |S_B ∩ S_A| / |S_B| >= t over
+    distinct word ``n``-gram shingles. The denominator is the LATER
+    doc's gram count — a fragment arriving after its page is dropped; a
+    page arriving after its fragment is kept (its own grams are mostly
+    novel). Docs with zero shingles (< n tokens) are kept by definition.
+
+    CANDIDATE GENERATOR — a persisted PER-SHINGLE inverted index
+    (``gram_hash -> (rep_epoch, rep_doc_id)``), not LSH bands: any pair
+    with containment >= t > 0 shares at least one shingle, so the index
+    finds it with RECALL 1 BY CONSTRUCTION — the engine is exactly
+    equivalent to the all-pairs ground truth, with no recall caveat at
+    all (the property m14b's band index cannot give for containment).
+    Grams travel as ``xxhash64`` 8-byte keys: a hash collision can only
+    ADD a candidate pair (killed by the exact text-side verify below),
+    never lose one, so exactness survives the key compression.
+
+    Verify reads ONLY matched reps' texts (semi-join narrowed, the m14b
+    seam) and recomputes containment on exact shingle arrays. Publish is
+    the idempotent batch-keyed overwrite (``_publish_store_batch``); the
+    pair rule indexes EVERY arrival, so the gram index is bounded by
+    corpus x grams-per-doc.
+
+    At 100 TB: the index is the heavy store (one row per doc-gram), but
+    it shuffles on 8-byte hash keys, partition-prunes by ``gram_hash``
+    range, and the probe touches only the batch's own grams. Hot
+    boilerplate grams skew the probe join — production caps per-gram
+    postings at the recall cost it chooses (the dedup.py:576 DF-cap
+    trade, documented not silently applied here) or leans on AQE skew
+    splitting; the registration keeps the index exact so the full
+    ground-truth oracle stays honest. Reference has no dedup at all
+    (extension surface, SURVEY §2 X2/S6)."""
+    ss = batch_df.sparkSession
+    b = batch_df.select("doc_id", "epoch", "text")
+    # one row per (doc, distinct gram); zero-gram docs drop out here and
+    # are therefore never candidates — kept by definition
+    g = (
+        b.select(
+            "doc_id",
+            "epoch",
+            F.explode(word_shingles("text", n)).alias("_gram"),
+        )
+        .select("doc_id", "epoch", F.xxhash64("_gram").alias("gram_hash"))
+    ).persist()  # feeds the probe AND the index publish
+    prior = _read_store(
+        ss, gram_store, "gram_hash long, rep_epoch long, rep_doc_id long"
+    ).select("gram_hash", "rep_epoch", "rep_doc_id")
+    self_reps = g.select(
+        "gram_hash",
+        F.col("epoch").alias("rep_epoch"),
+        F.col("doc_id").alias("rep_doc_id"),
+    )
+    idx = prior.unionByName(self_reps)
+    cand = (
+        g.join(idx, "gram_hash")
+        .filter(
+            (F.col("rep_epoch") < F.col("epoch"))
+            | (
+                (F.col("rep_epoch") == F.col("epoch"))
+                & (F.col("rep_doc_id") < F.col("doc_id"))
+            )
+        )
+        .select("doc_id", "rep_doc_id")
+        .distinct()
+    ).persist()  # feeds the reps semi-join AND the verify join
+    earlier_texts = _read_store(
+        ss, text_store, "doc_id long, text string"
+    ).select("doc_id", "text")
+    all_texts = earlier_texts.unionByName(b.select("doc_id", "text"))
+    rep_texts = all_texts.join(
+        cand.select(F.col("rep_doc_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    inter = F.size(F.array_intersect("_sb", "_sa"))
+    nb = F.size("_sb")
+    dropped = (
+        cand.join(
+            b.select("doc_id", word_shingles("text", n).alias("_sb")),
+            "doc_id",
+        )
+        .join(
+            rep_texts.select(
+                F.col("doc_id").alias("rep_doc_id"),
+                word_shingles("text", n).alias("_sa"),
+            ),
+            "rep_doc_id",
+        )
+        .filter(
+            (nb > 0)
+            & (inter.cast("double") / nb.cast("double")
+               >= F.lit(threshold))
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    flagged = b.join(
+        dropped.withColumn("_dropped", F.lit(True)), "doc_id", "left"
+    )
+    _publish_store_batch(
+        flagged.withColumn("kept", F.col("_dropped").isNull()).drop(
+            "_dropped"
+        ),
+        text_store,
+        batch_id,
+    )
+    _publish_store_batch(self_reps, gram_store, batch_id)
+    cand.unpersist()
+    g.unpersist()
+
+
 def streaming_decontaminate_batch(
     batch_df,
     bench_grams_dir: str,

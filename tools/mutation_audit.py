@@ -494,8 +494,10 @@ MUTATIONS = [
       "last doc of the first epoch"),
     M("m14b_threshold_exclusive", "m14b_streaming_threshold_dedup",
       f"{PKG}/operators/dedup.py",
-      '>= F.lit(threshold)',
-      '> F.lit(threshold)',
+      '& (inter.cast("double") / un.cast("double")\n'
+      '               >= F.lit(threshold))',
+      '& (inter.cast("double") / un.cast("double")\n'
+      '               > F.lit(threshold))',
       "off-by-one", "drop comparator >= t -> > t: the planted HALF pair "
       "sits at J = 0.5 EXACTLY (band-collision searched offline), so "
       "doc -8 is wrongly kept (row-count kill)"),
@@ -555,6 +557,45 @@ MUTATIONS = [
       "boundary", "MIRROR-side kept boundary: the oracle keeps the "
       "exactly-one-hit plant the engine drops (the m18 mirror-family "
       "oracle-side kill)"),
+    M("m19_threshold_boundary", "m19_streaming_containment_dedup",
+      f"{PKG}/operators/dedup.py",
+      '& (inter.cast("double") / nb.cast("double")\n'
+      '               >= F.lit(threshold))',
+      '& (inter.cast("double") / nb.cast("double")\n'
+      '               > F.lit(threshold))',
+      "boundary", "containment comparator >= -> >: the EDGE_F plant at "
+      "C = 3/5 = 0.6 EXACTLY is wrongly kept (row-count kill)"),
+    M("m19_denominator_flip", "m19_streaming_containment_dedup",
+      f"{PKG}/operators/dedup.py",
+      'nb = F.size("_sb")',
+      'nb = F.size("_sa")',
+      "wrong-key", "containment denominator flipped to the EARLIER "
+      "doc's gram count — symmetric-ish semantics: the REVERSED plant "
+      "pair (PAGE_D after FRAG_C, C = 5/23 keep) flips to 5/5 = 1 "
+      "dropped, pinning the asymmetry (row-count kill)"),
+    M("m19_intra_batch_arm", "m19_streaming_containment_dedup",
+      f"{PKG}/operators/dedup.py",
+      'idx = prior.unionByName(self_reps)',
+      'idx = prior',
+      "dropped-clause", "candidate index loses the same-batch arm: the "
+      "intra-epoch plant pair (PAGE_I -> FRAG_J, both epoch 2) stops "
+      "band^Wgram-colliding and FRAG_J is wrongly kept (row-count "
+      "kill)"),
+    M("m19_verify_gram_length", "m19_streaming_containment_dedup",
+      f"{PKG}/operators/dedup.py",
+      'word_shingles("text", n).alias("_sb")',
+      'word_shingles("text", n - 1).alias("_sb")',
+      "off-by-one", "later-doc verify shingled at 7 while the oracle "
+      "and the rep side stay at 8: containment ratios shift corpus-"
+      "wide (intersection of 7-gram vs 8-gram sets is empty -> nothing "
+      "ever drops; row-count kill)"),
+    M("oracle_m19_threshold", "m19_streaming_containment_dedup",
+      f"{PKG}/entry_queries.py",
+      '>= 0.6  -- m19 threshold',
+      '> 0.6  -- m19 threshold',
+      "boundary", "MIRROR-side containment comparator: the oracle keeps "
+      "the exactly-at-threshold EDGE_F plant the engine drops (the m19 "
+      "mirror-family oracle-side kill)"),
     M("bpe_oov_zero", "x4_bpe_token_ids",
       f"{PKG}/functions/bpe.py",
       'sym_id.get(s, -1)',
