@@ -1171,6 +1171,174 @@ def x4_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_ids(d, "doc_id", "text").orderBy("doc_id", "pos")
 
 
+def _bpe8k_fold_ctes(source: str, key_sql: str, text_sql: str) -> str:
+    """PRODUCTION-SCALE BPE mirror (8192 merges): the 105-merge oracle
+    inlines one nested replace() per rank, which no parser survives at
+    8k+; here the ranked chain is replayed as a DATA-DRIVEN FOLD —
+    ``list_reduce`` over a constant ``pat<RS>rep`` string list (one
+    replace per ranked merge, identical leftmost non-overlapping
+    semantics), so the mirror's size and depth are independent of the
+    merge count. The fold runs per DISTINCT WORD, not per document —
+    sound because no merge can span words (the left symbol of a learned
+    pair never ends with MARKER; functions/bpe.py module notes) and the
+    exact move the engine kernel's per-word memo makes.
+
+    Emits CTEs: ``w`` (key + word list per row), ``wt`` (distinct word
+    -> BPE token count), ``dc`` (key -> document token count, zero-word
+    rows folded to 0)."""
+    from apache_spark_streaming_project_spark.functions.bpe import (
+        FIXTURE_8K,
+        MARKER,
+        SEP,
+        load_merges,
+    )
+
+    def q(t: str) -> str:
+        return t.replace("'", "''")
+
+    sep2 = SEP + SEP
+    rs = "\x1e"  # pat/rep separator: verified absent from all symbols
+    items = ", ".join(
+        f"'{q(SEP + a + SEP + SEP + b + SEP)}{rs}{q(SEP + a + b + SEP)}'"
+        for a, b in load_merges(FIXTURE_8K)
+    )
+    return f"""
+    w AS (
+      SELECT {key_sql} AS k,
+             list_filter(string_split_regex(trim(lower(
+                 replace(replace({text_sql}, '{q(SEP)}', ''),
+                         '{q(MARKER)}', ''))),
+                 '\\s+'), x -> x <> '') AS words
+      FROM {source}),
+    ml AS (SELECT [{items}] AS merges),
+    dw AS (SELECT DISTINCT unnest(words) AS word FROM w),
+    enc AS (
+      SELECT word,
+             list_reduce(
+               list_prepend(
+                 '{q(sep2)}' || array_to_string(list_transform(
+                     range(1, length(word)+1), i -> word[i]),
+                     '{q(sep2)}') || '{q(sep2 + MARKER + sep2)}',
+                 ml.merges),
+               (acc, x) -> replace(acc, split_part(x, '{rs}', 1),
+                                        split_part(x, '{rs}', 2)))
+               AS merged
+      FROM dw CROSS JOIN ml),
+    wt AS (
+      SELECT word,
+             CAST((length(merged)
+                   - length(replace(merged, '{q(SEP)}', ''))) / 2 - 1
+                  AS BIGINT) AS n_word_tokens
+      FROM enc),
+    ex AS (SELECT k, unnest(words) AS word FROM w),
+    dc AS (
+      SELECT w.k, CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens
+      FROM w LEFT JOIN (
+        SELECT k, SUM(n_word_tokens) AS n
+        FROM ex JOIN wt USING (word) GROUP BY k) s USING (k))
+    """
+
+
+@register(
+    "x4_bpe8k_token_counts",
+    f"""
+    WITH {_bpe8k_fold_ctes(
+        "customer", "c_custkey", "c_name || ' ' || c_mktsegment")}
+    SELECT k AS c_custkey, n_tokens AS n_tokens_bpe8k
+    FROM dc ORDER BY c_custkey
+    """,
+    "X4",
+)
+def x4_bpe8k_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE token counts under the PRODUCTION-SCALE frozen table — 8192
+    merges trained on every string column of the testdata (round-13
+    close of the round-12 "BPE at realistic vocabulary scale" gap). Run
+    over customer names: 'customer#000000042'-style words exercise the
+    digit-fragment merge chains a real tokenizer's number handling
+    produces, and every document's count flows through hundreds of
+    DISTINCT encodings (1500 distinct words at sf0.01), so the hash
+    covers the table broadly — unlike documents.text, whose 31 lorem
+    words touch a sliver of it.
+
+    Engine: the same Arrow-batched kernel as x4_bpe_packing, now on the
+    O(len^2)-per-word monotone-rank-cursor encoder
+    (functions/bpe.py:encode_word_fast — Hypothesis-pinned equal to the
+    replace chain), which is what makes an 8k table affordable: ~50
+    dict probes per distinct word instead of 8192 C-level scans.
+    Oracle: the merge chain replayed as a list_reduce FOLD over a
+    constant (pat, rep) list per distinct word — mirror size
+    independent of merge count, closing the "nested replace chain
+    untested beyond 105 merges" caveat. Scale: counts are one
+    mapInPandas projection; the merge table ships once per executor
+    (300 KB JSON)."""
+    from apache_spark_streaming_project_spark.functions.bpe import (
+        FIXTURE_8K,
+        bpe_token_counts,
+        load_merges,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"), F.lit(" "), F.col("c_mktsegment")
+        ).alias("text"),
+    )
+    return (
+        bpe_token_counts(
+            c, "c_custkey", "text", merges=load_merges(FIXTURE_8K)
+        )
+        .select(
+            "c_custkey", F.col("n_tokens_bpe").alias("n_tokens_bpe8k")
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "x4_bpe8k_packing",
+    f"""
+    WITH {_bpe8k_fold_ctes("documents", "doc_id", "text")}
+    SELECT d.lang, dc.k AS doc_id, dc.n_tokens AS n_tokens_bpe,
+           CAST(greatest(
+             floor((SUM(dc.n_tokens) OVER (
+                      PARTITION BY d.lang ORDER BY dc.k
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - 1) / 2048.0), 0) AS BIGINT) AS pack_id
+    FROM dc JOIN documents d ON d.doc_id = dc.k
+    ORDER BY d.lang, dc.k
+    """,
+    "X4",
+)
+def x4_bpe8k_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing at a REAL context window: 2048-token bins (the
+    2k-8k range production pretraining uses, vs x4_bpe_packing's
+    256-token toy budget) against the 8192-merge production table.
+    Documents pack ~3-4 per bin at their natural ~500-token BPE length,
+    so the pack boundaries move with every count — the window sum and
+    the full merge table both sit inside the hash. Same plan shape as
+    x4_bpe_packing: one mapInPandas counts projection, one per-language
+    window scan, no global sort."""
+    from apache_spark_streaming_project_spark.functions.bpe import (
+        FIXTURE_8K,
+        bpe_token_counts,
+        load_merges,
+    )
+    from apache_spark_streaming_project_spark.operators.text import (
+        pack_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    counts = bpe_token_counts(
+        d, "doc_id", "text", merges=load_merges(FIXTURE_8K)
+    )
+    j = d.select("doc_id", "lang").join(counts, "doc_id")
+    return (
+        pack_documents(j, "n_tokens_bpe", 2048, "doc_id", "lang")
+        .select("lang", "doc_id", "n_tokens_bpe", "pack_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
 @register(
     "x4_edit_distance",
     """

@@ -62,6 +62,20 @@ _VOCAB_FIXTURE = Path(__file__).resolve().parent.parent / (
     "fixtures/bpe_vocab.json"
 )
 
+# The production-scale table (round-13): 8192 merges trained by
+# tools/train_bpe.py --big on every string column of the sf0.1 testdata
+# (16k distinct words, digit-heavy entity names included — the number-
+# fragment merges a real tokenizer carries). Same frozen-artifact
+# contract as the small table; the fast encoder makes applying it
+# affordable and the fold-based oracle makes mirroring it
+# merge-count-independent.
+FIXTURE_8K = Path(__file__).resolve().parent.parent / (
+    "fixtures/bpe_merges_8k.json"
+)
+VOCAB_FIXTURE_8K = Path(__file__).resolve().parent.parent / (
+    "fixtures/bpe_vocab_8k.json"
+)
+
 
 def load_vocab(
     merges: list[tuple[str, str]] | None = None,
@@ -107,6 +121,76 @@ def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     reference in tests/test_bpe.py must agree exactly."""
     out = apply_merges_spaced(spaced_word(word), merges)
     return [s for s in out.split(SEP) if s]
+
+
+def rank_table(
+    merges: list[tuple[str, str]],
+) -> dict[tuple[str, str], int]:
+    """Pair -> rank lookup for :func:`encode_word_fast`, with a LOUD
+    guard: a duplicate pair breaks the monotone-cursor equivalence to
+    the replace chain (the chain could apply the pair's later rank
+    after an intermediate merge re-creates it via newly-built side
+    symbols, which the cursor has already passed). A trained table can
+    re-emit a pair only through the exotic multi-decomposition path (a
+    symbol string like 'abc' re-created by a later ('a','bc') merge
+    after ('abc','d') was already merged) — never observed here, and
+    both frozen fixtures are verified unique
+    (tests/test_bpe.py::test_8k_fixture_integrity) — so this raises
+    loudly instead of silently mis-encoding such a table."""
+    rank_of = {p: i for i, p in enumerate(merges)}
+    if len(rank_of) != len(merges):
+        raise ValueError(
+            "duplicate merge pair in table: the fast encoder's "
+            "single-pass equivalence requires unique pairs (BPE "
+            "training always produces unique pairs)"
+        )
+    return rank_of
+
+
+def encode_word_fast(
+    word: str,
+    merges: list[tuple[str, str]],
+    rank_of: dict[tuple[str, str], int],
+) -> list[str]:
+    """The same single-pass-in-rank-order semantics as
+    :func:`apply_merges_spaced`, at O(len(word)^2) instead of
+    O(len(merges)): repeatedly apply the smallest-ranked pair PRESENT in
+    the word whose rank exceeds a monotone cursor.
+
+    Equivalence to the replace chain (the contract every SQL mirror
+    replays): the chain processes ranks in order, each a no-op when its
+    pair is absent; with the cursor at r, every rank in (r, next-pick)
+    is absent from the current state, so the chain would no-op through
+    them and apply next-pick on the identical state — induction gives
+    equal results, and within one rank both apply leftmost
+    non-overlapping occurrences. Hypothesis-verified against the chain
+    in tests/test_bpe.py over adversarial merge tables (including
+    later-rank merges that CREATE an earlier rank's pair — where a
+    cursorless "canonical" best-pair loop would diverge; the monotone
+    cursor is what makes this the chain, not GPT-2's encoder).
+
+    This is the hot path that makes an 8k-merge production-scale table
+    affordable: per DISTINCT word it costs ~len^2 dict probes instead of
+    8k C-level scans (measured 53x end-to-end at 8192 merges,
+    tools/ probe recorded in ROUND13_NOTES.md)."""
+    sym = list(word) + [MARKER]
+    cursor = -1
+    while True:
+        best = -1
+        for i in range(len(sym) - 1):
+            r = rank_of.get((sym[i], sym[i + 1]), -1)
+            if r > cursor and (best == -1 or r < best):
+                best = r
+        if best == -1:
+            return sym
+        a, b = merges[best]
+        ab = a + b
+        i = 0
+        while i < len(sym) - 1:
+            if sym[i] == a and sym[i + 1] == b:
+                sym[i : i + 2] = [ab]  # leftmost, non-overlapping
+            i += 1
+        cursor = best
 
 
 _WS_RE = None  # compiled lazily so the module imports without re cost
@@ -178,10 +262,14 @@ def bpe_token_counts(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         merge_list = list(frozen)
+        rank_of = rank_table(merge_list)
 
         @lru_cache(maxsize=1 << 20)
         def word_tokens(w: str) -> int:
-            return count_symbols(apply_merges_spaced(spaced_word(w), merge_list))
+            # encode_word_fast == the replace chain (Hypothesis-pinned);
+            # O(len^2) per distinct word instead of O(len(merges)) — the
+            # difference between a toy table and the 8k production one
+            return len(encode_word_fast(w, merge_list, rank_of))
 
         for pdf in batches:
             counts = [
@@ -204,6 +292,7 @@ def bpe_token_ids(
     key_col: str = "doc_id",
     text_col: str = "text",
     merges: list[tuple[str, str]] | None = None,
+    vocab_path: str | Path | None = None,
 ) -> DataFrame:
     """``(key, pos, token_id)`` — the full BPE id sequence of every
     document, exploded one row per token (1-based ``pos`` over the
@@ -222,19 +311,21 @@ def bpe_token_ids(
     import pandas as pd
 
     frozen = tuple(merges if merges is not None else load_merges())
-    vocab = load_vocab(list(frozen))
+    vocab = load_vocab(list(frozen), path=vocab_path)
     key_field = df.schema[key_col].dataType.simpleString()
 
     def _id_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         merge_list = list(frozen)
+        rank_of = rank_table(merge_list)
         sym_id = {s: i for i, s in enumerate(vocab)}
 
         @lru_cache(maxsize=1 << 20)
         def word_ids(w: str) -> tuple[int, ...]:
             return tuple(
-                sym_id.get(s, -1) for s in encode_word(w, merge_list)
+                sym_id.get(s, -1)
+                for s in encode_word_fast(w, merge_list, rank_of)
             )
 
         for pdf in batches:

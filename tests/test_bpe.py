@@ -228,3 +228,176 @@ def test_lowercase_parity_caveat_documented():
     for s in ["ABC the QUICK brown", "plantp SEEDK"]:
         duck = con.execute("SELECT lower(?)", [s]).fetchone()[0]
         assert duck == s.lower()
+
+
+# ---------------------------------------------------------------------------
+# Round-13: production-scale table (8192 merges), fast encoder, fold oracle
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="ab", min_size=1, max_size=12),
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=2),
+            st.text(alphabet="ab", min_size=1, max_size=2),
+        ),
+        max_size=6,
+    ),
+)
+def test_differential_fast_vs_chain_tiny_alphabet(word, raw_merges):
+    """encode_word_fast must equal the replace chain on the SAME
+    adversarial two-letter space the chain-vs-list differential uses —
+    the monotone rank cursor is the load-bearing piece (without it, a
+    later-rank merge that CREATES an earlier rank's pair would be
+    re-merged, GPT-2-style, diverging from the chain every SQL mirror
+    replays)."""
+    from apache_spark_streaming_project_spark.functions.bpe import (
+        encode_word_fast,
+    )
+
+    known = {"a", "b", MARKER}
+    merges = []
+    for a, b in raw_merges:
+        # training never re-emits an already-merged pair (its count is
+        # permanently zero), so valid tables have unique pairs — the
+        # precondition rank_table enforces loudly
+        if a in known and b in known and b != MARKER and (a, b) not in merges:
+            merges.append((a, b))
+            known.add(a + b)
+    from apache_spark_streaming_project_spark.functions.bpe import rank_table
+
+    assert encode_word_fast(word, merges, rank_table(merges)) == encode_word(
+        word, merges
+    )
+
+
+def test_fast_cursor_is_load_bearing():
+    """The concrete divergence case: merges ranked [(ab,c), (a,b)].
+    Word 'abc': the chain tests (ab,c) FIRST (absent — no 'ab' symbol
+    yet), then applies (a,b) -> [ab, c, M]; rank 0 is never revisited.
+    A cursorless best-pair loop would then apply (ab,c) -> [abc, M].
+    encode_word_fast must match the CHAIN."""
+    from apache_spark_streaming_project_spark.functions.bpe import (
+        encode_word_fast,
+    )
+
+    merges = [("ab", "c"), ("a", "b")]
+    from apache_spark_streaming_project_spark.functions.bpe import rank_table
+
+    rank_of = rank_table(merges)
+    chain = encode_word("abc", merges)
+    assert chain == ["ab", "c", MARKER]
+    assert encode_word_fast("abc", merges, rank_of) == chain
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=string.ascii_lowercase + "#0123456789",
+               min_size=1, max_size=24))
+def test_differential_fast_vs_chain_frozen_8k(word):
+    """Fast encoder vs replace chain on the REAL 8192-merge table, over
+    the digit/name-shaped words the table was trained on."""
+    from apache_spark_streaming_project_spark.functions.bpe import (
+        FIXTURE_8K,
+        encode_word_fast,
+        load_merges,
+    )
+
+    from apache_spark_streaming_project_spark.functions.bpe import rank_table
+
+    merges = load_merges(FIXTURE_8K)
+    rank_of = rank_table(merges)
+    assert encode_word_fast(word, merges, rank_of) == encode_word(
+        word, merges
+    )
+
+
+def test_trainer_fast_equals_naive():
+    """train_fast (incremental pair counts + lazy-deletion heap) must
+    reproduce the naive trainer's merge list exactly — including the
+    max-count lex-smallest tie-break — on a digit-heavy corpus shaped
+    like the production one."""
+    import importlib.util
+    from collections import Counter
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "train_bpe",
+        Path(__file__).resolve().parent.parent / "tools/train_bpe.py",
+    )
+    tb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tb)
+
+    freq = Counter({f"cust#{i:04d}": (i % 7) + 1 for i in range(200)})
+    freq.update({"alpha": 50, "beta": 30, "alphabet": 20, "bet": 5})
+    a = tb.train(freq, 300)
+    b = tb.train_fast(freq, 300)
+    assert a == b
+
+
+def test_8k_fixture_integrity():
+    """The invariants the fold oracle and the id space lean on: 8192
+    entries; BPE-valid chaining (each side is a char or an earlier
+    merge product); no symbol contains SEP, NUL, the \\x1e pat/rep fold
+    separator, or a quote; MARKER only ever word-final."""
+    import json
+    from apache_spark_streaming_project_spark.functions.bpe import (
+        FIXTURE_8K,
+        VOCAB_FIXTURE_8K,
+    )
+
+    merges = json.loads(FIXTURE_8K.read_text())
+    assert len(merges) == 8192
+    # unique pairs: the precondition the fast encoder's rank_table
+    # guard enforces (both tables; the 105-merge one too)
+    assert len({tuple(m) for m in merges}) == len(merges)
+    small = json.loads((FIXTURE_8K.parent / "bpe_merges.json").read_text())
+    assert len({tuple(m) for m in small}) == len(small)
+    chars = set(json.loads(VOCAB_FIXTURE_8K.read_text())["chars"])
+    known = chars | {MARKER}
+    for a, b in merges:
+        assert a in known and b in known, (a, b)
+        known.add(a + b)
+    for s in known:
+        for bad in (SEP, "\x00", "\x1e", "'"):
+            assert bad not in s, repr(s)
+        assert MARKER not in s or s.endswith(MARKER), repr(s)
+        if s != MARKER:
+            assert not s.startswith(MARKER), repr(s)
+
+
+def test_kernel_matches_reference_8k(spark):
+    """Arrow kernel (fast encoder) vs pure-Python chain reference on the
+    8192-merge table over customer-name text — the digit-rich word
+    population the x4_bpe8k queries hash."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_streaming_project_spark.functions.bpe import (
+        FIXTURE_8K,
+        bpe_token_count_text,
+        bpe_token_counts,
+        load_merges,
+    )
+
+    merges = load_merges(FIXTURE_8K)
+    c = (
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        .select(
+            "c_custkey",
+            F.concat(
+                F.col("c_name"), F.lit(" "), F.col("c_mktsegment")
+            ).alias("text"),
+        )
+        .limit(120)
+    )
+    got = {
+        r["c_custkey"]: r["n_tokens_bpe"]
+        for r in bpe_token_counts(
+            c, "c_custkey", "text", merges=merges
+        ).collect()
+    }
+    for r in c.collect():
+        assert got[r["c_custkey"]] == bpe_token_count_text(
+            r["text"], merges
+        )

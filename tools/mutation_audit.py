@@ -517,8 +517,8 @@ MUTATIONS = [
       "candidates, later epochs keep their near-dups (row-count kill)"),
     M("bpe_marker_dropped", "x4_bpe_packing",
       f"{PKG}/functions/bpe.py",
-      'list(word) + [MARKER]',
-      'list(word)',
+      'sym = list(word) + [MARKER]',
+      'sym = list(word)',
       "dropped-clause", "end-of-word marker omitted: every word loses "
       "its marker symbol and all end-of-word merges no-op — token "
       "counts shift corpus-wide (hash kill; counts are inside the "
@@ -596,6 +596,26 @@ MUTATIONS = [
       "boundary", "MIRROR-side containment comparator: the oracle keeps "
       "the exactly-at-threshold EDGE_F plant the engine drops (the m19 "
       "mirror-family oracle-side kill)"),
+    M("bpe8k_cursor_max", "x4_bpe8k_token_counts",
+      f"{PKG}/functions/bpe.py",
+      'if r > cursor and (best == -1 or r < best):',
+      'if r > cursor and (best == -1 or r > best):',
+      "swapped-agg", "fast encoder picks the LARGEST applicable rank "
+      "instead of the smallest — no longer the replace chain the fold "
+      "oracle replays; digit-word encodings shift (hash kill)"),
+    M("bpe8k_pack_budget", "x4_bpe8k_packing",
+      f"{PKG}/entry_queries.py",
+      'pack_documents(j, "n_tokens_bpe", 2048, "doc_id", "lang")',
+      'pack_documents(j, "n_tokens_bpe", 1024, "doc_id", "lang")',
+      "constant", "context-window budget halved: every pack boundary "
+      "moves (hash kill; 2048 sits in the oracle window expression)"),
+    M("oracle_bpe8k_fold_count", "x4_bpe8k_token_counts",
+      f"{PKG}/entry_queries.py",
+      "/ 2 - 1\n                  AS BIGINT) AS n_word_tokens",
+      "/ 2\n                  AS BIGINT) AS n_word_tokens",
+      "off-by-one", "MIRROR-side per-word symbol count keeps the "
+      "phantom +1 separator group: every word count off by one "
+      "(the 8k mirror-family oracle-side kill)"),
     M("bpe_oov_zero", "x4_bpe_token_ids",
       f"{PKG}/functions/bpe.py",
       'sym_id.get(s, -1)',
