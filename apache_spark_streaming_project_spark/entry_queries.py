@@ -1339,6 +1339,108 @@ def x4_bpe8k_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe8k_vocab_values_sql() -> str:
+    """(id, sym) VALUES rows for the 8k id space — load_vocab over the
+    production table (42 training chars + MARKER + 8192 merged symbols
+    in rank order, 8235 ids)."""
+    from apache_spark_streaming_project_spark.functions.bpe import (
+        FIXTURE_8K,
+        VOCAB_FIXTURE_8K,
+        load_merges,
+        load_vocab,
+    )
+
+    def q(t: str) -> str:
+        return t.replace("'", "''")
+
+    vocab = load_vocab(load_merges(FIXTURE_8K), path=VOCAB_FIXTURE_8K)
+    return ", ".join(f"({i}, '{q(t)}')" for i, t in enumerate(vocab))
+
+
+# OOV plant for the 8k id space: 'x' and '%' are absent from the
+# production table's 42-char training alphabet (no corpus word contains
+# them), so every symbol carrying one must resolve to id -1.
+_BPE8K_OOV_TEXT = "custxmer#00x 42%"
+
+
+@register(
+    "x4_bpe8k_token_ids",
+    f"""
+    WITH custdocs AS (
+      SELECT c_custkey, c_name || ' ' || c_mktsegment AS text
+      FROM customer
+      UNION ALL
+      SELECT CAST(-2 AS BIGINT), '{_BPE8K_OOV_TEXT}'
+    ),
+    {_bpe8k_fold_ctes("custdocs", "c_custkey", "text")},
+    ws AS (
+      SELECT word,
+             list_filter(string_split(merged, '{chr(31)}'),
+                         x -> x <> '') AS ss
+      FROM enc),
+    exw AS (
+      SELECT k, unnest(words) AS word,
+             unnest(range(1, len(words)+1)) AS wi
+      FROM w),
+    base AS (
+      SELECT e.k, e.wi, e.word,
+             SUM(len(ws.ss)) OVER (
+               PARTITION BY e.k ORDER BY e.wi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior
+      FROM exw e JOIN ws USING (word)),
+    tok AS (
+      SELECT b.k, coalesce(b.prior, 0) + s.si AS pos, s.sym
+      FROM base b JOIN (
+        SELECT word, unnest(ss) AS sym,
+               unnest(range(1, len(ss)+1)) AS si
+        FROM ws) s USING (word)),
+    vocab(id, sym) AS (VALUES {_bpe8k_vocab_values_sql()})
+    SELECT tok.k AS c_custkey, CAST(tok.pos AS BIGINT) AS pos,
+           CAST(coalesce(v.id, -1) AS BIGINT) AS token_id
+    FROM tok LEFT JOIN vocab v ON v.sym = tok.sym
+    ORDER BY c_custkey, pos
+    """,
+    "X4",
+)
+def x4_bpe8k_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE id sequence under the PRODUCTION id space: 8235
+    stable ids (42 chars + MARKER + 8192 merges in rank order) over the
+    digit-rich customer-name population, one row per token with 1-based
+    document positions — the embedding-lookup shape at realistic
+    vocabulary scale. OOV contract exercised by a planted doc whose
+    'x'/'%' characters are absent from the training alphabet (id -1).
+    The oracle resolves ids against an 8235-row VALUES vocab and
+    rebuilds cross-word positions from the per-distinct-word fold
+    (window sum of word token lengths in word order + within-word
+    ordinality) — every (key, pos, token_id) row is in the hash."""
+    from apache_spark_streaming_project_spark.functions.bpe import (
+        FIXTURE_8K,
+        VOCAB_FIXTURE_8K,
+        bpe_token_ids,
+        load_merges,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"), F.lit(" "), F.col("c_mktsegment")
+        ).alias("text"),
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(-2).cast("bigint").alias("c_custkey"),
+            F.lit(_BPE8K_OOV_TEXT).alias("text"),
+        )
+    )
+    return bpe_token_ids(
+        c,
+        "c_custkey",
+        "text",
+        merges=load_merges(FIXTURE_8K),
+        vocab_path=VOCAB_FIXTURE_8K,
+    ).orderBy("c_custkey", "pos")
+
+
 @register(
     "x4_edit_distance",
     """

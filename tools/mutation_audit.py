@@ -609,6 +609,13 @@ MUTATIONS = [
       'pack_documents(j, "n_tokens_bpe", 1024, "doc_id", "lang")',
       "constant", "context-window budget halved: every pack boundary "
       "moves (hash kill; 2048 sits in the oracle window expression)"),
+    M("bpe8k_wrong_vocab", "x4_bpe8k_token_ids",
+      f"{PKG}/entry_queries.py",
+      'merges=load_merges(FIXTURE_8K),\n        vocab_path=VOCAB_FIXTURE_8K,',
+      'merges=load_merges(FIXTURE_8K),',
+      "wrong-key", "id space resolved against the 105-table's char "
+      "vocabulary: digits/punctuation become OOV and every merged-"
+      "symbol id shifts (hash kill)"),
     M("oracle_bpe8k_fold_count", "x4_bpe8k_token_counts",
       f"{PKG}/entry_queries.py",
       "/ 2 - 1\n                  AS BIGINT) AS n_word_tokens",
