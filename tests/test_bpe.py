@@ -355,6 +355,13 @@ def test_8k_fixture_integrity():
     small = json.loads((FIXTURE_8K.parent / "bpe_merges.json").read_text())
     assert len({tuple(m) for m in small}) == len(small)
     chars = set(json.loads(VOCAB_FIXTURE_8K.read_text())["chars"])
+    # unique SYMBOL STRINGS across the whole id space: the ids oracle
+    # resolves symbols by equi-join against the VALUES vocab, so a
+    # duplicate symbol string (possible in principle via two merges
+    # whose sides concatenate identically) would FAN OUT its rows while
+    # the engine dict keeps one id — retraining must not introduce one
+    vocab = sorted(chars) + [MARKER] + [a + b for a, b in merges]
+    assert len(set(vocab)) == len(vocab)
     known = chars | {MARKER}
     for a, b in merges:
         assert a in known and b in known, (a, b)

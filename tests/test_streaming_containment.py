@@ -142,3 +142,53 @@ def test_m19_replay_is_idempotent(spark, tmp_path):
     )
     assert rows(gram) == gram_once
     assert rows(text) == text_once
+
+
+def test_m19_store_compaction_preserves_results(spark, tmp_path):
+    """The m16 maintenance invariant extended to the containment
+    stores: they publish through the same batch-keyed seam, so
+    compact-into-new-dir mid-run must leave the kept set and continued
+    ingestion unchanged (the gram index is the heaviest store any
+    streaming dedup mode carries — the one a 100 TB deployment compacts
+    most often)."""
+    import glob
+
+    from apache_spark_streaming_project_spark.entry_queries import (
+        _M19_T,
+        _m19_docs,
+    )
+    from apache_spark_streaming_project_spark.sources.partitioned import (
+        compact_parquet,
+    )
+
+    d = _m19_docs(spark, SF_DIR)
+    gram, text = str(tmp_path / "gram"), str(tmp_path / "text")
+    for i in (0, 1):
+        streaming_containment_dedup_batch(
+            d.filter(F.col("epoch") == i), gram, text, _M19_T, i
+        )
+    n_frag = len(glob.glob(gram + "/**/part-*", recursive=True))
+    assert n_frag >= 2
+    gram_c = str(tmp_path / "gram_c")
+    text_c = str(tmp_path / "text_c")
+    compact_parquet(spark, gram, gram_c, 1, recursive=True)
+    compact_parquet(spark, text, text_c, 1, recursive=True)
+    assert len(glob.glob(gram_c + "/part-*")) == 1
+
+    streaming_containment_dedup_batch(
+        d.filter(F.col("epoch") == 2), gram, text, _M19_T, 2
+    )
+    streaming_containment_dedup_batch(
+        d.filter(F.col("epoch") == 2), gram_c, text_c, _M19_T, 2
+    )
+
+    def kept(store):
+        return sorted(
+            (r["doc_id"], r["epoch"])
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(store)
+            .filter(F.col("kept"))
+            .collect()
+        )
+
+    assert kept(text_c) == kept(text)

@@ -86,7 +86,7 @@ def main() -> None:
 
     def probe(store: str) -> float:
         t0 = time.time()
-        idx = spark.read.parquet(store)
+        idx = spark.read.option("recursiveFileLookup", "true").parquet(store)
         bands_df.join(idx, ["band", "band_hash"]).select(
             "doc_id", "rep_doc_id"
         ).distinct().count()
@@ -98,7 +98,8 @@ def main() -> None:
         "src": src,
         "epochs": epochs,
         "build_s": round(build_s, 1),
-        "band_rows": spark.read.parquet(band).count(),
+        "band_rows": spark.read.option("recursiveFileLookup", "true")
+        .parquet(band).count(),
         "files_fragmented": n_frag,
         "files_compacted": n_dense,
         "compact_s": round(compact_s, 2),

@@ -109,12 +109,15 @@ def probe_m14(spark, sf_dir: str, name: str) -> dict:
 
     from apache_spark_streaming_project_spark.entry_queries import (
         _M14B_T,
+        _M19_T,
         _m14_docs,
         _m14b_docs,
+        _m19_docs,
         _write_epoch_waves,
         QUERIES,
     )
     from apache_spark_streaming_project_spark.operators.dedup import (
+        streaming_containment_dedup_batch,
         streaming_lsh_dedup_batch,
         streaming_threshold_dedup_batch,
     )
@@ -132,6 +135,8 @@ def probe_m14(spark, sf_dir: str, name: str) -> dict:
         doc_store = os.path.join(base, "doc_store")
         if name == "m14_streaming_lsh_dedup":
             d = _m14_docs(spark, sf_dir)
+        elif name == "m19_streaming_containment_dedup":
+            d = _m19_docs(spark, sf_dir)
         else:
             d = _m14b_docs(spark, sf_dir)
         # SAME scoped shuffle-partition setting as the streaming drain:
@@ -143,6 +148,10 @@ def probe_m14(spark, sf_dir: str, name: str) -> dict:
                 b = spark.read.parquet(os.path.join(in_dir, f"wave{i}"))
                 if name == "m14_streaming_lsh_dedup":
                     streaming_lsh_dedup_batch(b, band_store, doc_store, i)
+                elif name == "m19_streaming_containment_dedup":
+                    streaming_containment_dedup_batch(
+                        b, band_store, doc_store, _M19_T, i
+                    )
                 else:
                     streaming_threshold_dedup_batch(
                         b, band_store, doc_store, _M14B_T, i
@@ -236,6 +245,9 @@ def main() -> None:
             spark, sf_dir, "m14b_streaming_threshold_dedup"
         ),
         "m15_streaming_dsir": lambda: probe_m15(spark, sf_dir),
+        "m19_streaming_containment_dedup": lambda: probe_m14(
+            spark, sf_dir, "m19_streaming_containment_dedup"
+        ),
     }
     results: dict[str, dict] = {}
     for pname, p in probes.items():
