@@ -88,6 +88,15 @@ def _scratch_dir(prefix: str) -> str:
     return path
 
 
+def _read_batch_store(spark: SparkSession, store: str) -> DataFrame:
+    """Recursive-lookup read of a batch-keyed dedup store — the
+    operators/dedup.py:_publish_store_batch layout, where flat compacted
+    part files and ``batch-<id>/`` subdirectories coexist. The single
+    spelling of the read-side contract for every registration tail (a
+    layout change edits here and dedup._read_store, nowhere else)."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(store)
+
+
 def _pin_wave_mtime(wave_dir: str, wave: int) -> None:
     """Pin a strictly increasing, wave-indexed mtime on every file in a
     streaming input wave directory. FileStreamSource orders newly
@@ -1171,6 +1180,37 @@ def x4_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_ids(d, "doc_id", "text").orderBy("doc_id", "pos")
 
 
+def _sql_quote(t: str) -> str:
+    """Standard-SQL single-quote escaping for literals interpolated
+    into oracle strings."""
+    return t.replace("'", "''")
+
+
+def _bpe8k_fold_items() -> str:
+    """The constant pat<RS>rep fold list for the 8192-merge table,
+    built (and the 274 KB fixture parsed) ONCE per process — three
+    registrations interpolate it at import time."""
+    import functools
+
+    return _bpe8k_fold_items_cached()
+
+
+@__import__("functools").lru_cache(maxsize=1)
+def _bpe8k_fold_items_cached() -> str:
+    from apache_spark_streaming_project_spark.functions.bpe import (
+        FIXTURE_8K,
+        SEP,
+        load_merges,
+    )
+
+    rs = "\x1e"
+    return ", ".join(
+        f"'{_sql_quote(SEP + a + SEP + SEP + b + SEP)}{rs}"
+        f"{_sql_quote(SEP + a + b + SEP)}'"
+        for a, b in load_merges(FIXTURE_8K)
+    )
+
+
 def _bpe8k_fold_ctes(source: str, key_sql: str, text_sql: str) -> str:
     """PRODUCTION-SCALE BPE mirror (8192 merges): the 105-merge oracle
     inlines one nested replace() per rank, which no parser survives at
@@ -1187,21 +1227,14 @@ def _bpe8k_fold_ctes(source: str, key_sql: str, text_sql: str) -> str:
     -> BPE token count), ``dc`` (key -> document token count, zero-word
     rows folded to 0)."""
     from apache_spark_streaming_project_spark.functions.bpe import (
-        FIXTURE_8K,
         MARKER,
         SEP,
-        load_merges,
     )
 
-    def q(t: str) -> str:
-        return t.replace("'", "''")
-
+    q = _sql_quote
     sep2 = SEP + SEP
     rs = "\x1e"  # pat/rep separator: verified absent from all symbols
-    items = ", ".join(
-        f"'{q(SEP + a + SEP + SEP + b + SEP)}{rs}{q(SEP + a + b + SEP)}'"
-        for a, b in load_merges(FIXTURE_8K)
-    )
+    items = _bpe8k_fold_items()
     return f"""
     w AS (
       SELECT {key_sql} AS k,
@@ -1350,11 +1383,10 @@ def _bpe8k_vocab_values_sql() -> str:
         load_vocab,
     )
 
-    def q(t: str) -> str:
-        return t.replace("'", "''")
-
     vocab = load_vocab(load_merges(FIXTURE_8K), path=VOCAB_FIXTURE_8K)
-    return ", ".join(f"({i}, '{q(t)}')" for i, t in enumerate(vocab))
+    return ", ".join(
+        f"({i}, '{_sql_quote(t)}')" for i, t in enumerate(vocab)
+    )
 
 
 # OOV plant for the 8k id space: 'x' and '%' are absent from the
@@ -11110,8 +11142,7 @@ def m14_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _drain_waves(spark, in_dir, ckpt, dedup_batch, d.schema)
 
     return (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(corpus_store)
+        _read_batch_store(spark, corpus_store)
         .select("doc_id", F.col("epoch").cast("bigint").alias("epoch"))
         .orderBy("doc_id")
     )
@@ -11315,8 +11346,7 @@ def m14b_streaming_threshold_dedup(
     _drain_waves(spark, in_dir, ckpt, dedup_batch, d.schema)
 
     return (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(text_store)
+        _read_batch_store(spark, text_store)
         .filter(F.col("kept"))
         .select("doc_id", F.col("epoch").cast("bigint").alias("epoch"))
         .orderBy("doc_id")
@@ -11390,8 +11420,7 @@ def m16_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.filter(F.col("epoch") == 2), band_c, text_c, _M14B_T, 2
         )
     return (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(text_c)
+        _read_batch_store(spark, text_c)
         .filter(F.col("kept"))
         .select("doc_id", F.col("epoch").cast("bigint").alias("epoch"))
         .orderBy("doc_id")
@@ -11757,8 +11786,7 @@ def m19_streaming_containment_dedup(
     _drain_waves(spark, in_dir, ckpt, dedup_batch, d.schema)
 
     return (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(text_store)
+        _read_batch_store(spark, text_store)
         .filter(F.col("kept"))
         .select("doc_id", F.col("epoch").cast("bigint").alias("epoch"))
         .orderBy("doc_id")

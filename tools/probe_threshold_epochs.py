@@ -58,13 +58,14 @@ def main() -> None:
         print(rows[-1])
 
     secs = [r["seconds"] for r in rows]
+    k = min(3, len(secs))  # window clamps for short runs; guard 0-div
     report = {
         "src": src, "epochs": epochs, "per_epoch": rows,
-        "first3_mean_s": round(sum(secs[:3]) / 3, 2),
-        "last3_mean_s": round(sum(secs[-3:]) / 3, 2),
+        "first3_mean_s": round(sum(secs[:k]) / k, 2),
+        "last3_mean_s": round(sum(secs[-k:]) / k, 2),
     }
     report["last3_over_first3"] = round(
-        report["last3_mean_s"] / report["first3_mean_s"], 2
+        report["last3_mean_s"] / max(report["first3_mean_s"], 1e-9), 2
     )
     print(json.dumps({k: v for k, v in report.items() if k != "per_epoch"}))
     (REPO / "tools" / "probe_threshold_epochs.json").write_text(
