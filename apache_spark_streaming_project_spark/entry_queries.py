@@ -11757,10 +11757,12 @@ def m19_streaming_containment_dedup(
     At 100 TB: the gram index shuffles and prunes on 8-byte xxhash64
     keys; per-batch probe cost is the batch's own gram count joined
     against a hash-partitioned store. Hot boilerplate grams are the
-    skew axis — production caps per-gram postings (the dedup.py:576
-    DF-cap trade) or AQE-splits them; the registration keeps the index
-    exact so the oracle stays a full ground truth. Reference has no
-    dedup at all (extension surface, SURVEY §2 X2/S6)."""
+    skew axis — production passes ``posting_cap`` (implemented in the
+    batch body; the trade is pinned by tests/test_streaming_containment
+    .py::test_posting_cap_trades_boilerplate_recall_for_skew) or leans
+    on AQE skew splitting; the registration runs UNCAPPED so the
+    oracle stays a full ground truth. Reference has no dedup at all
+    (extension surface, SURVEY §2 X2/S6)."""
     import os
 
     from apache_spark_streaming_project_spark.operators.dedup import (

@@ -1554,6 +1554,7 @@ def streaming_containment_dedup_batch(
     threshold: float,
     batch_id: int,
     n: int = 8,
+    posting_cap: int | None = None,
 ) -> None:
     """m19 per-batch body: CONTAINMENT-mode streaming dedup — the
     doc-inside-doc fragment shape (a quoted article, a boilerplate-
@@ -1589,11 +1590,10 @@ def streaming_containment_dedup_batch(
     At 100 TB: the index is the heavy store (one row per doc-gram), but
     it shuffles on 8-byte hash keys, partition-prunes by ``gram_hash``
     range, and the probe touches only the batch's own grams. Hot
-    boilerplate grams skew the probe join — production caps per-gram
-    postings at the recall cost it chooses (the dedup.py:576 DF-cap
-    trade, documented not silently applied here) or leans on AQE skew
-    splitting; the registration keeps the index exact so the full
-    ground-truth oracle stays honest. Reference has no dedup at all
+    boilerplate grams skew the probe join — ``posting_cap`` excludes
+    them from candidate generation at an explicit, test-pinned recall
+    cost (the dedup.py DF-cap trade); the registration runs uncapped so
+    the full ground-truth oracle stays honest. Reference has no dedup at all
     (extension surface, SURVEY §2 X2/S6)."""
     ss = batch_df.sparkSession
     b = batch_df.select("doc_id", "epoch", "text")
@@ -1616,8 +1616,36 @@ def streaming_containment_dedup_batch(
         F.col("doc_id").alias("rep_doc_id"),
     )
     idx = prior.unionByName(self_reps)
+    # posting_cap: the production hot-gram (boilerplate) skew trade,
+    # made code instead of prose — grams whose postings exceed the cap
+    # are excluded from CANDIDATE GENERATION (the index still records
+    # them: hotness is re-decided per batch as the corpus grows). The
+    # trade is explicit and test-pinned: a pair similar ONLY through
+    # capped grams is missed (tests/test_streaming_containment.py::
+    # test_posting_cap_trades_boilerplate_recall_for_skew). The m19
+    # registration runs UNCAPPED so its all-pairs oracle stays a full
+    # ground truth — the same honesty rule the minhash DF cap follows
+    # (capped probe lives outside the oracle-hashed path).
+    if posting_cap is not None:
+        # hotness only matters for grams the BATCH probes: semi-join
+        # narrows the count to those postings (production would keep an
+        # incrementally-maintained posting-count sketch instead of
+        # recounting; hot grams are few by definition, so the anti-join
+        # side broadcasts)
+        hot = (
+            idx.join(
+                g.select("gram_hash").distinct(), "gram_hash", "left_semi"
+            )
+            .groupBy("gram_hash")
+            .count()
+            .filter(F.col("count") > posting_cap)
+            .select("gram_hash")
+        )
+        probe_idx = idx.join(F.broadcast(hot), "gram_hash", "left_anti")
+    else:
+        probe_idx = idx
     cand = (
-        g.join(idx, "gram_hash")
+        g.join(probe_idx, "gram_hash")
         .filter(
             (F.col("rep_epoch") < F.col("epoch"))
             | (
