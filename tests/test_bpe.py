@@ -408,3 +408,66 @@ def test_kernel_matches_reference_8k(spark):
         assert got[r["c_custkey"]] == bpe_token_count_text(
             r["text"], merges
         )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab0#c", min_size=1, max_size=14),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_differential_fold_oracle_vs_engine_8k(words):
+    """DuckDB-in-the-loop differential for the FOLD ORACLE STRATEGY
+    itself (round-13): for adversarial word lists — repeats, digit/#
+    shapes, chars both in and out of the training alphabet — the
+    list_reduce fold the x4_bpe8k mirrors replay must give the same
+    per-word token count as the engine kernel's fast encoder. This
+    tests the generator (_bpe8k_fold_ctes' fold expression), not just
+    the fixture text the gate happens to hash."""
+    import duckdb
+
+    from apache_spark_streaming_project_spark.entry_queries import (
+        _bpe8k_fold_items,
+    )
+    from apache_spark_streaming_project_spark.functions.bpe import (
+        FIXTURE_8K,
+        SEP,
+        encode_word_fast,
+        load_merges,
+        rank_table,
+    )
+
+    merges = load_merges(FIXTURE_8K)
+    rank_of = rank_table(merges)
+    items = _bpe8k_fold_items()
+    sep2 = SEP + SEP
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"""
+        WITH dw AS (SELECT unnest(?) AS word),
+        enc AS (
+          SELECT word,
+                 list_reduce(
+                   list_prepend(
+                     '{sep2}' || array_to_string(list_transform(
+                         range(1, length(word)+1), i -> word[i]),
+                         '{sep2}') || '{sep2}' || chr(23) || '{sep2}',
+                     [{items}]),
+                   (acc, x) -> replace(acc, split_part(x, chr(30), 1),
+                                            split_part(x, chr(30), 2)))
+                   AS merged
+          FROM dw)
+        SELECT word,
+               (length(merged)
+                - length(replace(merged, '{SEP}', ''))) / 2 - 1 AS n
+        FROM enc
+        """,
+        [words],
+    ).fetchall()
+    con.close()
+    want = {w: len(encode_word_fast(w, merges, rank_of)) for w in words}
+    for w, n in got:
+        assert int(n) == want[w], (w, n, want[w])
