@@ -1473,6 +1473,80 @@ def x4_bpe8k_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey", "pos")
 
 
+# Chunking plants: -3 encodes to EXACTLY 512 BPE tokens (256 repeats of
+# the OOV word "x" -> 2 tokens each: the char blocks every merge) — an
+# exact multiple of the 32-token budget, so the edge is load-bearing
+# (ceil must not emit a phantom empty 17th chunk; every chunk is FULL).
+# -4 is empty text -> zero tokens -> NO chunk rows (row-count
+# sensitive).
+_BPE8K_CHUNK_PLANT = " ".join(["x"] * 256)
+
+
+@register(
+    "x4_bpe8k_chunks",
+    f"""
+    WITH chunkdocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES
+        (CAST(-3 AS BIGINT), '{_BPE8K_CHUNK_PLANT}'),
+        (-4, '')
+      ) AS plants(doc_id, text)
+    ),
+    {_bpe8k_fold_ctes("chunkdocs", "doc_id", "text")}
+    SELECT k AS doc_id,
+           CAST(cid AS BIGINT) AS chunk_id,
+           CAST(cid * 32 + 1 AS BIGINT) AS chunk_start,
+           CAST(least(32, n_tokens - cid * 32) AS BIGINT)
+             AS chunk_tokens
+    FROM (SELECT k, n_tokens,
+                 unnest(range(0, CAST(ceil(n_tokens / 32.0) AS BIGINT)))
+                   AS cid
+          FROM dc WHERE n_tokens > 0)
+    ORDER BY doc_id, chunk_id
+    """,
+    "X4",
+)
+def x4_bpe8k_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document CHUNKING under a BPE token budget — the half of
+    sequence preparation pack_documents deliberately lacks: a document
+    longer than the context window must be SPLIT, not binned whole.
+    One row per (doc, 32-token window) with 1-based start positions and
+    the remainder carried by the last chunk. The budget is sized to the
+    FIXTURE (docs run 10-99 BPE tokens, median 56, so the bulk path
+    genuinely multi-chunks: 1-4 chunks per doc and a hashed remainder
+    each); the arithmetic is budget-independent and x4_bpe8k_packing
+    demonstrates the production 2048 window. Plants pin the
+    exact-multiple edge (a 512-token doc -> 16 FULL chunks, no phantom
+    17th) and the zero-token edge (empty text -> no rows).
+
+    Plan: the counts come from the one mapInPandas BPE pass; chunk
+    generation is a map-only sequence explode (no shuffle, no token
+    arrays materialized) — at 100 TB the chunker is free next to the
+    tokenizer."""
+    from apache_spark_streaming_project_spark.functions.bpe import (
+        FIXTURE_8K,
+        bpe_token_counts,
+        load_merges,
+    )
+    from apache_spark_streaming_project_spark.operators.text import (
+        chunk_by_token_budget,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(-3, _BPE8K_CHUNK_PLANT), (-4, "")],
+            "doc_id long, text string",
+        )
+    )
+    counts = bpe_token_counts(
+        d, "doc_id", "text", merges=load_merges(FIXTURE_8K)
+    )
+    return chunk_by_token_budget(counts, "n_tokens_bpe", 32).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
 @register(
     "x4_edit_distance",
     """

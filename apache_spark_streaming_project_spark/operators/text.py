@@ -131,6 +131,46 @@ def language_id(c: Column | str) -> Column:
     return best["lang"]
 
 
+def chunk_by_token_budget(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """TOKEN-budget document chunking for pretraining: split each
+    document's token stream into fixed-budget windows — the companion
+    pack_documents deliberately lacks (packing bins WHOLE docs; a doc
+    longer than the context must be SPLIT), and the TOKEN-space twin of
+    chunk_documents below (which windows CHARACTERS with overlap for
+    retrieval; context budgets are measured in tokens, not chars).
+    Emits one row per (doc, chunk): ``chunk_id`` 0-based, ``chunk_start``
+    the 1-based first token position, ``chunk_tokens`` = budget for full
+    chunks and the remainder for the last. Zero-token docs produce no
+    chunks (nothing to train on), mirroring explode-of-empty semantics.
+
+    Map-only: ``sequence(0, ceil(n/budget)-1)`` exploded per row — no
+    shuffle, no Python, arbitrarily wide documents handled by expression
+    arithmetic rather than materializing token arrays. At 100 TB this is
+    the cheap step; the token counts it consumes come from the one
+    mapInPandas BPE pass."""
+    key_cols = key_cols or ["doc_id"]
+    n = F.coalesce(F.col(token_col).cast("bigint"), F.lit(0))
+    n_chunks = F.ceil(n.cast("double") / F.lit(budget)).cast("bigint")
+    ids = F.when(
+        n > 0, F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
+    out = df.select(*key_cols, n.alias("_n"), F.explode(ids).alias("chunk_id"))
+    return out.select(
+        *key_cols,
+        "chunk_id",
+        (F.col("chunk_id") * budget + 1).alias("chunk_start"),
+        F.least(
+            F.lit(budget).cast("bigint"),
+            F.col("_n") - F.col("chunk_id") * budget,
+        ).alias("chunk_tokens"),
+    )
+
+
 def pack_documents(
     df: DataFrame,
     token_col: str,

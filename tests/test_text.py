@@ -1251,3 +1251,27 @@ def test_tokens_vertical_tab_matches_duckdb(spark):
     ).fetchone()[0]
     con.close()
     assert got == ref == ["alpha\x0bbeta", "gamma", "delta\x0b", "\x0bepsilon"]
+
+
+def test_chunk_by_token_budget_edges(spark):
+    """Token-budget chunking arithmetic: remainder last chunk, exact
+    multiple (no phantom empty chunk), sub-budget doc (one chunk),
+    zero tokens (no rows), NULL count folded to zero."""
+    df = spark.createDataFrame(
+        [(1, 70), (2, 64), (3, 10), (4, 0), (5, None)],
+        "doc_id long, n long",
+    )
+    out = sorted(
+        map(
+            tuple,
+            tx.chunk_by_token_budget(df, "n", 32).select(
+                "doc_id", "chunk_id", "chunk_start", "chunk_tokens"
+            ).collect(),
+        )
+    )
+    assert out == [
+        (1, 0, 1, 32), (1, 1, 33, 32), (1, 2, 65, 6),   # remainder 6
+        (2, 0, 1, 32), (2, 1, 33, 32),                   # exact multiple
+        (3, 0, 1, 10),                                   # sub-budget
+        # doc 4 (zero) and doc 5 (NULL) produce no chunks
+    ]

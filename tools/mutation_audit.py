@@ -596,6 +596,19 @@ MUTATIONS = [
       "boundary", "MIRROR-side containment comparator: the oracle keeps "
       "the exactly-at-threshold EDGE_F plant the engine drops (the m19 "
       "mirror-family oracle-side kill)"),
+    M("bpe8k_chunk_floor", "x4_bpe8k_chunks",
+      f"{PKG}/operators/text.py",
+      'n_chunks = F.ceil(n.cast("double") / F.lit(budget)).cast("bigint")',
+      'n_chunks = F.floor(n.cast("double") / F.lit(budget)).cast("bigint")',
+      "off-by-one", "token chunking loses every non-multiple doc's "
+      "remainder chunk (the bulk path: median-56-token docs at budget "
+      "32 all shed their second chunk; row-count kill)"),
+    M("oracle_bpe8k_chunk_floor", "x4_bpe8k_chunks",
+      f"{PKG}/entry_queries.py",
+      "unnest(range(0, CAST(ceil(n_tokens / 32.0) AS BIGINT)))",
+      "unnest(range(0, CAST(floor(n_tokens / 32.0) AS BIGINT)))",
+      "off-by-one", "MIRROR-side chunk count drops the remainder chunk "
+      "(the chunks mirror-family oracle-side kill; row-count)"),
     M("bpe8k_cursor_max", "x4_bpe8k_token_counts",
       f"{PKG}/functions/bpe.py",
       'if r > cursor and (best == -1 or r < best):',
