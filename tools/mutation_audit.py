@@ -525,10 +525,19 @@ MUTATIONS = [
       "hash)"),
     M("bpe_chain_truncated", "x4_bpe_packing",
       f"{PKG}/functions/bpe.py",
-      'for a, b in merges:\n        spaced = spaced.replace(',
-      'for a, b in merges[:1]:\n        spaced = spaced.replace(',
-      "dropped-clause", "merge chain truncated to rank 1: counts "
-      "degrade toward chars+1 per word on all 500 docs (hash kill)"),
+      'merge_list = list(frozen)\n'
+      '        rank_of = rank_table(merge_list)\n'
+      '\n'
+      '        @lru_cache',
+      'merge_list = list(frozen)[:1]\n'
+      '        rank_of = rank_table(merge_list)\n'
+      '\n'
+      '        @lru_cache',
+      "dropped-clause", "merge table truncated to rank 1 in the counts "
+      "kernel (re-anchored round 13: the kernels moved from the replace "
+      "chain to encode_word_fast, making the old chain-loop anchor "
+      "inert): counts degrade toward chars+1 per word on all 500 docs "
+      "(hash kill)"),
     M("oracle_bpe_rank_order", "x4_bpe_packing",
       f"{PKG}/entry_queries.py",
       'for a, b in load_merges():',
@@ -856,6 +865,15 @@ def main() -> int:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("mutation_audit")
         .config("spark.sql.shuffle.partitions", cpus)
+        # purge_modules only clears the DRIVER's module cache; REUSED
+        # python workers keep their own imports, so an executor-side
+        # mutation (Arrow kernels in functions/bpe.py etc.) can be
+        # served from a stale unmutated module — a FALSE SURVIVAL — or,
+        # worse, a stale MUTATED module can leak into a later
+        # mutation's run — a false kill. Fresh worker per task closes
+        # both directions (round-13: bpe8k_cursor_max flipped
+        # killed->survived purely on audit ordering before this).
+        .config("spark.python.worker.reuse", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
