@@ -1390,66 +1390,73 @@ def streaming_lsh_dedup_batch(
         .select(F.col("_key").alias("doc_id"), "band", "band_hash")
         .join(b.select("doc_id", "epoch"), "doc_id")
     ).persist()
-    prior = _read_store(
-        ss,
-        band_store,
-        "band int, band_hash long, rep_epoch long, rep_doc_id long",
-    ).select("band", "band_hash", "rep_epoch", "rep_doc_id")
-    self_reps = bands.select(
-        "band",
-        "band_hash",
-        F.col("epoch").alias("rep_epoch"),
-        F.col("doc_id").alias("rep_doc_id"),
-    )
-    index = prior.unionByName(self_reps)
-    cand = (
-        bands.join(index, ["band", "band_hash"])
-        .filter(
-            (F.col("rep_epoch") < F.col("epoch"))
-            | (
-                (F.col("rep_epoch") == F.col("epoch"))
-                & (F.col("rep_doc_id") < F.col("doc_id"))
-            )
-        )
-        .select("doc_id", "rep_doc_id")
-        .distinct()
-    )
-    kept_corpus = _read_store(
-        ss, corpus_store, "doc_id long, text string"
-    ).select("doc_id", "text")
-    rep_texts = kept_corpus.unionByName(b.select("doc_id", "text"))
-    dropped = (
-        cand.join(
-            b.select("doc_id", word_shingles("text").alias("_sa")),
-            "doc_id",
-        )
-        .join(
-            rep_texts.select(
-                F.col("doc_id").alias("rep_doc_id"),
-                word_shingles("text").alias("_sb"),
-            ),
-            "rep_doc_id",
-        )
-        .filter(shingle_sets_equal(F.col("_sa"), F.col("_sb")))
-        .select("doc_id")
-        .distinct()
-    ).persist()  # feeds BOTH store appends: without this the whole
-    # candidate+verify pipeline (incl. the corpus-store re-read and
-    # shingling) runs twice per micro-batch (round-12 review finding)
-    kept = b.join(dropped, "doc_id", "left_anti")
-    _publish_store_batch(kept, corpus_store, batch_id)
-    _publish_store_batch(
-        bands.join(dropped, "doc_id", "left_anti").select(
+    dropped = None
+    try:
+        prior = _read_store(
+            ss,
+            band_store,
+            "band int, band_hash long, rep_epoch long, rep_doc_id long",
+        ).select("band", "band_hash", "rep_epoch", "rep_doc_id")
+        self_reps = bands.select(
             "band",
             "band_hash",
             F.col("epoch").alias("rep_epoch"),
             F.col("doc_id").alias("rep_doc_id"),
-        ),
-        band_store,
-        batch_id,
-    )
-    dropped.unpersist()
-    bands.unpersist()
+        )
+        index = prior.unionByName(self_reps)
+        cand = (
+            bands.join(index, ["band", "band_hash"])
+            .filter(
+                (F.col("rep_epoch") < F.col("epoch"))
+                | (
+                    (F.col("rep_epoch") == F.col("epoch"))
+                    & (F.col("rep_doc_id") < F.col("doc_id"))
+                )
+            )
+            .select("doc_id", "rep_doc_id")
+            .distinct()
+        )
+        kept_corpus = _read_store(
+            ss, corpus_store, "doc_id long, text string"
+        ).select("doc_id", "text")
+        rep_texts = kept_corpus.unionByName(b.select("doc_id", "text"))
+        dropped = (
+            cand.join(
+                b.select("doc_id", word_shingles("text").alias("_sa")),
+                "doc_id",
+            )
+            .join(
+                rep_texts.select(
+                    F.col("doc_id").alias("rep_doc_id"),
+                    word_shingles("text").alias("_sb"),
+                ),
+                "rep_doc_id",
+            )
+            .filter(shingle_sets_equal(F.col("_sa"), F.col("_sb")))
+            .select("doc_id")
+            .distinct()
+        ).persist()  # feeds BOTH store appends: without this the whole
+        # candidate+verify pipeline (incl. the corpus-store re-read and
+        # shingling) runs twice per micro-batch (round-12 review finding)
+        kept = b.join(dropped, "doc_id", "left_anti")
+        _publish_store_batch(kept, corpus_store, batch_id)
+        _publish_store_batch(
+            bands.join(dropped, "doc_id", "left_anti").select(
+                "band",
+                "band_hash",
+                F.col("epoch").alias("rep_epoch"),
+                F.col("doc_id").alias("rep_doc_id"),
+            ),
+            band_store,
+            batch_id,
+        )
+    finally:
+        # a crash anywhere in the batch — including the window between
+        # the two store publishes (tests/test_crash_recovery.py) — must
+        # not leak executor cache into the foreachBatch retry
+        if dropped is not None:
+            dropped.unpersist()
+        bands.unpersist()
 
 
 def streaming_threshold_dedup_batch(
@@ -1471,80 +1478,87 @@ def streaming_threshold_dedup_batch(
         .select(F.col("_key").alias("doc_id"), "band", "band_hash")
         .join(b.select("doc_id", "epoch"), "doc_id")
     ).persist()
-    prior_rows = _read_store(
-        ss,
-        band_store,
-        "band int, band_hash long, rep_epoch long, rep_doc_id long",
-    ).select("band", "band_hash", "rep_epoch", "rep_doc_id")
-    batch_reps = batch_bands.select(
-        "band",
-        "band_hash",
-        F.col("epoch").alias("rep_epoch"),
-        F.col("doc_id").alias("rep_doc_id"),
-    )
-    idx = prior_rows.unionByName(batch_reps)
-    cand = (
-        batch_bands.join(idx, ["band", "band_hash"])
-        .filter(
-            (F.col("rep_epoch") < F.col("epoch"))
-            | (
-                (F.col("rep_epoch") == F.col("epoch"))
-                & (F.col("rep_doc_id") < F.col("doc_id"))
+    cand = None
+    try:
+        prior_rows = _read_store(
+            ss,
+            band_store,
+            "band int, band_hash long, rep_epoch long, rep_doc_id long",
+        ).select("band", "band_hash", "rep_epoch", "rep_doc_id")
+        batch_reps = batch_bands.select(
+            "band",
+            "band_hash",
+            F.col("epoch").alias("rep_epoch"),
+            F.col("doc_id").alias("rep_doc_id"),
+        )
+        idx = prior_rows.unionByName(batch_reps)
+        cand = (
+            batch_bands.join(idx, ["band", "band_hash"])
+            .filter(
+                (F.col("rep_epoch") < F.col("epoch"))
+                | (
+                    (F.col("rep_epoch") == F.col("epoch"))
+                    & (F.col("rep_doc_id") < F.col("doc_id"))
+                )
             )
-        )
-        .select("doc_id", "rep_doc_id")
-        .distinct()
-    ).persist()  # feeds the reps semi-join AND the verify join
-    earlier_texts = _read_store(
-        ss, text_store, "doc_id long, text string"
-    ).select("doc_id", "text")
-    all_texts = earlier_texts.unionByName(b.select("doc_id", "text"))
-    # verify reads ONLY matched reps' texts: semi-join narrows the store
-    # BEFORE the shingle projection — O(candidate reps), never O(corpus)
-    rep_texts = all_texts.join(
-        cand.select(F.col("rep_doc_id").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_semi",
-    )
-    inter = F.size(F.array_intersect("_sa", "_sb"))
-    un = F.size(F.array_union("_sa", "_sb"))
-    dropped = (
-        cand.join(
-            b.select("doc_id", word_shingles("text").alias("_sa")),
+            .select("doc_id", "rep_doc_id")
+            .distinct()
+        ).persist()  # feeds the reps semi-join AND the verify join
+        earlier_texts = _read_store(
+            ss, text_store, "doc_id long, text string"
+        ).select("doc_id", "text")
+        all_texts = earlier_texts.unionByName(b.select("doc_id", "text"))
+        # verify reads ONLY matched reps' texts: semi-join narrows the
+        # store BEFORE the shingle projection — O(candidate reps), never
+        # O(corpus)
+        rep_texts = all_texts.join(
+            cand.select(F.col("rep_doc_id").alias("doc_id")).distinct(),
             "doc_id",
+            "left_semi",
         )
-        .join(
-            rep_texts.select(
-                F.col("doc_id").alias("rep_doc_id"),
-                word_shingles("text").alias("_sb"),
+        inter = F.size(F.array_intersect("_sa", "_sb"))
+        un = F.size(F.array_union("_sa", "_sb"))
+        dropped = (
+            cand.join(
+                b.select("doc_id", word_shingles("text").alias("_sa")),
+                "doc_id",
+            )
+            .join(
+                rep_texts.select(
+                    F.col("doc_id").alias("rep_doc_id"),
+                    word_shingles("text").alias("_sb"),
+                ),
+                "rep_doc_id",
+            )
+            .filter(
+                (un > 0)
+                & (inter.cast("double") / un.cast("double")
+                   >= F.lit(threshold))
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        flagged = b.join(
+            dropped.withColumn("_dropped", F.lit(True)), "doc_id", "left"
+        )
+        # the pair rule indexes EVERY arrival: both stores publish the
+        # whole batch (kept flag on the text store) into their
+        # batch-<id> subdirs — new files only, never read-and-overwrite
+        # of live data, and a retried micro-batch overwrites its own
+        # subdir (replay is a no-op)
+        _publish_store_batch(
+            flagged.withColumn("kept", F.col("_dropped").isNull()).drop(
+                "_dropped"
             ),
-            "rep_doc_id",
+            text_store,
+            batch_id,
         )
-        .filter(
-            (un > 0)
-            & (inter.cast("double") / un.cast("double")
-               >= F.lit(threshold))
-        )
-        .select("doc_id")
-        .distinct()
-    )
-    flagged = b.join(
-        dropped.withColumn("_dropped", F.lit(True)), "doc_id", "left"
-    )
-    # the pair rule indexes EVERY arrival: both stores publish the whole
-    # batch (kept flag on the text store) into their batch-<id> subdirs —
-    # new files only, never read-and-overwrite of live data, and a
-    # retried micro-batch overwrites its own subdir (replay is a no-op)
-    _publish_store_batch(
-        flagged.withColumn("kept", F.col("_dropped").isNull()).drop(
-            "_dropped"
-        ),
-        text_store,
-        batch_id,
-    )
-    _publish_store_batch(batch_reps, band_store, batch_id)
-    cand.unpersist()
-    batch_bands.unpersist()
+        _publish_store_batch(batch_reps, band_store, batch_id)
+    finally:
+        # crash-safe cache release — see tests/test_crash_recovery.py
+        if cand is not None:
+            cand.unpersist()
+        batch_bands.unpersist()
 
 
 def streaming_containment_dedup_batch(
@@ -1607,99 +1621,104 @@ def streaming_containment_dedup_batch(
         )
         .select("doc_id", "epoch", F.xxhash64("_gram").alias("gram_hash"))
     ).persist()  # feeds the probe AND the index publish
-    prior = _read_store(
-        ss, gram_store, "gram_hash long, rep_epoch long, rep_doc_id long"
-    ).select("gram_hash", "rep_epoch", "rep_doc_id")
-    self_reps = g.select(
-        "gram_hash",
-        F.col("epoch").alias("rep_epoch"),
-        F.col("doc_id").alias("rep_doc_id"),
-    )
-    idx = prior.unionByName(self_reps)
-    # posting_cap: the production hot-gram (boilerplate) skew trade,
-    # made code instead of prose — grams whose postings exceed the cap
-    # are excluded from CANDIDATE GENERATION (the index still records
-    # them: hotness is re-decided per batch as the corpus grows). The
-    # trade is explicit and test-pinned: a pair similar ONLY through
-    # capped grams is missed (tests/test_streaming_containment.py::
-    # test_posting_cap_trades_boilerplate_recall_for_skew). The m19
-    # registration runs UNCAPPED so its all-pairs oracle stays a full
-    # ground truth — the same honesty rule the minhash DF cap follows
-    # (capped probe lives outside the oracle-hashed path).
-    if posting_cap is not None:
-        # hotness only matters for grams the BATCH probes: semi-join
-        # narrows the count to those postings (production would keep an
-        # incrementally-maintained posting-count sketch instead of
-        # recounting; hot grams are few by definition, so the anti-join
-        # side broadcasts)
-        hot = (
-            idx.join(
-                g.select("gram_hash").distinct(), "gram_hash", "left_semi"
-            )
-            .groupBy("gram_hash")
-            .count()
-            .filter(F.col("count") > posting_cap)
-            .select("gram_hash")
+    cand = None
+    try:
+        prior = _read_store(
+            ss, gram_store, "gram_hash long, rep_epoch long, rep_doc_id long"
+        ).select("gram_hash", "rep_epoch", "rep_doc_id")
+        self_reps = g.select(
+            "gram_hash",
+            F.col("epoch").alias("rep_epoch"),
+            F.col("doc_id").alias("rep_doc_id"),
         )
-        probe_idx = idx.join(F.broadcast(hot), "gram_hash", "left_anti")
-    else:
-        probe_idx = idx
-    cand = (
-        g.join(probe_idx, "gram_hash")
-        .filter(
-            (F.col("rep_epoch") < F.col("epoch"))
-            | (
-                (F.col("rep_epoch") == F.col("epoch"))
-                & (F.col("rep_doc_id") < F.col("doc_id"))
+        idx = prior.unionByName(self_reps)
+        # posting_cap: the production hot-gram (boilerplate) skew trade,
+        # made code instead of prose — grams whose postings exceed the cap
+        # are excluded from CANDIDATE GENERATION (the index still records
+        # them: hotness is re-decided per batch as the corpus grows). The
+        # trade is explicit and test-pinned: a pair similar ONLY through
+        # capped grams is missed (tests/test_streaming_containment.py::
+        # test_posting_cap_trades_boilerplate_recall_for_skew). The m19
+        # registration runs UNCAPPED so its all-pairs oracle stays a full
+        # ground truth — the same honesty rule the minhash DF cap follows
+        # (capped probe lives outside the oracle-hashed path).
+        if posting_cap is not None:
+            # hotness only matters for grams the BATCH probes: semi-join
+            # narrows the count to those postings (production would keep an
+            # incrementally-maintained posting-count sketch instead of
+            # recounting; hot grams are few by definition, so the anti-join
+            # side broadcasts)
+            hot = (
+                idx.join(
+                    g.select("gram_hash").distinct(), "gram_hash", "left_semi"
+                )
+                .groupBy("gram_hash")
+                .count()
+                .filter(F.col("count") > posting_cap)
+                .select("gram_hash")
             )
-        )
-        .select("doc_id", "rep_doc_id")
-        .distinct()
-    ).persist()  # feeds the reps semi-join AND the verify join
-    earlier_texts = _read_store(
-        ss, text_store, "doc_id long, text string"
-    ).select("doc_id", "text")
-    all_texts = earlier_texts.unionByName(b.select("doc_id", "text"))
-    rep_texts = all_texts.join(
-        cand.select(F.col("rep_doc_id").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_semi",
-    )
-    inter = F.size(F.array_intersect("_sb", "_sa"))
-    nb = F.size("_sb")
-    dropped = (
-        cand.join(
-            b.select("doc_id", word_shingles("text", n).alias("_sb")),
+            probe_idx = idx.join(F.broadcast(hot), "gram_hash", "left_anti")
+        else:
+            probe_idx = idx
+        cand = (
+            g.join(probe_idx, "gram_hash")
+            .filter(
+                (F.col("rep_epoch") < F.col("epoch"))
+                | (
+                    (F.col("rep_epoch") == F.col("epoch"))
+                    & (F.col("rep_doc_id") < F.col("doc_id"))
+                )
+            )
+            .select("doc_id", "rep_doc_id")
+            .distinct()
+        ).persist()  # feeds the reps semi-join AND the verify join
+        earlier_texts = _read_store(
+            ss, text_store, "doc_id long, text string"
+        ).select("doc_id", "text")
+        all_texts = earlier_texts.unionByName(b.select("doc_id", "text"))
+        rep_texts = all_texts.join(
+            cand.select(F.col("rep_doc_id").alias("doc_id")).distinct(),
             "doc_id",
+            "left_semi",
         )
-        .join(
-            rep_texts.select(
-                F.col("doc_id").alias("rep_doc_id"),
-                word_shingles("text", n).alias("_sa"),
+        inter = F.size(F.array_intersect("_sb", "_sa"))
+        nb = F.size("_sb")
+        dropped = (
+            cand.join(
+                b.select("doc_id", word_shingles("text", n).alias("_sb")),
+                "doc_id",
+            )
+            .join(
+                rep_texts.select(
+                    F.col("doc_id").alias("rep_doc_id"),
+                    word_shingles("text", n).alias("_sa"),
+                ),
+                "rep_doc_id",
+            )
+            .filter(
+                (nb > 0)
+                & (inter.cast("double") / nb.cast("double")
+                   >= F.lit(threshold))
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        flagged = b.join(
+            dropped.withColumn("_dropped", F.lit(True)), "doc_id", "left"
+        )
+        _publish_store_batch(
+            flagged.withColumn("kept", F.col("_dropped").isNull()).drop(
+                "_dropped"
             ),
-            "rep_doc_id",
+            text_store,
+            batch_id,
         )
-        .filter(
-            (nb > 0)
-            & (inter.cast("double") / nb.cast("double")
-               >= F.lit(threshold))
-        )
-        .select("doc_id")
-        .distinct()
-    )
-    flagged = b.join(
-        dropped.withColumn("_dropped", F.lit(True)), "doc_id", "left"
-    )
-    _publish_store_batch(
-        flagged.withColumn("kept", F.col("_dropped").isNull()).drop(
-            "_dropped"
-        ),
-        text_store,
-        batch_id,
-    )
-    _publish_store_batch(self_reps, gram_store, batch_id)
-    cand.unpersist()
-    g.unpersist()
+        _publish_store_batch(self_reps, gram_store, batch_id)
+    finally:
+        # crash-safe cache release — see tests/test_crash_recovery.py
+        if cand is not None:
+            cand.unpersist()
+        g.unpersist()
 
 
 def streaming_decontaminate_batch(

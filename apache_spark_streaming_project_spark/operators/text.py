@@ -239,7 +239,21 @@ def streaming_pack_publish(
     batch_id`` — a replayed batch recomputes identical offsets and
     overwrites its own directory, a no-op. (Deriving state from earlier
     output instead of persisting a second table is the same seam rule as
-    m15's publish.)"""
+    m15's publish.)
+
+    ARRIVAL-ORDER CONTRACT: pack ids are a deterministic function of the
+    arrival sequence, not of any event-time order — replaying shards in
+    a different order yields different (equally valid) packs. What IS
+    permutation-invariant: the doc multiset, and each group's final pack
+    id (= floor((total_tokens - 1) / budget), a function of the total
+    alone). Pinned by tests/test_streaming_packing.py::
+    test_wave_permutation_pins_arrival_order_contract. A deployment that
+    needs event-time packs must impose that order upstream — sort the
+    shard manifest, or watermark + quarantine late docs like
+    read_csv_stream_with_quarantine — because packing is a running fill:
+    admitting a late doc into an already-published pack would re-shift
+    every later pack id in the group (state = one total per group stays
+    O(groups) precisely because published packs are immutable)."""
     import os
 
     ss = batch_df.sparkSession

@@ -71,6 +71,72 @@ def test_replay_is_idempotent(spark, tmp_path):
     assert _sink_rows(spark, sink) == before
 
 
+def test_wave_permutation_pins_arrival_order_contract(spark, tmp_path):
+    """Arrival-order contract (round-12 VERDICT item 5): real corpus
+    assembly replays shards out of order, and m17 packs by ARRIVAL, not
+    event time. Permuting the wave order pins all three halves of that
+    contract: (a) the streamed sink still equals the batch formula over
+    the (permuted) arrival concatenation — the oracle tracks arrival,
+    whatever it is; (b) the permutation-invariant guarantees hold — the
+    doc multiset is unchanged and each group's final pack id is
+    floor((total_tokens - 1) / budget), a function of the total alone;
+    (c) individual pack assignments genuinely differ between arrival
+    orders — which is exactly why arrival order is part of the contract
+    (a deployment that needs event-time packs must sort or quarantine
+    upstream, the read_csv_stream_with_quarantine pattern)."""
+    budget = 256
+
+    def run(order):
+        sink = str(tmp_path / ("sink_" + "".join(map(str, order))))
+        waves = [{0, 1, 2}, {3, 4, 5}, {6, 7, 8}]
+        arrival_pos = {}
+        for arrival, w in enumerate(order):
+            streaming_pack_publish(
+                _batch(spark, waves[w]), sink, arrival, budget
+            )
+            for doc in waves[w]:
+                arrival_pos[doc] = arrival
+        all_df = spark.createDataFrame(
+            [
+                (lang, doc, tok, arrival_pos[doc])
+                for lang, doc, tok in ROWS
+            ],
+            "lang string, doc_id long, n_tokens_bpe long, wave long",
+        ).withColumn("arrival", F.col("wave") * 1000 + F.col("doc_id"))
+        want = sorted(
+            (r["lang"], r["doc_id"], r["n_tokens_bpe"], r["pack_id"])
+            for r in pack_documents(
+                all_df, "n_tokens_bpe", budget, "arrival", "lang"
+            ).collect()
+        )
+        got = _sink_rows(spark, sink)
+        # (a) streamed == batch formula over this arrival order
+        assert got == want
+        return got
+
+    in_order = run([0, 1, 2])
+    permuted = run([2, 0, 1])
+
+    # (b) permutation-invariant guarantees
+    assert sorted(r[:3] for r in in_order) == sorted(
+        r[:3] for r in permuted
+    )
+    for rows in (in_order, permuted):
+        totals, last_pack = {}, {}
+        for lang, _doc, tok, pack in rows:
+            totals[lang] = totals.get(lang, 0) + tok
+            last_pack[lang] = max(last_pack.get(lang, 0), pack)
+        assert last_pack == {
+            lang: (tot - 1) // budget for lang, tot in totals.items()
+        }
+
+    # (c) arrival order is load-bearing: some doc lands in a different
+    # pack under the permuted arrival
+    assert dict((r[1], r[3]) for r in in_order) != dict(
+        (r[1], r[3]) for r in permuted
+    )
+
+
 def test_null_group_and_nonstring_group(spark, tmp_path):
     """Round-12 review finds: (a) NULL group values are ONE continuing
     group across batches (null-safe offsets join — a plain equi-join
