@@ -12230,3 +12230,320 @@ def m15_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# m20 — streaming semantic (embedding-cosine) dedup
+# ---------------------------------------------------------------------------
+# Plant families over the embeddings table (unit-norm, max natural
+# non-self cosine 0.51 at sf0.01 / 0.60 at sf0.1):
+#   LATE copies   (+10^6, epoch 2, amp 0.003, cos ~0.9994): every vector
+#                 gets one; arrives strictly after its original -> DROPPED.
+#   EARLY copies  (-10^6, epoch 0, amp 0.003, vec_id % 50 = 7): arrive
+#                 strictly BEFORE their original (negative ids sort first
+#                 within epoch 0) -> the ORIGINAL is dropped, the plant
+#                 kept — pins the keep-FIRST direction of the pair rule.
+#   MEDIUM copies (+2*10^6, epoch 2, amp 0.12, vec_id % 50 = 3,
+#                 cos 0.75–0.90): below the 0.95 threshold -> KEPT — pins
+#                 the threshold value itself.
+# Survivors are therefore CLOSED FORM (originals except %50==7, plus the
+# early and medium plants) — the same fixture-margin-exact oracle design
+# as x_semantic_dedup; the margins (sub-threshold max cosine 0.871,
+# plants >= 0.999, measured across sf0.001/0.01/0.1) are what make the
+# closed form exact, and the pure-python ground-truth test re-derives it
+# from all-pairs cosine with a diagnosable split (CELL RECALL BREAK vs
+# verify bug) if a fixture change ever erodes them.
+_M20_T = 0.95
+
+
+def _m20_perturbed(e: DataFrame, amp: float, phase: int) -> Column:
+    """Deterministic per-coordinate sin perturbation of ``embedding``
+    (the x_semantic_dedup plant kernel): cosine to the original is a
+    smooth function of ``amp`` — 0.003 -> ~0.9994 (near-copy), 0.12 ->
+    0.75–0.90 (sub-threshold) on unit-norm 64-dim vectors."""
+    return F.transform(
+        "embedding",
+        lambda x, i: (
+            x + amp * F.sin(F.col("vec_id") * phase + i)
+        ).cast("float"),
+    ).alias("embedding")
+
+
+def _m20_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    orig = e.select(
+        "vec_id", (F.col("vec_id") % 3).alias("epoch"), "embedding"
+    )
+    late = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.lit(2).cast("bigint").alias("epoch"),
+        _m20_perturbed(e, 0.003, 13),
+    )
+    early = e.filter(F.col("vec_id") % 50 == 7).select(
+        (F.col("vec_id") - 1_000_000).alias("vec_id"),
+        F.lit(0).cast("bigint").alias("epoch"),
+        _m20_perturbed(e, 0.003, 17),
+    )
+    medium = e.filter(F.col("vec_id") % 50 == 3).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.lit(2).cast("bigint").alias("epoch"),
+        _m20_perturbed(e, 0.12, 29),
+    )
+    return orig.unionByName(late).unionByName(early).unionByName(medium)
+
+
+@register(
+    "m20_streaming_semantic_dedup",
+    """
+    SELECT vec_id, epoch FROM (
+      SELECT vec_id, vec_id % 3 AS epoch FROM embeddings
+      WHERE vec_id % 50 <> 7
+      UNION ALL
+      SELECT vec_id - 1000000, CAST(0 AS BIGINT) FROM embeddings
+      WHERE vec_id % 50 = 7
+      UNION ALL
+      SELECT vec_id + 2000000, CAST(2 AS BIGINT) FROM embeddings
+      WHERE vec_id % 50 = 3
+    ) ORDER BY vec_id
+    """,
+    "S6",
+    "X2",
+    "X3",
+)
+def m20_streaming_semantic_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING SEMANTIC dedup (S6 x X2 x X3) — embedding-cosine
+    near-dup removal under continuous ingest, completing the streaming
+    dedup matrix (exact m14, Jaccard-threshold m14b, containment m19,
+    semantic m20; SemDeDup is the batch shape, x_semantic_dedup).
+
+    SEMANTICS — pairwise keep-first: drop vector B iff some earlier
+    arrival A (order = (epoch, vec_id); kept or dropped) has
+    cosine(A, B) >= 0.95.
+
+    ENGINE — the codebook is trained ONCE on the natural table before
+    the stream starts (similarity.ivf_index's bounded layout-independent
+    sample; production trains offline on a corpus sample) and FROZEN;
+    each micro-batch soft-assigns its vectors to their top-2 cells
+    against it (similarity.ivf_assign), probes a persisted per-cell
+    index for earlier arrivals, and verifies candidates with exact
+    JVM-side cosine (operators/dedup.py:streaming_semantic_dedup_batch).
+    Candidates can only ADD pairs, so false drops are impossible; recall
+    rides on soft assignment exactly as the batch registration measures
+    (hard assignment misses the Voronoi-face straddlers — 3 planted
+    pairs at sf0.01, which is what makes the n_assign mutation a
+    rows-kill). The oracle is the closed-form survivor set (see
+    _M20_T block comment); tests/test_streaming_semantic.py re-derives
+    it from all-pairs cosine and names a CELL RECALL BREAK apart from a
+    verification bug.
+
+    At 100 TB: size k for the TARGET corpus (k ∝ N_final keeps per-cell
+    occupancy — hence per-doc candidate count — a design constant; the
+    ivf_index scale law, measured in BASELINE.md), shuffle on 4-byte
+    cell ids, and re-quantize as table maintenance (retrain + reassign =
+    the m16 compact-swap pattern) when the corpus outgrows the codebook.
+    tools/probe_semantic_epochs.py measures the per-epoch cost law.
+    Reference has no dedup at all (extension surface, SURVEY §2 X2/S6)."""
+    import os
+
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        streaming_semantic_dedup_batch,
+    )
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        ivf_index,
+    )
+
+    base = _scratch_dir("m20_semantic_dedup_")
+    in_dir = os.path.join(base, "in")
+    cell_store = os.path.join(base, "cell_store")
+    vec_store = os.path.join(base, "vec_store")
+    ckpt = os.path.join(base, "ckpt")
+
+    # frozen coarse codebook: trained on the natural table only (the
+    # corpus sample production would train on offline), never retrained
+    # mid-stream — the persisted cell index is only meaningful under ONE
+    # quantizer
+    e_nat = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, centroids = ivf_index(e_nat, n_centroids=16)
+
+    d = _m20_vecs(spark, sf_dir)
+    _write_epoch_waves(d, in_dir)
+
+    def dedup_batch(batch_df, batch_id):
+        # one-liner wrapper over the importable production body
+        # (operators/dedup.py): tests replay EXACTLY this code path
+        streaming_semantic_dedup_batch(
+            batch_df, cell_store, vec_store, centroids, batch_id,
+            threshold=_M20_T,
+        )
+
+    _drain_waves(spark, in_dir, ckpt, dedup_batch, d.schema)
+
+    return (
+        _read_batch_store(spark, vec_store)
+        .filter(F.col("kept"))
+        .select("vec_id", F.col("epoch").cast("bigint").alias("epoch"))
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# m21 — streaming distribution-drift gate
+# ---------------------------------------------------------------------------
+# Plant: epoch 2's wave re-routes every 5th event's value to 499.0
+# (bucket 19), shifting ~1/5 of the wave's mass — measured TVD vs the
+# frozen reference 0.200 at sf0.001/0.01/0.1, while the natural epochs
+# sit at 0.003-0.038. The 1/10 threshold therefore splits the epochs
+# with >= 0.06 margin on both sides at every SF; the verdict itself is
+# decided in exact BIGINT cross-products, so there is no float edge to
+# erode (see operators/profile.streaming_drift_batch).
+_M21_T = (1, 10)
+
+
+def _m21_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", (F.col("event_id") % 3).alias("epoch"), "value"
+    )
+    return ev.select(
+        "event_id",
+        "epoch",
+        F.when(
+            (F.col("epoch") == 2) & (F.col("event_id") % 5 == 0),
+            F.lit(499.0),
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+
+
+@register(
+    "m21_streaming_drift",
+    """
+    WITH ev AS (
+      SELECT event_id, event_id % 3 AS epoch,
+             CASE WHEN event_id % 3 = 2 AND event_id % 5 = 0
+                  THEN 499.0 ELSE value END AS value
+      FROM events
+    ),
+    ref AS (
+      SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+             COUNT(*) AS n_ref
+      FROM events WHERE value >= 0 AND value < 500 GROUP BY 1
+    ),
+    cur AS (
+      SELECT epoch, CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+             COUNT(*) AS n_cur
+      FROM ev WHERE value >= 0 AND value < 500 GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT e.epoch, b.bucket
+      FROM (SELECT DISTINCT epoch FROM ev) e
+      CROSS JOIN (SELECT unnest(range(20)) AS bucket) b
+    ),
+    j AS (
+      SELECT g.epoch, g.bucket,
+             COALESCE(n_ref, 0) AS n_ref,
+             COALESCE(n_cur, 0) AS n_cur
+      FROM grid g
+      LEFT JOIN ref USING (bucket)
+      LEFT JOIN cur ON cur.epoch = g.epoch AND cur.bucket = g.bucket
+    ),
+    tot AS (SELECT epoch, SUM(n_ref) AS nr, SUM(n_cur) AS nc
+            FROM j GROUP BY 1),
+    sc AS (
+      SELECT j.epoch, j.bucket, n_ref, n_cur,
+             abs(n_cur * nr - n_ref * nc) AS abs_cross,
+             SUM(abs(n_cur * nr - n_ref * nc))
+               OVER (PARTITION BY j.epoch) AS sum_cross,
+             nr, nc
+      FROM j JOIN tot ON j.epoch = tot.epoch
+    )
+    SELECT epoch, bucket, n_ref, n_cur, abs_cross,
+           (10 * sum_cross >= 2 * nr * nc) AS drifted
+    FROM sc ORDER BY epoch, bucket
+    """,
+    "S6",
+    "X9",
+    "X11",
+)
+def m21_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DRIFT GATE (S6 x X9 x X11) — continuous distribution
+    monitoring of an ingest stream against a FROZEN reference profile:
+    the inline data-quality gate a 100 TB pipeline runs WHILE the corpus
+    is assembled (alert/quarantine the shard whose value distribution
+    shifted) rather than profiling after the fact. x9_histogram_drift is
+    the one-shot batch form; the frozen-reference-table seam is m18's
+    static benchmark gram table; the per-batch body is
+    operators/profile.streaming_drift_batch.
+
+    Each micro-batch histograms its own rows with the reference's exact
+    binning (20 x 25.0-wide buckets over [0, 500)), joins the broadcast
+    reference counts onto the full bucket grid, and decides
+    ``TVD(batch, ref) >= 1/10`` ENTIRELY in BIGINT cross-products
+    (t_den * sum|n_cur*N_ref - n_ref*N_cur| >= 2 * t_num * N_ref * N_cur
+    — no float division anywhere, so the drifted verdict sits inside
+    the value hash with zero cross-engine risk). Output: one row per
+    (epoch, grid bucket) with the exact drift inputs and the verdict.
+
+    PLANT: epoch 2 re-routes every 5th event's value to 499.0 — TVD
+    0.200 vs natural epochs' 0.003-0.038 at every SF (see the _M21_T
+    block comment), so exactly one epoch drifts and the flag is
+    load-bearing on all 60 output rows' hash. Epoch arrives from the
+    DISCOVERED hive batch partition (the m15 wave-routing trick), so
+    the hash also verifies that each wave landed in its own batch.
+
+    Per-batch cost: one scan of the batch + aggs on <= 20 keys; the
+    reference is nbins broadcast rows; zero corpus-lifetime state
+    (contrast the dedup stores) — the cheapest possible lifecycle, and
+    the reason a drift gate belongs INSIDE ingest rather than as a
+    nightly batch pass. Reference repo has no profiling (extension
+    surface, SURVEY §2 X9/S6)."""
+    import os
+
+    from apache_spark_streaming_project_spark.operators.profile import (
+        fixed_width_histogram,
+        streaming_drift_batch,
+    )
+
+    base = _scratch_dir("m21_drift_")
+    in_dir = os.path.join(base, "in")
+    ref_dir = os.path.join(base, "ref")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+
+    # frozen reference profile: the NATURAL table (no plant), written
+    # once before the stream starts — production trains this on the
+    # vetted corpus snapshot the stream is supposed to match
+    nat = _t(spark, sf_dir, "events").select("value")
+    fixed_width_histogram(nat, "value", 0.0, 500.0, 20).select(
+        "bucket", F.col("n").alias("n_ref")
+    ).write.mode("overwrite").parquet(ref_dir)
+
+    d = _m21_events(spark, sf_dir)
+    _write_epoch_waves(d, in_dir)
+
+    t_num, t_den = _M21_T
+
+    def drift_batch(batch_df, batch_id):
+        # one-liner wrapper over the importable production body
+        # (operators/profile.py): tests replay EXACTLY this code path
+        streaming_drift_batch(
+            batch_df, ref_dir, sink, batch_id,
+            t_num=t_num, t_den=t_den,
+        )
+
+    _drain_waves(spark, in_dir, ckpt, drift_batch, d.schema)
+
+    return (
+        spark.read.parquet(sink)
+        .select(
+            F.col("batch").cast("bigint").alias("epoch"),
+            "bucket",
+            "n_ref",
+            "n_cur",
+            "abs_cross",
+            "drifted",
+        )
+        .orderBy("epoch", "bucket")
+    )

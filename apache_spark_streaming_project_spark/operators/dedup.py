@@ -1721,6 +1721,146 @@ def streaming_containment_dedup_batch(
         g.unpersist()
 
 
+def streaming_semantic_dedup_batch(
+    batch_df,
+    cell_store: str,
+    vec_store: str,
+    centroids: list[list[float]],
+    batch_id: int,
+    threshold: float = 0.95,
+    n_assign: int = 2,
+) -> None:
+    """m20 per-batch body: SEMANTIC (embedding-cosine) streaming dedup —
+    the SemDeDup shape under continuous ingest, completing the streaming
+    dedup matrix (exact m14, Jaccard-threshold m14b, containment m19,
+    semantic m20).
+
+    SEMANTICS — pairwise keep-first: drop vector B iff some earlier
+    arrival A (order = (epoch, vec_id); kept or dropped) has
+    cosine(A, B) >= ``threshold``.
+
+    CANDIDATE GENERATOR — a persisted PER-CELL index over a FROZEN
+    coarse codebook (``centroids`` trained ONCE, offline or on a corpus
+    sample — similarity.ivf_assign; per-batch retraining would silently
+    re-partition the space every micro-batch and orphan the persisted
+    index). Soft assignment (``n_assign=2``) puts every vector in its
+    two nearest cells, so a near-dup pair straddling a Voronoi face
+    still co-occurs in a shared cell — the same boundary-recall move the
+    batch x_semantic_dedup registration measures (hard assignment misses
+    exactly the straddling pairs). Unlike m19's gram index this is NOT
+    recall-1 by construction: cell blocking is approximate, so the
+    registration documents the operating point and its fixture margins
+    (the m14b precedent), and the ground-truth pytest splits any
+    mismatch into a CELL RECALL BREAK vs a verification bug.
+
+    Verify reads ONLY matched reps' vectors (semi-join narrowed) and
+    recomputes exact cosine JVM-side (functions/vector.cosine_similarity
+    — zip_with/aggregate fold, no Python); candidates can only ADD pairs,
+    so false drops are impossible. Publish is the idempotent batch-keyed
+    overwrite; the pair rule indexes EVERY arrival.
+
+    At 100 TB: size the codebook for the TARGET corpus (k ∝ N_final
+    keeps per-cell occupancy — and so per-batch candidate count per doc
+    — a design constant; the ivf_index scale law), and re-quantize as
+    table maintenance (retrain + reassign the cell store = the m16
+    compact-swap pattern) when the corpus outgrows it. Cell ids are
+    4-byte shuffle keys; the vec store is read codes-free only for
+    matched reps. Reference has no dedup at all (extension surface,
+    SURVEY §2 X2/S6)."""
+    from apache_spark_streaming_project_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    ss = batch_df.sparkSession
+    b = batch_df.select("vec_id", "epoch", "embedding")
+    # feeds the candidate probe AND the cell-index publish
+    cells = (
+        ivf_assign(
+            b,
+            centroids,
+            key_col="vec_id",
+            vec_col="embedding",
+            n_assign=n_assign,
+        )
+        .select("vec_id", "centroid_id")
+        .join(b.select("vec_id", "epoch"), "vec_id")
+    ).persist()
+    cand = None
+    try:
+        prior = _read_store(
+            ss,
+            cell_store,
+            "centroid_id int, rep_epoch long, rep_vec_id long",
+        ).select("centroid_id", "rep_epoch", "rep_vec_id")
+        self_reps = cells.select(
+            "centroid_id",
+            F.col("epoch").alias("rep_epoch"),
+            F.col("vec_id").alias("rep_vec_id"),
+        )
+        idx = prior.unionByName(self_reps)
+        cand = (
+            cells.join(idx, "centroid_id")
+            .filter(
+                (F.col("rep_epoch") < F.col("epoch"))
+                | (
+                    (F.col("rep_epoch") == F.col("epoch"))
+                    & (F.col("rep_vec_id") < F.col("vec_id"))
+                )
+            )
+            .select("vec_id", "rep_vec_id")
+            .distinct()
+        ).persist()  # feeds the reps semi-join AND the verify join
+        earlier_vecs = _read_store(
+            ss, vec_store, "vec_id long, embedding array<float>"
+        ).select("vec_id", "embedding")
+        all_vecs = earlier_vecs.unionByName(
+            b.select("vec_id", "embedding")
+        )
+        rep_vecs = all_vecs.join(
+            cand.select(F.col("rep_vec_id").alias("vec_id")).distinct(),
+            "vec_id",
+            "left_semi",
+        )
+        dropped = (
+            cand.join(
+                b.select("vec_id", F.col("embedding").alias("_va")),
+                "vec_id",
+            )
+            .join(
+                rep_vecs.select(
+                    F.col("vec_id").alias("rep_vec_id"),
+                    F.col("embedding").alias("_vb"),
+                ),
+                "rep_vec_id",
+            )
+            .filter(
+                cosine_similarity(F.col("_va"), F.col("_vb"))
+                >= F.lit(threshold)
+            )
+            .select("vec_id")
+            .distinct()
+        )
+        flagged = b.join(
+            dropped.withColumn("_dropped", F.lit(True)), "vec_id", "left"
+        )
+        _publish_store_batch(
+            flagged.withColumn("kept", F.col("_dropped").isNull()).drop(
+                "_dropped"
+            ),
+            vec_store,
+            batch_id,
+        )
+        _publish_store_batch(self_reps, cell_store, batch_id)
+    finally:
+        # crash-safe cache release — see tests/test_crash_recovery.py
+        if cand is not None:
+            cand.unpersist()
+        cells.unpersist()
+
+
 def streaming_decontaminate_batch(
     batch_df,
     bench_grams_dir: str,

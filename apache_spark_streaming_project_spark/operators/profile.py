@@ -370,3 +370,98 @@ def histogram_quantiles(hist: DataFrame, qs: list[float]) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+def streaming_drift_batch(
+    batch_df: DataFrame,
+    ref_dir: str,
+    sink_dir: str,
+    batch_id: int,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    nbins: int = 20,
+    t_num: int = 1,
+    t_den: int = 10,
+) -> None:
+    """m21 foreachBatch body, importable for production-body replay (the
+    dsir_publish_scored_batch precedent): continuous DISTRIBUTION-DRIFT
+    monitoring of an ingest stream against a FROZEN reference profile —
+    the inline data-quality gate a pipeline runs while the corpus is
+    assembled (alert/quarantine when a shard's distribution shifts)
+    instead of profiling after the fact (x9_histogram_drift is the batch
+    form; the frozen-reference-table seam is m18's static benchmark gram
+    table).
+
+    Each micro-batch: fixed-width histogram of its own rows (same
+    binning as the reference — fixed_width_histogram, pure IEEE double
+    arithmetic), left-joined onto the full 0..nbins-1 bucket grid with
+    the broadcast reference counts, and a total-variation verdict
+    decided ENTIRELY in exact BIGINT cross-products:
+
+        TVD(cur, ref) >= t_num/t_den
+        <=>  t_den * sum_b |n_cur_b*N_ref - n_ref_b*N_cur|
+             >= 2 * t_num * N_ref * N_cur
+
+    so the drifted flag is engine-independent (no float division; the
+    BM25 symbolic-ratio move). Output per batch: one row per grid
+    bucket — (bucket, n_ref, n_cur, abs_cross, drifted) — published
+    with the idempotent hive batch-keyed overwrite (the m15/m17/m18
+    seam; a replayed batch overwrites its own directory).
+
+    An EMPTY batch trips the gate BY CONSTRUCTION (N_cur = 0 makes both
+    sides 0 and the >= comparator fire) — the right alert semantics: a
+    shard that delivered nothing is at least as anomalous as one that
+    shifted, and the n_cur totals in the output say which case it was.
+    Overflow bound: the cross-products need
+    N_ref * N_cur < 2^62/t_den — fine to ~1e9 rows per side; past that
+    lift the arithmetic to DECIMAL(38,0) or compare pre-aggregated
+    per-shard histograms (they merge by summing counts, mergeable.py).
+
+    At 100 TB: the reference profile is nbins rows (broadcast by
+    construction), the batch histogram is a map-side projection plus a
+    partial/final agg on <= nbins keys, and the verdict joins touch
+    <= nbins rows — per-batch cost is one scan of the batch, zero
+    corpus-sized state. Reference has no profiling at all (extension
+    surface, SURVEY §2 X9/S6)."""
+    import os
+
+    ss = batch_df.sparkSession
+    ref = ss.read.parquet(ref_dir).select("bucket", "n_ref")
+    cur = fixed_width_histogram(
+        batch_df, value_col, lo, hi, nbins
+    ).select("bucket", F.col("n").alias("n_cur"))
+    grid = ss.range(nbins).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    j = (
+        grid.join(F.broadcast(ref), "bucket", "left")
+        .join(F.broadcast(cur), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_ref").alias("_nr"), F.sum("n_cur").alias("_nc")
+    )
+    # 1-row aggregate crossJoin — the audited BNLJ shape, not a cartesian
+    scored = j.crossJoin(F.broadcast(tot)).withColumn(
+        "abs_cross",
+        F.abs(
+            F.col("n_cur") * F.col("_nr") - F.col("n_ref") * F.col("_nc")
+        ),
+    )
+    verdict = scored.agg(
+        (
+            F.lit(int(t_den)) * F.sum("abs_cross")
+            >= F.lit(2 * int(t_num)) * F.first("_nr") * F.first("_nc")
+        ).alias("drifted")
+    )
+    out = scored.select(
+        "bucket", "n_ref", "n_cur", "abs_cross"
+    ).crossJoin(F.broadcast(verdict))
+    out.write.mode("overwrite").parquet(
+        os.path.join(sink_dir, f"batch={int(batch_id)}")
+    )

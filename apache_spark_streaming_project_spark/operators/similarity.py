@@ -282,28 +282,48 @@ def ivf_index(
     of sqrt(k) centroids over vector halves — assignment cost
     O(N*sqrt(k)), cell count k), which composes with this API by feeding
     the product cell id in as ``centroid_id``."""
-    import numpy as np
-
     sample = _train_sample(df, key_col, vec_col, max_train_rows, seed)
     cent = _lloyd(sample, n_centroids, iterations, seed)
     centroids = [list(map(float, c)) for c in cent]
+    assigned = ivf_assign(
+        df, centroids, key_col=key_col, vec_col=vec_col, n_assign=n_assign
+    )
+    return assigned, centroids
 
-    # assignment runs as a vectorized Arrow kernel (one numpy matmul per
-    # batch), NOT a centroid-literal expression fold: k x dim literal
-    # aggregates are codegen-hostile — the expression build/compile cost
-    # alone dominated this query's wall time at fixture scale (the same
-    # lesson pq_encode's docstring records; measured ~3 s -> ~0.3 s here).
-    # Ties break by lowest centroid id (stable argsort), deterministic and
-    # independent of batch boundaries.
-    #
-    # ``n_assign > 1`` emits one row per (vector, cell) for the vector's
-    # top-n nearest cells — the soft-assignment dedup/blocking needs:
-    # cell-BOUNDARY pairs (a vector and its near-copy falling on opposite
-    # sides of a Voronoi face) then co-occur in at least one shared cell.
-    # Query-path consumers keep the default n_assign=1 (probing widens on
-    # the query side via nprobe instead — duplicating the index is the
-    # wrong trade there).
-    coarse_np = np.asarray(cent, dtype=np.float64)
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_assign: int = 1,
+) -> DataFrame:
+    """Assign vectors to their ``n_assign`` nearest cells under a FROZEN
+    centroid table — the pure-map half of ``ivf_index``, exposed so a
+    consumer that trains ONCE (offline, or on a corpus sample) can keep
+    assigning new arrivals against the same codebook: the streaming
+    semantic dedup (m20) requirement, where per-batch retraining would
+    silently re-partition the space every micro-batch and break the
+    persisted cell index.
+
+    Assignment runs as a vectorized Arrow kernel (one numpy matmul per
+    batch), NOT a centroid-literal expression fold: k x dim literal
+    aggregates are codegen-hostile — the expression build/compile cost
+    alone dominated this query's wall time at fixture scale (the same
+    lesson pq_encode's docstring records; measured ~3 s -> ~0.3 s here).
+    Ties break by lowest centroid id (stable argsort), deterministic and
+    independent of batch boundaries.
+
+    ``n_assign > 1`` emits one row per (vector, cell) for the vector's
+    top-n nearest cells — the soft-assignment dedup/blocking needs:
+    cell-BOUNDARY pairs (a vector and its near-copy falling on opposite
+    sides of a Voronoi face) then co-occur in at least one shared cell.
+    Query-path consumers keep the default n_assign=1 (probing widens on
+    the query side via nprobe instead — duplicating the index is the
+    wrong trade there)."""
+    import numpy as np
+
+    coarse_np = np.asarray(centroids, dtype=np.float64)
     key_t = df.schema[key_col].dataType.simpleString()
     vec_t = df.schema[vec_col].dataType.simpleString()
 
@@ -313,7 +333,7 @@ def ivf_index(
         for pdf in batches:
             if not len(pdf):
                 continue
-            vecs = _stack_vectors(pdf[vec_col], "ivf_index")
+            vecs = _stack_vectors(pdf[vec_col], "ivf_assign")
             d2 = _sq_dists(vecs, coarse_np)
             top = np.argsort(d2, axis=1, kind="stable")[:, :n_assign]
             out = {key_col: [], vec_col: [], "centroid_id": []}
@@ -324,11 +344,10 @@ def ivf_index(
                     out["centroid_id"].append(int(c))
             yield pd.DataFrame(out)
 
-    assigned = df.select(key_col, vec_col).mapInPandas(
+    return df.select(key_col, vec_col).mapInPandas(
         kernel,
         schema=f"{key_col} {key_t}, {vec_col} {vec_t}, centroid_id int",
     )
-    return assigned, centroids
 
 
 def imi_index(

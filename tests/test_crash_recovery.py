@@ -206,6 +206,47 @@ def test_m19_crash_between_publishes_heals_on_retry(spark, tmp_path):
     assert _rows(spark, text) == _rows(spark, text2)
 
 
+def test_m20_crash_between_publishes_heals_on_retry(spark, tmp_path):
+    from apache_spark_streaming_project_spark.entry_queries import (
+        _m20_vecs,
+    )
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        ivf_index,
+    )
+
+    e_nat = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    _, centroids = ivf_index(e_nat, n_centroids=16)
+    d = _m20_vecs(spark, SF_DIR)
+    cell, vec = str(tmp_path / "cell"), str(tmp_path / "vec")
+    dedup.streaming_semantic_dedup_batch(
+        d.filter(F.col("epoch") == 0), cell, vec, centroids, 0
+    )
+
+    # m20 publishes the vec store first, cell store second
+    with _crash_between_publishes() as state:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            dedup.streaming_semantic_dedup_batch(
+                d.filter(F.col("epoch") == 1), cell, vec, centroids, 1
+            )
+    assert state["first_store"] == vec
+    assert os.path.isdir(os.path.join(vec, "batch-1"))
+    assert not os.path.isdir(os.path.join(cell, "batch-1"))
+
+    dedup.streaming_semantic_dedup_batch(
+        d.filter(F.col("epoch") == 1), cell, vec, centroids, 1
+    )
+
+    cell2, vec2 = str(tmp_path / "cell2"), str(tmp_path / "vec2")
+    for i in (0, 1):
+        dedup.streaming_semantic_dedup_batch(
+            d.filter(F.col("epoch") == i), cell2, vec2, centroids, i
+        )
+    assert _rows(spark, cell) == _rows(spark, cell2)
+    assert _rows(spark, vec) == _rows(spark, vec2)
+
+
 def test_maintenance_crash_between_compactions_recovers(spark, tmp_path):
     """m16's maintenance window: compact band, CRASH before compacting
     text. Recovery path 1 — the restarted maintenance job re-runs both

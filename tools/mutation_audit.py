@@ -605,6 +605,69 @@ MUTATIONS = [
       "boundary", "MIRROR-side containment comparator: the oracle keeps "
       "the exactly-at-threshold EDGE_F plant the engine drops (the m19 "
       "mirror-family oracle-side kill)"),
+    M("m20_threshold_sag", "m20_streaming_semantic_dedup",
+      f"{PKG}/entry_queries.py",
+      '_M20_T = 0.95',
+      '_M20_T = 0.70',
+      "boundary", "cosine threshold sags to 0.70: every MEDIUM plant "
+      "(cos 0.75-0.90, amp 0.12) is wrongly dropped — the family that "
+      "pins the threshold VALUE (row-count kill)"),
+    M("m20_keep_first_flip", "m20_streaming_semantic_dedup",
+      f"{PKG}/operators/dedup.py",
+      '& (F.col("rep_vec_id") < F.col("vec_id"))',
+      '& (F.col("rep_vec_id") > F.col("vec_id"))',
+      "wrong-key", "intra-epoch arrival comparator flipped: the EARLY "
+      "plant pairs (both epoch 0, plant id < original id) invert — the "
+      "original survives and the plant drops; row count ties, value "
+      "hash kills (the keep-FIRST direction family)"),
+    M("m20_hard_assignment", "m20_streaming_semantic_dedup",
+      f"{PKG}/operators/dedup.py",
+      '    threshold: float = 0.95,\n    n_assign: int = 2,',
+      '    threshold: float = 0.95,\n    n_assign: int = 1,',
+      "dropped-clause", "soft top-2 cell assignment degrades to hard: "
+      "the Voronoi-face-straddling LATE plants (3 pairs at sf0.01, "
+      "measured) stop sharing a cell with their original and are "
+      "wrongly kept (row-count kill — the boundary-recall family)"),
+    M("oracle_m20_early_family", "m20_streaming_semantic_dedup",
+      f"{PKG}/entry_queries.py",
+      'WHERE vec_id % 50 = 7',
+      'WHERE vec_id % 50 = 11',
+      "wrong-key", "MIRROR-side early-plant family re-keyed: the oracle "
+      "keeps phantom early plants (and drops the real ones' originals "
+      "wrongly); row count ties at 510, value hash kills (the m20 "
+      "mirror-family oracle-side kill)"),
+    M("m21_threshold_sag", "m21_streaming_drift",
+      f"{PKG}/entry_queries.py",
+      '_M21_T = (1, 10)',
+      '_M21_T = (1, 4)',
+      "boundary", "drift threshold rises to 1/4: the planted epoch "
+      "(TVD 0.200) stops flagging — drifted flips false on its 20 grid "
+      "rows; row count ties at 60, value hash kills"),
+    M("m21_unnormalized_cross", "m21_streaming_drift",
+      f"{PKG}/operators/profile.py",
+      'F.col("n_cur") * F.col("_nr") - F.col("n_ref") * F.col("_nc")',
+      'F.col("n_cur") - F.col("n_ref")',
+      "wrong-key", "cross-product normalization dropped (raw count "
+      "diff instead of n_cur*N_ref - n_ref*N_cur): abs_cross is in the "
+      "output, so the hash kills on every row — and the verdict would "
+      "silently depend on batch size, the exact bug the symbolic ratio "
+      "exists to prevent"),
+    M("m21_ref_not_frozen", "m21_streaming_drift",
+      f"{PKG}/entry_queries.py",
+      'nat = _t(spark, sf_dir, "events").select("value")',
+      'nat = _m21_events(spark, sf_dir).select("value")',
+      "wrong-key", "reference profile trained on the PLANTED stream "
+      "instead of the vetted natural snapshot (the frozen-reference "
+      "contract): bucket 19's n_ref inflates on every epoch's grid "
+      "rows (hash kill) — a self-referential baseline can never flag "
+      "its own drift"),
+    M("oracle_m21_threshold", "m21_streaming_drift",
+      f"{PKG}/entry_queries.py",
+      '(10 * sum_cross >= 2 * nr * nc) AS drifted',
+      '(4 * sum_cross >= 2 * nr * nc) AS drifted',
+      "boundary", "MIRROR-side drift threshold rises to 1/4: the "
+      "oracle stops flagging the planted epoch while the engine still "
+      "does (the m21 mirror-family oracle-side kill)"),
     M("bpe8k_chunk_floor", "x4_bpe8k_chunks",
       f"{PKG}/operators/text.py",
       'n_chunks = F.ceil(n.cast("double") / F.lit(budget)).cast("bigint")',
