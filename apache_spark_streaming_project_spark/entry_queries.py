@@ -12327,8 +12327,11 @@ def m20_streaming_semantic_dedup(
     sample; production trains offline on a corpus sample) and FROZEN;
     each micro-batch soft-assigns its vectors to their top-2 cells
     against it (similarity.ivf_assign), probes a persisted per-cell
-    index for earlier arrivals, and verifies candidates with exact
-    JVM-side cosine (operators/dedup.py:streaming_semantic_dedup_batch).
+    index for earlier arrivals, and verifies each cell with ONE blocked
+    einsum inside applyInPandas — never materializing candidate pair
+    rows (operators/dedup.py:streaming_semantic_dedup_batch; the
+    pair-join first cut shipped batch x occupancy 64-dim pairs through
+    the verify join and was 15x slower at the probe's design point).
     Candidates can only ADD pairs, so false drops are impossible; recall
     rides on soft assignment exactly as the batch registration measures
     (hard assignment misses the Voronoi-face straddlers — 3 planted

@@ -1753,30 +1753,41 @@ def streaming_semantic_dedup_batch(
     (the m14b precedent), and the ground-truth pytest splits any
     mismatch into a CELL RECALL BREAK vs a verification bug.
 
-    Verify reads ONLY matched reps' vectors (semi-join narrowed) and
-    recomputes exact cosine JVM-side (functions/vector.cosine_similarity
-    — zip_with/aggregate fold, no Python); candidates can only ADD pairs,
-    so false drops are impossible. Publish is the idempotent batch-keyed
-    overwrite; the pair rule indexes EVERY arrival.
+    VERIFY is BLOCKED, never pairwise-materialized: the cell store
+    carries each arrival's vector (the standard IVF assigned-table
+    layout — ivf_index docstring), so each cell verifies with ONE
+    einsum (batch rows x cell rows) inside applyInPandas, exactly like
+    the batch path's blocked_cosine_join. The first cut of this body
+    joined candidate PAIRS back to both vector tables — at design
+    occupancy that shipped batch x occupancy pair rows with 64-dim
+    arrays on both sides through the join (~9 GB/epoch at the probe's
+    10k x 500 point) and dominated per-epoch cost; the blocked form
+    moves each vector once per cell it lives in and pays the pair term
+    only as BLAS flops. Candidates can only ADD pairs (exact cosine +
+    strict arrival comparison inside the kernel), so false drops remain
+    impossible. Publish is the idempotent batch-keyed overwrite; the
+    pair rule indexes EVERY arrival.
 
     At 100 TB: size the codebook for the TARGET corpus (k ∝ N_final
-    keeps per-cell occupancy — and so per-batch candidate count per doc
-    — a design constant; the ivf_index scale law), and re-quantize as
-    table maintenance (retrain + reassign the cell store = the m16
-    compact-swap pattern) when the corpus outgrows it. Cell ids are
-    4-byte shuffle keys; the vec store is read codes-free only for
-    matched reps. Reference has no dedup at all (extension surface,
-    SURVEY §2 X2/S6)."""
-    from apache_spark_streaming_project_spark.functions.vector import (
-        cosine_similarity,
-    )
+    keeps per-cell occupancy — and so per-cell verify cost — a design
+    constant; the ivf_index scale law), re-quantize as table
+    maintenance (requantize_cell_store, the m16 compact-swap pattern)
+    when the corpus outgrows it, and write the store partitioned by
+    ``centroid_id`` so the per-cell groupBy co-locates. Worst-case cell
+    size bounds executor memory in the kernel: occupancy x n_assign
+    rows x dim floats (k-means keeps cells balanced-ish; a pathological
+    hot cell is the posting_cap analogue and splits by raising k).
+    Reference has no dedup at all (extension surface, SURVEY §2 X2/S6).
+    """
     from apache_spark_streaming_project_spark.operators.similarity import (
+        _stack_vectors,
         ivf_assign,
     )
 
     ss = batch_df.sparkSession
     b = batch_df.select("vec_id", "epoch", "embedding")
-    # feeds the candidate probe AND the cell-index publish
+    # one row per (vector, top-n cell), CARRYING the vector — feeds the
+    # blocked verify AND the cell-index publish
     cells = (
         ivf_assign(
             b,
@@ -1785,63 +1796,63 @@ def streaming_semantic_dedup_batch(
             vec_col="embedding",
             n_assign=n_assign,
         )
-        .select("vec_id", "centroid_id")
         .join(b.select("vec_id", "epoch"), "vec_id")
+        .select(
+            "centroid_id",
+            F.col("epoch").alias("rep_epoch"),
+            F.col("vec_id").alias("rep_vec_id"),
+            "embedding",
+        )
     ).persist()
-    cand = None
     try:
         prior = _read_store(
             ss,
             cell_store,
-            "centroid_id int, rep_epoch long, rep_vec_id long",
-        ).select("centroid_id", "rep_epoch", "rep_vec_id")
-        self_reps = cells.select(
-            "centroid_id",
-            F.col("epoch").alias("rep_epoch"),
-            F.col("vec_id").alias("rep_vec_id"),
+            "centroid_id int, rep_epoch long, rep_vec_id long, "
+            "embedding array<float>",
+        ).select("centroid_id", "rep_epoch", "rep_vec_id", "embedding")
+        # batch rows are both verify TARGETS (_is_batch) and index rows
+        # (their own self-reps arm); prior rows are index-only
+        idx = prior.withColumn("_is_batch", F.lit(False)).unionByName(
+            cells.withColumn("_is_batch", F.lit(True))
         )
-        idx = prior.unionByName(self_reps)
-        cand = (
-            cells.join(idx, "centroid_id")
-            .filter(
-                (F.col("rep_epoch") < F.col("epoch"))
-                | (
-                    (F.col("rep_epoch") == F.col("epoch"))
-                    & (F.col("rep_vec_id") < F.col("vec_id"))
+        t = float(threshold)
+
+        def per_cell(pdf):
+            import numpy as np
+            import pandas as pd
+
+            V = _stack_vectors(
+                pdf["embedding"], "streaming_semantic_dedup_batch"
+            )
+            e = pdf["rep_epoch"].to_numpy()
+            i = pdf["rep_vec_id"].to_numpy()
+            bmask = pdf["_is_batch"].to_numpy()
+            B = np.nonzero(bmask)[0]
+            if not len(B):
+                return pd.DataFrame(
+                    {"vec_id": pd.Series([], dtype="int64")}
                 )
+            nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+            G = V[B] @ V.T  # one BLAS call per cell — the SemDeDup term
+            denom = nrm[B][:, None] * nrm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = np.where(denom > 0, G / denom, -np.inf)
+            # strict arrival order (epoch, vec_id): self-pairs and
+            # later-arrival rows never count as droppers
+            earlier = (e[None, :] < e[B][:, None]) | (
+                (e[None, :] == e[B][:, None])
+                & (i[None, :] < i[B][:, None])
             )
-            .select("vec_id", "rep_vec_id")
-            .distinct()
-        ).persist()  # feeds the reps semi-join AND the verify join
-        earlier_vecs = _read_store(
-            ss, vec_store, "vec_id long, embedding array<float>"
-        ).select("vec_id", "embedding")
-        all_vecs = earlier_vecs.unionByName(
-            b.select("vec_id", "embedding")
-        )
-        rep_vecs = all_vecs.join(
-            cand.select(F.col("rep_vec_id").alias("vec_id")).distinct(),
-            "vec_id",
-            "left_semi",
-        )
+            drop = ((C >= t) & earlier).any(axis=1)
+            return pd.DataFrame(
+                {"vec_id": i[B][drop].astype("int64")}
+            )
+
         dropped = (
-            cand.join(
-                b.select("vec_id", F.col("embedding").alias("_va")),
-                "vec_id",
-            )
-            .join(
-                rep_vecs.select(
-                    F.col("vec_id").alias("rep_vec_id"),
-                    F.col("embedding").alias("_vb"),
-                ),
-                "rep_vec_id",
-            )
-            .filter(
-                cosine_similarity(F.col("_va"), F.col("_vb"))
-                >= F.lit(threshold)
-            )
-            .select("vec_id")
-            .distinct()
+            idx.groupBy("centroid_id")
+            .applyInPandas(per_cell, "vec_id long")
+            .distinct()  # soft assignment can drop a doc in 2 cells
         )
         flagged = b.join(
             dropped.withColumn("_dropped", F.lit(True)), "vec_id", "left"
@@ -1853,12 +1864,61 @@ def streaming_semantic_dedup_batch(
             vec_store,
             batch_id,
         )
-        _publish_store_batch(self_reps, cell_store, batch_id)
+        _publish_store_batch(cells, cell_store, batch_id)
     finally:
         # crash-safe cache release — see tests/test_crash_recovery.py
-        if cand is not None:
-            cand.unpersist()
         cells.unpersist()
+
+
+def requantize_cell_store(
+    spark,
+    vec_store: str,
+    cell_store_out: str,
+    centroids: list[list[float]],
+    n_assign: int = 2,
+) -> None:
+    """m20's table-maintenance half: REBUILD the per-cell index under a
+    NEW frozen codebook — the re-quantization a deployment runs (m16's
+    compact-into-new-dir-then-swap pattern) when the corpus outgrows the
+    codebook it was sized for (per-cell occupancy, hence per-cell verify
+    cost, grows with corpus/k; the ivf_index scale law).
+
+    The vec store is the system of record (every arrival, kept and
+    dropped, with its vector); the cell store is DERIVED state — so
+    re-quantization is one pass: re-assign every prior arrival under the
+    new centroids and write the result to a fresh directory. History is
+    untouched (published kept flags are immutable; re-quantization
+    changes FUTURE candidate generation only). The rebuild invariant —
+    output == what per-batch publishes would have produced had the new
+    codebook been frozen from the start — is pinned by
+    tests/test_streaming_semantic.py::test_m20_requantize_equals_fresh_
+    codebook_history."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    arrivals = _read_store(
+        spark,
+        vec_store,
+        "vec_id long, epoch long, embedding array<float>, kept boolean",
+    ).select("vec_id", "epoch", "embedding")
+    reassigned = (
+        ivf_assign(
+            arrivals,
+            centroids,
+            key_col="vec_id",
+            vec_col="embedding",
+            n_assign=n_assign,
+        )
+        .join(arrivals.select("vec_id", "epoch"), "vec_id")
+        .select(
+            "centroid_id",
+            F.col("epoch").alias("rep_epoch"),
+            F.col("vec_id").alias("rep_vec_id"),
+            "embedding",
+        )
+    )
+    reassigned.write.mode("overwrite").parquet(cell_store_out)
 
 
 def streaming_decontaminate_batch(

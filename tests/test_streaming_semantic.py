@@ -160,6 +160,51 @@ def test_m20_replay_is_idempotent(spark, tmp_path):
     assert _rows(spark, vec) == vec_once
 
 
+def test_m20_requantize_equals_fresh_codebook_history(spark, tmp_path):
+    """Re-quantization maintenance (requantize_cell_store): rebuilding
+    the cell index from the vec store under a NEW codebook must equal
+    the cell store a pipeline would have built had that codebook been
+    frozen from the start — and continued ingestion against the rebuilt
+    index must match the fresh-codebook twin. (The vec store is the
+    system of record; the cell store is derived state.)"""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        requantize_cell_store,
+    )
+
+    d = _m20_vecs(spark, SF_DIR)
+    cent_a = _centroids(spark)
+    e_nat = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    _, cent_b = ivf_index(e_nat, n_centroids=24, seed=7)
+
+    # history under codebook A
+    cell_a, vec_a = str(tmp_path / "cell_a"), str(tmp_path / "vec_a")
+    for i in (0, 1):
+        streaming_semantic_dedup_batch(
+            d.filter(F.col("epoch") == i), cell_a, vec_a, cent_a, i
+        )
+    # maintenance: rebuild the index under codebook B into a fresh dir
+    cell_re = str(tmp_path / "cell_re")
+    requantize_cell_store(spark, vec_a, cell_re, cent_b)
+
+    # twin pipeline that froze codebook B from the start
+    cell_b, vec_b = str(tmp_path / "cell_b"), str(tmp_path / "vec_b")
+    for i in (0, 1):
+        streaming_semantic_dedup_batch(
+            d.filter(F.col("epoch") == i), cell_b, vec_b, cent_b, i
+        )
+    assert _rows(spark, cell_re) == _rows(spark, cell_b)
+
+    # continued ingestion: the rebuilt index takes batch publishes into
+    # batch-<id> subdirs next to its flat files (mixed layout) and must
+    # adjudicate epoch 2 exactly like the fresh-codebook twin
+    wave = d.filter(F.col("epoch") == 2)
+    streaming_semantic_dedup_batch(wave, cell_re, vec_a, cent_b, 2)
+    streaming_semantic_dedup_batch(wave, cell_b, vec_b, cent_b, 2)
+    assert _kept(spark, vec_a) == _kept(spark, vec_b)
+
+
 def test_m20_store_compaction_preserves_results(spark, tmp_path):
     from apache_spark_streaming_project_spark.sources.partitioned import (
         compact_parquet,

@@ -614,8 +614,8 @@ MUTATIONS = [
       "pins the threshold VALUE (row-count kill)"),
     M("m20_keep_first_flip", "m20_streaming_semantic_dedup",
       f"{PKG}/operators/dedup.py",
-      '& (F.col("rep_vec_id") < F.col("vec_id"))',
-      '& (F.col("rep_vec_id") > F.col("vec_id"))',
+      '& (i[None, :] < i[B][:, None])',
+      '& (i[None, :] > i[B][:, None])',
       "wrong-key", "intra-epoch arrival comparator flipped: the EARLY "
       "plant pairs (both epoch 0, plant id < original id) invert — the "
       "original survives and the plant drops; row count ties, value "
