@@ -495,9 +495,9 @@ MUTATIONS = [
     M("m14b_threshold_exclusive", "m14b_streaming_threshold_dedup",
       f"{PKG}/operators/dedup.py",
       '& (inter.cast("double") / un.cast("double")\n'
-      '               >= F.lit(threshold))',
+      '                   >= F.lit(threshold))',
       '& (inter.cast("double") / un.cast("double")\n'
-      '               > F.lit(threshold))',
+      '                   > F.lit(threshold))',
       "off-by-one", "drop comparator >= t -> > t: the planted HALF pair "
       "sits at J = 0.5 EXACTLY (band-collision searched offline), so "
       "doc -8 is wrongly kept (row-count kill)"),
@@ -569,9 +569,9 @@ MUTATIONS = [
     M("m19_threshold_boundary", "m19_streaming_containment_dedup",
       f"{PKG}/operators/dedup.py",
       '& (inter.cast("double") / nb.cast("double")\n'
-      '               >= F.lit(threshold))',
+      '                   >= F.lit(threshold))',
       '& (inter.cast("double") / nb.cast("double")\n'
-      '               > F.lit(threshold))',
+      '                   > F.lit(threshold))',
       "boundary", "containment comparator >= -> >: the EDGE_F plant at "
       "C = 3/5 = 0.6 EXACTLY is wrongly kept (row-count kill)"),
     M("m19_denominator_flip", "m19_streaming_containment_dedup",
