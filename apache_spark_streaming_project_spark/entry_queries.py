@@ -12256,11 +12256,12 @@ def m15_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 _M20_T = 0.95
 
 
-def _m20_perturbed(e: DataFrame, amp: float, phase: int) -> Column:
+def _m20_perturbed(amp: float, phase: int) -> Column:
     """Deterministic per-coordinate sin perturbation of ``embedding``
-    (the x_semantic_dedup plant kernel): cosine to the original is a
-    smooth function of ``amp`` — 0.003 -> ~0.9994 (near-copy), 0.12 ->
-    0.75–0.90 (sub-threshold) on unit-norm 64-dim vectors."""
+    (the x_semantic_dedup plant kernel), resolved against whatever frame
+    it is selected from: cosine to the original is a smooth function of
+    ``amp`` — 0.003 -> ~0.9994 (near-copy), 0.12 -> 0.75–0.90
+    (sub-threshold) on unit-norm 64-dim vectors."""
     return F.transform(
         "embedding",
         lambda x, i: (
@@ -12277,17 +12278,17 @@ def _m20_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = e.select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.lit(2).cast("bigint").alias("epoch"),
-        _m20_perturbed(e, 0.003, 13),
+        _m20_perturbed(0.003, 13),
     )
     early = e.filter(F.col("vec_id") % 50 == 7).select(
         (F.col("vec_id") - 1_000_000).alias("vec_id"),
         F.lit(0).cast("bigint").alias("epoch"),
-        _m20_perturbed(e, 0.003, 17),
+        _m20_perturbed(0.003, 17),
     )
     medium = e.filter(F.col("vec_id") % 50 == 3).select(
         (F.col("vec_id") + 2_000_000).alias("vec_id"),
         F.lit(2).cast("bigint").alias("epoch"),
-        _m20_perturbed(e, 0.12, 29),
+        _m20_perturbed(0.12, 29),
     )
     return orig.unionByName(late).unionByName(early).unionByName(medium)
 

@@ -1811,6 +1811,17 @@ def streaming_semantic_dedup_batch(
             "centroid_id int, rep_epoch long, rep_vec_id long, "
             "embedding array<float>",
         ).select("centroid_id", "rep_epoch", "rep_vec_id", "embedding")
+        # untouched cells can never produce a drop for THIS batch, so
+        # semi-join the prior index to the batch's own cell set before
+        # the grouped verify — per-batch data movement stays
+        # O(batch x occupancy), not O(corpus), when k is sized for a
+        # target corpus much larger than a batch (the containment
+        # body's text-store narrowing, applied to the cell store)
+        prior = prior.join(
+            F.broadcast(cells.select("centroid_id").distinct()),
+            "centroid_id",
+            "left_semi",
+        )
         # batch rows are both verify TARGETS (_is_batch) and index rows
         # (their own self-reps arm); prior rows are index-only
         idx = prior.withColumn("_is_batch", F.lit(False)).unionByName(

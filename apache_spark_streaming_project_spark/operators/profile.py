@@ -434,6 +434,11 @@ def streaming_drift_batch(
     grid = ss.range(nbins).select(
         F.col("id").cast("bigint").alias("bucket")
     )
+    # persist the <= nbins-row joined grid: the scored/verdict/output
+    # tree references it four times, and without the cache each
+    # reference re-runs the BATCH SCAN under `cur` (the round-12
+    # persist lesson from the dedup bodies — the docstring's "one scan
+    # of the batch" claim is this persist)
     j = (
         grid.join(F.broadcast(ref), "bucket", "left")
         .join(F.broadcast(cur), "bucket", "left")
@@ -442,26 +447,31 @@ def streaming_drift_batch(
             F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
             F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
         )
-    )
-    tot = j.agg(
-        F.sum("n_ref").alias("_nr"), F.sum("n_cur").alias("_nc")
-    )
-    # 1-row aggregate crossJoin — the audited BNLJ shape, not a cartesian
-    scored = j.crossJoin(F.broadcast(tot)).withColumn(
-        "abs_cross",
-        F.abs(
-            F.col("n_cur") * F.col("_nr") - F.col("n_ref") * F.col("_nc")
-        ),
-    )
-    verdict = scored.agg(
-        (
-            F.lit(int(t_den)) * F.sum("abs_cross")
-            >= F.lit(2 * int(t_num)) * F.first("_nr") * F.first("_nc")
-        ).alias("drifted")
-    )
-    out = scored.select(
-        "bucket", "n_ref", "n_cur", "abs_cross"
-    ).crossJoin(F.broadcast(verdict))
-    out.write.mode("overwrite").parquet(
-        os.path.join(sink_dir, f"batch={int(batch_id)}")
-    )
+    ).persist()
+    try:
+        tot = j.agg(
+            F.sum("n_ref").alias("_nr"), F.sum("n_cur").alias("_nc")
+        )
+        # 1-row aggregate crossJoin — the audited BNLJ shape, not a
+        # cartesian
+        scored = j.crossJoin(F.broadcast(tot)).withColumn(
+            "abs_cross",
+            F.abs(
+                F.col("n_cur") * F.col("_nr")
+                - F.col("n_ref") * F.col("_nc")
+            ),
+        )
+        verdict = scored.agg(
+            (
+                F.lit(int(t_den)) * F.sum("abs_cross")
+                >= F.lit(2 * int(t_num)) * F.first("_nr") * F.first("_nc")
+            ).alias("drifted")
+        )
+        out = scored.select(
+            "bucket", "n_ref", "n_cur", "abs_cross"
+        ).crossJoin(F.broadcast(verdict))
+        out.write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch={int(batch_id)}")
+        )
+    finally:
+        j.unpersist()

@@ -25,3 +25,33 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+def store_rows(spark, store: str):
+    """Recursive-lookup read of a batch-keyed store, as sorted row
+    tuples — the read-side contract of operators/dedup._read_store /
+    entry_queries._read_batch_store, spelled ONCE for every test that
+    compares store contents (store-layout changes edit here, not in
+    each suite)."""
+    return sorted(
+        map(
+            tuple,
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(store)
+            .collect(),
+        )
+    )
+
+
+def store_kept(spark, store: str, key: str = "doc_id"):
+    """Kept-set view of a dedup text/vec store: sorted (key, epoch)
+    pairs where kept is true."""
+    from pyspark.sql import functions as F
+
+    return sorted(
+        (r[key], r["epoch"])
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(store)
+        .filter(F.col("kept"))
+        .collect()
+    )

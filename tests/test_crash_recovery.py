@@ -32,6 +32,8 @@ from contextlib import contextmanager
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import store_kept, store_rows
+
 from apache_spark_streaming_project_spark.operators import dedup
 from apache_spark_streaming_project_spark.sources.partitioned import (
     compact_parquet,
@@ -41,24 +43,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _rows(spark, store):
-    return sorted(
-        map(
-            tuple,
-            spark.read.option("recursiveFileLookup", "true")
-            .parquet(store)
-            .collect(),
-        )
-    )
+    return store_rows(spark, store)
 
 
 def _kept(spark, text_store):
-    return sorted(
-        (r["doc_id"], r["epoch"])
-        for r in spark.read.option("recursiveFileLookup", "true")
-        .parquet(text_store)
-        .filter(F.col("kept"))
-        .collect()
-    )
+    return store_kept(spark, text_store)
 
 
 @contextmanager

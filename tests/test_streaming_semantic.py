@@ -11,6 +11,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import functions as F
 
+from conftest import store_kept, store_rows
+
 from apache_spark_streaming_project_spark.entry_queries import (
     _M20_T,
     QUERIES,
@@ -116,24 +118,11 @@ def test_m20_fixture_margins(spark):
 
 
 def _rows(spark, store):
-    return sorted(
-        map(
-            tuple,
-            spark.read.option("recursiveFileLookup", "true")
-            .parquet(store)
-            .collect(),
-        )
-    )
+    return store_rows(spark, store)
 
 
 def _kept(spark, vec_store):
-    return sorted(
-        (r["vec_id"], r["epoch"])
-        for r in spark.read.option("recursiveFileLookup", "true")
-        .parquet(vec_store)
-        .filter(F.col("kept"))
-        .collect()
-    )
+    return store_kept(spark, vec_store, key="vec_id")
 
 
 def _centroids(spark):

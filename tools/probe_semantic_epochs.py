@@ -80,8 +80,12 @@ def _run(spark, docs, epochs: int, k: int, label: str):
 
     # frozen codebook from a bounded driver-side sample of epoch 0 (the
     # offline-training stand-in; same Lloyd kernel as ivf_index)
+    # orderBy before limit: a bare limit() is partition-layout-dependent
+    # when epoch 0 exceeds the cap, and the codebook (hence the measured
+    # law) must not vary with parallelism (the _train_sample rule)
     sample_rows = (
         docs.filter(F.col("epoch") == 0)
+        .orderBy("vec_id")
         .select("embedding")
         .limit(10_000)
         .collect()
