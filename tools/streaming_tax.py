@@ -227,6 +227,118 @@ def probe_m15(spark, sf_dir: str) -> dict:
     return {"stream": ts, "batch": tb, "tax": ts - tb}
 
 
+def probe_m20(spark, sf_dir: str) -> dict:
+    """m20 (semantic) with the production per-batch body driven
+    batch-wise; parity-asserted against the streaming result. Both
+    sides include the one-off codebook training (part of the
+    registration's cost by design)."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_streaming_project_spark.entry_queries import (
+        _M20_T,
+        _m20_vecs,
+        _stream_shuffle_partitions,
+        _write_epoch_waves,
+        QUERIES,
+    )
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        streaming_semantic_dedup_batch,
+    )
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        ivf_index,
+    )
+
+    name = "m20_streaming_semantic_dedup"
+    ts, want = _timed(lambda: _rows(QUERIES[name].fn(spark, sf_dir)))
+
+    def batch_run():
+        base = tempfile.mkdtemp(prefix=f"tax_{name}_")
+        in_dir = os.path.join(base, "in")
+        cell_store = os.path.join(base, "cell_store")
+        vec_store = os.path.join(base, "vec_store")
+        e_nat = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).select("vec_id", "embedding")
+        _, centroids = ivf_index(e_nat, n_centroids=16)
+        d = _m20_vecs(spark, sf_dir)
+        with _stream_shuffle_partitions(spark):
+            _write_epoch_waves(d, in_dir)
+            for i in range(3):
+                b = spark.read.parquet(os.path.join(in_dir, f"wave{i}"))
+                streaming_semantic_dedup_batch(
+                    b, cell_store, vec_store, centroids, i,
+                    threshold=_M20_T,
+                )
+        out = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(vec_store)
+            .filter(F.col("kept"))
+        )
+        return _rows(
+            out.select(
+                "vec_id", F.col("epoch").cast("bigint").alias("epoch")
+            ).orderBy("vec_id")
+        )
+
+    tb, got = _timed(batch_run)
+    assert got == want, f"{name}: batch-equivalent diverged from streaming"
+    return {"stream": ts, "batch": tb, "tax": ts - tb}
+
+
+def probe_m21(spark, sf_dir: str) -> dict:
+    """m21 (drift gate) with the production per-batch body driven
+    batch-wise; parity-asserted against the streaming result."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_streaming_project_spark.entry_queries import (
+        _M21_T,
+        _m21_events,
+        _stream_shuffle_partitions,
+        _write_epoch_waves,
+        QUERIES,
+    )
+    from apache_spark_streaming_project_spark.operators.profile import (
+        fixed_width_histogram,
+        streaming_drift_batch,
+    )
+
+    name = "m21_streaming_drift"
+    ts, want = _timed(lambda: _rows(QUERIES[name].fn(spark, sf_dir)))
+
+    def batch_run():
+        base = tempfile.mkdtemp(prefix=f"tax_{name}_")
+        in_dir = os.path.join(base, "in")
+        ref_dir = os.path.join(base, "ref")
+        sink = os.path.join(base, "sink")
+        nat = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).select("value")
+        fixed_width_histogram(nat, "value", 0.0, 500.0, 20).select(
+            "bucket", F.col("n").alias("n_ref")
+        ).write.mode("overwrite").parquet(ref_dir)
+        d = _m21_events(spark, sf_dir)
+        t_num, t_den = _M21_T
+        with _stream_shuffle_partitions(spark):
+            _write_epoch_waves(d, in_dir)
+            for i in range(3):
+                b = spark.read.parquet(os.path.join(in_dir, f"wave{i}"))
+                streaming_drift_batch(
+                    b, ref_dir, sink, i, t_num=t_num, t_den=t_den
+                )
+        return _rows(
+            spark.read.parquet(sink)
+            .select(
+                F.col("batch").cast("bigint").alias("epoch"),
+                "bucket", "n_ref", "n_cur", "abs_cross", "drifted",
+            )
+            .orderBy("epoch", "bucket")
+        )
+
+    tb, got = _timed(batch_run)
+    assert got == want, f"{name}: batch-equivalent diverged from streaming"
+    return {"stream": ts, "batch": tb, "tax": ts - tb}
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -248,6 +360,8 @@ def main() -> None:
         "m19_streaming_containment_dedup": lambda: probe_m14(
             spark, sf_dir, "m19_streaming_containment_dedup"
         ),
+        "m20_streaming_semantic_dedup": lambda: probe_m20(spark, sf_dir),
+        "m21_streaming_drift": lambda: probe_m21(spark, sf_dir),
     }
     results: dict[str, dict] = {}
     for pname, p in probes.items():
