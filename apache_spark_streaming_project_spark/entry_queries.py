@@ -12551,3 +12551,104 @@ def m21_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# m22 — ANN index maintenance under ingest
+# ---------------------------------------------------------------------------
+@register(
+    "m22_streaming_ann_ingest",
+    """
+    SELECT vec_id AS query_id, vec_id AS found_vec_id
+    FROM embeddings WHERE vec_id < 10  -- m22 planted queries
+    ORDER BY query_id
+    """,
+    "S6",
+    "X8",
+    "X3",
+)
+def m22_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN INDEX MAINTENANCE UNDER INGEST (S6 x X8 x X3): the retrieval
+    index is built WHILE the corpus streams in — each micro-batch
+    PQ-encodes its vectors against FROZEN codebooks and appends m-byte
+    codes to the persisted index (operators/similarity.py:
+    streaming_pq_ingest_batch, idempotent batch-keyed overwrite); after
+    the drain, batch retrieval runs over the streamed store. This is
+    the continuously-updated retrieval index a training-data pipeline
+    keeps next to its corpus (dedup candidates, semantic search over
+    fresh shards) instead of rebuilding nightly.
+
+    TWO load-bearing claims, both inside the gate run:
+    1. INCREMENTAL APPEND == FULL RE-ENCODE, row for row: the encoder is
+       deterministic and batch-boundary-independent, so the streamed
+       store must equal pq_encode over the whole table — asserted
+       LOUDLY here (exceptAll both directions) before retrieval; a body
+       that retrains per batch (the classic index-corruption bug: codes
+       undecodable against the retrieval-side books) dies on this
+       assert, which is exactly the m22_per_batch_retrain mutation.
+    2. RETRIEVAL over the streamed codes returns each planted query's
+       original vector as top-1 (the x8 closed-form oracle: ten
+       perturbed queries, quantization error far below isotropic
+       inter-point distances).
+
+    At 100 TB: encode is map-only (zero shuffles; per-epoch cost is
+    O(batch) regardless of corpus lifetime — the store is append-only
+    and never read during ingest, measured flat in
+    tools/probe_ann_ingest_epochs.py), the store compacts through the
+    same seam m16 proves transparent, and retrieval reads codes only
+    (m bytes per vector). Re-training the codebooks when the corpus
+    outgrows them is the m20 requantization pattern: re-encode from the
+    vector store into a fresh directory, swap."""
+    import os
+
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        pq_batch_top_k,
+        pq_encode,
+        pq_train,
+        streaming_pq_ingest_batch,
+    )
+
+    base = _scratch_dir("m22_ann_ingest_")
+    in_dir = os.path.join(base, "in")
+    code_store = os.path.join(base, "codes")
+    ckpt = os.path.join(base, "ckpt")
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # frozen codebooks: trained once before the stream starts (the m20
+    # frozen-codebook rule; pq_train's bounded layout-independent sample)
+    books = pq_train(e, m=4, n_centroids=32)
+
+    d = e.select(
+        "vec_id", (F.col("vec_id") % 3).alias("epoch"), "embedding"
+    )
+    _write_epoch_waves(d, in_dir)
+
+    def ingest_batch(batch_df, batch_id):
+        # one-liner wrapper over the importable production body
+        streaming_pq_ingest_batch(batch_df, books, code_store, batch_id)
+
+    _drain_waves(spark, in_dir, ckpt, ingest_batch, d.schema)
+
+    enc = _read_batch_store(spark, code_store).select("vec_id", "pq_code")
+    # claim 1: the streamed index IS the batch-built index, row for row
+    full = pq_encode(e, books)
+    diff = enc.exceptAll(full).count() + full.exceptAll(enc).count()
+    if diff:
+        raise RuntimeError(
+            f"streamed PQ store diverged from full re-encode ({diff} "
+            "rows) — the frozen-codebook contract is broken"
+        )
+
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x + 0.005 * F.sin(F.col("vec_id") * 37 + i)
+            ).cast("double"),
+        ).alias("qvec"),
+    )
+    top1 = pq_batch_top_k(enc, books, queries, k=1)
+    return top1.select(
+        "query_id", F.col("vec_id").alias("found_vec_id")
+    ).orderBy("query_id")

@@ -1466,3 +1466,42 @@ def mmr_rerank(
         )
 
     return full.groupBy("_q").applyInPandas(greedy, schema=out_schema)
+
+
+def streaming_pq_ingest_batch(
+    batch_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    code_store: str,
+    batch_id: int,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """m22 per-batch body: ANN index MAINTENANCE under ingest — each
+    micro-batch PQ-encodes its vectors against FROZEN codebooks
+    (``pq_train`` once, offline or on a corpus sample; the m20 frozen-
+    codebook rule — per-batch retraining would make the code store
+    internally inconsistent and every prior code undecodable against
+    the retrieval-side books) and appends the m-byte codes to the
+    persisted index with the idempotent batch-keyed overwrite (each
+    batch OWNS ``batch-<id>/``, so an at-least-once foreachBatch retry
+    republishes identical content; the operators/dedup.py
+    ``_publish_store_batch`` seam, inlined here to keep similarity.py
+    import-acyclic with dedup.py).
+
+    Scale shape: encode is map-only (one numpy matmul per subspace per
+    Arrow batch, zero shuffles), the store is append-only and NEVER
+    read during ingest — per-epoch cost is O(batch) regardless of
+    corpus lifetime (tools/probe_ann_ingest_epochs.py measures it
+    flat), and retrieval reads codes only (m bytes/vector). Incremental
+    append == full re-encode row-for-row because the encoder is
+    deterministic and batch-boundary-independent (pq_encode docstring);
+    the m22 registration asserts that equality LOUDLY inside the gate
+    run before retrieval."""
+    import os
+
+    enc = pq_encode(
+        batch_df.select(key_col, vec_col), codebooks, key_col, vec_col
+    )
+    enc.write.mode("overwrite").parquet(
+        os.path.join(code_store, f"batch-{int(batch_id)}")
+    )

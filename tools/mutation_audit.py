@@ -668,6 +668,43 @@ MUTATIONS = [
       "boundary", "MIRROR-side drift threshold rises to 1/4: the "
       "oracle stops flagging the planted epoch while the engine still "
       "does (the m21 mirror-family oracle-side kill)"),
+    M("m22_per_batch_retrain", "m22_streaming_ann_ingest",
+      f"{PKG}/operators/similarity.py",
+      '    enc = pq_encode(\n'
+      '        batch_df.select(key_col, vec_col), codebooks, key_col, '
+      'vec_col\n    )',
+      '    enc = pq_encode(\n'
+      '        batch_df.select(key_col, vec_col),\n'
+      '        pq_train(batch_df, m=len(codebooks), n_centroids=32),\n'
+      '        key_col,\n        vec_col,\n    )',
+      "wrong-key", "the classic index-corruption bug: codebooks "
+      "retrained per micro-batch make every batch's codes undecodable "
+      "against the retrieval-side books — the registration's "
+      "streamed==re-encode guard raises (loud error kill), which is "
+      "the guard's whole job"),
+    M("m22_query_degraded", "m22_streaming_ann_ingest",
+      f"{PKG}/entry_queries.py",
+      'x + 0.005 * F.sin(F.col("vec_id") * 37 + i)',
+      'x + 0.5 * F.sin(F.col("vec_id") * 37 + i)',
+      "constant", "planted-query perturbation amplitude 0.005 -> 0.5 "
+      "(|noise| ~ 2.8x the unit vector): queries no longer resemble "
+      "their originals, top-1 scatters; row count ties at 10, value "
+      "hash kills — pins that the closed-form oracle is load-bearing "
+      "on real retrieval, not on the join shape"),
+    M("m22_publish_key_collision", "m22_streaming_ann_ingest",
+      f"{PKG}/operators/similarity.py",
+      'os.path.join(code_store, f"batch-{int(batch_id)}")',
+      'os.path.join(code_store, "batch-0")',
+      "wrong-key", "every batch publishes into batch-0: later waves "
+      "overwrite earlier codes, the store ends with one wave's rows — "
+      "the streamed==re-encode guard raises (loud error kill)"),
+    M("oracle_m22_query_set", "m22_streaming_ann_ingest",
+      f"{PKG}/entry_queries.py",
+      'WHERE vec_id < 10  -- m22 planted queries',
+      'WHERE vec_id < 11  -- m22 planted queries',
+      "boundary", "MIRROR-side query set widened to 11: oracle emits a "
+      "row the engine never retrieves (row-count kill — the m22 "
+      "mirror-family oracle-side kill)"),
     M("bpe8k_chunk_floor", "x4_bpe8k_chunks",
       f"{PKG}/operators/text.py",
       'n_chunks = F.ceil(n.cast("double") / F.lit(budget)).cast("bigint")',
