@@ -12652,3 +12652,94 @@ def m22_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top1.select(
         "query_id", F.col("vec_id").alias("found_vec_id")
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# m23 — stratified-sample maintenance under ingest
+# ---------------------------------------------------------------------------
+@register(
+    "m23_streaming_quota_sample",
+    """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':m23'), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 10  -- m23 quota
+    ORDER BY lang, doc_id
+    """,
+    "S6",
+    "X7",
+)
+def m23_streaming_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-QUOTA SAMPLE MAINTENANCE UNDER INGEST (S6 x X7): the
+    documents corpus streams in and a foreachBatch sink keeps a bounded
+    per-language winner table current (10 docs per lang, drawn by a
+    content-deterministic md5 order key), instead of re-ranking the
+    whole corpus every time the training mix is cut —
+    operators/sampling.py:streaming_quota_sample_batch. x_stratified_
+    sample is the one-shot form; this is the same sample kept LIVE
+    while the corpus is assembled.
+
+    Correct by the top-k merge theorem: per-stratum top-n under a
+    content-deterministic order key is a mergeable aggregate —
+    top-n(S1 u S2) = top-n(top-n(S1) u top-n(S2)) — so the streamed
+    fold must reproduce the direct full-corpus rank-window sample ROW
+    FOR ROW, and that is exactly what the oracle hash-checks (the
+    sample CONTENT, not a summary). The waves OVERLAP on purpose
+    (every doc arrives in two of the three waves — the m13 recrawl
+    lesson): replay safety comes from set semantics (distinct before
+    re-rank), and with disjoint waves dropping that distinct would be
+    a fixture no-op; here it is a mutation kill (duplicate winners
+    crowd real ones out of the quota). Arrival order is irrelevant BY
+    CONSTRUCTION (the rank never sees arrival time) — the opposite
+    contract from m14/m17's keep-first arrival semantics, pinned by
+    the permutation pytest.
+
+    At 100 TB: each batch ranks with map-side WindowGroupLimit (at
+    most n rows per stratum per task cross the exchange), the state
+    read is strata x quota rows regardless of corpus lifetime, and
+    the corpus is never re-read — the bounded-state lifecycle class
+    (BASELINE.md round-13 table)."""
+    import os
+
+    from apache_spark_streaming_project_spark.operators.sampling import (
+        streaming_quota_sample_batch,
+    )
+
+    base = _scratch_dir("m23_quota_")
+    in_dir = os.path.join(base, "in")
+    state = os.path.join(base, "winners")
+    ckpt = os.path.join(base, "ckpt")
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.col("doc_id") % 3).alias("epoch")
+    )
+    # overlapping waves: every doc is delivered in TWO of the three
+    # waves, so the set-merge sees real duplicates (see docstring)
+    for i in range(3):
+        m = F.col("epoch")
+        wave_dir = os.path.join(in_dir, f"wave{i}")
+        d.filter((m == i) | (m == (i + 1) % 3)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(wave_dir)
+        _pin_wave_mtime(wave_dir, i)
+
+    order_key = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":m23"))
+    )
+
+    def fold_batch(batch_df, batch_id):
+        streaming_quota_sample_batch(
+            batch_df.select("doc_id", "lang"), ["lang"], 10, order_key, state
+        )
+
+    _drain_waves(spark, in_dir, ckpt, fold_batch, d.schema)
+
+    return (
+        spark.read.parquet(state)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )

@@ -645,3 +645,60 @@ def dsir_publish_scored_batch(
     out.write.mode("overwrite").parquet(
         os.path.join(sink_dir, f"batch={int(batch_id)}")
     )
+
+
+def streaming_quota_sample_batch(
+    batch_df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    order_col: Column,
+    state_dir: str,
+) -> None:
+    """m23 per-batch body: exact-quota stratified sample MAINTENANCE
+    under ingest — the corpus streams in and a bounded winner table
+    (<= strata x n rows) is kept current, instead of re-ranking the
+    whole corpus every time the sample is needed.
+
+    Correct BY THE TOP-K MERGE THEOREM: with a content-deterministic
+    order key (md5-of-key here — never arrival time), per-stratum
+    top-n is a mergeable aggregate: top-n(S1 union S2) =
+    top-n(top-n(S1) union top-n(S2)). So folding each batch's local
+    winners into the stored winners reproduces the direct sample over
+    everything ingested so far, row for row — the m23 registration
+    hash-checks exactly that against the full-corpus rank-window
+    oracle.
+
+    Replay-safe by SET semantics (the kmv_merge precedent, dedup
+    before re-rank): foreachBatch is at-least-once, and re-delivering
+    a batch unions rows that are already present — ``distinct()``
+    collapses them, so replay is a no-op. Dropping that distinct is
+    the classic corruption (duplicate winners crowd real ones out of
+    the quota) and is a mutation-audit kill. Two-phase publish
+    (write ``.next``, then re-write the state) — never read and
+    overwrite the same files in one job (the upsert.py seam rule).
+
+    Scale shape: the batch ranks with map-side WindowGroupLimit (at
+    most n rows per stratum per task cross the exchange), the state
+    read is strata x n rows regardless of corpus lifetime, and the
+    corpus itself is never re-read — the bounded-state lifecycle
+    class. At 1000 strata x 1000 quota the state is ~1M rows: still a
+    broadcast-sized table."""
+    import os
+
+    winners = stratified_sample(
+        batch_df, strata_cols, n_per_stratum, order_col
+    )
+    if os.path.isdir(state_dir):
+        prior = batch_df.sparkSession.read.parquet(state_dir)
+        merged = stratified_sample(
+            prior.unionByName(winners).distinct(),
+            strata_cols,
+            n_per_stratum,
+            order_col,
+        )
+        tmp = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        final = batch_df.sparkSession.read.parquet(tmp)
+        final.coalesce(1).write.mode("overwrite").parquet(state_dir)
+    else:
+        winners.coalesce(1).write.mode("overwrite").parquet(state_dir)

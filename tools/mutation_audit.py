@@ -645,8 +645,8 @@ MUTATIONS = [
       "rows; row count ties at 60, value hash kills"),
     M("m21_unnormalized_cross", "m21_streaming_drift",
       f"{PKG}/operators/profile.py",
-      'F.col("n_cur") * F.col("_nr") - F.col("n_ref") * F.col("_nc")',
-      'F.col("n_cur") - F.col("n_ref")',
+      'F.col("n_cur") * F.col("_nr")\n                - F.col("n_ref") * F.col("_nc")',
+      'F.col("n_cur")\n                - F.col("n_ref")',
       "wrong-key", "cross-product normalization dropped (raw count "
       "diff instead of n_cur*N_ref - n_ref*N_cur): abs_cross is in the "
       "output, so the hash kills on every row — and the verdict would "
@@ -704,6 +704,47 @@ MUTATIONS = [
       'WHERE vec_id < 11  -- m22 planted queries',
       "boundary", "MIRROR-side query set widened to 11: oracle emits a "
       "row the engine never retrieves (row-count kill — the m22 "
+      "mirror-family oracle-side kill)"),
+    M("m23_merge_drops_prior", "m23_streaming_quota_sample",
+      f"{PKG}/operators/sampling.py",
+      '            prior.unionByName(winners).distinct(),',
+      '            winners.distinct(),',
+      "dropped-clause", "the fold forgets its state: every batch "
+      "re-ranks only its own winners, so the final table is the LAST "
+      "wave's sample instead of the corpus's (row count ties at "
+      "strata x quota — the merge theorem's content is what dies; "
+      "value hash kills)"),
+    M("m23_merge_distinct_drop", "m23_streaming_quota_sample",
+      f"{PKG}/operators/sampling.py",
+      '            prior.unionByName(winners).distinct(),',
+      '            prior.unionByName(winners),',
+      "dropped-clause", "set semantics removed from the merge: the "
+      "overlapping waves re-deliver rows already in the state, "
+      "duplicate winners take successive ranks and crowd real winners "
+      "out of the quota (the replay-corruption bug the distinct "
+      "exists to prevent; needs overlapping waves to be visible — "
+      "the m13 recrawl lesson; value hash kills)"),
+    M("m23_quota_constant", "m23_streaming_quota_sample",
+      f"{PKG}/entry_queries.py",
+      'batch_df.select("doc_id", "lang"), ["lang"], 10, order_key, state',
+      'batch_df.select("doc_id", "lang"), ["lang"], 9, order_key, state',
+      "constant", "per-stratum quota 10 -> 9: every saturated stratum "
+      "loses its last winner (45 rows vs the oracle's 50 — rows "
+      "kill)"),
+    M("m23_order_salt", "m23_streaming_quota_sample",
+      f"{PKG}/entry_queries.py",
+      'F.concat(F.col("doc_id").cast("string"), F.lit(":m23"))',
+      'F.concat(F.col("doc_id").cast("string"), F.lit(":m23x"))',
+      "constant", "engine-side draw salt perturbed: the md5 order key "
+      "no longer matches the oracle's, a different winner set is kept "
+      "(row count ties at strata x quota; value hash kills — pins "
+      "that the sample CONTENT, not just its shape, is checked)"),
+    M("oracle_m23_quota", "m23_streaming_quota_sample",
+      f"{PKG}/entry_queries.py",
+      'WHERE rn <= 10  -- m23 quota',
+      'WHERE rn <= 11  -- m23 quota',
+      "boundary", "MIRROR-side quota widened to 11: the oracle emits "
+      "winners the engine never kept (row-count kill — the m23 "
       "mirror-family oracle-side kill)"),
     M("bpe8k_chunk_floor", "x4_bpe8k_chunks",
       f"{PKG}/operators/text.py",
