@@ -12743,3 +12743,155 @@ def m23_streaming_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# m24 — heavy-hitter sketch maintenance under ingest
+# ---------------------------------------------------------------------------
+def _m24_items(df: DataFrame) -> DataFrame:
+    """The m24 item stream, derived identically inside the fold (per
+    batch) and on the read side (exact ground truth): each event emits
+    one natural user-bucket token (101 buckets per event_type — far
+    more distinct items than the sketch's candidates=8, so MG
+    compaction genuinely triggers) plus 30 copies of a per-event hot
+    token (only the two hot tokens per event_type clear the N/9
+    heavy threshold)."""
+    nat = df.select(
+        "event_type",
+        F.concat(
+            F.lit("u"), (F.col("user_id") % 101).cast("string")
+        ).alias("item"),
+    )
+    hot = df.select(
+        "event_type",
+        F.explode(
+            F.array_repeat(
+                F.concat(
+                    F.lit("hotevt"), (F.col("event_id") % 2).cast("string")
+                ),
+                30,
+            )
+        ).alias("item"),
+    )
+    return nat.unionByName(hot)
+
+
+@register(
+    "m24_streaming_heavy_hitters",
+    """
+    WITH nat AS (
+      SELECT event_type, 'u' || CAST(user_id % 101 AS VARCHAR) AS item
+      FROM events
+    ),
+    hot AS (
+      SELECT event_type,
+             'hotevt' || CAST(event_id % 2 AS VARCHAR) AS item,
+             unnest(range(30)) AS _i
+      FROM events
+    ),
+    items AS (
+      SELECT event_type, item FROM nat
+      UNION ALL SELECT event_type, item FROM hot
+    ),
+    n AS (
+      SELECT event_type, count(*) AS n_items FROM items GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, item, count(*) AS true_count
+      FROM items GROUP BY event_type, item
+    )
+    SELECT e.event_type, e.item, CAST(e.true_count AS BIGINT) AS true_count,
+           TRUE AS present_ok, TRUE AS bound_ok
+    FROM exact e JOIN n USING (event_type)
+    WHERE e.true_count > n.n_items / 9.0
+    ORDER BY event_type, item
+    """,
+    "S6",
+    "X11",
+)
+def m24_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAVY-HITTER SKETCH MAINTENANCE UNDER INGEST (S6 x X11): the
+    events stream arrives in three waves and a foreachBatch sink keeps
+    a persisted Misra-Gries frequency-sketch STORE current — each
+    batch's items are summarized map-side and published batch-keyed
+    (mergeable.py:streaming_heavy_hitters_batch; raw items never
+    shuffle, the store is never read during ingest), and the corpus-
+    lifetime top-items question is answered by ONE declarative
+    aggregate over the store. x11_heavy_hitters is the one-shot form;
+    m13 proved the lifecycle for KMV where merged == direct holds
+    row-for-row — MG's merge guarantee is an INEQUALITY instead, so
+    the gated claims here are the mergeability theorem's: summing
+    partial_count per (event_type, item) across the stored per-batch
+    summaries keeps every item's undercount <= N_group/(candidates+1),
+    and every true-heavy item (true_count > N/9 at candidates=8) is
+    PRESENT in the merged sketch. Both are emitted as in-plan booleans
+    the oracle pins to TRUE, and the heavy items' EXACT counts are
+    hash-checked (the x11 contract style — est values themselves are
+    any-valid-sketch and deliberately not output).
+
+    At 100 TB: per-batch cost is one batch scan + <= candidates
+    summary rows per group per Arrow batch, zero store reads (the
+    m22 no-corpus-lifetime-term class); the read-side merge scans
+    batches x candidates-bounded summaries, never raw history; store
+    compaction through the m16 seam collapses batch dirs whenever the
+    summary count matters."""
+    import os
+
+    from apache_spark_streaming_project_spark.operators.mergeable import (
+        streaming_heavy_hitters_batch,
+    )
+
+    base = _scratch_dir("m24_hh_")
+    in_dir = os.path.join(base, "in")
+    store = os.path.join(base, "sketch")
+    ckpt = os.path.join(base, "ckpt")
+
+    d = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        (F.col("event_id") % 3).alias("epoch"),
+    )
+    _write_epoch_waves(d, in_dir)
+
+    def fold_batch(batch_df, batch_id):
+        streaming_heavy_hitters_batch(
+            _m24_items(batch_df),
+            ["event_type"],
+            "item",
+            store,
+            batch_id,
+            candidates=8,
+        )
+
+    _drain_waves(spark, in_dir, ckpt, fold_batch, d.schema)
+
+    merged = (
+        _read_batch_store(spark, store)
+        .groupBy("event_type", "item")
+        .agg(F.sum("partial_count").alias("est_count"))
+    )
+    items = _m24_items(d)
+    n = items.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+    exact = items.groupBy("event_type", "item").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    bound = F.col("n_items") / F.lit(9.0)  # N_group / (candidates + 1)
+    heavy = exact.join(n, "event_type").filter(F.col("true_count") > bound)
+    joined = heavy.join(merged, ["event_type", "item"], "left")
+    return joined.select(
+        "event_type",
+        "item",
+        F.col("true_count").cast("bigint").alias("true_count"),
+        F.col("est_count").isNotNull().alias("present_ok"),
+        F.coalesce(
+            (F.col("est_count") <= F.col("true_count"))
+            & (
+                (F.col("true_count") - F.col("est_count")).cast("double")
+                <= bound
+            ),
+            F.lit(False),
+        ).alias("bound_ok"),
+    ).orderBy("event_type", "item")

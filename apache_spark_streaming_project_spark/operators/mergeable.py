@@ -355,3 +355,49 @@ def kmv_overlap(
             .alias("est_intersection"),
         )
     )
+
+
+def streaming_heavy_hitters_batch(
+    batch_df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    store_dir: str,
+    batch_id: int,
+    candidates: int = 400,
+) -> None:
+    """m24 per-batch body: Misra-Gries frequency-sketch MAINTENANCE
+    under ingest — each micro-batch's items are summarized map-side
+    (``partial_heavy_hitters``: <= candidates rows per group per Arrow
+    batch, raw rows never shuffle), the partials are summed to one
+    summary row per (group, item) within the batch, and the summary is
+    published with the idempotent batch-keyed overwrite (each batch
+    OWNS ``batch-<id>/``; an at-least-once foreachBatch retry
+    republishes identical content — the m22 seam). The store is never
+    read during ingest, so per-epoch cost is O(batch) with NO
+    corpus-lifetime term.
+
+    The read-side merge is one declarative aggregate over the store:
+    summing ``partial_count`` per (group, item) across batches IS a
+    valid merged Misra-Gries sketch — per-batch compaction decrements
+    are disjoint, so every item's total undercount stays
+    <= N_group/(candidates+1) and every item above that bound is
+    PRESENT (the mergeability theorem the registration gates in-plan).
+    The per-batch summary is deliberately NOT re-trimmed to
+    ``candidates`` rows on publish: an MG merge-trim would cap the
+    store at groups x candidates rows per batch but pay a second
+    decrement, doubling the bound constant to 2N/(c+1); keeping the
+    summed partials preserves the clean N/(c+1) guarantee at a store
+    cost of candidates x (batch rows / Arrow batch size) rows per
+    group per batch — still vanishingly small next to the raw item
+    stream."""
+    import os
+
+    parts = partial_heavy_hitters(
+        batch_df, group_cols, item_col, candidates
+    )
+    summary = parts.groupBy(*group_cols, item_col).agg(
+        F.sum("partial_count").alias("partial_count")
+    )
+    summary.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch-{int(batch_id)}")
+    )

@@ -746,6 +746,39 @@ MUTATIONS = [
       "boundary", "MIRROR-side quota widened to 11: the oracle emits "
       "winners the engine never kept (row-count kill — the m23 "
       "mirror-family oracle-side kill)"),
+    M("m24_publish_key_collision", "m24_streaming_heavy_hitters",
+      f"{PKG}/operators/mergeable.py",
+      'os.path.join(store_dir, f"batch-{int(batch_id)}")',
+      'os.path.join(store_dir, "batch-0")',
+      "wrong-key", "every batch publishes into batch-0: only the last "
+      "micro-batch's summary survives, hot-item estimates collapse to "
+      "~1/3 of the true count — far outside the N/9 undercount bound, "
+      "bound_ok flips FALSE (value hash kills; pins that the store "
+      "layout, not just the sketch math, is load-bearing)"),
+    M("m24_merge_sum_to_max", "m24_streaming_heavy_hitters",
+      f"{PKG}/entry_queries.py",
+      '.agg(F.sum("partial_count").alias("est_count"))',
+      '.agg(F.max("partial_count").alias("est_count"))',
+      "swapped-agg", "read-side merge sums -> takes the max per-batch "
+      "partial: estimates collapse to one batch's share, the undercount "
+      "bound breaks, bound_ok flips FALSE (value hash kills — the "
+      "mergeability theorem is about SUMS of disjoint decrements)"),
+    M("m24_plant_constant", "m24_streaming_heavy_hitters",
+      f"{PKG}/entry_queries.py",
+      '                30,\n            )\n        ).alias("item"),',
+      '                3,\n            )\n        ).alias("item"),',
+      "constant", "engine-side hot plant 30 -> 3 copies: the shared "
+      "item helper changes sketch AND engine-exact sides together "
+      "(heavy set stays the two hot tokens — 1.5N vs the new 0.44N "
+      "threshold), so true_count disagrees with the oracle's 15N "
+      "(row count ties; value hash kills)"),
+    M("oracle_m24_plant", "m24_streaming_heavy_hitters",
+      f"{PKG}/entry_queries.py",
+      "'hotevt' || CAST(event_id % 2 AS VARCHAR) AS item,\n             unnest(range(30)) AS _i",
+      "'hotevt' || CAST(event_id % 2 AS VARCHAR) AS item,\n             unnest(range(29)) AS _i",
+      "boundary", "MIRROR-side hot plant 30 -> 29 copies: the oracle's "
+      "true_count drops one copy per event below the engine's (value "
+      "hash kill — the m24 mirror-family oracle-side kill)"),
     M("bpe8k_chunk_floor", "x4_bpe8k_chunks",
       f"{PKG}/operators/text.py",
       'n_chunks = F.ceil(n.cast("double") / F.lit(budget)).cast("bigint")',
