@@ -12895,3 +12895,138 @@ def m24_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("bound_ok"),
     ).orderBy("event_type", "item")
+
+
+# ---------------------------------------------------------------------------
+# m25 — cluster-graph (union-find) maintenance under ingest
+# ---------------------------------------------------------------------------
+def _m25_edges(d: DataFrame) -> DataFrame:
+    """The m25 pair stream, derived in-plan from documents so DuckDB
+    mirrors it exactly: every doc links to the next member of its
+    six-doc family ring (components of <= 6, diameter 3), and every
+    50th doc bridges its family to the next one (merging two existing
+    components — the cross-batch merge case the remap log exists for).
+    Ring edges scatter across all three waves (epoch = (a+b) % 3), so
+    components assemble incrementally and roots get dethroned more
+    than once: the fixture genuinely produces remap CHAINS (depth >= 2
+    — pytest-asserted), which is what makes the chase-to-fixpoint
+    resolve load-bearing."""
+    docs = d.select("doc_id")
+    pos = F.col("doc_id") % 6
+    ring = docs.select(
+        F.col("doc_id").alias("key_a"),
+        (F.col("doc_id") - pos + (pos + 1) % 6).alias("key_b"),
+    )
+    bridge = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("key_a"),
+        (F.col("doc_id") + 6).alias("key_b"),
+    )
+    exists = docs.select(F.col("doc_id").alias("key_b"))
+    return (
+        ring.unionByName(bridge)
+        .join(exists, "key_b", "left_semi")
+        .select(
+            "key_a",
+            "key_b",
+            ((F.col("key_a") + F.col("key_b")) % 3).alias("epoch"),
+        )
+    )
+
+
+@register(
+    "m25_streaming_cc",
+    """
+    WITH RECURSIVE docs AS (SELECT doc_id FROM documents),
+    ring AS (
+      SELECT doc_id AS key_a,
+             doc_id - (doc_id % 6) + ((doc_id % 6) + 1) % 6 AS key_b
+      FROM docs
+    ),
+    bridge AS (
+      SELECT doc_id AS key_a, doc_id + 6 AS key_b
+      FROM docs WHERE doc_id % 50 = 0  -- m25 bridge
+    ),
+    pairs AS (
+      SELECT r.key_a, r.key_b FROM ring r
+      JOIN docs x ON r.key_b = x.doc_id
+      UNION ALL
+      SELECT b.key_a, b.key_b FROM bridge b
+      JOIN docs x ON b.key_b = x.doc_id
+    ),
+    edges AS (
+      SELECT key_a AS src, key_b AS dst FROM pairs
+      UNION SELECT key_b, key_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+    ),
+    cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT id AS key, cluster_id FROM cc ORDER BY key
+    """,
+    "S6",
+    "X6",
+)
+def m25_streaming_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-GRAPH MAINTENANCE UNDER INGEST (S6 x X6): verified
+    near-dup pair edges stream in across three waves and a foreachBatch
+    sink maintains the union-find state as two append-only batch-keyed
+    stores — per-key root assignments written ONCE at first sight, plus
+    a remap log recording every later component merge
+    (operators/dedup.py:streaming_cc_batch). The corpus-lifetime
+    clustering question is then answered by resolving assignments
+    through the remap log with pointer doubling
+    (resolve_cc_assignments) — x_dedup_clusters re-runs components over
+    the full edge history; this never re-reads an old edge.
+
+    The union-find-as-append-only-log design is what makes the
+    lifecycle honest at scale: per batch, local components run over the
+    BATCH's edges only (projected onto current roots), the remap log
+    stays |merges|-sized, and compaction through the m16 seam is PATH
+    COMPRESSION (republish resolved assignments, chains flatten to
+    depth 0). The crash-window contract is load-bearing and
+    fault-injection-tested: a replayed batch resolves against
+    strictly-prior state via the batch_id column on every stored row —
+    without it, a retry would see its own publishes, project every edge
+    to a self-loop, and silently EMPTY its own dirs.
+
+    Final label = min key ever connected — arrival-order-invariant, so
+    any wave permutation resolves to the same clusters (pytest), and
+    exactly the recursive-CTE oracle's MIN(reach). The fixture's ring
+    edges scatter across waves so roots get dethroned repeatedly:
+    remap chains of depth >= 2 genuinely occur (pytest-asserted), and
+    dropping the chase (resolving one hop) or the root projection
+    (clustering raw keys) are both value-hash mutation kills."""
+    import os
+
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        resolve_cc_assignments,
+        streaming_cc_batch,
+    )
+
+    base = _scratch_dir("m25_cc_")
+    in_dir = os.path.join(base, "in")
+    assign_store = os.path.join(base, "assign")
+    remap_store = os.path.join(base, "remap")
+    ckpt = os.path.join(base, "ckpt")
+
+    d = _t(spark, sf_dir, "documents")
+    edges = _m25_edges(d)
+    _write_epoch_waves(edges, in_dir)
+
+    def fold_batch(batch_df, batch_id):
+        streaming_cc_batch(
+            batch_df.select("key_a", "key_b"),
+            assign_store,
+            remap_store,
+            batch_id,
+        )
+
+    _drain_waves(spark, in_dir, ckpt, fold_batch, edges.schema)
+
+    return (
+        resolve_cc_assignments(spark, assign_store, remap_store)
+        .select("key", F.col("root").alias("cluster_id"))
+        .orderBy("key")
+    )

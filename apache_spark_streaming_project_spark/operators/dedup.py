@@ -1975,3 +1975,150 @@ def streaming_decontaminate_batch(
     out.write.mode("overwrite").parquet(
         os.path.join(sink_dir, f"batch={int(batch_id)}")
     )
+
+
+def resolve_cc_assignments(
+    ss,
+    assign_store: str,
+    remap_store: str,
+    exclude_batch: int | None = None,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Resolve the m25 streaming connected-components state to final
+    labels: ``assign`` rows carry each key's root AT INGEST TIME and the
+    ``remap`` log records every later merge (old_root -> new_root, with
+    new_root < old_root always — merges relabel to the component MIN, so
+    the chase is provably acyclic). A key's current cluster is its
+    ingest root chased through the remap log to fixpoint.
+
+    The chase is pointer DOUBLING on the remap table itself (the log is
+    |merges| rows — the union-find parent array, far smaller than the
+    corpus): each round substitutes every entry's target through the
+    current table, so resolved depth doubles per round and a
+    depth-2^30 chain exhausts the default budget before this returns
+    wrong labels (the near_dup_clusters loud-exhaustion contract).
+    Compaction through the m16 seam is PATH COMPRESSION: republishing
+    the resolved assignments flattens every chain to depth 0.
+
+    ``exclude_batch`` is the crash-window contract (load-bearing, see
+    streaming_cc_batch): a replayed batch must resolve against strictly-
+    PRIOR state, so rows are filtered by their writer's batch_id column
+    — without this, a batch retried after its own publish would see its
+    endpoints already merged, project every edge to a self-loop, and
+    overwrite its own dirs with EMPTY content (silent state loss)."""
+    assign = _read_store(ss, assign_store, "key long, root long, batch_id long")
+    remap = _read_store(
+        ss, remap_store, "old_root long, new_root long, batch_id long"
+    )
+    if exclude_batch is not None:
+        assign = assign.filter(F.col("batch_id") != int(exclude_batch))
+        remap = remap.filter(F.col("batch_id") != int(exclude_batch))
+    r = remap.select("old_root", "new_root").localCheckpoint()
+    changed = -1
+    for _ in range(max_iterations):
+        nxt = r.join(
+            r.select(
+                F.col("old_root").alias("_o2"), F.col("new_root").alias("_n2")
+            ),
+            r["new_root"] == F.col("_o2"),
+            "left",
+        )
+        stepped = nxt.select(
+            "old_root",
+            F.coalesce("_n2", "new_root").alias("new_root"),
+            F.col("_n2").isNotNull().alias("_chg"),
+        ).localCheckpoint()
+        changed = stepped.filter(F.col("_chg")).count()
+        r = stepped.drop("_chg")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"resolve_cc_assignments did not converge in {max_iterations} "
+            f"pointer-doubling rounds ({changed} entries still chasing): "
+            "remap chain depth exceeds 2^rounds — compact the store "
+            "(path compression) or raise max_iterations"
+        )
+    return (
+        assign.join(r, assign["root"] == F.col("old_root"), "left")
+        .select("key", F.coalesce("new_root", "root").alias("root"))
+    )
+
+
+def streaming_cc_batch(
+    edges: DataFrame,
+    assign_store: str,
+    remap_store: str,
+    batch_id: int,
+    key_a: str = "key_a",
+    key_b: str = "key_b",
+) -> None:
+    """m25 per-batch body: the near-dup CLUSTER GRAPH maintained under
+    ingest — verified pair edges stream in (from any candidate
+    generator: m14's bands, m19's postings) and the union-find state is
+    kept current as two append-only batch-keyed stores, instead of
+    re-running connected components over the full edge history every
+    time the collapse is cut. x_dedup_clusters is the one-shot form.
+
+    Per batch: (1) project each edge endpoint onto its CURRENT root
+    (resolve against strictly-prior state — ``exclude_batch`` is the
+    crash-window contract; unknown keys stay themselves), (2) run local
+    min-label components over the projected edges only (batch-sized
+    graph, never the history), (3) publish the batch's NEW keys as
+    assign rows and every dethroned root as a remap entry
+    (old_root -> new component min). Both publishes are the idempotent
+    batch-keyed overwrite; a replay recomputes byte-identical content
+    because its input state excludes its own prior publish.
+
+    Final label = min key ever connected, exactly the batch operator's
+    canonical label and the recursive-CTE oracle's MIN(reach) — and
+    min is arrival-order-invariant, so any wave permutation resolves
+    to the same clusters (pytest-pinned).
+
+    Scale shape: the local CC touches batch edges only; the remap log
+    is |merges| rows; the per-batch corpus-lifetime term is ONE
+    key-join of the batch's endpoints against the assign store (the
+    m19 index-probe class — bucket the store by key to prune it).
+    """
+    ss = edges.sparkSession
+    roots = resolve_cc_assignments(
+        ss, assign_store, remap_store, exclude_batch=int(batch_id)
+    )
+    e = edges.select(key_a, key_b)
+    ra = roots.select(F.col("key").alias(key_a), F.col("root").alias("_ra"))
+    rb = roots.select(F.col("key").alias(key_b), F.col("root").alias("_rb"))
+    proj = (
+        e.join(ra, key_a, "left")
+        .join(rb, key_b, "left")
+        .select(
+            F.coalesce("_ra", F.col(key_a)).alias("src"),
+            F.coalesce("_rb", F.col(key_b)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    comp = near_dup_clusters(proj, "src", "dst").localCheckpoint()
+    known = roots.select("key")
+    new_assign = comp.join(known, "key", "left_anti").select(
+        "key",
+        F.col("cluster_id").alias("root"),
+        F.lit(int(batch_id)).alias("batch_id"),
+    )
+    remap_entries = (
+        comp.join(known, "key", "left_semi")
+        .filter(F.col("key") != F.col("cluster_id"))
+        .select(
+            F.col("key").alias("old_root"),
+            F.col("cluster_id").alias("new_root"),
+            F.lit(int(batch_id)).alias("batch_id"),
+        )
+    )
+    # materialize BOTH outputs before either publish: their plans read
+    # the assign/remap stores (through `known`/`roots`), and on a
+    # replay the overwrite targets those same files — writing a lazy
+    # plan over its own target is the read-and-overwrite seam violation
+    # (the upsert.py rule), surfaced as a mid-job FileNotFound by the
+    # crash-window fault-injection test
+    new_assign = new_assign.localCheckpoint()
+    remap_entries = remap_entries.localCheckpoint()
+    _publish_store_batch(new_assign, assign_store, batch_id)
+    _publish_store_batch(remap_entries, remap_store, batch_id)

@@ -779,6 +779,39 @@ MUTATIONS = [
       "boundary", "MIRROR-side hot plant 30 -> 29 copies: the oracle's "
       "true_count drops one copy per event below the engine's (value "
       "hash kill — the m24 mirror-family oracle-side kill)"),
+    M("m25_projection_drop", "m25_streaming_cc",
+      f"{PKG}/operators/dedup.py",
+      '            F.coalesce("_ra", F.col(key_a)).alias("src"),',
+      '            F.col(key_a).alias("src"),',
+      "dropped-clause", "edge endpoints no longer projected onto their "
+      "current roots: cross-batch merges record remap entries keyed on "
+      "raw non-root keys that the resolve never chases — components "
+      "assembled across waves stay under-merged (row count ties at the "
+      "key universe; value hash kills)"),
+    M("m25_remap_resolve_drop", "m25_streaming_cc",
+      f"{PKG}/operators/dedup.py",
+      '.select("key", F.coalesce("new_root", "root").alias("root"))',
+      '.select("key", F.col("root").alias("root"))',
+      "dropped-clause", "the resolve ignores the remap log entirely: "
+      "every key reports its root AT INGEST TIME, so any component "
+      "merged after a key first arrived keeps the stale label — and "
+      "the per-batch bodies resolve through the same function, so the "
+      "corruption compounds (value hash kills)"),
+    M("m25_publish_collision", "m25_streaming_cc",
+      f"{PKG}/operators/dedup.py",
+      'os.path.join(store, f"batch-{int(batch_id)}")',
+      'os.path.join(store, "batch-0")',
+      "wrong-key", "the shared _publish_store_batch seam collapses "
+      "every batch onto batch-0: earlier assignments and remaps are "
+      "overwritten, only the last wave's state survives the drain "
+      "(row-count kill — most keys vanish from the resolve)"),
+    M("oracle_m25_bridge", "m25_streaming_cc",
+      f"{PKG}/entry_queries.py",
+      'WHERE doc_id % 50 = 0  -- m25 bridge',
+      'WHERE doc_id % 49 = 0  -- m25 bridge',
+      "boundary", "MIRROR-side bridge rate perturbed: the oracle "
+      "merges different family pairs than the engine ingested (value "
+      "hash kill — the m25 mirror-family oracle-side kill)"),
     M("bpe8k_chunk_floor", "x4_bpe8k_chunks",
       f"{PKG}/operators/text.py",
       'n_chunks = F.ceil(n.cast("double") / F.lit(budget)).cast("bigint")',
