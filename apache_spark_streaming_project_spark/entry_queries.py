@@ -13030,3 +13030,98 @@ def m25_streaming_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", F.col("root").alias("cluster_id"))
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# m26 — histogram / quantile maintenance under ingest
+# ---------------------------------------------------------------------------
+@register(
+    "m26_streaming_quantiles",
+    """
+    WITH hist AS (
+      SELECT LEAST(floor((value - 0.0) / 12.5), 39) AS bucket,
+             count(*) AS n
+      FROM events
+      WHERE value >= 0.0 AND value < 500.0
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT bucket, n,
+             SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER () AS n_total
+      FROM hist
+    )
+    SELECT CAST(q AS DOUBLE) AS q,
+           CAST(bucket AS BIGINT) AS bucket,
+           0.0 + bucket * 12.5 AS bucket_lo,
+           0.0 + (bucket + 1) * 12.5 AS bucket_hi,
+           CAST(ceil(CAST(q AS DOUBLE) * n_total) AS BIGINT) AS rank,
+           CAST(n_total AS BIGINT) AS n_total
+    FROM c, (VALUES (0.5),(0.9),(0.99)) qs(q)  -- m26 quantile set
+    WHERE cum - n < ceil(CAST(q AS DOUBLE) * n_total)
+      AND ceil(CAST(q AS DOUBLE) * n_total) <= cum
+    ORDER BY q
+    """,
+    "S6",
+    "X11",
+    "X9",
+)
+def m26_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM/QUANTILE MAINTENANCE UNDER INGEST (S6 x X11 x X9): the
+    events stream arrives in three waves and a foreachBatch sink keeps
+    a persisted histogram-partial store current
+    (profile.py:streaming_histogram_batch — an nbins-key partial agg
+    per batch, store never read during ingest); the corpus-lifetime
+    quantile question is answered by ONE aggregate over the store
+    (merge_histograms) plus an integer-cumsum rank walk over <= nbins
+    rows (histogram_quantiles). x11_histogram_quantiles proves the
+    merge for three static shards; this is the same exactness kept
+    LIVE — bucket counts sum associatively, so the streamed-merged
+    histogram equals the direct corpus histogram ROW FOR ROW (the m13
+    merged==direct claim — histograms are the exact-merge sketch, no
+    MG-style inequality slack), and the quantile buckets derived from
+    the store are exact to one bucket width BY CONSTRUCTION. The
+    oracle recomputes the direct histogram and its rank walk in SQL,
+    so the hash pins the store lifecycle end to end: per-bucket
+    counts, ranks, totals, and the q -> bucket identification.
+
+    This completes streaming maintenance across all three mergeable
+    sketch families in the registry: KMV (m13, row-equal), Misra-Gries
+    (m24, inequality-gated), fixed-width histogram (here, row-equal).
+    At 100 TB: per-batch cost is one nbins-key partial agg; the
+    read-side merge scans batches x nbins stored rows, never raw
+    history; the quantile pass is O(nbins) regardless of corpus."""
+    import os
+
+    from apache_spark_streaming_project_spark.operators.profile import (
+        histogram_quantiles,
+        merge_histograms,
+        streaming_histogram_batch,
+    )
+
+    base = _scratch_dir("m26_hist_")
+    in_dir = os.path.join(base, "in")
+    store = os.path.join(base, "hist")
+    ckpt = os.path.join(base, "ckpt")
+
+    d = _t(spark, sf_dir, "events").select(
+        "event_id", "value", (F.col("event_id") % 3).alias("epoch")
+    )
+    _write_epoch_waves(d, in_dir)
+
+    def fold_batch(batch_df, batch_id):
+        streaming_histogram_batch(
+            batch_df, "value", 0.0, 500.0, 40, store, batch_id
+        )
+
+    _drain_waves(spark, in_dir, ckpt, fold_batch, d.schema)
+
+    merged = merge_histograms(_read_batch_store(spark, store))
+    return histogram_quantiles(merged, [0.5, 0.9, 0.99]).select(
+        F.col("q").cast("double").alias("q"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "bucket_lo",
+        "bucket_hi",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+    ).orderBy("q")

@@ -475,3 +475,40 @@ def streaming_drift_batch(
         )
     finally:
         j.unpersist()
+
+
+def streaming_histogram_batch(
+    batch_df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    store: str,
+    batch_id: int,
+) -> None:
+    """m26 per-batch body: fixed-width-histogram MAINTENANCE under
+    ingest — each micro-batch is histogrammed (an nbins-key partial
+    agg, the cheapest distribution sketch there is) and the partial is
+    published with the idempotent batch-keyed overwrite (each batch
+    OWNS ``batch-<id>/``; an at-least-once retry republishes identical
+    content — the m22 seam, plain ``batch-`` prefix so a compacted
+    store keeps taking publishes under one recursive-lookup read). The
+    store is never read during ingest: per-epoch cost is O(batch) with
+    no corpus-lifetime term.
+
+    Histogram partials are the EXACT mergeable sketch: bucket counts
+    sum associatively, so the read-side merge (merge_histograms — one
+    aggregate over <= batches x nbins stored rows) equals the direct
+    corpus histogram ROW FOR ROW, with none of the inequality slack MG
+    carries (m24) — the m13 merged==direct claim, completing the
+    streaming-maintenance story for all three sketch families (KMV
+    m13, Misra-Gries m24, histogram here). Quantiles derived from the
+    merged store (histogram_quantiles) are therefore exact to one
+    bucket width BY CONSTRUCTION, and the m26 registration hash-checks
+    them against the direct-histogram SQL mirror."""
+    import os
+
+    h = fixed_width_histogram(batch_df, value_col, lo, hi, nbins)
+    h.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(store, f"batch-{int(batch_id)}")
+    )

@@ -812,6 +812,36 @@ MUTATIONS = [
       "boundary", "MIRROR-side bridge rate perturbed: the oracle "
       "merges different family pairs than the engine ingested (value "
       "hash kill — the m25 mirror-family oracle-side kill)"),
+    M("m26_publish_collision", "m26_streaming_quantiles",
+      f"{PKG}/operators/profile.py",
+      'os.path.join(store, f"batch-{int(batch_id)}")',
+      'os.path.join(store, "batch-0")',
+      "wrong-key", "every histogram partial publishes into batch-0: "
+      "only the last wave's counts survive, n_total collapses to a "
+      "third of the corpus and every rank shifts (value hash kills)"),
+    M("m26_merge_sum_to_max", "m26_streaming_quantiles",
+      f"{PKG}/operators/profile.py",
+      'F.sum("n").alias("n"),',
+      'F.max("n").alias("n"),',
+      "swapped-agg", "merge_histograms sums -> maxes bucket counts: "
+      "the merged histogram under-counts every bucket seen by more "
+      "than one batch, n_total and ranks shift (value hash kills — "
+      "histogram partials merge by SUM or the exactness claim is "
+      "void)"),
+    M("m26_bins_constant", "m26_streaming_quantiles",
+      f"{PKG}/entry_queries.py",
+      'batch_df, "value", 0.0, 500.0, 40, store, batch_id',
+      'batch_df, "value", 0.0, 500.0, 39, store, batch_id',
+      "constant", "engine-side bin count 40 -> 39: bucket width "
+      "drifts off the oracle's 12.5 grid, every bucket id and edge "
+      "differs (value hash kills)"),
+    M("oracle_m26_quantile_set", "m26_streaming_quantiles",
+      f"{PKG}/entry_queries.py",
+      "(VALUES (0.5),(0.9),(0.99)) qs(q)  -- m26 quantile set",
+      "(VALUES (0.5),(0.9),(0.95)) qs(q)  -- m26 quantile set",
+      "boundary", "MIRROR-side quantile set perturbed (0.99 -> 0.95): "
+      "the oracle reports a rank the engine never computed (value "
+      "hash kill — the m26 mirror-family oracle-side kill)"),
     M("bpe8k_chunk_floor", "x4_bpe8k_chunks",
       f"{PKG}/operators/text.py",
       'n_chunks = F.ceil(n.cast("double") / F.lit(budget)).cast("bigint")',
