@@ -13125,3 +13125,116 @@ def m26_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("bigint").alias("rank"),
         F.col("n_total").cast("bigint").alias("n_total"),
     ).orderBy("q")
+
+
+# ---------------------------------------------------------------------------
+# x3 — Lloyd's k-means: iterative training, oracle-exact
+# ---------------------------------------------------------------------------
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """Unroll the fixed-iteration Lloyd loop into staged CTEs (the
+    _bpe8k_fold_ctes precedent: a deterministic iterative algorithm
+    whose every step is integer-exact mirrors as plain SQL). Iteration
+    t: a{t} assigns each vector to its nearest centroid (exact BIGINT
+    squared distance, (distance, cid) tie-break), u{t} re-quantizes
+    per-dimension means with sign-safe round-half-up, c{t} pivots back
+    to list form with empty-cluster carryover."""
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT vec_id AS key,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+               AS q
+      FROM embeddings
+    ),
+    c0 AS (SELECT key AS cid, q AS c FROM q WHERE key < {k})"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+    a{t} AS (
+      SELECT key, cid, q FROM (
+        SELECT v.key, c.cid, v.q,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.key
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                   i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))), c.cid
+               ) AS rn
+        FROM q v, c{t - 1} c
+      ) WHERE rn = 1
+    ),
+    u{t} AS (
+      SELECT cid, i AS pos,
+             CAST(floor((2 * SUM(q[i]) + COUNT(*)) / (2.0 * COUNT(*)))
+                  AS BIGINT) AS cv
+      FROM (SELECT cid, q, unnest(generate_series(1, 64)) AS i FROM a{t})
+      GROUP BY cid, i
+    ),
+    c{t} AS (
+      SELECT p.cid, COALESCE(n.c, p.c) AS c
+      FROM c{t - 1} p LEFT JOIN
+           (SELECT cid, list(cv ORDER BY pos) AS c FROM u{t} GROUP BY cid) n
+           ON p.cid = n.cid
+    )"""
+        )
+    parts.append(
+        f""",
+    sizes AS (SELECT cid, COUNT(*) AS n_members FROM a{iters} GROUP BY cid),
+    cent AS (
+      SELECT cid, c, unnest(generate_series(1, 64)) AS i FROM c{iters}
+    )
+    SELECT cent.cid, CAST(i - 1 AS BIGINT) AS pos, c[i] AS c_val,
+           CAST(COALESCE(s.n_members, 0) AS BIGINT) AS n_members
+    FROM cent LEFT JOIN sizes s ON cent.cid = s.cid
+    ORDER BY cent.cid, pos"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "x3_kmeans_lloyd",
+    _kmeans_oracle_sql(8, 3),
+    "X3",
+)
+def x3_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — Lloyd's k-means run for REAL over the embeddings table
+    (operators/similarity.py:kmeans_lloyd): 3 full assignment/update
+    iterations at k=8, k-seeded from the first 8 vectors. The
+    registry's codebook trainers (ivf_index, pq_train) sample a
+    bounded driver-side subset; this is the actual distributed
+    training loop — per iteration one broadcast of k centroids, a
+    map-side exact-integer distance + struct-min assignment (the
+    corpus never shuffles), a (k x dim)-key partial-agg update, and a
+    k-row pivot.
+
+    The whole TRAJECTORY is value-hash-checked, not just the final
+    shape: vectors quantize once to integers, distances are exact
+    BIGINT sums, means re-quantize with sign-safe round-half-up
+    floor((2s+n)/(2n)) whose IEEE division is exact on this grid — so
+    the oracle replays all three iterations as staged CTEs
+    (_kmeans_oracle_sql) and every centroid element and cluster size
+    must match bit-for-bit. Output: (cid, pos, c_val, n_members) long
+    format, 512 rows — the final centroids with the assignment that
+    produced them."""
+    from apache_spark_streaming_project_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, assigned = kmeans_lloyd(e, 8, 3)
+    sizes = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        cents.select("cid", F.posexplode("c").alias("pos", "c_val"))
+        .join(sizes, "cid", "left")
+        .select(
+            "cid",
+            F.col("pos").cast("bigint").alias("pos"),
+            "c_val",
+            F.coalesce("n_members", F.lit(0)).cast("bigint").alias(
+                "n_members"
+            ),
+        )
+        .orderBy("cid", "pos")
+    )

@@ -1505,3 +1505,103 @@ def streaming_pq_ingest_batch(
     enc.write.mode("overwrite").parquet(
         os.path.join(code_store, f"batch-{int(batch_id)}")
     )
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    k: int,
+    iters: int,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means as a DISTRIBUTED, ORACLE-EXACT training loop —
+    the iterative-ML capability next to the one-shot codebook samplers
+    (``ivf_index``/``pq_train`` train on a bounded driver-side sample;
+    this runs real assignment/update iterations over the full table,
+    the way corpus-scale clustering actually trains).
+
+    Exactness is BY CONSTRUCTION, not tolerance: vectors quantize once
+    to integers (``floor(x*scale + 0.5)``, the x3_label_centroids
+    idiom), distances are exact BIGINT sums of squared integer
+    differences (|diff| <= 2*scale, squared * dim ~ 2.6e14 — well
+    inside int64), the assignment tie-break is the (distance, cid)
+    struct-min, and each update RE-QUANTIZES the mean back to integers
+    with the sign-safe round-half-up ``floor((2*s + n) / (2*n))`` —
+    the division runs in IEEE doubles but both operands are exact
+    integers <= ~1e10 and the quotient grid spacing is 1/(2n) >> double
+    eps at this magnitude, so the floor is bit-identical on any
+    engine. Every iteration is therefore a pure integer-in /
+    integer-out function: a fixed iteration count unrolls into plain
+    SQL and the whole training trajectory is value-hash-checkable (the
+    x3_kmeans_lloyd oracle replays all iterations as staged CTEs).
+
+    Init is the first ``k`` keys' vectors (deterministic, mirrorable);
+    a cluster that loses all members keeps its previous centroid
+    (COALESCE on both engines). Returns ``(centroids, assignment)``
+    after ``iters`` update steps: centroids (cid, c: array<long>),
+    assignment (key, cid) — the assignment that PRODUCED the final
+    centroids.
+
+    Scale shape: per iteration, one broadcast of k centroids against
+    the corpus (map-side distance + struct-min aggregate — the corpus
+    never shuffles for assignment), one (k x dim)-key partial agg for
+    the update, and a k-row pivot. ``localCheckpoint`` truncates the
+    per-iteration lineage (the near_dup_clusters pattern)."""
+    q = vectors.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.transform(
+            vec_col,
+            lambda x: F.floor(x.cast("double") * scale + 0.5).cast("long"),
+        ).alias("q"),
+    ).localCheckpoint()
+    cents = (
+        q.filter(F.col("key") < k)
+        .select(F.col("key").alias("cid"), F.col("q").alias("c"))
+        .localCheckpoint()
+    )
+    assigned = None
+    for _ in range(iters):
+        dist = F.aggregate(
+            F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            q.crossJoin(F.broadcast(cents))
+            .select("key", "q", F.struct(dist.alias("d"), "cid").alias("_dc"))
+            .groupBy("key")
+            .agg(
+                F.min("_dc").getField("cid").alias("cid"),
+                F.first("q").alias("q"),
+            )
+            .localCheckpoint()
+        )
+        upd = (
+            assigned.select("cid", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cid",
+                "pos",
+                F.floor(
+                    (2 * F.col("s") + F.col("n")) / (2 * F.col("n"))
+                )
+                .cast("long")
+                .alias("cv"),
+            )
+        )
+        new_c = upd.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("c")
+        )
+        # a cluster that lost every member keeps its previous centroid
+        cents = (
+            cents.select("cid", F.col("c").alias("_old"))
+            .join(new_c, "cid", "left")
+            .select("cid", F.coalesce("c", "_old").alias("c"))
+            .localCheckpoint()
+        )
+    return cents, assigned.select("key", "cid")

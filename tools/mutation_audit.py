@@ -842,6 +842,39 @@ MUTATIONS = [
       "boundary", "MIRROR-side quantile set perturbed (0.99 -> 0.95): "
       "the oracle reports a rank the engine never computed (value "
       "hash kill — the m26 mirror-family oracle-side kill)"),
+    M("x3_kmeans_tiebreak", "x3_kmeans_lloyd",
+      f"{PKG}/operators/similarity.py",
+      'F.struct(dist.alias("d"), "cid").alias("_dc")',
+      'F.struct(F.col("cid"), dist.alias("d")).alias("_dc")',
+      "wrong-key", "assignment struct-min compares (cid, distance) "
+      "instead of (distance, cid): every vector collapses onto the "
+      "lowest centroid id regardless of distance — the degenerate "
+      "clustering (row count ties at k x dim; value hash kills)"),
+    M("x3_kmeans_trunc", "x3_kmeans_lloyd",
+      f"{PKG}/operators/similarity.py",
+      'F.floor(\n                    (2 * F.col("s") + F.col("n")) / (2 * F.col("n"))\n                )',
+      'F.floor(\n                    (2 * F.col("s")) / (2 * F.col("n"))\n                )',
+      "off-by-one", "mean requantization round-half-up -> truncation: "
+      "every dimension whose mean has fractional part >= 0.5 lands one "
+      "integer low, the trajectory forks from the oracle's replay "
+      "(value hash kills — the exact-requantization contract)"),
+    M("x3_kmeans_iters", "x3_kmeans_lloyd",
+      f"{PKG}/entry_queries.py",
+      'kmeans_lloyd(e, 8, 3)',
+      'kmeans_lloyd(e, 8, 2)',
+      "constant", "engine stops one Lloyd iteration early: verified "
+      "non-converged at sf0.01 (centroids AND assignments still move "
+      "on iteration 3), so the oracle's 3-iteration replay disagrees "
+      "(value hash kills — pins that the full trajectory, not a "
+      "fixed point, is checked)"),
+    M("oracle_x3_kmeans_seed", "x3_kmeans_lloyd",
+      f"{PKG}/entry_queries.py",
+      'FROM q WHERE key < {k})',
+      'FROM q WHERE key <= {k})',
+      "boundary", "MIRROR-side seeding widened to k+1 centroids: the "
+      "oracle trains a 9-cluster model and emits 576 rows against the "
+      "engine's 512 (row-count kill — the x3_kmeans mirror-family "
+      "oracle-side kill)"),
     M("bpe8k_chunk_floor", "x4_bpe8k_chunks",
       f"{PKG}/operators/text.py",
       'n_chunks = F.ceil(n.cast("double") / F.lit(budget)).cast("bigint")',
