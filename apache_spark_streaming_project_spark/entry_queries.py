@@ -12989,7 +12989,11 @@ def m25_streaming_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     fault-injection-tested: a replayed batch resolves against
     strictly-prior state via the batch_id column on every stored row —
     without it, a retry would see its own publishes, project every edge
-    to a self-loop, and silently EMPTY its own dirs.
+    to a self-loop, and silently EMPTY its own dirs. Path compression
+    is implemented as dedup.compact_cc_store (resolve once, republish
+    flat, drop the remap log) with the m16 transparency contract
+    pytest-pinned: identical resolution and identical continued-
+    ingestion end state.
 
     Final label = min key ever connected — arrival-order-invariant, so
     any wave permutation resolves to the same clusters (pytest), and

@@ -2122,3 +2122,35 @@ def streaming_cc_batch(
     remap_entries = remap_entries.localCheckpoint()
     _publish_store_batch(new_assign, assign_store, batch_id)
     _publish_store_batch(remap_entries, remap_store, batch_id)
+
+
+def compact_cc_store(
+    ss,
+    assign_store: str,
+    remap_store: str,
+    assign_out: str,
+    n_files: int = 8,
+) -> None:
+    """PATH COMPRESSION as store maintenance for the m25 streaming CC
+    state (the m16 compact-into-fresh-dir-then-swap pattern): resolve
+    every assignment through the remap log once and republish the
+    RESOLVED roots into a fresh assign store; the compacted deployment
+    starts with NO remap store (every chain is now flattened to depth
+    0, so the next resolve's pointer-doubling loop exits on its first
+    round). Rows carry ``batch_id = -1`` — a writer id no real batch
+    uses, so a replayed batch's strictly-prior-state exclusion never
+    filters compacted history.
+
+    Correctness contract (pytest-pinned, the requantize_cell_store
+    model): resolution over the compacted store is ROW-IDENTICAL to
+    resolution over the original, and continued ingestion against the
+    compacted stores reaches the same final state as a never-compacted
+    run — merges only ever relabel to component minima, which the
+    compacted roots already are. Run it between micro-batches whenever
+    the remap log's chase depth (or the assign store's batch-dir count)
+    starts to show in the per-batch probe."""
+    resolved = resolve_cc_assignments(ss, assign_store, remap_store)
+    out = resolved.select(
+        "key", "root", F.lit(-1).cast("long").alias("batch_id")
+    ).localCheckpoint()
+    out.coalesce(n_files).write.mode("overwrite").parquet(assign_out)

@@ -125,3 +125,36 @@ def test_m25_end_to_end_matches_ground_truth(spark):
             parent[hi] = lo
     want = sorted((k, find(k)) for k in parent)
     assert sorted((r["key"], r["cluster_id"]) for r in out) == want
+
+
+def test_m25_compaction_is_path_compression(spark, tmp_path):
+    """compact_cc_store: resolution over the compacted store is
+    row-identical, the compacted deployment has no remap chains left,
+    and continued ingestion reaches the same final state as a
+    never-compacted run (the m16 transparency contract)."""
+    from apache_spark_streaming_project_spark.operators.dedup import (
+        compact_cc_store,
+    )
+
+    edges = _edges(spark)
+    base = str(tmp_path / "cc")
+    _fold(edges, base, [0, 1])
+    before = _resolved(spark, base)
+
+    compacted = str(tmp_path / "cc_compact")
+    compact_cc_store(
+        spark, f"{base}/assign", f"{base}/remap", f"{compacted}/assign"
+    )
+    # row-identical resolution, with NO remap store at all
+    assert _resolved(spark, compacted) == before
+
+    # continued ingestion against the compacted store == clean run
+    streaming_cc_batch(
+        edges.filter(F.col("epoch") == 2).select("key_a", "key_b"),
+        f"{compacted}/assign",
+        f"{compacted}/remap",
+        2,
+    )
+    clean = str(tmp_path / "cc_clean")
+    _fold(edges, clean, [0, 1, 2])
+    assert _resolved(spark, compacted) == _resolved(spark, clean)
