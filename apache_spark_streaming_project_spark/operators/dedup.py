@@ -2014,6 +2014,13 @@ def resolve_cc_assignments(
         assign = assign.filter(F.col("batch_id") != int(exclude_batch))
         remap = remap.filter(F.col("batch_id") != int(exclude_batch))
     r = remap.select("old_root", "new_root").localCheckpoint()
+    if r.isEmpty():
+        # no merges recorded (first batches, or right after compaction —
+        # path compression empties the remap log): every ingest root IS
+        # final, so skip the pointer-doubling loop and its per-round
+        # join + checkpoint + count jobs entirely (round-13 opt; the
+        # post-compaction deployment hits this every batch)
+        return assign.select("key", "root")
     changed = -1
     for _ in range(max_iterations):
         nxt = r.join(
@@ -2096,7 +2103,12 @@ def streaming_cc_batch(
         )
         .filter(F.col("src") != F.col("dst"))
     )
-    comp = near_dup_clusters(proj, "src", "dst").localCheckpoint()
+    # near_dup_clusters' result is already backed by its final-round
+    # localCheckpoint (labels = select over checkpointed blocks), so a
+    # second checkpoint here only copied blocks; the store-read lineage
+    # that the crash-window contract worries about enters below through
+    # `known`/`roots`, and THOSE plans are checkpointed before publish
+    comp = near_dup_clusters(proj, "src", "dst")
     known = roots.select("key")
     new_assign = comp.join(known, "key", "left_anti").select(
         "key",
