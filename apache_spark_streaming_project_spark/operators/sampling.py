@@ -466,10 +466,16 @@ def dsir_lambda_table(
     m15 streaming registration); the totals the smoothed ratio needs
     are exact integer sums over this table, so the table alone fully
     determines the scorer."""
+    # no size(_bs) > 0 filter: explode drops empty/null gram arrays by
+    # itself, and a filter on the DERIVED column gets pushed below the
+    # caller's repartition exchange with the whole gram expression
+    # substituted into the condition — the heavy hash stream then runs
+    # per row in the scan task AND again in this projection (round-13
+    # opt; the guide §4.4 duplication, JVM-expression flavour)
     base = df.select(
         is_target.alias("_t"),
         dsir_hashed_grams(text_col, num_buckets).alias("_bs"),
-    ).filter(F.size("_bs") > 0)
+    )
     ex = base.select("_t", F.explode("_bs").alias("_b"))
     # ONE aggregation with a conditional count, not separate raw/target
     # aggs: both are keyed on the same int bucket, so two aggs means
@@ -517,10 +523,12 @@ def dsir_score_against(
     totals = lam.agg(
         F.sum("_tp").alias("_gtp"), F.sum("_tq").alias("_gtq")
     )
+    # no size(_bs) > 0 filter — posexplode drops empty/null arrays; see
+    # dsir_lambda_table for the pushdown-duplication rationale
     base = df.select(
         F.col(id_col).alias("_id"),
         dsir_hashed_grams(text_col, num_buckets).alias("_bs"),
-    ).filter(F.size("_bs") > 0)
+    )
     ex = base.select("_id", F.posexplode("_bs").alias("_pos", "_b"))
     p_over_q_num = (F.col("_tp").cast("double") + F.lit(1.0)) * (
         F.col("_gtq").cast("double") + F.lit(m)

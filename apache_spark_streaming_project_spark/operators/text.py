@@ -583,9 +583,14 @@ def winnow_fingerprints(
         ),
         1,
     )
+    # no size(_fps) > 0 filter: explode drops empty/null arrays by
+    # itself, and a filter on the derived column gets pushed below the
+    # caller's repartition exchange with the WHOLE winnowing expression
+    # substituted into its condition — the HOF kernel then runs per row
+    # in the single-split scan task and again in this projection
+    # (round-13 opt; measured as a ~2.7 s one-task stage at sf0.1)
     return (
         df.select(F.col(key_col), fps.alias("_fps"))
-        .filter(F.size("_fps") > 0)
         .select(
             key_col,
             F.explode("_fps").alias("_enc"),
@@ -610,6 +615,7 @@ def winnow_shared_pairs(
     w: int = 4,
     min_shared: int = 3,
     max_fp_df: int | None = 50,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """X4 — document pairs sharing >= ``min_shared`` distinct winnowed
     fingerprint HASHES — the MOSS match-detection join. Because
@@ -630,10 +636,19 @@ def winnow_shared_pairs(
     Output: ``(key_a, key_b, shared_fps)`` with ``key_a < key_b``.
     Scale: postings self-join bucketed by fingerprint hash, each
     posting list bounded by ``max_fp_df`` — never all-pairs.
+
+    Pass ``fingerprints`` (a :func:`winnow_fingerprints` result —
+    ``(key_col, fp_pos, fp_hash)``, typically persisted) to reuse an
+    already-computed fingerprint table: the df-cap aggregate and both
+    self-join sides consume it, and without a shared materialized table
+    the HOF fingerprint kernel runs once per consumer (the simhash_df
+    ``fingerprints`` precedent).
     """
-    fps = winnow_fingerprints(df, key_col, text_col, k, w).select(
-        F.col(key_col).alias("_k"), "fp_hash"
-    ).distinct()
+    fps = (
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprints(df, key_col, text_col, k, w)
+    ).select(F.col(key_col).alias("_k"), "fp_hash").distinct()
     if max_fp_df is not None:
         over = (
             fps.groupBy("fp_hash")

@@ -55,6 +55,23 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # InferFiltersFromGenerate synthesizes `size(e) > 0 AND
+        # isnotnull(e)` below every explode/posexplode and pushes it
+        # toward the scan. When the generator child is a COMPUTED array
+        # (word shingles, hashed grams, winnowed fingerprints — this
+        # engine's hot paths), the pushed filter re-evaluates the whole
+        # HOF expression per input row, duplicating the kernel at every
+        # scale and, under a fixture-economics repartition, collapsing
+        # it into the single-split scan task (round-13 opt: measured
+        # 11.3 s -> 3.5 s on x12_dsir_weights, 5.9 s -> 2.5 s on
+        # x4_winnow_fingerprints at sf0.1; explode already drops
+        # empty/null arrays, so the inferred filter prunes nothing this
+        # engine's plans need — every Generate sits directly on the
+        # projection that computes its child).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # testdata events.parquet carries TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
