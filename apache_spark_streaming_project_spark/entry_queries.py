@@ -2508,7 +2508,9 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("embedding"),
     )
-    corpus = e.unionByName(planted)
+    # single-split fixture vs assignment/blocked-verify kernels; the
+    # training sample is layout-independent by design (_train_sample)
+    corpus = e.unionByName(planted).repartition(_par(spark))
     assigned, _ = ivf_index(corpus, n_centroids=16, n_assign=2)
     pairs = blocked_cosine_join(
         assigned,
@@ -2559,7 +2561,9 @@ def x_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     return (
-        embedding_near_dups(e.unionAll(perturbed), threshold=0.95)
+        embedding_near_dups(
+            e.unionAll(perturbed).repartition(_par(spark)), threshold=0.95
+        )
         .select("key_a", "key_b")
         .orderBy("key_a", "key_b")
     )
@@ -2609,7 +2613,8 @@ def x3_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return brute_force_top_k(e, qvec, k=10)
+    # single-split fixture vs the per-row cosine fold (_par docstring)
+    return brute_force_top_k(e.repartition(_par(spark)), qvec, k=10)
 
 
 def _recall_contract(approx: DataFrame, exact: DataFrame, k: int, min_hits: int) -> DataFrame:
@@ -2653,7 +2658,13 @@ def _planted_corpus(e: DataFrame) -> DataFrame:
             ).alias("embedding"),
         )
     )
-    return e.select("vec_id", "embedding").unionAll(planted)
+    # single-split fixture vs the distance/encode kernels every consumer
+    # runs over this corpus (_par docstring)
+    return (
+        e.select("vec_id", "embedding")
+        .unionAll(planted)
+        .repartition(_par(e.sparkSession))
+    )
 
 
 @register("x3_lsh_top10", _RECALL_SQL, "X3")
@@ -2739,7 +2750,8 @@ def x3_blocked_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocked_cosine_join,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
+    # single-split fixture vs the quantize/einsum kernels (_par docstring)
+    e = _t(spark, sf_dir, "embeddings").repartition(_par(spark))
     return blocked_cosine_join(
         e, key_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
     ).orderBy("id_a", "id_b")
@@ -2941,7 +2953,10 @@ def x3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_centroids,
     )
 
-    e = _t(spark, sf_dir, "embeddings").select("label", "embedding")
+    # single-split fixture vs the per-coordinate explode (_par docstring)
+    e = _t(spark, sf_dir, "embeddings").select("label", "embedding").repartition(
+        _par(spark)
+    )
     return label_centroids(e).orderBy("label", "pos")
 
 
@@ -2995,7 +3010,9 @@ def x3_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
         label_centroids,
     )
 
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).repartition(_par(spark))
     assigned = assign_to_centroids(e, label_centroids(e))
     return (
         assigned.groupBy("label", "assigned_label")
@@ -3330,7 +3347,8 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # single-split fixture vs shingle-explode kernels (_par docstring)
+    d = _t(spark, sf_dir, "documents").repartition(_par(spark))
     cand = minhash_lsh_candidates(d, "doc_id", "text").select("key_a", "key_b")
     verified = (
         ngram_jaccard_pairs(d, cand, "doc_id", "text", 3)
@@ -3367,7 +3385,8 @@ def x_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # single-split fixture vs shingle-explode kernels (_par docstring)
+    d = _t(spark, sf_dir, "documents").repartition(_par(spark))
     cand = minhash_lsh_candidates(d, "doc_id", "text").select("key_a", "key_b")
     verified = (
         ngram_jaccard_pairs(d, cand, "doc_id", "text", 3)
@@ -3406,6 +3425,8 @@ def x3_lsh_planted_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dim = len(e.first()["embedding"])
+    # single-split fixture vs the hyperplane-bits kernel (_par docstring)
+    e = e.repartition(_par(spark))
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.transform(
@@ -3442,7 +3463,11 @@ def x3_ivf_planted_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_index,
     )
 
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # single-split fixture vs the index/encode kernels; training samples
+    # are layout-independent by design (_par/_train_sample docstrings)
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").repartition(
+        _par(spark)
+    )
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.transform(
@@ -6703,7 +6728,8 @@ def x3_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_top_k,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
+    # single-split fixture vs encode/assign kernels (_par docstring)
+    e = _t(spark, sf_dir, "embeddings").repartition(_par(spark))
     base = e.filter(F.col("vec_id") % 10 != 0)
     new = e.filter(F.col("vec_id") % 10 == 0)
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -6940,7 +6966,11 @@ def x8_pq_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train,
     )
 
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # single-split fixture vs the index/encode kernels; training samples
+    # are layout-independent by design (_par/_train_sample docstrings)
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").repartition(
+        _par(spark)
+    )
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.transform(
@@ -6983,7 +7013,11 @@ def x8_ivfpq_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_index,
     )
 
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # single-split fixture vs the index/encode kernels; training samples
+    # are layout-independent by design (_par/_train_sample docstrings)
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").repartition(
+        _par(spark)
+    )
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.transform(
@@ -7313,7 +7347,8 @@ def x6_best_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # single-split fixture vs shingle-explode kernels (_par docstring)
+    d = _t(spark, sf_dir, "documents").repartition(_par(spark))
     cand = minhash_lsh_candidates(d, "doc_id", "text").select("key_a", "key_b")
     verified = (
         ngram_jaccard_pairs(d, cand, "doc_id", "text", 3)
@@ -8052,7 +8087,8 @@ def x3_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
         )
     )
-    ecorp = e.unionByName(planted_e)
+    # single-split fixture vs the batch brute-force kernel (_par docstring)
+    ecorp = e.unionByName(planted_e).repartition(_par(spark))
     qvecs = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -8241,7 +8277,8 @@ def x4_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicate_span_coverage,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # single-split fixture vs the 8-gram span kernel (_par docstring)
+    d = _t(spark, sf_dir, "documents").repartition(_par(spark))
     return duplicate_span_coverage(d, "doc_id", "text", n=8).orderBy("doc_id")
 
 
@@ -8332,7 +8369,12 @@ def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     cands = (
-        brute_force_top_k(e.filter(F.col("vec_id") != 0), qvec, k=20)
+        brute_force_top_k(
+            # single-split fixture vs the cosine fold (_par docstring)
+            e.filter(F.col("vec_id") != 0).repartition(_par(spark)),
+            qvec,
+            k=20,
+        )
         .withColumnRenamed("cosine", "rel")
         .join(e.select("vec_id", "embedding"), "vec_id")
         .withColumn("query_id", F.lit(0).cast("long"))
@@ -8442,7 +8484,8 @@ def x9_embedding_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_correlations,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
+    # single-split fixture vs the dim-pair explode (_par docstring)
+    e = _t(spark, sf_dir, "embeddings").repartition(_par(spark))
     return embedding_correlations(e, "vec_id", "embedding", n_dims=16, top_k=10)
 
 
@@ -9458,7 +9501,8 @@ def x_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicate_span_coverage,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # single-split fixture vs the span/token kernels (_par docstring)
+    d = _t(spark, sf_dir, "documents").repartition(_par(spark))
     raw = d.select(
         "doc_id",
         F.concat(
@@ -13318,7 +13362,11 @@ def x3_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_lloyd,
     )
 
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # single-split fixture vs the per-iteration distance maps; the
+    # trajectory is partitioning-invariant (pytest-pinned)
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").repartition(
+        _par(spark)
+    )
     cents, assigned = kmeans_lloyd(e, 8, 3)
     sizes = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members")
