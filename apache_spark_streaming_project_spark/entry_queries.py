@@ -2202,8 +2202,10 @@ def x_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
     )
-    # single-split fixture vs shingle-explode kernels (_par docstring)
-    corpus = d.unionByName(pert).repartition(_par(spark))
+    # NO repartition/seed here: measured slower both ways at sf0.1 (the
+    # doubled 10k-row union is overhead-bound; quiet A/B r13 s4 —
+    # 3.7-5.0 s plain vs 5.3-6.3 s seeded-repartitioned)
+    corpus = d.unionByName(pert)
     planted = d.select(
         F.col("doc_id").alias("key_a"),
         (F.col("doc_id") + 1_000_000).alias("key_b"),
@@ -2508,9 +2510,11 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("embedding"),
     )
-    # single-split fixture vs assignment/blocked-verify kernels; the
-    # training sample is layout-independent by design (_train_sample)
-    corpus = e.unionByName(planted).repartition(_par(spark))
+    # NO repartition/seed: embeddings is a 2,000-row fixture — the
+    # exchange + 32-task stages cost more than the single-split kernels
+    # at every consumer (quiet A/B r13 s4: 2.1-2.6 s plain vs 3.5-3.6 s
+    # seeded-repartitioned vs 12.8 s unseeded-repartitioned)
+    corpus = e.unionByName(planted)
     assigned, _ = ivf_index(corpus, n_centroids=16, n_assign=2)
     pairs = blocked_cosine_join(
         assigned,
@@ -2561,9 +2565,9 @@ def x_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     return (
-        embedding_near_dups(
-            e.unionAll(perturbed).repartition(_par(spark)), threshold=0.95
-        )
+        # NO repartition/seed: 2,000-row fixture, overhead-bound (quiet
+        # A/B r13 s4: 1.8-2.9 s plain vs 4.4-8.3 s repartitioned)
+        embedding_near_dups(e.unionAll(perturbed), threshold=0.95)
         .select("key_a", "key_b")
         .orderBy("key_a", "key_b")
     )
@@ -2613,8 +2617,8 @@ def x3_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    # single-split fixture vs the per-row cosine fold (_par docstring)
-    return brute_force_top_k(e.repartition(_par(spark)), qvec, k=10)
+    # NO repartition: 2,000-row fixture, overhead-bound (r13 s4 A/B)
+    return brute_force_top_k(e, qvec, k=10)
 
 
 def _recall_contract(approx: DataFrame, exact: DataFrame, k: int, min_hits: int) -> DataFrame:
@@ -2658,13 +2662,11 @@ def _planted_corpus(e: DataFrame) -> DataFrame:
             ).alias("embedding"),
         )
     )
-    # single-split fixture vs the distance/encode kernels every consumer
-    # runs over this corpus (_par docstring)
-    return (
-        e.select("vec_id", "embedding")
-        .unionAll(planted)
-        .repartition(_par(e.sparkSession))
-    )
+    # NO repartition/seed: embeddings is a 2,000-row fixture, so the
+    # exchange + 32-task downstream stages are pure overhead against
+    # re-scanning one tiny split per consumer (quiet A/B r13 s4:
+    # x3_pq_top10 1.2 s plain vs 2.1 s seeded-repartitioned)
+    return e.select("vec_id", "embedding").unionAll(planted)
 
 
 @register("x3_lsh_top10", _RECALL_SQL, "X3")
@@ -2750,8 +2752,8 @@ def x3_blocked_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocked_cosine_join,
     )
 
-    # single-split fixture vs the quantize/einsum kernels (_par docstring)
-    e = _t(spark, sf_dir, "embeddings").repartition(_par(spark))
+    # NO repartition/seed: 2,000-row fixture, overhead-bound (r13 s4 A/B)
+    e = _t(spark, sf_dir, "embeddings")
     return blocked_cosine_join(
         e, key_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
     ).orderBy("id_a", "id_b")
@@ -2800,8 +2802,9 @@ def x_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    # single-split fixture vs shingle-explode kernels (_par docstring)
-    d = _t(spark, sf_dir, "documents").repartition(_par(spark))
+    # single-split fixture vs shingle-explode kernels (_par docstring);
+    # seeded: candidates AND verify both consume the corpus (r13 opt s4)
+    d = _seeded(_t(spark, sf_dir, "documents").repartition(_par(spark)))
     cand = minhash_lsh_candidates(d, "doc_id", "text").select("key_a", "key_b")
     return (
         ngram_jaccard_pairs(d, cand, "doc_id", "text", 3)
@@ -2833,8 +2836,9 @@ def x_simhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # repartition + seeded fingerprint table: the kernel otherwise runs
     # single-task (single-split fixture) and both block-join sides
-    # race-compute it (_par/_seeded docstrings)
-    d = _t(spark, sf_dir, "documents").repartition(_par(spark))
+    # race-compute it (_par/_seeded docstrings); d itself is seeded too —
+    # the fingerprint kernel and the exact verify both consume it (r13 s4)
+    d = _seeded(_t(spark, sf_dir, "documents").repartition(_par(spark)))
     fp = _seeded(simhash_df(d, "doc_id", "text", 2))
     cand = simhash_near_dups(
         d, "doc_id", "text", max_hamming=8, fingerprints=fp
@@ -3010,9 +3014,10 @@ def x3_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
         label_centroids,
     )
 
+    # NO repartition/seed: 2,000-row fixture, overhead-bound (r13 s4 A/B)
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
-    ).repartition(_par(spark))
+    )
     assigned = assign_to_centroids(e, label_centroids(e))
     return (
         assigned.groupBy("label", "assigned_label")
@@ -3347,8 +3352,10 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    # single-split fixture vs shingle-explode kernels (_par docstring)
-    d = _t(spark, sf_dir, "documents").repartition(_par(spark))
+    # single-split fixture vs shingle-explode kernels (_par docstring);
+    # seeded: candidates AND the exact verify both consume the corpus —
+    # an unseeded repartition re-pays its exchange per consumer (r13 s4)
+    d = _seeded(_t(spark, sf_dir, "documents").repartition(_par(spark)))
     cand = minhash_lsh_candidates(d, "doc_id", "text").select("key_a", "key_b")
     verified = (
         ngram_jaccard_pairs(d, cand, "doc_id", "text", 3)
@@ -3385,8 +3392,10 @@ def x_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    # single-split fixture vs shingle-explode kernels (_par docstring)
-    d = _t(spark, sf_dir, "documents").repartition(_par(spark))
+    # single-split fixture vs shingle-explode kernels (_par docstring);
+    # seeded: candidates AND the exact verify both consume the corpus —
+    # an unseeded repartition re-pays its exchange per consumer (r13 s4)
+    d = _seeded(_t(spark, sf_dir, "documents").repartition(_par(spark)))
     cand = minhash_lsh_candidates(d, "doc_id", "text").select("key_a", "key_b")
     verified = (
         ngram_jaccard_pairs(d, cand, "doc_id", "text", 3)
@@ -3425,8 +3434,6 @@ def x3_lsh_planted_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dim = len(e.first()["embedding"])
-    # single-split fixture vs the hyperplane-bits kernel (_par docstring)
-    e = e.repartition(_par(spark))
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.transform(
@@ -3463,11 +3470,11 @@ def x3_ivf_planted_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_index,
     )
 
-    # single-split fixture vs the index/encode kernels; training samples
-    # are layout-independent by design (_par/_train_sample docstrings)
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").repartition(
-        _par(spark)
-    )
+    # NO repartition/seed: embeddings is a 2,000-row fixture — the
+    # exchange + 32-task stages cost more than re-scanning one tiny
+    # split per consumer (quiet A/B r13 s4: x8_pq 2.3-3.0 s plain vs
+    # 8.6-9.3 s seeded-repartitioned vs 9.8-16 s unseeded)
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.transform(
@@ -6728,8 +6735,9 @@ def x3_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_top_k,
     )
 
-    # single-split fixture vs encode/assign kernels (_par docstring)
-    e = _t(spark, sf_dir, "embeddings").repartition(_par(spark))
+    # NO repartition/seed: 2,000-row fixture, overhead-bound (quiet A/B
+    # r13 s4: 2.1-3.2 s plain vs 4.7 s seeded-repartitioned)
+    e = _t(spark, sf_dir, "embeddings")
     base = e.filter(F.col("vec_id") % 10 != 0)
     new = e.filter(F.col("vec_id") % 10 == 0)
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -6966,11 +6974,11 @@ def x8_pq_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train,
     )
 
-    # single-split fixture vs the index/encode kernels; training samples
-    # are layout-independent by design (_par/_train_sample docstrings)
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").repartition(
-        _par(spark)
-    )
+    # NO repartition/seed: embeddings is a 2,000-row fixture — the
+    # exchange + 32-task stages cost more than re-scanning one tiny
+    # split per consumer (quiet A/B r13 s4: x8_pq 2.3-3.0 s plain vs
+    # 8.6-9.3 s seeded-repartitioned vs 9.8-16 s unseeded)
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.transform(
@@ -7013,11 +7021,11 @@ def x8_ivfpq_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_index,
     )
 
-    # single-split fixture vs the index/encode kernels; training samples
-    # are layout-independent by design (_par/_train_sample docstrings)
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").repartition(
-        _par(spark)
-    )
+    # NO repartition/seed: embeddings is a 2,000-row fixture — the
+    # exchange + 32-task stages cost more than re-scanning one tiny
+    # split per consumer (quiet A/B r13 s4: x8_pq 2.3-3.0 s plain vs
+    # 8.6-9.3 s seeded-repartitioned vs 9.8-16 s unseeded)
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.transform(
@@ -7347,8 +7355,10 @@ def x6_best_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score,
     )
 
-    # single-split fixture vs shingle-explode kernels (_par docstring)
-    d = _t(spark, sf_dir, "documents").repartition(_par(spark))
+    # single-split fixture vs shingle-explode kernels (_par docstring);
+    # seeded: candidates AND the exact verify both consume the corpus —
+    # an unseeded repartition re-pays its exchange per consumer (r13 s4)
+    d = _seeded(_t(spark, sf_dir, "documents").repartition(_par(spark)))
     cand = minhash_lsh_candidates(d, "doc_id", "text").select("key_a", "key_b")
     verified = (
         ngram_jaccard_pairs(d, cand, "doc_id", "text", 3)
@@ -8087,8 +8097,8 @@ def x3_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
         )
     )
-    # single-split fixture vs the batch brute-force kernel (_par docstring)
-    ecorp = e.unionByName(planted_e).repartition(_par(spark))
+    # NO repartition: 2,000-row fixture, overhead-bound (r13 s4 A/B)
+    ecorp = e.unionByName(planted_e)
     qvecs = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -8369,12 +8379,8 @@ def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     cands = (
-        brute_force_top_k(
-            # single-split fixture vs the cosine fold (_par docstring)
-            e.filter(F.col("vec_id") != 0).repartition(_par(spark)),
-            qvec,
-            k=20,
-        )
+        # NO repartition: 2,000-row fixture, overhead-bound (r13 s4 A/B)
+        brute_force_top_k(e.filter(F.col("vec_id") != 0), qvec, k=20)
         .withColumnRenamed("cosine", "rel")
         .join(e.select("vec_id", "embedding"), "vec_id")
         .withColumn("query_id", F.lit(0).cast("long"))
@@ -8484,8 +8490,8 @@ def x9_embedding_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_correlations,
     )
 
-    # single-split fixture vs the dim-pair explode (_par docstring)
-    e = _t(spark, sf_dir, "embeddings").repartition(_par(spark))
+    # NO repartition: 2,000-row fixture, overhead-bound (r13 s4 A/B)
+    e = _t(spark, sf_dir, "embeddings")
     return embedding_correlations(e, "vec_id", "embedding", n_dims=16, top_k=10)
 
 
@@ -9501,8 +9507,10 @@ def x_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicate_span_coverage,
     )
 
-    # single-split fixture vs the span/token kernels (_par docstring)
-    d = _t(spark, sf_dir, "documents").repartition(_par(spark))
+    # single-split fixture vs the span/token kernels (_par docstring);
+    # seeded: the URL-dedup, span-coverage, and quality-pool branches
+    # all consume the corpus (r13 opt s4)
+    d = _seeded(_t(spark, sf_dir, "documents").repartition(_par(spark)))
     raw = d.select(
         "doc_id",
         F.concat(
@@ -13362,11 +13370,9 @@ def x3_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_lloyd,
     )
 
-    # single-split fixture vs the per-iteration distance maps; the
-    # trajectory is partitioning-invariant (pytest-pinned)
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").repartition(
-        _par(spark)
-    )
+    # NO repartition: 2,000-row fixture, overhead-bound (r13 s4 A/B);
+    # the trajectory is partitioning-invariant (pytest-pinned) either way
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents, assigned = kmeans_lloyd(e, 8, 3)
     sizes = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members")
