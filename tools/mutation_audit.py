@@ -1045,8 +1045,8 @@ MUTATIONS = [
       "class the batch-keyed overwrite exists to prevent"),
     M("x4w_df_cap_inert", "x4_winnow_shared_pairs",
       f"{PKG}/entry_queries.py",
-      'd.repartition(32), k=8, w=5, min_shared=25, max_fp_df=50',
-      'd.repartition(32), k=8, w=5, min_shared=25, max_fp_df=5000',
+      'd, k=8, w=5, min_shared=25, max_fp_df=50, fingerprints=fps',
+      'd, k=8, w=5, min_shared=25, max_fp_df=5000, fingerprints=fps',
       "constant", "document-frequency cap made inert (50 -> 5000): "
       "ubiquitous-gram postings re-enter the self-join and the pair "
       "set explodes"),
