@@ -1095,35 +1095,56 @@ def near_dup_clusters(
         .distinct()
         .localCheckpoint()
     )
+    # Adjacency WITH one self-loop per node (round-14 opt, guide §2.4): the
+    # self-loop row carries a node's OWN label into the per-node min, so one
+    # join + one aggregate per round replaces join + aggregate + join-back —
+    # the old round shape paid a second labels-keyed exchange just to
+    # compute `least(own, neighbor-min)` and the change flag; here both ride
+    # in the same aggregate (min over all rows = new label, min over the
+    # self-loop row = old label; propagation only ever decreases labels, so
+    # `new < old` is the change flag). Lazy checkpoint: round 1's
+    # convergence count materializes it alongside its own work.
+    adj = (
+        edges.select("_src", "_dst", F.lit(False).alias("_self"))
+        .unionByName(
+            edges.select(F.col("_src").alias("_key"))
+            .distinct()
+            .select(
+                F.col("_key").alias("_src"),
+                F.col("_key").alias("_dst"),
+                F.lit(True).alias("_self"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
     labels = edges.select(F.col("_src").alias("_key")).distinct().select(
         "_key", F.col("_key").alias("cluster_id")
     )
     changed = -1  # "never ran a round" sentinel for the exhaustion error
     for _ in range(max_iterations):
-        neigh = (
-            edges.join(
-                labels.withColumnRenamed("_key", "_dst"), "_dst"
-            )
-            .groupBy("_src")
-            .agg(F.min("cluster_id").alias("_nlabel"))
-            .withColumnRenamed("_src", "_key")
-        )
-        # the change probe rides INSIDE the propagation row: min-label
-        # propagation only ever DECREASES a label, so `new < old` is the
-        # change flag — no separate new-vs-old labels join per round (that
-        # join was one extra shuffle per round, measured as a fixed-cost
-        # tax on every clustering query at fixture scale)
-        new = F.least(
-            F.col("cluster_id"), F.coalesce("_nlabel", F.col("cluster_id"))
-        )
         stepped = (
-            labels.join(neigh, "_key", "left")
-            .select(
-                "_key",
-                new.alias("_new"),
-                (new < F.col("cluster_id")).alias("_chg"),
+            adj.join(labels.withColumnRenamed("_key", "_dst"), "_dst")
+            .groupBy("_src")
+            .agg(
+                F.min("cluster_id").alias("_new"),
+                F.min(
+                    F.when(F.col("_self"), F.col("cluster_id"))
+                ).alias("_old"),
             )
-            .localCheckpoint()
+            .select(
+                F.col("_src").alias("_key"),
+                "_new",
+                (F.col("_new") < F.col("_old")).alias("_chg"),
+            )
+            # LAZY checkpoint + the count as its materializing action: the
+            # count's filter consumes every partition, so one job both
+            # computes/persists the round's labels AND answers the
+            # convergence probe — the eager-checkpoint-then-count form paid
+            # two jobs per round (round-14 opt, guide §5: fewer driver-side
+            # actions). Lineage truncation is identical: the logical plan is
+            # cut to a LogicalRDD either way, and after the count no
+            # partition is left unmaterialized.
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("_chg")).count()  # scan, no join
         labels = stepped.select("_key", F.col("_new").alias("cluster_id"))
@@ -2013,8 +2034,10 @@ def resolve_cc_assignments(
     if exclude_batch is not None:
         assign = assign.filter(F.col("batch_id") != int(exclude_batch))
         remap = remap.filter(F.col("batch_id") != int(exclude_batch))
-    r = remap.select("old_root", "new_root").localCheckpoint()
-    if r.isEmpty():
+    # lazy checkpoint + count as the materializing action (one job, and the
+    # count doubles as the emptiness probe the short-circuit below needs)
+    r = remap.select("old_root", "new_root").localCheckpoint(eager=False)
+    if r.count() == 0:
         # no merges recorded (first batches, or right after compaction —
         # path compression empties the remap log): every ingest root IS
         # final, so skip the pointer-doubling loop and its per-round
@@ -2034,7 +2057,11 @@ def resolve_cc_assignments(
             "old_root",
             F.coalesce("_n2", "new_root").alias("new_root"),
             F.col("_n2").isNotNull().alias("_chg"),
-        ).localCheckpoint()
+            # lazy checkpoint materialized by the convergence count — one
+            # job per doubling round instead of two (same fusion as
+            # near_dup_clusters; the count scans every partition, so the
+            # checkpoint is fully persisted by it)
+        ).localCheckpoint(eager=False)
         changed = stepped.filter(F.col("_chg")).count()
         r = stepped.drop("_chg")
         if changed == 0:

@@ -899,6 +899,12 @@ def duplicate_span_coverage(
     ).select(
         "_doc", F.col("_g.pos").alias("_s"), F.xxhash64("_g.gram").alias("_gram")
     )
+    # Same two-consumer shape as remove_duplicate_spans: `grams` (the
+    # positional-shingle explosion) feeds both the cross-doc df aggregate and
+    # the position join back — seed it so the explosion runs once instead of
+    # 2x-concurrent under AQE (round-13 `_seeded` pattern).
+    grams = grams.persist()
+    grams.count()
 
     if min_docs == 2:
         # "in >= 2 docs" needs no distinct aggregation: min(doc) != max(doc)
@@ -1874,6 +1880,17 @@ def remove_duplicate_spans(
             )
         ).alias("_g"),
     ).select("_doc", F.col("_g.pos").alias("_pos"), F.col("_g.gh").alias("_gh"))
+    # `occ` (the gram explosion + xxhash64 — the expensive kernel) feeds BOTH
+    # the corpus count-agg below and the occurrence join back; without a
+    # materialization AQE plans the two consumers as independent subtrees and
+    # evaluates the explosion twice CONCURRENTLY (the x_simhash_pairs
+    # cache-race, round-13). Persist + eager count() runs it once; both
+    # consumers read the materialized rows. (A window-count restructure would
+    # also single-evaluate, but buffers every occurrence of a hot gram in one
+    # window group — the corpus-wide boilerplate gram IS that hot key — while
+    # the partial-aggregating count + join back stays skew-tolerant.)
+    occ = occ.persist()
+    occ.count()
 
     dup = (
         occ.groupBy("_gh")

@@ -72,6 +72,15 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # Python worker spawn must survive a loaded box: the JVM waits only
+        # 15 s (spark.python.authenticate.socketTimeout default) for a
+        # freshly-forked worker to connect back, and under CPU contention a
+        # cold Python Data Source worker can miss that window — observed as
+        # "Python worker failed to connect back" (STREAM_FAILED) killing the
+        # m10 drain on a low-core run. 120 s costs nothing when healthy (the
+        # accept returns as soon as the worker is up) and rides out
+        # contention at any scale.
+        .config("spark.python.authenticate.socketTimeout", "120s")
         # testdata events.parquet carries TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -61,20 +61,37 @@ def main() -> None:
     spark.catalog.clearCache()
 
     samples: dict[str, list[float]] = {name: [] for name in QUERIES}
+    errors: dict[str, str] = {}
     for _ in range(max(args.runs, 1)):
         for name, spec in QUERIES.items():
             t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            samples[name].append(time.perf_counter() - t0)
-            # operator-internal caches (LSH signature tables etc.) must not
-            # leak memory pressure or warm-data advantages into later queries
-            spark.catalog.clearCache()
+            try:
+                df = spec.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples[name].append(time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 — per-query fault isolation
+                # One flaky query must not void the whole run (round-13: a
+                # transient Python-worker connect-back failure in m10 at
+                # local[8] killed the entire scaling bench and the driver got
+                # no JSON at all). Record the failure, clean up any streaming
+                # query the failed body left running, and keep benching.
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                for q in spark.streams.active:
+                    try:
+                        q.stop()
+                    except Exception:
+                        pass
+            finally:
+                # operator-internal caches (LSH signature tables etc.) must
+                # not leak memory pressure or warm-data advantages into later
+                # queries
+                spark.catalog.clearCache()
 
     timings = {
-        name: round(statistics.median(ts), 4) for name, ts in samples.items()
+        name: (round(statistics.median(ts), 4) if ts else None)
+        for name, ts in samples.items()
     }
-    total = round(sum(timings.values()), 4)
+    total = round(sum(t for t in timings.values() if t is not None), 4)
     out = {
         "metric": "total_query_runtime",
         "value": total,
@@ -84,14 +101,24 @@ def main() -> None:
     }
     if args.runs > 1:
         out["runs"] = args.runs
+    if errors:
+        out["errors"] = errors
+    # Persist the full per-query record where a tail-window capture can't
+    # lose it (round-13: the driver retains only the last ~3 KB of stdout,
+    # so the 208-entry per-query dict printed below never reached it and no
+    # round-over-round per-query comparison could be built).
+    (REPO / "bench_last.json").write_text(json.dumps(out, indent=1))
     # Full record first (per-query timings — the line humans and
     # bench_compare.py consume), then a compact headline as the FINAL line:
     # the driver's tail capture parses the last line, and the per-query dict
-    # for 166 queries makes the full record too long for that window.
+    # for 208 queries makes the full record too long for that window.
     print(json.dumps(out))
     sys.stdout.flush()
     headline = {k: out[k] for k in ("metric", "value", "unit", "sf")}
     headline["n_queries"] = len(timings)
+    if errors:
+        headline["n_errors"] = len(errors)
+    headline["queries_file"] = "bench_last.json"
     print(json.dumps(headline))
 
 

@@ -35,11 +35,21 @@ def main() -> None:
     from apache_spark_streaming_project_spark import get_spark
     from apache_spark_streaming_project_spark.entry_queries import QUERIES
 
+    unknown = [n for n in args.names if n not in QUERIES]
+    if unknown:  # fail before paying session + warm-up (round-13 ADVICE)
+        sys.exit(f"unknown queries: {unknown}; valid names are in QUERIES")
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench_subset")
     for p in sorted(Path(sf_dir).glob("*.parquet")):
         spark.read.parquet(str(p)).limit(1).count()
-    warm = QUERIES["s25_priority_stats"].fn(spark, sf_dir)
+    # warm with a query NOT under test: a benched query must not get its
+    # first rep pre-warmed relative to the others (round-13 ADVICE)
+    warm_name = next(
+        n for n in ("s25_priority_stats", "s19_lineitem_summary", *QUERIES)
+        if n not in args.names
+    )
+    warm = QUERIES[warm_name].fn(spark, sf_dir)
     warm.write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
