@@ -1411,6 +1411,11 @@ def streaming_lsh_dedup_batch(
         .select(F.col("_key").alias("doc_id"), "band", "band_hash")
         .join(b.select("doc_id", "epoch"), "doc_id")
     ).persist()
+    # eager seed (round-14): `bands` feeds both the candidate probe and the
+    # index arm (self_reps) inside one action — a lazy cache races under
+    # AQE and the minhash pipeline runs twice concurrently (the round-13
+    # x_simhash_pairs measurement)
+    bands.count()
     dropped = None
     try:
         prior = _read_store(
@@ -1499,6 +1504,12 @@ def streaming_threshold_dedup_batch(
         .select(F.col("_key").alias("doc_id"), "band", "band_hash")
         .join(b.select("doc_id", "epoch"), "doc_id")
     ).persist()
+    # eager materialization (round-14, the `_seeded` pattern): batch_bands
+    # has TWO consumers inside one downstream action (the probe side `g` and
+    # the index arm via batch_reps), and concurrent first consumers under
+    # AQE both miss a lazy cache and run the minhash pipeline twice in
+    # parallel (the round-13 x_simhash_pairs measurement)
+    batch_bands.count()
     cand = None
     try:
         prior_rows = _read_store(
@@ -1525,6 +1536,9 @@ def streaming_threshold_dedup_batch(
             .select("doc_id", "rep_doc_id")
             .distinct()
         ).persist()  # feeds the reps semi-join AND the verify join
+        # ... and BOTH consumers sit inside ONE publish action, so the lazy
+        # persist raced: seed eagerly (one evaluation, then cache reads)
+        cand.count()
         earlier_texts = _read_store(
             ss, text_store, "doc_id long, text string"
         ).select("doc_id", "text")
@@ -1642,6 +1656,10 @@ def streaming_containment_dedup_batch(
         )
         .select("doc_id", "epoch", F.xxhash64("_gram").alias("gram_hash"))
     ).persist()  # feeds the probe AND the index publish
+    # eager seed (round-14): the probe side and the index arm (self_reps)
+    # are both consumers of `g` inside one publish action — a lazy cache
+    # races and the shingle explosion runs twice concurrently
+    g.count()
     cand = None
     try:
         prior = _read_store(
@@ -1693,6 +1711,8 @@ def streaming_containment_dedup_batch(
             .select("doc_id", "rep_doc_id")
             .distinct()
         ).persist()  # feeds the reps semi-join AND the verify join
+        # both consumers sit inside ONE publish action — seed eagerly
+        cand.count()
         earlier_texts = _read_store(
             ss, text_store, "doc_id long, text string"
         ).select("doc_id", "text")
@@ -1825,6 +1845,10 @@ def streaming_semantic_dedup_batch(
             "embedding",
         )
     ).persist()
+    # eager seed (round-14): `cells` feeds the broadcast cell-set semi-join
+    # AND the index union arm inside one publish action — a lazy cache
+    # races and the ivf assignment runs twice concurrently
+    cells.count()
     try:
         prior = _read_store(
             ss,

@@ -79,17 +79,18 @@ def main() -> None:
     for name in names:
         try:
             df = QUERIES[name].fn(spark, sf_dir)
-            qe = df._jdf.queryExecution()
+            # a Dataset memoizes its QueryExecution, so explain twice via a
+            # FRESH wrapper Dataset each time (select("*") builds a new
+            # QueryExecution over the same logical plan; optimization runs
+            # lazily under whatever conf is set when explainString fires)
             spark.conf.set("spark.sql.optimizer.excludedRules", RULE)
-            excl = qe.explainString(mode)
+            excl = df.select("*")._jdf.queryExecution().explainString(mode)
             if "Generate" not in excl:
                 spark.catalog.clearCache()
                 continue
             summary["n_generate"] += 1
-            # re-enable the rule; a fresh QueryExecution re-optimizes the
-            # same logical plan under the new conf
             spark.conf.set("spark.sql.optimizer.excludedRules", "")
-            incl = df._jdf.queryExecution().explainString(mode)
+            incl = df.select("*")._jdf.queryExecution().explainString(mode)
             spark.conf.set("spark.sql.optimizer.excludedRules", RULE)
 
             Path(args.out, f"{name}_excl.txt").write_text(excl)
